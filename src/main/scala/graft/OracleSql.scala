@@ -1,0 +1,74 @@
+package graft
+
+/** DuckDB renderings of graft's core column pipelines, used to build
+  * the `SparkEntry.oracleSql` entries. Kept next to the Scala
+  * implementations so the two stay in lock-step; every pattern is in
+  * the common Java-regex ∩ RE2 subset (no lookahead/backrefs).
+  */
+object OracleSql {
+
+  /** Mirrors [[graft.operators.Cleaning.cleanContent]]. */
+  def cleanContentSql(expr: String): String = {
+    val steps: Seq[(String, String)] = Seq(
+      ("(?is)ADVERTISEMENT.*?SCROLL TO CONTINUE WITH CONTENT", ""),
+      ("Pilihan Redaksi[^A-Z0-9]*", ""),
+      ("Lihat Juga\\s*:[^\\n]*", ""),
+      ("(?i)\\([^)]*FOTO[^)]*\\)", ""),
+      ("(?i)\\([^)]*CNN[^)]*\\)", ""),
+      ("\\[Gambas:[^\\]\\n]*\\]", ""),
+      ("\\n{3,}", "\n\n"),
+      ("\\s+", " "),
+      ("^[A-Za-z\\s,]+CNN Indonesia\\s*--\\s*", ""))
+    val nested = steps.foldLeft(expr) { case (e, (pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+    s"TRIM($nested)"
+  }
+
+  /** Mirrors [[graft.operators.Cleaning.silver]] as a CTE body. */
+  def silverSql: String = {
+    val cleaned = cleanContentSql("text")
+    s"""SELECT
+       |  md5('https://example.com/doc/' || CAST(doc_id AS VARCHAR)) AS id,
+       |  doc_id,
+       |  $cleaned AS content,
+       |  CAST(LENGTH($cleaned) AS BIGINT) AS content_length,
+       |  lang,
+       |  source AS topic
+       |FROM documents""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Enrichment.topicCategory]]. */
+  def topicCategorySql(expr: String): String =
+    s"""CASE
+       |  WHEN lower($expr) LIKE '%politik%' OR lower($expr) LIKE '%pemerintah%' THEN 'Politik'
+       |  WHEN lower($expr) LIKE '%ekonom%' OR lower($expr) LIKE '%bisnis%' THEN 'Ekonomi'
+       |  WHEN lower($expr) LIKE '%olahraga%' OR lower($expr) LIKE '%sport%' THEN 'Olahraga'
+       |  WHEN lower($expr) LIKE '%teknolog%' OR lower($expr) LIKE '%digital%' THEN 'Teknologi'
+       |  WHEN lower($expr) LIKE '%kesehatan%' OR lower($expr) LIKE '%medis%' THEN 'Kesehatan'
+       |  WHEN lower($expr) LIKE '%pendidikan%' OR lower($expr) LIKE '%sekolah%' THEN 'Pendidikan'
+       |  WHEN lower($expr) LIKE '%hukum%' OR lower($expr) LIKE '%kriminal%' THEN 'Hukum'
+       |  WHEN lower($expr) LIKE '%internasional%' OR lower($expr) LIKE '%dunia%' THEN 'Internasional'
+       |  ELSE COALESCE($expr, 'Umum')
+       |END""".stripMargin
+
+  /** Mirrors [[graft.operators.Enrichment.gold]] as a CTE chain
+    * (silver → gold). Use as `WITH $goldCtes SELECT ... FROM gold`. */
+  def goldCtes: String =
+    s"""silver AS ($silverSql),
+       |gold AS (
+       |  SELECT
+       |    id, doc_id, content, content_length, lang, topic,
+       |    CASE WHEN content_length < 500 THEN 'Short'
+       |         WHEN content_length < 1500 THEN 'Medium'
+       |         WHEN content_length < 3000 THEN 'Long'
+       |         ELSE 'Very Long' END AS content_category,
+       |    ${topicCategorySql("topic")} AS topic_category,
+       |    CAST(len(string_split(content, ' ')) AS BIGINT) AS word_count,
+       |    CAST(len(string_split_regex(content, '\\.')) AS BIGINT) AS sentence_count,
+       |    content_length > 200 AS has_substantial_content,
+       |    concat_ws(' ', content, COALESCE(topic, '')) AS search_text
+       |  FROM silver
+       |  WHERE content IS NOT NULL AND content_length > 50
+       |)""".stripMargin
+}

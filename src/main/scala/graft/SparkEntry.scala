@@ -1,13 +1,217 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.OracleSql._
+import graft.functions.Exact._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full medallion (bronze→silver→gold) over the
+    * sf0.001 documents corpus; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Enrichment.gold(Cleaning.silver(
+      Tables.documents(spark, "/root/testdata/sf0.001")))
+
+  // ---------------------------------------------------------------
+  // Registry: name -> (query, optional DuckDB oracle). Helpers first.
+  // ---------------------------------------------------------------
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def silverDf(s: SparkSession, d: String) = Cleaning.silver(docs(s, d))
+  private def goldDf(s: SparkSession, d: String) = Enrichment.gold(silverDf(s, d))
+
+  private val goldCols = Seq("id", "doc_id", "content_length", "lang", "topic",
+    "content_category", "topic_category", "word_count", "sentence_count",
+    "has_substantial_content")
+
+  private[graft] val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- Medallion ETL core (SURVEY §2 #1-5) ----
+    ("silver_clean",
+      (s: SparkSession, d: String) => silverDf(s, d),
+      Some(s"WITH silver AS ($silverSql) SELECT * FROM silver")),
+
+    ("bronze_dedup",
+      (s: SparkSession, d: String) =>
+        Cleaning.dedupKeepFirst(docs(s, d).select(col("doc_id"), col("text")),
+          md5(col("text")), col("doc_id")),
+      Some("""SELECT doc_id, text FROM (
+             |  SELECT doc_id, text,
+             |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn = 1""".stripMargin)),
+
+    ("gold_enrich",
+      (s: SparkSession, d: String) => goldDf(s, d).select(goldCols.map(col): _*),
+      Some(s"WITH $goldCtes SELECT ${goldCols.mkString(", ")} FROM gold")),
+
+    ("gold_filter_quality",
+      (s: SparkSession, d: String) =>
+        goldDf(s, d).filter(col("content_length") > 200)
+          .select(col("doc_id"), col("content_length"), col("content_category")),
+      Some(s"WITH $goldCtes SELECT doc_id, content_length, content_category FROM gold WHERE content_length > 200")),
+
+    ("date_parse",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val raw = when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 3 === 1, date_format(col("ts"), "dd/MM/yyyy"))
+          .otherwise(date_format(col("ts"), "dd-MM-yyyy"))
+        ev.select(col("event_id"),
+          Cleaning.parseDate(raw).cast("timestamp_ntz").as("parsed"))
+      },
+      Some("""SELECT event_id, COALESCE(
+             |  try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+             |  try_strptime(raw, '%d/%m/%Y'),
+             |  try_strptime(raw, '%d-%m-%Y')) AS parsed
+             |FROM (SELECT event_id,
+             |  CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+             |       WHEN event_id % 3 = 1 THEN strftime(ts, '%d/%m/%Y')
+             |       ELSE strftime(ts, '%d-%m-%Y') END AS raw FROM events) t""".stripMargin)),
+
+    // ---- Analytics views (SURVEY §2 #6-16) ----
+    ("daily_analytics",
+      (s: SparkSession, d: String) => Analytics.dailyAnalytics(Tables.events(s, d)),
+      Some(s"""SELECT CAST(ts AS DATE) AS publish_date,
+              |  COUNT(*) AS total_events,
+              |  COUNT(DISTINCT event_type) AS unique_types,
+              |  ${avgFixedSql("value")} AS avg_value,
+              |  SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS small_events,
+              |  SUM(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS medium_events,
+              |  SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS large_events
+              |FROM events GROUP BY 1""".stripMargin)),
+
+    ("topic_analytics",
+      (s: SparkSession, d: String) => Analytics.topicAnalytics(goldDf(s, d)),
+      Some(s"""WITH $goldCtes
+              |SELECT topic,
+              |  COUNT(*) AS total_articles,
+              |  ${avgLongSql("content_length")} AS avg_content_length,
+              |  SUM(CASE WHEN content_category IN ('Long', 'Very Long') THEN 1 ELSE 0 END) AS long_articles,
+              |  MIN(content_length) AS min_length,
+              |  MAX(content_length) AS max_length
+              |FROM gold WHERE topic IS NOT NULL GROUP BY topic""".stripMargin)),
+
+    ("publishing_patterns",
+      (s: SparkSession, d: String) => Analytics.publishingPatterns(Tables.events(s, d)),
+      Some(s"""WITH hourly AS (
+              |  SELECT CAST(hour(ts) AS BIGINT) AS publish_hour,
+              |    COUNT(*) AS total_events,
+              |    COUNT(DISTINCT event_type) AS unique_types,
+              |    ${avgFixedSql("value")} AS avg_value
+              |  FROM events GROUP BY 1)
+              |SELECT *, ROUND(total_events * 100.0 / SUM(total_events) OVER (), 2) AS percentage
+              |FROM hourly""".stripMargin)),
+
+    ("weekly_trends",
+      (s: SparkSession, d: String) => Analytics.weeklyTrends(Tables.events(s, d)),
+      Some(s"""SELECT CAST(year(ts) AS BIGINT) AS publish_year,
+              |  CAST(weekofyear(ts) AS BIGINT) AS publish_week,
+              |  MIN(CAST(ts AS DATE)) AS week_start,
+              |  MAX(CAST(ts AS DATE)) AS week_end,
+              |  COUNT(*) AS total_events,
+              |  COUNT(DISTINCT event_type) AS unique_types,
+              |  ${avgFixedSql("value")} AS avg_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    ("overview_metrics",
+      (s: SparkSession, d: String) => Analytics.overviewMetrics(goldDf(s, d)),
+      Some(s"""WITH $goldCtes
+              |SELECT COUNT(*) AS total_articles,
+              |  COUNT(DISTINCT topic) AS unique_topics,
+              |  COUNT(DISTINCT lang) AS unique_langs,
+              |  ${avgLongSql("content_length")} AS avg_content_length,
+              |  SUM(CASE WHEN content_length > 200 THEN 1 ELSE 0 END) AS substantial_articles
+              |FROM gold""".stripMargin)),
+
+    ("content_analytics",
+      (s: SparkSession, d: String) => Analytics.contentAnalytics(goldDf(s, d)),
+      Some(s"""WITH $goldCtes
+              |SELECT content_category,
+              |  COUNT(*) AS cnt,
+              |  ${avgLongSql("word_count")} AS avg_words,
+              |  ${avgLongSql("sentence_count")} AS avg_sentences,
+              |  SUM(CASE WHEN has_substantial_content THEN 1 ELSE 0 END) AS substantial
+              |FROM gold GROUP BY content_category""".stripMargin)),
+
+    ("time_trends",
+      (s: SparkSession, d: String) => Analytics.timeTrends(Tables.events(s, d)),
+      Some(s"""SELECT CAST(ts AS DATE) AS publish_date, event_type,
+              |  COUNT(*) AS daily_count,
+              |  ${avgFixedSql("value")} AS avg_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    ("topic_agg",
+      (s: SparkSession, d: String) => Analytics.topicAgg(docs(s, d)),
+      Some("""SELECT source AS topic, COUNT(*) AS doc_count
+             |FROM documents GROUP BY source
+             |ORDER BY doc_count DESC, topic LIMIT 20""".stripMargin)),
+
+    ("date_histogram",
+      (s: SparkSession, d: String) =>
+        Analytics.dateHistogram(Tables.events(s, d))
+          .withColumn("bucket", col("bucket").cast("timestamp_ntz")),
+      Some("SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS doc_count FROM events GROUP BY 1")),
+
+    ("stats_agg",
+      (s: SparkSession, d: String) => Analytics.statsAgg(docs(s, d)),
+      Some(s"""SELECT COUNT(n_chars) AS cnt, MIN(n_chars) AS min_chars,
+              |  MAX(n_chars) AS max_chars, ${avgLongSql("n_chars")} AS avg_chars,
+              |  SUM(n_chars) AS sum_chars
+              |FROM documents""".stripMargin)),
+
+    // ---- Relational/statistics (SURVEY §2 #17-19) ----
+    ("q_tpch_pricing",
+      (s: SparkSession, d: String) => Relational.pricingSummary(Tables.lineitem(s, d)),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${sumFixedSql("l_quantity")} AS sum_qty,
+              |  ${sumFixedSql("l_extendedprice")} AS sum_base_price,
+              |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+              |  ${avgFixedSql("l_quantity")} AS avg_qty,
+              |  ${avgFixedSql("l_extendedprice")} AS avg_price,
+              |  COUNT(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("q_join_dims",
+      (s: SparkSession, d: String) => Relational.revenueByNation(
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)),
+      Some(s"""SELECT r_name, n_name,
+              |  COUNT(*) AS order_count,
+              |  ${sumFixedSql("o_totalprice")} AS revenue
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name""".stripMargin)),
+
+    ("q_topn_revenue",
+      (s: SparkSession, d: String) => Relational.topCustomers(
+        Tables.orders(s, d), Tables.customer(s, d)),
+      Some(s"""SELECT c_name,
+              |  ${sumFixedSql("o_totalprice")} AS revenue,
+              |  COUNT(*) AS order_count,
+              |  o_custkey AS custkey
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_name, o_custkey
+              |ORDER BY revenue DESC, custkey LIMIT 10""".stripMargin)),
+
+    ("q_order_priority",
+      (s: SparkSession, d: String) => Relational.orderPriorityStats(Tables.orders(s, d)),
+      Some(s"""SELECT o_orderpriority,
+              |  COUNT(*) AS order_count,
+              |  ${avgFixedSql("o_totalprice")} AS avg_price
+              |FROM orders WHERE o_orderstatus <> 'F'
+              |GROUP BY o_orderpriority""".stripMargin))
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-independent numeric aggregation helpers.
+  *
+  * Plain `sum`/`avg` over doubles is non-deterministic across engines
+  * (and across partitionings of the same engine): IEEE addition is not
+  * associative, so a 1000-executor plan and a single-node oracle drift
+  * in the low bits. For fixed-point business values (prices, 2-decimal
+  * measurements) we instead sum EXACTLY in decimal and convert to
+  * double once at the end — the result is identical no matter how the
+  * data is partitioned, which is precisely what you want when
+  * verifying a 100 TB job against any reference.
+  */
+object Exact {
+
+  /** Exact sum of a fixed-point double column (default 2 decimals). */
+  def sumFixed(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** Order-independent mean of a fixed-point double column: exact
+    * decimal sum, then a single double division. */
+  def avgFixed(c: Column, scale: Int = 2): Column =
+    sumFixed(c, scale) / count(c)
+
+  /** Order-independent mean of an integral column. */
+  def avgLong(c: Column): Column =
+    sum(c).cast("double") / count(c)
+
+  /** DuckDB oracle-side renderings of the same expressions. */
+  def sumFixedSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+  def avgFixedSql(expr: String, scale: Int = 2): String =
+    s"${sumFixedSql(expr, scale)} / COUNT($expr)"
+  def avgLongSql(expr: String): String =
+    s"CAST(SUM($expr) AS DOUBLE) / COUNT($expr)"
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics views re-expressed as single-pass Spark
+  * aggregations.
+  *
+  * Sources: `/root/reference/init.sql:100-156` (daily/topic/hourly/
+  * weekly views), `/root/reference/apx.py:64-160` (dashboard metrics),
+  * `/root/reference/services/es.py:242-345` (ES aggregations).
+  *
+  * Scale notes: every query is one hash-aggregate over a pruned scan —
+  * partial (map-side) aggregation bounds shuffle volume by
+  * |groups| × partitions, not |rows|. The pct-of-total in
+  * `publishingPatterns` windows over the already-aggregated 24 rows,
+  * not the input. `overviewMetrics` collapses the reference's 8 scalar
+  * subqueries (8 table scans, `apx.py:66-76`) into ONE
+  * conditional-aggregation scan. Averages use [[graft.functions.Exact]]
+  * so results are partitioning-independent.
+  */
+object Analytics {
+
+  /** view_daily_analytics (`init.sql:104-116`) over the events stream. */
+  def dailyAnalytics(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("publish_date"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("event_type")).as("unique_types"),
+        avgFixed(col("value")).as("avg_value"),
+        sum(when(col("value") < 50, 1L).otherwise(0L)).as("small_events"),
+        sum(when(col("value") >= 50 && col("value") < 150, 1L).otherwise(0L)).as("medium_events"),
+        sum(when(col("value") >= 150, 1L).otherwise(0L)).as("large_events"))
+
+  /** view_topic_analytics (`init.sql:119-131`): per-topic rollup. */
+  def topicAnalytics(gold: DataFrame): DataFrame =
+    gold
+      .filter(col("topic").isNotNull)
+      .groupBy(col("topic"))
+      .agg(
+        count(lit(1)).as("total_articles"),
+        avgLong(col("content_length")).as("avg_content_length"),
+        sum(when(col("content_category") === "Long" || col("content_category") === "Very Long", 1L)
+          .otherwise(0L)).as("long_articles"),
+        min(col("content_length")).as("min_length"),
+        max(col("content_length")).as("max_length"))
+
+  /** view_publishing_patterns (`init.sql:134-143`): hour-of-day counts
+    * with share-of-total. */
+  def publishingPatterns(events: DataFrame): DataFrame =
+    events
+      .groupBy(hour(col("ts")).cast("long").as("publish_hour"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("event_type")).as("unique_types"),
+        avgFixed(col("value")).as("avg_value"))
+      .withColumn(
+        "percentage",
+        round(col("total_events") * 100.0 / sum(col("total_events")).over(Window.partitionBy()), 2))
+
+  /** view_weekly_trends (`init.sql:146-156`). */
+  def weeklyTrends(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        year(col("ts")).cast("long").as("publish_year"),
+        weekofyear(col("ts")).cast("long").as("publish_week"))
+      .agg(
+        min(to_date(col("ts"))).as("week_start"),
+        max(to_date(col("ts"))).as("week_end"),
+        count(lit(1)).as("total_events"),
+        countDistinct(col("event_type")).as("unique_types"),
+        avgFixed(col("value")).as("avg_value"))
+
+  /** Dashboard overview metrics (`apx.py:64-80`) — the reference runs
+    * 8 scalar subqueries (8 scans); one conditional aggregation here. */
+  def overviewMetrics(gold: DataFrame): DataFrame =
+    gold.agg(
+      count(lit(1)).as("total_articles"),
+      countDistinct(col("topic")).as("unique_topics"),
+      countDistinct(col("lang")).as("unique_langs"),
+      avgLong(col("content_length")).as("avg_content_length"),
+      sum(when(col("content_length") > 200, 1L).otherwise(0L)).as("substantial_articles"))
+
+  /** Content quality analytics (`apx.py:137-160`). */
+  def contentAnalytics(gold: DataFrame): DataFrame =
+    gold
+      .groupBy(col("content_category"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        avgLong(col("word_count")).as("avg_words"),
+        avgLong(col("sentence_count")).as("avg_sentences"),
+        sum(when(col("has_substantial_content"), 1L).otherwise(0L)).as("substantial"))
+
+  /** Daily × type trends (`apx.py:97-112`). */
+  def timeTrends(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("publish_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("daily_count"),
+        avgFixed(col("value")).as("avg_value"))
+
+  /** ES terms aggregation (`es.py:242-271`): top topics by count. */
+  def topicAgg(documents: DataFrame, topN: Int = 20): DataFrame =
+    documents
+      .groupBy(col("source").as("topic"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("topic"))
+      .limit(topN)
+
+  /** ES date_histogram (`es.py:273-302`). */
+  def dateHistogram(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+
+  /** ES stats aggregation (`es.py:304-345`): min/max/avg/sum/count. */
+  def statsAgg(documents: DataFrame): DataFrame =
+    documents.agg(
+      count(col("n_chars")).as("cnt"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      avgLong(col("n_chars")).as("avg_chars"),
+      sum(col("n_chars")).as("sum_chars"))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Silver-layer cleaning, the bronze→silver transform of the reference
+  * medallion (`/root/reference/processor/cleaner.py:24-78` and the SQL
+  * twin `/root/reference/airflow_home/dags/sql/process_bronze_to_silver.sql:40-120`).
+  *
+  * Every step is a codegen'd Catalyst expression (`regexp_replace`,
+  * `md5`, `length`) — no UDF anywhere, so the whole transform stays
+  * inside one WholeStageCodegen span and scales linearly with input
+  * splits. Patterns are written in the common subset of Java regex and
+  * RE2 (no lookahead/backrefs) so external engines produce identical
+  * output:
+  *   - `X.*?(?=[A-Z0-9])` (dotall)  ≡ `X[^A-Z0-9]*`
+  *   - `X.*?(?=\n|$)` (non-dotall)  ≡ `X[^\n]*`
+  */
+object Cleaning {
+
+  /** Title cleanup: newline removal + whitespace collapse + trim
+    * (`cleaner.py:13-22`). */
+  def cleanTitle(title: Column): Column =
+    trim(regexp_replace(regexp_replace(title, "\n", " "), "\\s+", " "))
+
+  /** Content cleanup, the reference's 8-step regex pipeline
+    * (`cleaner.py:24-54`), re-expressed lookahead-free. */
+  def cleanContent(content: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      // 1. advertisements / scroll prompts (dotall, case-insensitive)
+      ("(?is)ADVERTISEMENT.*?SCROLL TO CONTINUE WITH CONTENT", ""),
+      // 2. "Pilihan Redaksi" sections up to the next capital/digit
+      ("Pilihan Redaksi[^A-Z0-9]*", ""),
+      // 3. "Lihat Juga" sections to end of line
+      ("Lihat Juga\\s*:[^\n]*", ""),
+      // 4a. photo credit notes (ANTARA FOTO/...)
+      ("(?i)\\([^)]*FOTO[^)]*\\)", ""),
+      // 4b. CNN credit notes
+      ("(?i)\\([^)]*CNN[^)]*\\)", ""),
+      // 5. video embed tags [Gambas:Video ...]
+      ("\\[Gambas:[^\\]\n]*\\]", ""),
+      // 6. 3+ newlines → 2
+      ("\n{3,}", "\n\n"),
+      // 7. whitespace collapse
+      ("\\s+", " "),
+      // 8. leading dateline "Jakarta, CNN Indonesia -- "
+      ("^[A-Za-z\\s,]+CNN Indonesia\\s*--\\s*", ""))
+    trim(steps.foldLeft(content) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) })
+  }
+
+  /** Stable article id: md5 of the link (`cleaner.py:68-70`). */
+  def articleId(link: Column): Column = md5(link)
+
+  /** Multi-format date parsing (`process_bronze_to_silver.sql:36-46`):
+    * try ISO, then DD/MM/YYYY, then DD-MM-YYYY. */
+  def parseDate(raw: Column): Column =
+    coalesce(
+      try_to_timestamp(raw, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(raw, lit("yyyy-MM-dd")),
+      try_to_timestamp(raw, lit("dd/MM/yyyy")),
+      try_to_timestamp(raw, lit("dd-MM-yyyy")))
+
+  /** Bronze→silver over the `documents` corpus: stable id, cleaned
+    * text, content_length — the projection of `silver_lv`
+    * (`/root/reference/init.sql:28-44`). */
+  def silver(documents: DataFrame): DataFrame =
+    documents.select(
+      articleId(concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))).as("id"),
+      col("doc_id"),
+      cleanContent(col("text")).as("content"),
+      length(cleanContent(col("text"))).cast("long").as("content_length"),
+      col("lang"),
+      col("source").as("topic"))
+
+  /** Exact dedup keyed on a column, keep-first by tiebreak — the
+    * bronze upsert `ON CONFLICT (link) DO UPDATE`
+    * (`/root/reference/init.sql:160-190`) expressed as one shuffle. */
+  def dedupKeepFirst(df: DataFrame, key: Column, tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(Window.partitionBy(key).orderBy(tiebreak)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
