@@ -78,9 +78,9 @@ object SparkEntry {
               |  COUNT(*) AS total_events,
               |  COUNT(DISTINCT event_type) AS unique_types,
               |  ${avgFixedSql("value")} AS avg_value,
-              |  SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS small_events,
-              |  SUM(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS medium_events,
-              |  SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS large_events
+              |  CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS small_events,
+              |  CAST(SUM(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS medium_events,
+              |  CAST(SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS large_events
               |FROM events GROUP BY 1""".stripMargin)),
 
     ("topic_analytics",
@@ -89,7 +89,7 @@ object SparkEntry {
               |SELECT topic,
               |  COUNT(*) AS total_articles,
               |  ${avgLongSql("content_length")} AS avg_content_length,
-              |  SUM(CASE WHEN content_category IN ('Long', 'Very Long') THEN 1 ELSE 0 END) AS long_articles,
+              |  CAST(SUM(CASE WHEN content_category IN ('Long', 'Very Long') THEN 1 ELSE 0 END) AS BIGINT) AS long_articles,
               |  MIN(content_length) AS min_length,
               |  MAX(content_length) AS max_length
               |FROM gold WHERE topic IS NOT NULL GROUP BY topic""".stripMargin)),
@@ -123,7 +123,7 @@ object SparkEntry {
               |  COUNT(DISTINCT topic) AS unique_topics,
               |  COUNT(DISTINCT lang) AS unique_langs,
               |  ${avgLongSql("content_length")} AS avg_content_length,
-              |  SUM(CASE WHEN content_length > 200 THEN 1 ELSE 0 END) AS substantial_articles
+              |  CAST(SUM(CASE WHEN content_length > 200 THEN 1 ELSE 0 END) AS BIGINT) AS substantial_articles
               |FROM gold""".stripMargin)),
 
     ("content_analytics",
@@ -133,8 +133,20 @@ object SparkEntry {
               |  COUNT(*) AS cnt,
               |  ${avgLongSql("word_count")} AS avg_words,
               |  ${avgLongSql("sentence_count")} AS avg_sentences,
-              |  SUM(CASE WHEN has_substantial_content THEN 1 ELSE 0 END) AS substantial
+              |  CAST(SUM(CASE WHEN has_substantial_content THEN 1 ELSE 0 END) AS BIGINT) AS substantial
               |FROM gold GROUP BY content_category""".stripMargin)),
+
+    ("gold_analytics",
+      (s: SparkSession, d: String) => Analytics.goldAnalytics(goldDf(s, d)),
+      Some(s"""WITH $goldCtes
+              |SELECT topic_category,
+              |  COUNT(*) AS total_articles,
+              |  ${avgLongSql("content_length")} AS avg_content_length,
+              |  ${avgLongSql("word_count")} AS avg_word_count,
+              |  CAST(SUM(CASE WHEN content_category IN ('Long', 'Very Long') THEN 1 ELSE 0 END) AS BIGINT) AS long_articles,
+              |  CAST(SUM(CASE WHEN has_substantial_content THEN 1 ELSE 0 END) AS BIGINT) AS substantial_articles,
+              |  COUNT(DISTINCT topic) AS unique_topics
+              |FROM gold GROUP BY topic_category""".stripMargin)),
 
     ("time_trends",
       (s: SparkSession, d: String) => Analytics.timeTrends(Tables.events(s, d)),
@@ -159,7 +171,7 @@ object SparkEntry {
       (s: SparkSession, d: String) => Analytics.statsAgg(docs(s, d)),
       Some(s"""SELECT COUNT(n_chars) AS cnt, MIN(n_chars) AS min_chars,
               |  MAX(n_chars) AS max_chars, ${avgLongSql("n_chars")} AS avg_chars,
-              |  SUM(n_chars) AS sum_chars
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
               |FROM documents""".stripMargin)),
 
     // ---- Relational/statistics (SURVEY §2 #17-19) ----

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the graft engine.
   *
@@ -17,12 +18,42 @@ object Tables {
   /** Dimension tables small enough to broadcast at any scale factor. */
   val BroadcastDims: Set[String] = Set("region", "nation", "supplier", "part")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Columns every loader guarantees — verified on load so schema drift
+    * fails fast at the scan, not three joins later. */
+  val RequiredColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"),
+    "lineitem" -> Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+      "o_orderpriority"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "region" -> Seq("r_regionkey", "r_name"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    RequiredColumns.get(name).foreach { req =>
+      val missing = req.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"table $name at $dir is missing columns: ${missing.mkString(",")}")
+    }
+    df
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader has no timestamp type for — read it as a
+    * raw long (nanos since epoch) and convert losslessly via integer
+    * division to micros. `timestamp_ntz` matches the file's naive
+    * timestamps (and the DuckDB oracle's TIMESTAMP). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

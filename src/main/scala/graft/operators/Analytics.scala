@@ -94,6 +94,20 @@ object Analytics {
         avgLong(col("sentence_count")).as("avg_sentences"),
         sum(when(col("has_substantial_content"), 1L).otherwise(0L)).as("substantial"))
 
+  /** view_gold_analytics (`process_silver_to_gold.sql:78-105`):
+    * per-topic_category rollup over the enriched gold layer. */
+  def goldAnalytics(gold: DataFrame): DataFrame =
+    gold
+      .groupBy(col("topic_category"))
+      .agg(
+        count(lit(1)).as("total_articles"),
+        avgLong(col("content_length")).as("avg_content_length"),
+        avgLong(col("word_count")).as("avg_word_count"),
+        sum(when(col("content_category") === "Long" || col("content_category") === "Very Long", 1L)
+          .otherwise(0L)).as("long_articles"),
+        sum(when(col("has_substantial_content"), 1L).otherwise(0L)).as("substantial_articles"),
+        countDistinct(col("topic")).as("unique_topics"))
+
   /** Daily × type trends (`apx.py:97-112`). */
   def timeTrends(events: DataFrame): DataFrame =
     events

@@ -64,13 +64,21 @@ object Cleaning {
     * text, content_length — the projection of `silver_lv`
     * (`/root/reference/init.sql:28-44`). */
   def silver(documents: DataFrame): DataFrame =
-    documents.select(
-      articleId(concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))).as("id"),
-      col("doc_id"),
-      cleanContent(col("text")).as("content"),
-      length(cleanContent(col("text"))).cast("long").as("content_length"),
-      col("lang"),
-      col("source").as("topic"))
+    documents
+      // Two projections so the 9-step regex chain is evaluated ONCE:
+      // CollapseProject keeps non-cheap expressions with >1 downstream
+      // reference in their own project, so `content_length` reuses the
+      // materialized `content` instead of re-running the regexes.
+      .select(
+        articleId(concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))).as("id"),
+        col("doc_id"),
+        cleanContent(col("text")).as("content"),
+        col("lang"),
+        col("source").as("topic"))
+      .select(
+        col("id"), col("doc_id"), col("content"),
+        length(col("content")).cast("long").as("content_length"),
+        col("lang"), col("topic"))
 
   /** Exact dedup keyed on a column, keep-first by tiebreak — the
     * bronze upsert `ON CONFLICT (link) DO UPDATE`

@@ -38,20 +38,25 @@ object Relational {
         count(lit(1)).as("order_count"),
         sumFixed(col("o_totalprice")).as("revenue"))
 
-  /** Top-N customers by revenue: aggregate THEN join the small result
-    * to the dim (never the reverse), TakeOrderedAndProject caps the
-    * sort at N per partition. */
-  def topCustomers(orders: DataFrame, customer: DataFrame, n: Int = 10): DataFrame =
-    orders
+  /** Top-N customers by revenue: aggregate, take the top N FIRST
+    * (TakeOrderedAndProject — N rows per partition, no full sort),
+    * then broadcast the N-row result against the customer dim. The
+    * alternative (join the full per-customer aggregate to `customer`,
+    * then limit) shuffles |customers| rows to keep N — wrong at scale. */
+  def topCustomers(orders: DataFrame, customer: DataFrame, n: Int = 10): DataFrame = {
+    val topN = orders
       .groupBy(col("o_custkey"))
       .agg(
         sumFixed(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("order_count"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(n)
+    broadcast(topN)
       .join(customer.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("revenue"), col("order_count"), col("o_custkey").as("custkey"))
       .orderBy(col("revenue").desc, col("custkey"))
-      .limit(n)
+  }
 
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */

@@ -60,11 +60,16 @@ def main():
                 print(f"   spark : {a}\n   oracle: {b}")
             n_fail += 1
             continue
-        # dtype hint (schema-level check, informational)
+        # dtype mismatch IS a failure: the driver hashes typed values, so
+        # e.g. DuckDB HUGEINT (object/float64) vs Spark int64 hash-differs
+        # even when the values print the same.
         s_dt = [str(d) for d in sd.dtypes]
         o_dt = [str(d) for d in od.dtypes]
-        note = "" if s_dt == o_dt else f"  [dtype note: spark={s_dt} oracle={o_dt}]"
-        print(f"PASS {name} ({len(sd)} rows){note}")
+        if s_dt != o_dt:
+            print(f"FAIL {name}: dtype mismatch spark={s_dt} oracle={o_dt}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(sd)} rows)")
         n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
