@@ -52,6 +52,50 @@ object OracleSql {
        |  ELSE COALESCE($expr, 'Umum')
        |END""".stripMargin
 
+  /** Mirrors [[graft.operators.Ner]]'s dictionary + validation +
+    * dedupe pipeline as a CTE chain. Use as
+    * `WITH $nerCtes SELECT ... FROM ents`. Generated from
+    * [[graft.operators.Ner.Dictionary]] so the two stay in lock-step. */
+  def nerCtes: String = {
+    val values = graft.operators.Ner.Dictionary
+      .map { case (w, t, c) => s"('$w', '$t', CAST($c AS DOUBLE))" }
+      .mkString(", ")
+    val block = graft.operators.Ner.Blocklist.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    s"""dict(word, entity_type, confidence) AS (VALUES $values),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |hits AS (
+       |  SELECT t.doc_id, t.word, d.entity_type, d.confidence
+       |  FROM tok t JOIN dict d ON t.word = d.word
+       |  WHERE length(t.word) >= 2 AND d.confidence >= 0.5
+       |    AND t.word NOT IN ($block)
+       |    AND regexp_matches(t.word, '^[a-z]+$$')),
+       |ents AS (
+       |  SELECT doc_id, word AS entity_text, entity_type,
+       |         MAX(confidence) AS confidence, COUNT(*) AS mentions
+       |  FROM hits GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.TextOps.langId]]: per-language marker
+    * hit counts and the first-max `when` chain. */
+  def langIdSql: String = {
+    val markers = graft.operators.TextOps.LangMarkers
+    val langs = markers.map(_._1)
+    def hits(ws: Seq[String]): String =
+      s"CAST(len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b')) AS BIGINT)"
+    val whens = langs.init.map { l =>
+      val later = langs.dropWhile(_ != l).tail
+      val cond = later.map(o => s"${l}_hits >= ${o}_hits").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       |  ${langs.map(l => s"${l}_hits").mkString(", ")},
+       |  CASE $whens ELSE '${langs.last}' END AS predicted_lang,
+       |  meta_lang
+       |FROM (SELECT doc_id, lang AS meta_lang,
+       |  ${markers.map { case (l, ws) => s"${hits(ws)} AS ${l}_hits" }.mkString(",\n  ")}
+       |  FROM documents) t""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.Enrichment.gold]] as a CTE chain
     * (silver → gold). Use as `WITH $goldCtes SELECT ... FROM gold`. */
   def goldCtes: String =

@@ -174,6 +174,106 @@ object SparkEntry {
               |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
               |FROM documents""".stripMargin)),
 
+    // ---- Search (SURVEY §2 #20-22) ----
+    ("keyword_search",
+      (s: SparkSession, d: String) => Search.keywordSearch(docs(s, d), "window"),
+      Some("""SELECT doc_id, lang, source AS topic, n_chars
+             |FROM documents WHERE text ILIKE '%window%'""".stripMargin)),
+
+    ("ranked_search",
+      (s: SparkSession, d: String) => Search.rankedSearch(docs(s, d), "window"),
+      Some("""SELECT doc_id, lang, score FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(substr(text, 1, 80), '\bwindow\b')) AS BIGINT) * 3
+             |      + CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS score
+             |  FROM documents) t
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("search_filtered",
+      (s: SparkSession, d: String) => Search.searchFiltered(docs(s, d), "merge", "en", 100L, 400L),
+      Some("""SELECT doc_id, lang, n_chars,
+             |  CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS matches
+             |FROM documents
+             |WHERE lang = 'en' AND n_chars >= 100 AND n_chars <= 400
+             |  AND text ILIKE '%merge%'""".stripMargin)),
+
+    // ---- NER / entities (SURVEY §2 #23-25) ----
+    ("ner_extract",
+      (s: SparkSession, d: String) => Ner.extract(s, docs(s, d)),
+      Some(s"""WITH $nerCtes
+              |SELECT doc_id, entity_text, entity_type, confidence, mentions FROM ents""".stripMargin)),
+
+    ("entity_insights",
+      (s: SparkSession, d: String) => Ner.entityInsights(s, docs(s, d)),
+      Some(s"""WITH $nerCtes
+              |SELECT entity_text, entity_type,
+              |  CAST(SUM(mentions) AS BIGINT) AS mention_count,
+              |  COUNT(DISTINCT doc_id) AS article_count,
+              |  MAX(confidence) AS confidence
+              |FROM ents GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    ("entity_type_stats",
+      (s: SparkSession, d: String) => Ner.entityTypeStats(s, docs(s, d)),
+      Some(s"""WITH $nerCtes
+              |SELECT entity_type,
+              |  CAST(SUM(mentions) AS BIGINT) AS total_mentions,
+              |  COUNT(DISTINCT entity_text) AS unique_entities,
+              |  COUNT(DISTINCT doc_id) AS articles,
+              |  MAX(confidence) AS max_confidence
+              |FROM ents GROUP BY 1""".stripMargin)),
+
+    // ---- Training-data text ops (SURVEY §2 #26, #33-36) ----
+    ("dedup_exact",
+      (s: SparkSession, d: String) => TextOps.dedupExact(docs(s, d)),
+      Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    ("lang_id",
+      (s: SparkSession, d: String) => TextOps.langId(docs(s, d)),
+      Some(langIdSql)),
+
+    ("quality_score",
+      (s: SparkSession, d: String) => TextOps.qualityScore(docs(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_ratio,
+             |  ROUND(CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+             |  ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 6) AS length_score,
+             |  ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+             |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+             |    + (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 6) AS quality_score,
+             |  CASE WHEN ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+             |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+             |    + (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 6) >= 0.6 THEN 'high'
+             |       WHEN ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+             |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+             |    + (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 6) >= 0.4 THEN 'medium'
+             |       ELSE 'low' END AS quality_band
+             |FROM documents""".stripMargin)),
+
+    ("token_count",
+      (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens,
+             |  n_chars AS chars
+             |FROM documents""".stripMargin)),
+
+    ("doc_fingerprint",
+      (s: SparkSession, d: String) => TextOps.docFingerprint(docs(s, d)),
+      Some("""SELECT doc_id, md5(text) AS fp_raw,
+             |  md5(TRIM(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm,
+             |  substr(md5(text), 1, 2) AS shard
+             |FROM documents""".stripMargin)),
+
     // ---- Relational/statistics (SURVEY §2 #17-19) ----
     ("q_tpch_pricing",
       (s: SparkSession, d: String) => Relational.pricingSummary(Tables.lineitem(s, d)),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Search surface of the reference: PG ILIKE keyword search
+  * (`/root/reference/services/batch_pg.py:293-298`) and Elasticsearch
+  * `multi_match` ranked search with a `title^3` boost + filters
+  * (`/root/reference/services/es.py:166-240`).
+  *
+  * ES's BM25 machinery is replaced by an explicit, deterministic
+  * term-frequency score computed with codegen'd `regexp_extract_all` —
+  * the semantics the reference relies on (title matches dominate, more
+  * mentions rank higher) without a black-box scorer. Every predicate is
+  * a plain `Column` filter, so Catalyst pushes the cheap ones
+  * (lang/chars range) into the parquet scan and the scan stays pruned
+  * to the referenced columns.
+  */
+object Search {
+
+  /** Word-boundary term frequency — `\b` is common Java-regex/RE2. */
+  def termFrequency(text: Column, term: String): Column =
+    size(regexp_extract_all(text, lit("\\b" + term + "\\b"), lit(0))).cast("long")
+
+  /** The corpus has no separate title column; the reference boosts
+    * `title^3`, we treat the leading 80 chars as the title zone. */
+  def titleZone(text: Column): Column = substring(text, 1, 80)
+
+  /** ILIKE keyword search (`batch_pg.py:293-298`). */
+  def keywordSearch(documents: DataFrame, term: String): DataFrame =
+    documents
+      .filter(col("text").ilike(s"%$term%"))
+      .select(col("doc_id"), col("lang"), col("source").as("topic"), col("n_chars"))
+
+  /** Ranked search (`es.py:166-240`): score = 3×tf(title) + tf(body),
+    * descending, top N. TakeOrderedAndProject bounds the sort at N rows
+    * per partition — no global sort materializes at scale. */
+  def rankedSearch(documents: DataFrame, term: String, topN: Int = 20): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (termFrequency(titleZone(col("text")), term) * 3 +
+          termFrequency(col("text"), term)).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+
+  /** Search with topic/lang/size filters (`es.py:204-215`): the
+    * structured predicates sit in front of the text match so they reach
+    * the scan as pushed filters. */
+  def searchFiltered(documents: DataFrame, term: String, lang: String,
+                     minChars: Long, maxChars: Long): DataFrame =
+    documents
+      .filter(col("lang") === lang &&
+        col("n_chars") >= minChars && col("n_chars") <= maxChars &&
+        col("text").ilike(s"%$term%"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        termFrequency(col("text"), term).as("matches"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators (SURVEY §2 #26, #33-36): language ID,
+  * quality scoring, token counting, document fingerprinting, exact
+  * dedup. All pure Catalyst expressions — one codegen'd projection per
+  * operator, no UDFs, no shuffle except the final aggregate of
+  * `dedupExact` — so every one of them scales linearly with input
+  * splits on a 100 TB corpus.
+  */
+object TextOps {
+
+  /** Marker ("stopword") sets per language for the n-gram/stopword-hit
+    * language-ID heuristic. Disjoint by construction so the argmax is
+    * meaningful on any mix. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("merge", "scan"),
+    "en" -> Seq("the", "fast"),
+    "es" -> Seq("slow", "small"),
+    "fr" -> Seq("filter", "stream"),
+    "zh" -> Seq("vector", "hash"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0))).cast("long")
+
+  /** Language ID: count marker-word hits per language, predict the
+    * argmax (ties resolved by language order — a fixed `when` chain, so
+    * the decision is deterministic and identical on any engine). */
+  def langId(documents: DataFrame): DataFrame = {
+    val hit = LangMarkers.map { case (l, ws) => l -> markerHits(col("text"), ws) }.toMap
+    val langs = LangMarkers.map(_._1)
+    // `when` chain in language order: lang L is predicted when its hit
+    // count is >= every later language's (earlier ones already lost).
+    val chain = langs.init.foldRight(lit(langs.last)) { (l, elseCol) =>
+      val ge = langs.dropWhile(_ != l).tail.map(o => hit(l) >= hit(o)).reduce(_ && _)
+      when(ge, l).otherwise(elseCol)
+    }
+    documents.select(
+      (Seq(col("doc_id")) ++
+        LangMarkers.map { case (l, _) => hit(l).as(s"${l}_hits") } ++
+        Seq(chain.as("predicted_lang"), col("lang").as("meta_lang"))): _*)
+  }
+
+  /** Document quality scoring: length saturation, lexical diversity,
+    * stopword density (the reference's length/flag heuristics,
+    * `/root/reference/airflow_home/dags/sql/process_silver_to_gold.sql:39-41`,
+    * generalized to a continuous score). */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopHits = size(regexp_extract_all(col("text"), lit("\\b(the|a)\\b"), lit(0))).cast("double")
+    val stopRatio = stopHits / nTok
+    val lenScore = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
+    val score = round(lenScore * 0.4 + uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3, 6)
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(uniqRatio, 6).as("unique_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(lenScore, 6).as("length_score"),
+      score.as("quality_score"),
+      when(score >= 0.6, "high").when(score >= 0.4, "medium").otherwise("low").as("quality_band"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs / digit runs / single other non-space chars). */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      col("n_chars").as("chars"))
+
+  /** Document fingerprinting: raw md5, a normalization-invariant md5
+    * (case-folded, whitespace-collapsed), and a 2-hex-char shard key —
+    * the bucket a 100 TB dedup job would hash-partition on. */
+  def docFingerprint(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    documents.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_raw"),
+      md5(norm).as("fp_norm"),
+      substring(md5(col("text")), 1, 2).as("shard"))
+  }
+
+  /** Exact dedup ledger: group by content hash, keep the smallest id —
+    * the reference's bronze upsert-on-link collapsed to one map-side
+    * combinable aggregate (no row_number window needed when only the
+    * keeper id and group size are wanted). */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("dup_count"))
+}
