@@ -259,6 +259,69 @@ object SparkEntry {
              |       ELSE 'low' END AS quality_band
              |FROM documents""".stripMargin)),
 
+    // ---- Near-dup / similarity (SURVEY §2 #27-32) ----
+    ("dedup_minhash", // rows-only: banded-LSH estimate, not SQL-expressible
+      (s: SparkSession, d: String) => Dedup.minhashPairs(docs(s, d)),
+      None),
+
+    ("dedup_simhash", // rows-only: bit-vote fingerprint, not SQL-expressible
+      (s: SparkSession, d: String) => Dedup.simhashPairs(docs(s, d)),
+      None),
+
+    ("dedup_ngram_jaccard",
+      (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(docs(s, d)),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+             |rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE df <= 100),
+             |com AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS common
+             |        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2)
+             |SELECT doc_id_1, doc_id_2, jaccard FROM (
+             |  SELECT doc_id_1, doc_id_2,
+             |    ROUND(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+             |  FROM com
+             |  JOIN sizes s1 ON com.doc_id_1 = s1.doc_id
+             |  JOIN sizes s2 ON com.doc_id_2 = s2.doc_id) t
+             |WHERE jaccard >= 0.5""".stripMargin)),
+
+    ("dedup_embedding",
+      (s: SparkSession, d: String) => Ann.embeddingDedupPairs(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings)
+             |SELECT vec_id_1, vec_id_2, label, ROUND(cos, 6) AS cosine FROM (
+             |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label AS label,
+             |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)
+             |    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i]), (acc, x) -> acc + x))
+             |     * sqrt(list_reduce(list_transform(range(1, 65), i -> b.emb[i] * b.emb[i]), (acc, x) -> acc + x))) AS cos
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+             |WHERE cos >= 0.4""".stripMargin)),
+
+    ("ann_bruteforce",
+      (s: SparkSession, d: String) => Ann.bruteForceTopK(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> qemb[i] * emb[i]), (acc, x) -> acc + x)
+             |    / (sqrt(list_reduce(list_transform(range(1, 65), i -> qemb[i] * qemb[i]), (acc, x) -> acc + x))
+             |     * sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x))) AS cos
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |ranked AS (SELECT query_id, vec_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+             |FROM ranked WHERE rank <= 3""".stripMargin)),
+
+    ("ann_lsh", // rows-only: bucket membership is hash-dependent
+      (s: SparkSession, d: String) => Ann.lshTopK(Tables.embeddings(s, d)),
+      None),
+
     ("token_count",
       (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
       Some("""SELECT doc_id,

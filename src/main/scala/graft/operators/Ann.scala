@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY §2 #30-32):
+  * brute-force cosine top-k as the exactness baseline, sign-random-
+  * projection LSH as the scale path, and embedding-cosine near-dup
+  * pairs with a blocking key.
+  *
+  * All vector math is higher-order Catalyst expressions
+  * (`zip_with`/`aggregate`) over `array<double>` — sequential folds,
+  * so the result is bit-identical on any partitioning (and to any
+  * engine that folds left-to-right, which is how the DuckDB oracle is
+  * written). No UDF, no collect.
+  */
+object Ann {
+
+  /** Cast a float embedding to double once, up front — float*float
+    * drifts from double math and is not worth the 2× width saving in
+    * a verification pipeline. */
+  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: broadcast the (small) query set against the
+    * corpus scan — the corpus is touched once, never shuffled; the
+    * only shuffle is the per-query top-k window over scored rows,
+    * bounded by |queries| × |corpus| rows of (id, id, double). */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Sign-random-projection bucket for one hash table: `numBits`
+    * pseudo-hyperplanes with deterministic ±1 weights derived from
+    * `xxhash64(table, bit, dim)`; the bucket is the packed sign
+    * pattern. Pure expressions — computed inside the scan projection. */
+  def srpBucket(emb: Column, table: Int, numBits: Int): Column =
+    (0 until numBits).map { j =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x * when(pmod(xxhash64(lit(table), lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+
+  /** LSH-bucketed ANN: L hash tables of `numBits` sign bits; queries
+    * meet only same-bucket candidates (the join key is (table,
+    * bucket)), then exact cosine re-ranks the candidate set. Recall
+    * grows with L at constant per-table cost — the knob a 100 TB
+    * deployment tunes instead of ever falling back to brute force. */
+  def lshTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
+              tables: Int = 4, numBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val banded = e.select(col("vec_id"), col("emb"),
+      posexplode(array((0 until tables).map(t => srpBucket(col("emb"), t, numBits)): _*))
+        .as(Seq("table", "bucket")))
+    val q = banded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("table"), col("bucket"))
+    banded.join(q, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qemb"), col("emb"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on a key (here the
+    * `label` column — in production a coarse quantization cell): exact
+    * within the block, never all-pairs across the corpus. */
+  def embeddingDedupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.emb"), col("b.emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
+        col("a.label").as("label"), round(col("cos"), 6).as("cosine"))
+  }
+}

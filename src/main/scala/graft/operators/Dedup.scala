@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data curation (SURVEY §2
+  * #27-29): MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * The non-negotiable at 100 TB is that NOTHING here is all-pairs:
+  *  - MinHash candidates come from banded-LSH bucket self-joins — the
+  *    shuffle key is (band, band_hash) and only same-bucket rows meet.
+  *  - SimHash candidates come from 16-bit band rotations of the 64-bit
+  *    fingerprint — Hamming distance <= 3 guarantees (pigeonhole) that
+  *    at least one of the 4 bands matches exactly.
+  *  - n-gram Jaccard joins on the shingle itself, with a document-
+  *    frequency cap so a boilerplate shingle shared by a million docs
+  *    cannot create a quadratic bucket (the classic LSH skew killer).
+  * Everything is Catalyst expressions over `xxhash64`/`transform`/
+  * higher-order aggregates — no UDF, one shuffle per stage.
+  */
+object Dedup {
+
+  /** Distinct k-token shingles of a document. Docs shorter than k
+    * tokens produce no shingles and drop out of near-dup analysis. */
+  def shingleRows(documents: DataFrame, k: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), size(w) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*)))
+    documents
+      .filter(size(w) >= k)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+  }
+
+  /** 64-permutation MinHash signatures: one map-side-combinable
+    * aggregate over exploded shingles — `min(xxhash64(seed, shingle))`
+    * per seed — never a per-doc collect. */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 64): DataFrame = {
+    val sh = shingleRows(documents)
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand
+    * = signature length), bucket-join on (band, hash-of-rows), then
+    * estimate Jaccard as the fraction of agreeing signature positions
+    * and keep pairs above the threshold. */
+  def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(documents, bands * rowsPerBand)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))): _*)
+    }
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id_1"), col("r.doc_id").as("doc_id_2"),
+        col("l.sig").as("sig1"), col("r.sig").as("sig2"))
+      .dropDuplicates("doc_id_1", "doc_id_2")
+    val agree = size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+    candidates
+      .withColumn("est_jaccard", round(agree.cast("double") / (bands * rowsPerBand), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint: per-bit token votes (+1/-1 weighted by
+    * the token's hash bit), assembled with shift/or — one aggregate. */
+  def simhashFingerprints(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val h = xxhash64(col("token"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming: 4
+    * 16-bit band rotations bucket the candidates (pigeonhole-complete
+    * for maxHamming <= 3), exact `bit_count(xor)` re-ranks. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(documents)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id_1"), col("r.doc_id").as("doc_id_2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .dropDuplicates("doc_id_1", "doc_id_2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs: join docs on shared shingles (doc-freq
+    * capped), count the intersection, derive |union| from per-doc
+    * shingle counts — |A∪B| = |A|+|B|-|A∩B| — so the union is never
+    * materialized. */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
+                        maxDocFreq: Long = 100L): DataFrame = {
+    val sh = shingleRows(documents)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(freq.filter(col("df") <= maxDocFreq), "shingle")
+    val common = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_id_1"), col("n").as("n1")), "doc_id_1")
+      .join(sizes.select(col("doc_id").as("doc_id_2"), col("n").as("n2")), "doc_id_2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+  }
+}
