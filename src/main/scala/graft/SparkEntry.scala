@@ -3,6 +3,8 @@ package graft
 import graft.OracleSql._
 import graft.functions.Exact._
 import graft.operators._
+import graft.sources.JsonSource
+import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -371,6 +373,43 @@ object SparkEntry {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_name, o_custkey
               |ORDER BY revenue DESC, custkey LIMIT 10""".stripMargin)),
+
+    // ---- Streaming batch twins (SURVEY §2 #39-40) + sources (#37, #42) ----
+    ("windowed_counts",
+      (s: SparkSession, d: String) => Streams.windowedCountsBatch(Tables.events(s, d)),
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |  COUNT(*) AS events,
+              |  ${sumFixedSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    ("sessionize_batch",
+      (s: SparkSession, d: String) => Streams.sessionizeBatch(Tables.events(s, d)),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_break
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sessions AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM marked)
+             |SELECT user_id, session_id,
+             |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+             |  COUNT(*) AS events
+             |FROM sessions GROUP BY 1, 2""".stripMargin)),
+
+    ("json_source",
+      (s: SparkSession, d: String) =>
+        JsonSource.parseProps(Tables.events(s, d)).select(col("event_id"), col("props_k")),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS props_k
+             |FROM events""".stripMargin)),
+
+    ("multimodal_meta", // rows-only: crc32/binary features not portable to the oracle
+      (s: SparkSession, d: String) => Multimodal.metadata(Multimodal.binarize(docs(s, d))),
+      None),
 
     ("q_order_priority",
       (s: SparkSession, d: String) => Relational.orderPriorityStats(Tables.orders(s, d)),

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** JSON message source (SURVEY §2 #42) — the analog of the reference's
+  * Kafka JSON consumers (`/root/reference/services/kafka_services.py`):
+  * messages carry a JSON payload that is parsed against an EXPLICIT
+  * schema with `from_json`. Explicit because schema inference reads
+  * the data twice and infers per-batch (a drifting schema on an
+  * unbounded stream); a declared schema makes the parse a single
+  * codegen'd projection, identical in batch and streaming.
+  */
+object JsonSource {
+
+  /** Schema of the `events.props` payload. */
+  val propsSchema: StructType = new StructType().add("k", IntegerType)
+
+  /** Parse the `props` JSON column (batch or streaming — same plan). */
+  def parseProps(events: DataFrame): DataFrame =
+    events.withColumn("props_k", from_json(col("props"), propsSchema).getField("k"))
+
+  /** Batch JSON-lines reader with declared schema. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Streaming JSON-lines reader — `readStream` twin of [[readJson]]. */
+  def readJsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Sinks (SURVEY §2 #43) — the analogs of the reference's PG upsert
+  * (`/root/reference/services/batch_pg.py:114`) and batched ES bulk
+  * flush (`/root/reference/processor/es_streamer.py`).
+  */
+object Sinks {
+
+  /** Partitioned parquet write: partition columns become directory
+    * keys, so downstream readers partition-prune instead of scanning —
+    * the storage layout that replaces the reference's per-row upsert
+    * at scale. `maxRecordsPerFile` bounds file size so a skewed
+    * partition can't produce a multi-GB file. */
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+                   maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** JDBC writer configured like the reference's batched PG loader:
+    * rewriteBatchedStatements + explicit batch size. Returned
+    * unexecuted (no database in this environment) — callers `.save()`. */
+  def jdbcWriter(df: DataFrame, url: String, table: String,
+                 batchSize: Int = 1000): DataFrameWriter[Row] =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .option("isolationLevel", "READ_COMMITTED")
+      .mode("append")
+
+  /** Streaming parquet sink with checkpointing — exactly-once file
+    * output, the streaming twin of [[writeParquet]]. Returned
+    * unstarted — callers `.start()`. */
+  def streamingParquetSink(df: DataFrame, path: String,
+                           checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.operators.Cleaning
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2 #38-40), mirroring the
+  * reference's continuous pipeline: the raw→clean Kafka transformer
+  * (`/root/reference/processor/stream_cleaner.py:1-187`), the
+  * micro-batch windowed loader (`/root/reference/pipeline/
+  * consumer_pipeline.py`), and consumer session batching.
+  *
+  * Each operator is the SAME declarative transform whether the input
+  * is bounded or unbounded — `cleanStream` literally reuses the batch
+  * silver projection. Batch twins of the windowed operators are
+  * registered as oracle-checked queries; the unbounded forms are
+  * exercised with MemoryStream in the test suite.
+  */
+object Streams {
+
+  /** Continuous raw→clean: the silver projection applied to a
+    * (streaming) documents frame. Stateless — no watermark needed,
+    * arbitrarily scalable. */
+  def cleanStream(rawDocuments: DataFrame): DataFrame =
+    Cleaning.silver(rawDocuments)
+
+  /** Watermarked tumbling-window counts over the event stream — the
+    * micro-batch "stats every 30 s" loop of the reference, expressed
+    * as a proper event-time window (late data handled by the
+    * watermark instead of being silently double-counted). */
+  def windowedCounts(events: DataFrame,
+                     windowLength: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("events"), col("sum_value"))
+
+  /** Batch twin of [[windowedCounts]] (same grouping semantics, no
+    * watermark) — registered with a DuckDB oracle. */
+  def windowedCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("events"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, events: Int)
+  case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                         events: Int, duration_sec: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: events of
+    * a user belong to one session while consecutive gaps stay under
+    * `gapMinutes`; a session closes when the event-time watermark
+    * passes its end + gap (timeout), so state is bounded by the number
+    * of OPEN sessions, never by history — the property that keeps
+    * state stores small on an unbounded 100 TB/day stream. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(userId: Long, s: SessionState): UserSession =
+      UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.events,
+        (s.end - s.start) / 1000.0)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val closed = close(userId, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = math.max(s.end, t), events = s.events + 1))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+
+  /** Batch twin of [[sessionize]] as pure window functions: a session
+    * break is a gap > `gapMinutes`, the session id is the running sum
+    * of breaks — two window passes over the same (user_id, ts)
+    * partitioning, so only ONE shuffle. Registered with a DuckDB
+    * oracle. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("events"))
+      .select(col("user_id"), col("session_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("events"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY §2 #30-32). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  private val e1 = Seq(1f, 0f, 0f, 0f)
+  private val e1close = Seq(0.9f, 0.1f, 0f, 0f)
+  private val e2 = Seq(0f, 1f, 0f, 0f)
+  private val e3 = Seq(0f, 0f, 1f, 0f)
+
+  test("cosine expression matches hand-computed values") {
+    val df = embs((0L, e1, 0), (1L, e1, 0))
+    val cos = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(Ann.cosine(Ann.asDouble(col("a.embedding")), Ann.asDouble(col("b.embedding"))))
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the closest vector first, excludes self") {
+    val out = Ann.bruteForceTopK(
+      embs((0L, e1, 0), (10L, e1close, 0), (11L, e2, 0), (12L, e3, 0)),
+      numQueries = 1, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(out.length === 2)
+    assert(out.map(_._1).toSet === Set(0L))
+    assert(out.find(_._3 == 1L).get._2 === 10L) // e1close is rank 1
+  }
+
+  test("lshTopK returns same-bucket candidates ranked by exact cosine") {
+    // identical vectors always share every bucket -> guaranteed recall
+    val out = Ann.lshTopK(
+      embs((0L, e1, 0), (10L, e1, 0), (11L, e2, 0)),
+      numQueries = 1, k = 3)
+      .select("vec_id", "rank").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.find(_._2 == 1L).get._1 === 10L)
+  }
+
+  test("embeddingDedupPairs blocks on label and applies the threshold") {
+    val out = Ann.embeddingDedupPairs(
+      embs((1L, e1, 7), (2L, e1close, 7), (3L, e1, 8), (4L, e2, 7)),
+      threshold = 0.9)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect()
+    // 1-2 same label & cos ~0.99; 1-3 identical but different label; 1-4 orthogonal
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+}

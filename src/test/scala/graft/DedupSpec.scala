@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Near-duplicate detection (SURVEY §2 #27-29). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+  // near-dup: one token changed out of 40
+  private val near = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+  private val other = (1 to 40).map(i => s"other$i").mkString(" ")
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("shingleRows emits distinct k-grams and skips too-short docs") {
+    val out = Dedup.shingleRows(docs((1L, "a b c d"), (2L, "x y")), k = 3)
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash pairs identical docs at est_jaccard 1.0 and skips unrelated") {
+    val out = Dedup.minhashPairs(docs((1L, base), (2L, base), (3L, other)))
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash catches a 1-token-of-40 near-duplicate") {
+    val out = Dedup.minhashPairs(docs((1L, base), (2L, near)))
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 1)
+    assert(out(0)._3 > 0.5)
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs not paired") {
+    val out = Dedup.simhashPairs(docs((1L, base), (2L, base), (3L, other)))
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("ngram jaccard computes the exact set similarity") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
+    val out = Dedup.ngramJaccardPairs(docs((1L, "a b c d"), (2L, "a b c")))
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0.5)))
+  }
+
+  test("ngram jaccard doc-frequency cap drops ubiquitous shingles") {
+    // the shared shingle appears in > maxDocFreq docs -> no pairs at all
+    val many = (1L to 5L).map(i => (i, "a b c"))
+    val out = Dedup.ngramJaccardPairs(docs(many: _*), threshold = 0.1, maxDocFreq = 4L)
+    assert(out.count() === 0L)
+  }
+}

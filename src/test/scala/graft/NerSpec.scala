@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Ner
+
+/** NER pipeline semantics vs `/root/reference/processor/ner.py:96-229`:
+  * validation, blocklist, confidence floor, per-doc dedupe. */
+class NerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("dictionary entities are extracted with type and confidence") {
+    val out = Ner.extract(spark, docs((1L, "spark beats hadoop spark")))
+      .as[(Long, String, String, Double, Long)].collect()
+    assert(out.toSeq === Seq((1L, "spark", "ORG", 0.95, 2L)))
+  }
+
+  test("blocklisted, low-confidence and short entities are dropped") {
+    // 'data' blocklisted, 'table' conf 0.45 < 0.5, 'a' length 1 < 2
+    val out = Ner.extract(spark, docs((1L, "data table a data")))
+    assert(out.count() === 0L)
+  }
+
+  test("mentions are counted per doc; dedupe is per (doc, text, type)") {
+    val out = Ner.extract(spark, docs((1L, "query query window"), (2L, "query")))
+      .orderBy("doc_id", "entity_text")
+      .select("doc_id", "entity_text", "mentions").as[(Long, String, Long)].collect()
+    assert(out.toSeq === Seq((1L, "query", 2L), (1L, "window", 1L), (2L, "query", 1L)))
+  }
+
+  test("entityInsights keeps entities present in >= 2 articles") {
+    val df = docs((1L, "spark query"), (2L, "spark"), (3L, "stream"))
+    val out = Ner.entityInsights(spark, df)
+      .select("entity_text", "article_count").as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("spark", 2L))) // query & stream appear in 1 article each
+  }
+
+  test("entityTypeStats rolls up by type") {
+    val df = docs((1L, "spark customer spark"), (2L, "customer"))
+    val out = Ner.entityTypeStats(spark, df).orderBy("entity_type")
+      .select("entity_type", "total_mentions", "unique_entities", "articles")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(("ORG", 2L, 1L, 1L), ("PER", 2L, 1L, 2L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Multimodal
+import graft.sources.{JsonSource, Sinks}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Sources, sinks and multimodal plumbing (SURVEY §2 #37, #41-43). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Tables.load rejects a table missing required columns") {
+    val dir = Files.createTempDirectory("graft_tables").toString
+    Seq((1L, "x")).toDF("event_id", "wrong").write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.load(spark, dir, "events")
+    }
+    assert(e.getMessage.contains("missing columns"))
+  }
+
+  test("JsonSource.parseProps parses the payload against the declared schema") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, "not json")).toDF("event_id", "props")
+    val out = JsonSource.parseProps(df).orderBy("event_id")
+      .select("props_k").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq === Seq(Some(42), None)) // malformed -> null, not an error
+  }
+
+  test("JsonSource.readJson reads JSON lines with an explicit schema") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"), """{"id": 7}""" + "\n")
+    val schema = new StructType().add("id", LongType)
+    val out = JsonSource.readJson(spark, dir, schema).as[Long].collect()
+    assert(out.toSeq === Seq(7L))
+  }
+
+  test("Sinks.writeParquet produces a partition-pruned layout") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/out"
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+    Sinks.writeParquet(df, dir, Seq("lang"))
+    assert(new java.io.File(s"$dir/lang=en").exists())
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(back.count() === 2L)
+    // partition filter must prune at planning time, not post-scan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"))
+  }
+
+  test("Sinks.jdbcWriter is configured for batched writes") {
+    val w = Sinks.jdbcWriter(Seq((1L, "a")).toDF("id", "v"), "jdbc:postgresql://db/x", "t")
+    assert(w.toString.nonEmpty) // construction only; no DB in this environment
+  }
+
+  test("Multimodal metadata derives features without decoding; stub is deterministic") {
+    val docs = Seq((1L, "hello world", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val meta = Multimodal.metadata(Multimodal.binarize(docs)).head()
+    assert(meta.getAs[Long]("byte_len") === 11L)
+    assert(meta.getAs[String]("magic") === "68656C6C".toUpperCase) // 'hell'
+    assert(meta.getAs[Int]("width") > 0 && meta.getAs[Int]("width") <= 640)
+    val again = Multimodal.metadata(Multimodal.binarize(docs)).head()
+    assert(meta.getAs[Long]("checksum") === again.getAs[Long]("checksum"))
+  }
+
+  test("Multimodal frameSample explodes strided frame rows") {
+    val docs = Seq((1L, "a" * 64, "en", "s", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bin = Multimodal.binarize(docs)
+    val out = Multimodal.frameSample(Multimodal.metadata(bin), bin, stride = 4)
+    // n_frames = 64 % 16 + 1 = 1 -> frame 0 only
+    assert(out.select("frame_idx").as[Int].collect().toSeq === Seq(0))
+  }
+}

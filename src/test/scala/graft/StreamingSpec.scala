@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators (SURVEY §2 #38-40) driven through
+  * MemoryStream micro-batches — the real streaming engine, not the
+  * batch twins. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("cleanStream applies the silver transform continuously") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Streams.cleanStream(df).writeStream
+      .format("memory").queryName("clean_out").outputMode("append").start()
+    try {
+      input.addData((1L, "Jakarta, CNN Indonesia -- Body  here", "id", "cnn", 36L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, content, content_length FROM clean_out")
+        .as[(Long, String, Long)].collect()
+      assert(out.toSeq === Seq((1L, "Body here", 9L)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts aggregates tumbling event-time windows under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.windowedCounts(df, windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), "click", 1.0), (2L, ts(4), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 window
+      input.addData((3L, ts(59), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT window_start, event_type, events, sum_value FROM win_out")
+        .as[(Timestamp, String, Long, Double)].collect()
+      assert(out.toSeq === Seq((ts(0), "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the gap timeout and counts events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 10).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 7: two events 3 min apart -> one session
+      input.addData(Streams.Event(7L, ts(0), "click", 1.0), Streams.Event(7L, ts(3), "click", 1.0))
+      q.processAllAvailable()
+      // event far in the future moves the watermark past 10:03 + 10min -> closes it
+      input.addData(Streams.Event(8L, ts(59), "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(8L, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, session_start, session_end, events FROM sess_out WHERE user_id = 7")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      assert(out.toSeq === Seq((7L, ts(0), ts(3), 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch splits on gaps > 30 minutes within a user") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00")),
+      (1L, Timestamp.valueOf("2024-01-01 11:30:00")), // 80 min gap -> new session
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = Streams.sessionizeBatch(df).orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "events").as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.TextOps
+
+/** Training-data text operators (SURVEY §2 #26, #33-36). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("langId predicts the language with the most marker hits") {
+    val df = docs(
+      (1L, "the fast the fast merge", "en", "s", 23L), // en 4 vs de 1
+      (2L, "vector hash vector slow", "zh", "s", 23L)) // zh 3 vs es 1
+    val out = TextOps.langId(df).orderBy("doc_id")
+      .select("predicted_lang").as[String].collect()
+    assert(out.toSeq === Seq("en", "zh"))
+  }
+
+  test("langId ties resolve to the first language in order (de < en < ...)") {
+    val df = docs((1L, "merge the", "en", "s", 9L)) // de 1, en 1 -> de wins
+    assert(TextOps.langId(df).select("predicted_lang").as[String].head() === "de")
+  }
+
+  test("quality bands split at 0.6 and 0.4") {
+    // long, diverse, no stopwords -> high; short all-stopword text -> low
+    val df = docs(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" "), "en", "s", 500L),
+      (2L, "the the the the", "en", "s", 15L))
+    val out = TextOps.qualityScore(df).orderBy("doc_id")
+      .select("quality_band").as[String].collect()
+    assert(out(0) === "high")
+    assert(out(1) === "low")
+  }
+
+  test("tokenCount: whitespace vs BPE-ish regex tokens") {
+    val df = docs((1L, "ab1 cd, e", "en", "s", 9L))
+    val r = TextOps.tokenCount(df).head()
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    // ab|1|cd|,|e -> 5 regex tokens
+    assert(r.getAs[Long]("bpe_tokens") === 5L)
+  }
+
+  test("docFingerprint: normalized fingerprint is whitespace/case invariant") {
+    val df = docs((1L, "Hello  World", "en", "s", 12L), (2L, "hello world", "en", "s", 11L))
+    val fps = TextOps.docFingerprint(df).orderBy("doc_id").collect()
+    assert(fps(0).getAs[String]("fp_raw") !== fps(1).getAs[String]("fp_raw"))
+    assert(fps(0).getAs[String]("fp_norm") === fps(1).getAs[String]("fp_norm"))
+    assert(fps(0).getAs[String]("shard") === fps(0).getAs[String]("fp_raw").take(2))
+  }
+
+  test("dedupExact groups by content hash keeping min id and group size") {
+    val df = docs((5L, "same", "en", "s", 4L), (2L, "same", "en", "s", 4L),
+      (9L, "other", "en", "s", 5L))
+    val out = TextOps.dedupExact(df).orderBy("keeper_id")
+      .select("keeper_id", "dup_count").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((2L, 2L), (9L, 1L)))
+  }
+}
