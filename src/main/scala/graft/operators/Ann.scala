@@ -32,14 +32,19 @@ object Ann {
   /** Exact cosine top-k: broadcast the (small) query set against the
     * corpus scan — the corpus is touched once, never shuffled; the
     * only shuffle is the per-query top-k window over scored rows,
-    * bounded by |queries| × |corpus| rows of (id, id, double). */
+    * bounded by |queries| × |corpus| rows of (id, id, double). Norms
+    * are computed ONCE per vector in the pre-join projections (the
+    * higher-order folds are interpreted, not codegen'd — recomputing a
+    * norm per PAIR would triple the fold work for identical results:
+    * sqrt(Σx²)·sqrt(Σy²) is the same double either way). */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     val q = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
@@ -79,7 +84,7 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("qemb"), col("emb"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("cos", dot(col("qemb"), col("emb")) / (norm(col("qemb")) * norm(col("emb"))))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
@@ -92,9 +97,10 @@ object Ann {
     * within the block, never all-pairs across the corpus. */
   def embeddingDedupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.emb"), col("b.emb")))
+      .withColumn("cos", dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
         col("a.label").as("label"), round(col("cos"), 6).as("cosine"))

@@ -33,11 +33,15 @@ object Dedup {
   }
 
   /** 64-permutation MinHash signatures: one map-side-combinable
-    * aggregate over exploded shingles — `min(xxhash64(seed, shingle))`
-    * per seed — never a per-doc collect. */
+    * aggregate over exploded shingles. The variable-length shingle is
+    * string-hashed ONCE (`xxhash64`); each permutation re-hashes that
+    * fixed 8-byte value with a distinct seed — the same signature
+    * quality as 64 independent string hashes at a fraction of the
+    * cost (and no ANSI overflow risk a multiply-add family would
+    * have). Never a per-doc collect. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64): DataFrame = {
-    val sh = shingleRows(documents)
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sh = shingleRows(documents).withColumn("h", xxhash64(col("shingle")))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -108,10 +112,17 @@ object Dedup {
     * materialized. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
                         maxDocFreq: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(documents)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(freq.filter(col("df") <= maxDocFreq), "shingle")
+    // Doc-frequency cap as a window count (NOT a pre-aggregated join):
+    // both self-join sides stay the identical shuffle-by-shingle
+    // subtree, so the explode runs once and the join consumes one
+    // ReusedExchange with no further shuffle.
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("doc_id"), col("shingle"))
     val common = rare.as("a")
       .join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
