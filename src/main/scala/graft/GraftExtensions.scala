@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.{DotProduct, L2Norm}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions (`graft_dot`, `graft_norm`). Install either declaratively
+  * (`spark.sql.extensions=graft.GraftExtensions`) or programmatically
+  * via [[GraftExtensions.register]] — operators call the latter
+  * idempotently, so a plain SparkSession works too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    ("graft_norm",
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
+      (args: Seq[Expression]) => L2Norm(args.head)))
+
+  /** Idempotently register the functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, info, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
+  }
+}

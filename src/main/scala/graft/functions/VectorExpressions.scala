@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+private object VectorExpressions {
+  def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+}
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, _*_), 0d, _+_)`) is semantically right
+  * but interpreted: every element costs a lambda-variable bind and a
+  * boxed eval. These expressions generate a tight primitive `for` loop
+  * under whole-stage codegen (`doGenCode`), with an interpreted
+  * `nullSafeEval` fallback that folds in the SAME left-to-right order —
+  * so results are bit-identical between modes, partitionings, and the
+  * HOF formulation they replace (the DuckDB oracles are unchanged).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExpressions.isDoubleArray(left.dataType) &&
+        VectorExpressions.isDoubleArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm with the same sequential Σx² fold as the HOF form. */
+case class L2Norm(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExpressions.isDoubleArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<double> argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}

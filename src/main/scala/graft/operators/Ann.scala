@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * projection LSH as the scale path, and embedding-cosine near-dup
   * pairs with a blocking key.
   *
-  * All vector math is higher-order Catalyst expressions
-  * (`zip_with`/`aggregate`) over `array<double>` — sequential folds,
-  * so the result is bit-identical on any partitioning (and to any
-  * engine that folds left-to-right, which is how the DuckDB oracle is
-  * written). No UDF, no collect.
+  * Vector math on the hot path uses graft's native codegen'd Catalyst
+  * expressions ([[graft.functions.DotProduct]]/[[graft.functions.L2Norm]]
+  * — tight primitive loops under whole-stage codegen). They fold
+  * left-to-right exactly like the portable HOF formulation
+  * (`aggregate(zip_with(a, b, _*_), 0d, _+_)`, kept here as
+  * [[Ann.dotHof]] for engines without the extension), so results are
+  * bit-identical on any partitioning and to the DuckDB oracles. No
+  * UDF, no collect.
   */
 object Ann {
 
@@ -21,11 +24,14 @@ object Ann {
     * a verification pipeline. */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = call_function("graft_norm", a)
+
+  /** Portable higher-order-function twin of [[dot]] — same sequential
+    * fold, interpreted; used by the spec to pin bit-equality. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -38,6 +44,7 @@ object Ann {
     * norm per PAIR would triple the fold work for identical results:
     * sqrt(Σx²)·sqrt(Σy²) is the same double either way). */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
@@ -72,6 +79,7 @@ object Ann {
     * deployment tunes instead of ever falling back to brute force. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
               tables: Int = 4, numBits: Int = 8): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val banded = e.select(col("vec_id"), col("emb"),
@@ -96,6 +104,7 @@ object Ann {
     * `label` column — in production a coarse quantization cell): exact
     * within the block, never all-pairs across the corpus. */
   def embeddingDedupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
     e.as("a")

@@ -16,12 +16,28 @@ class AnnSpec extends SparkSpec {
   private val e3 = Seq(0f, 0f, 1f, 0f)
 
   test("cosine expression matches hand-computed values") {
+    GraftExtensions.register(spark)
     val df = embs((0L, e1, 0), (1L, e1, 0))
     val cos = df.as("a").crossJoin(df.as("b"))
       .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
       .select(Ann.cosine(Ann.asDouble(col("a.embedding")), Ann.asDouble(col("b.embedding"))))
       .head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("native graft_dot is bit-identical to the portable HOF fold") {
+    GraftExtensions.register(spark)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, (0 until 64).map(j => math.sin(i * 64 + j).toFloat), 0))
+    val df = embs(vecs: _*)
+      .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"))
+    val diffs = df.as("a").crossJoin(df.as("b"))
+      .select(
+        Ann.dot(col("a.emb"), col("b.emb")).as("native"),
+        Ann.dotHof(col("a.emb"), col("b.emb")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double comparison
+      .count()
+    assert(diffs === 0L)
   }
 
   test("bruteForceTopK ranks the closest vector first, excludes self") {
