@@ -224,6 +224,40 @@ object SparkEntry {
               |  MAX(confidence) AS max_confidence
               |FROM ents GROUP BY 1""".stripMargin)),
 
+    ("gold_trends",
+      (s: SparkSession, d: String) => Analytics.goldTrends(goldDf(s, d)),
+      Some(s"""WITH $goldCtes
+              |SELECT topic_category,
+              |  COUNT(*) AS daily_count,
+              |  ${avgLongSql("content_length")} AS avg_length,
+              |  array_to_string(list_sort(list(DISTINCT substr(content, 1, 20))), '; ') AS sample_snippets
+              |FROM gold GROUP BY topic_category""".stripMargin)),
+
+    ("pipeline_stats",
+      (s: SparkSession, d: String) => Analytics.pipelineStats(silverDf(s, d)),
+      Some(s"""WITH silver AS ($silverSql)
+              |SELECT COUNT(*) AS total,
+              |  CAST(SUM(CASE WHEN content IS NOT NULL AND LENGTH(content) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cleaned,
+              |  CAST(SUM(CASE WHEN content_length > 50 THEN 1 ELSE 0 END) AS BIGINT) AS gold_eligible,
+              |  CAST(SUM(CASE WHEN content_length > 200 THEN 1 ELSE 0 END) AS BIGINT) AS substantial,
+              |  ${avgLongSql("content_length")} AS avg_content_length,
+              |  COUNT(DISTINCT topic) AS unique_topics,
+              |  COUNT(DISTINCT lang) AS unique_langs
+              |FROM silver""".stripMargin)),
+
+    ("entity_top",
+      (s: SparkSession, d: String) => Ner.topEntities(s, docs(s, d)),
+      Some(s"""WITH $nerCtes,
+              |per_entity AS (
+              |  SELECT entity_type, entity_text, CAST(SUM(mentions) AS BIGINT) AS mention_count
+              |  FROM ents GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_type
+              |    ORDER BY mention_count DESC, entity_text) AS rn
+              |  FROM per_entity)
+              |SELECT entity_type, entity_text AS top_entity, mention_count AS top_entity_count
+              |FROM ranked WHERE rn = 1""".stripMargin)),
+
     // ---- Training-data text ops (SURVEY §2 #26, #33-36) ----
     ("dedup_exact",
       (s: SparkSession, d: String) => TextOps.dedupExact(docs(s, d)),

@@ -108,6 +108,35 @@ object Analytics {
         sum(when(col("has_substantial_content"), 1L).otherwise(0L)).as("substantial_articles"),
         countDistinct(col("topic")).as("unique_topics"))
 
+  /** view_gold_trends (`process_silver_to_gold.sql:100-118`):
+    * per-topic_category trend rollup with deduped sample snippets.
+    * The reference's `STRING_AGG(DISTINCT LEFT(title, 50), '; ')` is
+    * `concat_ws('; ', sort_array(collect_set(...)))` — sorted so the
+    * result is deterministic under any partitioning (Postgres only
+    * gets that by accident of its single-node sort). */
+  def goldTrends(gold: DataFrame): DataFrame =
+    gold
+      .groupBy(col("topic_category"))
+      .agg(
+        count(lit(1)).as("daily_count"),
+        avgLong(col("content_length")).as("avg_length"),
+        concat_ws("; ", sort_array(collect_set(substring(col("content"), 1, 20))))
+          .as("sample_snippets"))
+
+  /** Pipeline layer statistics (`staging_pg.py:323-372`): the bronze /
+    * silver progress counters as ONE conditional-aggregation scan
+    * instead of the reference's two per-table count queries. */
+  def pipelineStats(silver: DataFrame): DataFrame =
+    silver.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("content").isNotNull && length(col("content")) > 0, 1L).otherwise(0L))
+        .as("cleaned"),
+      sum(when(col("content_length") > 50, 1L).otherwise(0L)).as("gold_eligible"),
+      sum(when(col("content_length") > 200, 1L).otherwise(0L)).as("substantial"),
+      avgLong(col("content_length")).as("avg_content_length"),
+      countDistinct(col("topic")).as("unique_topics"),
+      countDistinct(col("lang")).as("unique_langs"))
+
   /** Daily × type trends (`apx.py:97-112`). */
   def timeTrends(events: DataFrame): DataFrame =
     events

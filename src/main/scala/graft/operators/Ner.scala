@@ -77,6 +77,23 @@ object Ner {
         max(col("confidence")).as("confidence"))
       .filter(col("article_count") >= 2)
 
+  /** get_entity_stats top-entity flavor
+    * (`process_silver_to_gold.sql:177-215`): per type, the most
+    * mentioned entity — rank inside the (small) per-type aggregate,
+    * so the window never sees raw mention rows. */
+  def topEntities(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    extract(spark, documents)
+      .groupBy(col("entity_type"), col("entity_text"))
+      .agg(sum(col("mentions")).as("mention_count"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("entity_type"))
+          .orderBy(col("mention_count").desc, col("entity_text"))))
+      .filter(col("rn") === 1)
+      .select(col("entity_type"), col("entity_text").as("top_entity"),
+        col("mention_count").as("top_entity_count"))
+  }
+
   /** Entities statistics by type (`staging_pg.py:376-395`). */
   def entityTypeStats(spark: SparkSession, documents: DataFrame): DataFrame =
     extract(spark, documents)
