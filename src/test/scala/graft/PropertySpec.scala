@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Cleaning, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants over generated inputs. Each property
+  * evaluates ONE Spark job over the whole generated batch (a job per
+  * sample would take minutes for no extra coverage). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // strings biased towards the cleaner's trigger tokens and messy whitespace
+  private val messyText: Gen[String] = {
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("ADVERTISEMENT", "SCROLL TO CONTINUE WITH CONTENT", "Pilihan Redaksi",
+        "Lihat Juga :", "(ANTARA FOTO/x)", "(CNN Indonesia/y)", "[Gambas:Video]",
+        "Jakarta, CNN Indonesia --", "\n\n\n", "\t", "  "))
+    Gen.listOf(token).map(_.mkString(" ")).map(_.take(500))
+  }
+
+  // NOT a property: idempotency. The cleaner is a single fixed pass
+  // (like the reference's cleaner.py) — stripping a dateline can expose
+  // a second dateline behind it, which only the next pass would strip.
+  test("property: cleanContent is a no-op on trigger-free normalized text") {
+    val plain = Gen.nonEmptyListOf(
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
+      .map(_.mkString(" ").take(400).trim)
+    val texts = samples(plain, 300)
+    val df = texts.toDF("t")
+      .select(col("t"), Cleaning.cleanContent(col("t")).as("c"))
+    assert(df.filter(col("t") =!= col("c")).count() === 0L)
+  }
+
+  test("property: cleaned content never has leading/trailing or doubled spaces") {
+    val texts = samples(messyText, 300)
+    val bad = texts.toDF("t")
+      .select(Cleaning.cleanContent(col("t")).as("c"))
+      .filter(col("c").rlike("^\\s|\\s$|\\s\\s"))
+    assert(bad.count() === 0L)
+  }
+
+  test("property: dedupKeepFirst emits one row per distinct key, all from the input") {
+    val rows = samples(Gen.zip(Gen.choose(1L, 50L), Gen.choose(1, 5)), 400)
+    val df = rows.toDF("id", "k")
+    val out = Cleaning.dedupKeepFirst(df, col("k"), col("id"))
+    assert(out.count() === df.select("k").distinct().count())
+    assert(out.except(df).count() === 0L) // every survivor is an input row
+  }
+
+  test("property: quality_score is always in [0, 1] and bands are consistent") {
+    val texts = samples(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
+      .map(_.mkString(" ").take(400)), 300)
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bad = TextOps.qualityScore(docs).filter(
+      col("quality_score") < 0 || col("quality_score") > 1 ||
+        (col("quality_band") === "high" && col("quality_score") < 0.6) ||
+        (col("quality_band") === "low" && col("quality_score") >= 0.4))
+    assert(bad.count() === 0L)
+  }
+}
