@@ -358,6 +358,10 @@ object SparkEntry {
       (s: SparkSession, d: String) => Ann.lshTopK(Tables.embeddings(s, d)),
       None),
 
+    ("ann_ivf", // rows-only: cell membership depends on the probe set
+      (s: SparkSession, d: String) => Ann.ivfTopK(Tables.embeddings(s, d)),
+      None),
+
     ("token_count",
       (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
       Some("""SELECT doc_id,

@@ -100,6 +100,49 @@ object Ann {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic subset of the corpus
+    * serves as coarse centroids; every vector is assigned to its
+    * nearest centroid cell (one broadcast pass), queries probe the
+    * `nprobe` nearest cells and rank exact cosine only inside them.
+    * At 100 TB the cell assignment is a cheap scan-side projection,
+    * the probe join shuffles on cell id, and recall/cost is tuned
+    * with `nprobe` — the classic IVF trade, no training step (real
+    * k-means centroids would slot into `centroids` unchanged). */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
+              centroidEvery: Int = 100, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val centroids = e.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    // nearest-centroid assignment: rank each (vector, centroid) pair,
+    // keep rank 1 for the corpus, rank <= nprobe for the queries
+    def assign(df: DataFrame, idCol: String, embCol: String, nrmCol: String,
+               keep: Int): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", dot(col(embCol), col("cemb")) / (col(nrmCol) * col("cnrm")))
+        .withColumn("crank",
+          row_number().over(Window.partitionBy(col(idCol))
+            .orderBy(col("csim").desc, col("cell"))))
+        .filter(col("crank") <= keep)
+        .drop("cemb", "cnrm", "csim", "crank")
+    val cells = assign(e, "vec_id", "emb", "nrm", keep = 1)
+    val q = assign(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm")),
+      "query_id", "qemb", "qnrm", keep = nprobe)
+    cells.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on a key (here the
     * `label` column — in production a coarse quantization cell): exact
     * within the block, never all-pairs across the corpus. */

@@ -60,6 +60,17 @@ class AnnSpec extends SparkSpec {
     assert(out.find(_._2 == 1L).get._1 === 10L)
   }
 
+  test("ivfTopK finds the nearest vector when it shares the query's cell") {
+    // centroidEvery=1 makes every vector a centroid; vec 10 (≈ e1) lands
+    // in the cell of centroid 0 or 10 — either way query 0 probes it
+    val out = Ann.ivfTopK(
+      embs((0L, e1, 0), (10L, e1close, 0), (11L, e2, 0), (12L, e3, 0)),
+      numQueries = 1, k = 2, centroidEvery = 1, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.find(_._3 == 1L).get._2 === 10L)
+  }
+
   test("embeddingDedupPairs blocks on label and applies the threshold") {
     val out = Ann.embeddingDedupPairs(
       embs((1L, e1, 7), (2L, e1close, 7), (3L, e1, 8), (4L, e2, 7)),

@@ -68,6 +68,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: JSON stream -> silver clean -> parquet sink -> read back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/batch1.json"),
+      """{"doc_id": 1, "text": "Jakarta, CNN Indonesia -- Streamed  body", "lang": "id", "source": "cnn", "n_chars": 40}""" + "\n")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("n_chars", org.apache.spark.sql.types.LongType)
+    val stream = graft.sources.JsonSource.readJsonStream(spark, inDir, schema)
+    val q = graft.sources.Sinks
+      .streamingParquetSink(Streams.cleanStream(stream), outDir, ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val back = spark.read.parquet(outDir)
+      .select("doc_id", "content", "content_length").as[(Long, String, Long)].collect()
+    assert(back.toSeq === Seq((1L, "Streamed body", 13L)))
+  }
+
   test("sessionizeBatch splits on gaps > 30 minutes within a user") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
