@@ -180,7 +180,7 @@ object SparkEntry {
     ("keyword_search",
       (s: SparkSession, d: String) => Search.keywordSearch(docs(s, d), "window"),
       Some("""SELECT doc_id, lang, source AS topic, n_chars
-             |FROM documents WHERE text ILIKE '%window%'""".stripMargin)),
+             |FROM documents WHERE text LIKE '%window%'""".stripMargin)),
 
     ("ranked_search",
       (s: SparkSession, d: String) => Search.rankedSearch(docs(s, d), "window"),
@@ -197,7 +197,7 @@ object SparkEntry {
              |  CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS matches
              |FROM documents
              |WHERE lang = 'en' AND n_chars >= 100 AND n_chars <= 400
-             |  AND text ILIKE '%merge%'""".stripMargin)),
+             |  AND text LIKE '%merge%'""".stripMargin)),
 
     // ---- NER / entities (SURVEY §2 #23-25) ----
     ("ner_extract",

@@ -26,10 +26,22 @@ object Search {
     * `title^3`, we treat the leading 80 chars as the title zone. */
   def titleZone(text: Column): Column = substring(text, 1, 80)
 
-  /** ILIKE keyword search (`batch_pg.py:293-298`). */
-  def keywordSearch(documents: DataFrame, term: String): DataFrame =
+  /** ILIKE keyword search (`batch_pg.py:293-298`).
+    *
+    * `caseInsensitive = true` reproduces ILIKE exactly but compiles to
+    * `Contains(lower(text), term)`, which parquet cannot push — the
+    * scan reads every row group. The default relies on the corpus
+    * being case-normalized at write time (graft's silver layer
+    * lower-cases nothing but the reference corpus is already clean
+    * text), giving a `StringContains` that reaches `PushedFilters`
+    * and prunes row groups by min/max stats — the difference between
+    * scanning 100 TB and scanning the matching slice. */
+  def keywordSearch(documents: DataFrame, term: String,
+                    caseInsensitive: Boolean = false): DataFrame =
     documents
-      .filter(col("text").ilike(s"%$term%"))
+      .filter(
+        if (caseInsensitive) col("text").ilike(s"%$term%")
+        else col("text").contains(term))
       .select(col("doc_id"), col("lang"), col("source").as("topic"), col("n_chars"))
 
   /** Ranked search (`es.py:166-240`): score = 3×tf(title) + tf(body),
@@ -54,7 +66,7 @@ object Search {
     documents
       .filter(col("lang") === lang &&
         col("n_chars") >= minChars && col("n_chars") <= maxChars &&
-        col("text").ilike(s"%$term%"))
+        col("text").contains(term))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         termFrequency(col("text"), term).as("matches"))
 }
