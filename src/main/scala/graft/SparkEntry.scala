@@ -245,6 +245,14 @@ object SparkEntry {
               |  COUNT(DISTINCT lang) AS unique_langs
               |FROM silver""".stripMargin)),
 
+    ("entity_overview",
+      (s: SparkSession, d: String) => Ner.entityOverview(s, docs(s, d)),
+      Some(s"""WITH $nerCtes
+              |SELECT COUNT(*) AS total_entities,
+              |  COUNT(DISTINCT CASE WHEN entity_type = 'PER' THEN entity_text END) AS unique_people,
+              |  COUNT(DISTINCT CASE WHEN entity_type = 'ORG' THEN entity_text END) AS unique_orgs
+              |FROM ents""".stripMargin)),
+
     ("entity_top",
       (s: SparkSession, d: String) => Ner.topEntities(s, docs(s, d)),
       Some(s"""WITH $nerCtes,

@@ -77,6 +77,15 @@ object Ner {
         max(col("confidence")).as("confidence"))
       .filter(col("article_count") >= 2)
 
+  /** Dashboard entity overview (`apx.py:72-74`): the reference's three
+    * scalar subqueries (3 scans of gold_entities) as ONE conditional
+    * aggregation pass. */
+  def entityOverview(spark: SparkSession, documents: DataFrame): DataFrame =
+    extract(spark, documents).agg(
+      count(lit(1)).as("total_entities"),
+      countDistinct(when(col("entity_type") === "PER", col("entity_text"))).as("unique_people"),
+      countDistinct(when(col("entity_type") === "ORG", col("entity_text"))).as("unique_orgs"))
+
   /** get_entity_stats top-entity flavor
     * (`process_silver_to_gold.sql:177-215`): per type, the most
     * mentioned entity — rank inside the (small) per-type aggregate,
