@@ -73,10 +73,15 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint: per-bit token votes (+1/-1 weighted by
-    * the token's hash bit), assembled with shift/or — one aggregate. */
+  /** 64-bit SimHash fingerprint over k-gram shingles: per-bit votes
+    * (+1/-1 from the shingle's hash bit), assembled with shift/or —
+    * one aggregate. Shingles, NOT unigrams: on a corpus with a shared
+    * vocabulary, unigram bags collide for unrelated documents (same
+    * word distribution, different text); shingles carry order, so the
+    * fingerprint tracks actual near-duplication — cross-validated
+    * against exact n-gram Jaccard in the spec suite. */
   def simhashFingerprints(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tok = shingleRows(documents).withColumnRenamed("shingle", "token")
     val h = xxhash64(col("token"))
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i"))

@@ -56,6 +56,22 @@ object Streams {
         col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("events"), col("sum_value"))
 
+  /** Micro-batch bronze ingest — the reference's consumer loop
+    * (`pipeline/consumer_pipeline.py`) lands each poll as a PG upsert;
+    * the file-native equivalent is append-only bronze plus exact dedup
+    * at read (`Cleaning.dedupKeepFirst`), because a 100 TB object
+    * store has no per-row upsert — compaction dedups, readers dedup,
+    * writers only ever append. */
+  def microBatchIngest(raw: DataFrame, path: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, events: Int)
   case class UserSession(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -89,6 +89,25 @@ class StreamingSpec extends SparkSpec {
     assert(back.toSeq === Seq((1L, "Streamed body", 13L)))
   }
 
+  test("microBatchIngest: append-only bronze + dedup-on-read upsert semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.microBatchIngest(
+      input.toDF().toDF("id", "payload"), s"$dir/bronze", s"$dir/ckpt")
+    try {
+      input.addData((1L, "v1"), (2L, "v1"))
+      q.processAllAvailable()
+      input.addData((2L, "v2"), (3L, "v1")) // id 2 re-delivered
+      q.processAllAvailable()
+    } finally q.stop()
+    val bronze = spark.read.parquet(s"$dir/bronze")
+    assert(bronze.count() === 4L) // appends never rewrite
+    val deduped = graft.operators.Cleaning.dedupKeepFirst(
+      bronze, col("id"), col("payload")) // keep-first by payload version
+    assert(deduped.count() === 3L)
+  }
+
   test("sessionizeBatch splits on gaps > 30 minutes within a user") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
