@@ -278,30 +278,25 @@ object SparkEntry {
 
     ("quality_score",
       (s: SparkSession, d: String) => TextOps.qualityScore(docs(s, d)),
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_ratio,
-             |  ROUND(CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
-             |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
-             |  ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 6) AS length_score,
-             |  ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
-             |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
-             |    + (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 6) AS quality_score,
-             |  CASE WHEN ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
-             |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
-             |    + (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 6) >= 0.6 THEN 'high'
-             |       WHEN ROUND(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
-             |    + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
-             |    + (1.0 - CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3, 6) >= 0.4 THEN 'medium'
+      Some("""WITH parts AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+             |    CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+             |    LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score
+             |  FROM documents),
+             |scored AS (
+             |  SELECT *, length_score * 0.4 + unique_ratio * 0.3
+             |    + (1.0 - stopword_ratio) * 0.3 AS quality_score
+             |  FROM parts)
+             |SELECT doc_id, n_tokens, unique_ratio, stopword_ratio, length_score,
+             |  quality_score,
+             |  CASE WHEN quality_score >= 0.6 THEN 'high'
+             |       WHEN quality_score >= 0.4 THEN 'medium'
              |       ELSE 'low' END AS quality_band
-             |FROM documents""".stripMargin)),
+             |FROM scored""".stripMargin)),
 
     // ---- Near-dup / similarity (SURVEY §2 #27-32) ----
     ("dedup_minhash", // rows-only: banded-LSH estimate, not SQL-expressible

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Word-boundary term frequency — `\b` is common Java-regex/RE2. */
+  /** Word-boundary term frequency — `\b` is common Java-regex/RE2.
+    * `regexp_count` counts matches without materializing the match
+    * array that `size(regexp_extract_all(...))` would allocate per row. */
   def termFrequency(text: Column, term: String): Column =
-    size(regexp_extract_all(text, lit("\\b" + term + "\\b"), lit(0))).cast("long")
+    regexp_count(text, lit("\\b" + term + "\\b")).cast("long")
 
   /** The corpus has no separate title column; the reference boosts
     * `title^3`, we treat the leading 80 chars as the title zone. */

@@ -23,7 +23,7 @@ object TextOps {
     "zh" -> Seq("vector", "hash"))
 
   private def markerHits(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0))).cast("long")
+    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
 
   /** Language ID: count marker-word hits per language, predict the
     * argmax (ties resolved by language order — a fixed `when` chain, so
@@ -51,16 +51,20 @@ object TextOps {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
     val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
-    val stopHits = size(regexp_extract_all(col("text"), lit("\\b(the|a)\\b"), lit(0))).cast("double")
+    val stopHits = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("double")
     val stopRatio = stopHits / nTok
     val lenScore = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
-    val score = round(lenScore * 0.4 + uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3, 6)
+    // Raw doubles, deliberately NOT rounded: both engines compute the
+    // identical IEEE value for this expression order, while ROUND(x, 6)
+    // introduces decimal half-way boundaries (e.g. 0.6746625) where
+    // Spark's and DuckDB's rounding modes disagree by one ulp.
+    val score = lenScore * 0.4 + uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3
     documents.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      round(uniqRatio, 6).as("unique_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(lenScore, 6).as("length_score"),
+      uniqRatio.as("unique_ratio"),
+      stopRatio.as("stopword_ratio"),
+      lenScore.as("length_score"),
       score.as("quality_score"),
       when(score >= 0.6, "high").when(score >= 0.4, "medium").otherwise("low").as("quality_band"))
   }
@@ -71,7 +75,7 @@ object TextOps {
     documents.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
         .cast("long").as("bpe_tokens"),
       col("n_chars").as("chars"))
 
