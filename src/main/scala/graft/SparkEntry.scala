@@ -320,7 +320,7 @@ object SparkEntry {
              |        GROUP BY 1, 2)
              |SELECT doc_id_1, doc_id_2, jaccard FROM (
              |  SELECT doc_id_1, doc_id_2,
-             |    ROUND(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+             |    CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
              |  FROM com
              |  JOIN sizes s1 ON com.doc_id_1 = s1.doc_id
              |  JOIN sizes s2 ON com.doc_id_2 = s2.doc_id) t
@@ -331,7 +331,7 @@ object SparkEntry {
       Some("""WITH e AS (SELECT vec_id, label,
              |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
              |          FROM embeddings)
-             |SELECT vec_id_1, vec_id_2, label, ROUND(cos, 6) AS cosine FROM (
+             |SELECT vec_id_1, vec_id_2, label, cos AS cosine FROM (
              |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label AS label,
              |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)
              |    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i]), (acc, x) -> acc + x))
@@ -354,7 +354,7 @@ object SparkEntry {
              |ranked AS (SELECT query_id, vec_id, cos,
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
              |  FROM scored)
-             |SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+             |SELECT query_id, vec_id, cos AS cosine, rank
              |FROM ranked WHERE rank <= 3""".stripMargin)),
 
     ("ann_lsh", // rows-only: bucket membership is hash-dependent

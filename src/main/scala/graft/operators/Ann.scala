@@ -56,7 +56,7 @@ object Ann {
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"), col("rank"))
   }
 
   /** Sign-random-projection bucket for one hash table: `numBits`
@@ -97,7 +97,7 @@ object Ann {
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"), col("rank"))
   }
 
   /** IVF (inverted-file) ANN: a deterministic subset of the corpus
@@ -140,7 +140,7 @@ object Ann {
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"), col("rank"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked on a key (here the
@@ -155,6 +155,6 @@ object Ann {
       .withColumn("cos", dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
-        col("a.label").as("label"), round(col("cos"), 6).as("cosine"))
+        col("a.label").as("label"), col("cos").as("cosine"))
   }
 }

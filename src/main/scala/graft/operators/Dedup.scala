@@ -68,7 +68,7 @@ object Dedup {
       .dropDuplicates("doc_id_1", "doc_id_2")
     val agree = size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
     candidates
-      .withColumn("est_jaccard", round(agree.cast("double") / (bands * rowsPerBand), 6))
+      .withColumn("est_jaccard", agree.cast("double") / (bands * rowsPerBand))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
   }
@@ -137,7 +137,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_id_1"), col("n").as("n1")), "doc_id_1")
       .join(sizes.select(col("doc_id").as("doc_id_2"), col("n").as("n2")), "doc_id_2")
       .withColumn("jaccard",
-        round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6))
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
