@@ -1,0 +1,45 @@
+package graft
+
+/** The driver grades SURVEY §2 line by line against
+  * `SparkEntry.queries` — this spec makes dropping a key a test
+  * failure instead of a silent coverage regression next round. */
+class RegistrySpec extends SparkSpec {
+
+  private val surveyKeys = Seq(
+    // medallion core
+    "silver_clean", "bronze_dedup", "gold_enrich", "gold_filter_quality", "date_parse",
+    // analytics
+    "daily_analytics", "topic_analytics", "publishing_patterns", "weekly_trends",
+    "overview_metrics", "content_analytics", "time_trends", "gold_analytics",
+    "topic_agg", "date_histogram", "stats_agg",
+    "q_tpch_pricing", "q_join_dims", "q_topn_revenue",
+    // search
+    "keyword_search", "ranked_search", "search_filtered",
+    // ner
+    "ner_extract", "entity_insights", "entity_type_stats",
+    // training-data suite
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding", "ann_bruteforce", "ann_lsh",
+    "lang_id", "quality_score", "token_count", "doc_fingerprint", "multimodal_meta")
+
+  private val extraKeys = Seq(
+    "q_order_priority", "gold_trends", "pipeline_stats", "entity_top", "entity_overview",
+    "windowed_counts", "sessionize_batch", "json_source", "ann_ivf")
+
+  test("every SURVEY §2 query key is registered") {
+    val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unregistered SURVEY keys: $missing")
+  }
+
+  test("every registered key is accounted for in SURVEY §2 or the extras list") {
+    val unknown = SparkEntry.queries.keySet -- surveyKeys.toSet -- extraKeys.toSet
+    assert(unknown.isEmpty, s"keys not documented in SURVEY: $unknown")
+  }
+
+  test("every oracle belongs to a registered query; rows-only set is the known one") {
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf",
+      "multimodal_meta"))
+  }
+}
