@@ -27,13 +27,17 @@ object Bench {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
-        // Warm-up execution first: JIT + code cache + file-index warm, so
-        // the measured run reflects steady-state plan cost, not JVM cold
-        // start (round-3 bench swung 1.9x on identical code without this).
+        // Warm-up execution first (JIT + code cache + file index), then
+        // the min of two measured runs: steady-state plan cost, not JVM
+        // cold start or a GC pause (round-3 bench swung 1.9x on
+        // identical code with a single cold measurement).
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = runs.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
