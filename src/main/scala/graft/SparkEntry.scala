@@ -407,13 +407,17 @@ object SparkEntry {
     ("q_topn_revenue",
       (s: SparkSession, d: String) => Relational.topCustomers(
         Tables.orders(s, d), Tables.customer(s, d)),
-      Some(s"""SELECT c_name,
-              |  ${sumFixedSql("o_totalprice")} AS revenue,
-              |  COUNT(*) AS order_count,
-              |  o_custkey AS custkey
-              |FROM orders JOIN customer ON o_custkey = c_custkey
-              |GROUP BY c_name, o_custkey
-              |ORDER BY revenue DESC, custkey LIMIT 10""".stripMargin)),
+      // top-N BEFORE the dim join, mirroring the Spark plan exactly: a
+      // custkey missing from customer must yield <10 rows on BOTH sides
+      Some(s"""WITH topn AS (
+              |  SELECT o_custkey,
+              |    ${sumFixedSql("o_totalprice")} AS revenue,
+              |    COUNT(*) AS order_count
+              |  FROM orders GROUP BY o_custkey
+              |  ORDER BY revenue DESC, o_custkey LIMIT 10)
+              |SELECT c_name, revenue, order_count, o_custkey AS custkey
+              |FROM topn JOIN customer ON o_custkey = c_custkey
+              |ORDER BY revenue DESC, custkey""".stripMargin)),
 
     // ---- Streaming batch twins (SURVEY §2 #39-40) + sources (#37, #42) ----
     ("windowed_counts",
@@ -428,7 +432,7 @@ object SparkEntry {
       Some("""WITH marked AS (
              |  SELECT user_id, ts,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_break
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_break
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
              |sessions AS (

@@ -46,9 +46,17 @@ object Tables {
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader has no timestamp type for — read it as a
-    * raw long (nanos since epoch) and convert losslessly via integer
-    * division to micros. `timestamp_ntz` matches the file's naive
-    * timestamps (and the DuckDB oracle's TIMESTAMP). */
+    * raw long (nanos since epoch) and convert via integer division to
+    * micros (lossless here: the generator emits micro-aligned nanos;
+    * sub-micro precision, if it ever appeared, would truncate).
+    * `timestamp_ntz` matches the file's naive timestamps (and the
+    * DuckDB oracle's TIMESTAMP).
+    *
+    * NOTE: `nanosAsLong` is a session-wide SQL conf (Spark exposes no
+    * per-read option for it) — after the first call, any OTHER
+    * nanos-timestamp parquet read in the session also gets longs.
+    * Acceptable here because events is the only nanos table; a
+    * multi-tenant session would need to save/restore the conf. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")

@@ -23,6 +23,11 @@ private object VectorExpressions {
   * `nullSafeEval` fallback that folds in the SAME left-to-right order —
   * so results are bit-identical between modes, partitionings, and the
   * HOF formulation they replace (the DuckDB oracles are unchanged).
+  *
+  * Null semantics also mirror the HOF form exactly: length-mismatched
+  * inputs (zip_with would pad with null) and null elements both yield
+  * NULL — a ragged embedding surfaces as null, never as a silent
+  * partial dot product.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -39,10 +44,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,14 +62,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotProduct =
@@ -82,7 +99,12 @@ case class L2Norm(child: Expression)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i)
+      s += v * v
+      i += 1
+    }
     math.sqrt(s)
   }
 
@@ -96,12 +118,15 @@ case class L2Norm(child: Expression)
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = $a.getDouble($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
     copy(child = newChild)

@@ -82,17 +82,18 @@ object Ann {
     graft.GraftExtensions.register(embeddings.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val banded = e.select(col("vec_id"), col("emb"),
+      .withColumn("nrm", norm(col("emb")))
+    val banded = e.select(col("vec_id"), col("emb"), col("nrm"),
       posexplode(array((0 until tables).map(t => srpBucket(col("emb"), t, numBits)): _*))
         .as(Seq("table", "bucket")))
     val q = banded.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         col("table"), col("bucket"))
     banded.join(q, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qemb"), col("emb"))
+      .select(col("query_id"), col("vec_id"), col("qemb"), col("emb"), col("qnrm"), col("nrm"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("cos", dot(col("qemb"), col("emb")) / (norm(col("qemb")) * norm(col("emb"))))
+      .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))

@@ -20,9 +20,16 @@ object Search {
 
   /** Word-boundary term frequency — `\b` is common Java-regex/RE2.
     * `regexp_count` counts matches without materializing the match
-    * array that `size(regexp_extract_all(...))` would allocate per row. */
+    * array that `size(regexp_extract_all(...))` would allocate per
+    * row. The term is quoted (`\Q…\E`, also RE2-compatible) so user
+    * input like `c++` or `2.0` is matched literally instead of being
+    * interpreted as (possibly invalid) regex syntax. */
   def termFrequency(text: Column, term: String): Column =
-    regexp_count(text, lit("\\b" + term + "\\b")).cast("long")
+    regexp_count(text, lit("\\b" + java.util.regex.Pattern.quote(term) + "\\b")).cast("long")
+
+  /** Escape LIKE/ILIKE metacharacters in user input. */
+  private def likeEscape(term: String): String =
+    term.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
 
   /** The corpus has no separate title column; the reference boosts
     * `title^3`, we treat the leading 80 chars as the title zone. */
@@ -42,7 +49,7 @@ object Search {
                     caseInsensitive: Boolean = false): DataFrame =
     documents
       .filter(
-        if (caseInsensitive) col("text").ilike(s"%$term%")
+        if (caseInsensitive) col("text").ilike("%" + likeEscape(term) + "%")
         else col("text").contains(term))
       .select(col("doc_id"), col("lang"), col("source").as("topic"), col("n_chars"))
 

@@ -107,7 +107,10 @@ object Streams {
             times.foreach { t =>
               open match {
                 case Some(s) if t - s.end <= gapMs =>
-                  open = Some(s.copy(end = math.max(s.end, t), events = s.events + 1))
+                  // a late-but-within-watermark event can precede the
+                  // session start — extend both ends, not just the end
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), events = s.events + 1))
                 case Some(s) =>
                   closed += close(userId, s)
                   open = Some(SessionState(t, t, 1))
@@ -132,12 +135,16 @@ object Streams {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val gapSec = gapMinutes * 60L
+    // Compare gaps in integer MICROSECONDS: unix_timestamp truncates to
+    // whole seconds, so a 1800.6 s gap would read as 1800 and not break
+    // the session while a fractional-second oracle breaks it.
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val micros = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_break",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L).otherwise(0L))
+          micros(col("ts")) - micros(col("prev_ts")) > gapMicros, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("is_break")).over(byUser))
       .groupBy(col("user_id"), col("session_id"))
       .agg(

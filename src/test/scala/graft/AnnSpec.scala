@@ -71,6 +71,21 @@ class AnnSpec extends SparkSpec {
     assert(out.find(_._3 == 1L).get._2 === 10L)
   }
 
+  test("native graft_dot yields NULL for ragged arrays and null elements, like the HOF form") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)), // ragged
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),     // null elem
+      (3L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))      // clean
+      .toDF("id", "a", "b")
+    val out = df.orderBy("id")
+      .select(Ann.dot(col("a"), col("b")), Ann.dotHof(col("a"), col("b")))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(out(0) === ((None, None)))
+    assert(out(1) === ((None, None)))
+    assert(out(2) === ((Some(11.0), Some(11.0))))
+  }
+
   test("embeddingDedupPairs blocks on label and applies the threshold") {
     val out = Ann.embeddingDedupPairs(
       embs((1L, e1, 7), (2L, e1close, 7), (3L, e1, 8), (4L, e2, 7)),
