@@ -86,6 +86,23 @@ class AnnSpec extends SparkSpec {
     assert(out(2) === ((Some(11.0), Some(11.0))))
   }
 
+  test("graft_dot / graft_norm are callable from SQL once registered") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "graft_norm(array(3.0D, 4.0D)) AS n").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+  }
+
+  test("graft_dot rejects non-double-array arguments at analysis time") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
   test("embeddingDedupPairs blocks on label and applies the threshold") {
     val out = Ann.embeddingDedupPairs(
       embs((1L, e1, 7), (2L, e1close, 7), (3L, e1, 8), (4L, e2, 7)),
