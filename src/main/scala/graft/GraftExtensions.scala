@@ -1,10 +1,10 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm}
+import graft.functions.{DotProduct, L2Norm, Shingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extension registering graft's native expressions as SQL
   * functions (`graft_dot`, `graft_norm`). Install either declaratively
@@ -27,7 +27,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args.head, args(1))),
     ("graft_norm",
       new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
-      (args: Seq[Expression]) => L2Norm(args.head)))
+      (args: Seq[Expression]) => L2Norm(args.head)),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, _) => Shingles(args.head, k)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles size must be an integer literal, got $other")
+      }))
 
   /** Idempotently register the functions on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -20,16 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-token shingles of a document. Docs shorter than k
-    * tokens produce no shingles and drop out of near-dup analysis. */
+  /** Distinct k-token shingles of a document via the native
+    * [[graft.functions.Shingles]] expression (the interpreted HOF
+    * formulation dominated the near-dup profile). Docs shorter than k
+    * tokens produce an empty array, so `explode` drops them from
+    * near-dup analysis. */
   def shingleRows(documents: DataFrame, k: Int = 3): DataFrame = {
-    val w = split(col("text"), " ")
-    val shingles = array_distinct(transform(
-      sequence(lit(0), size(w) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*)))
+    graft.GraftExtensions.register(documents.sparkSession)
     documents
-      .filter(size(w) >= k)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"), lit(k))).as("shingle"))
+  }
+
+  /** Portable HOF twin of the shingling in [[shingleRows]] — kept for
+    * the spec that pins the native expression to identical output. */
+  def shinglesHof(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*))))
+      .otherwise(array())
   }
 
   /** 64-permutation MinHash signatures: one map-side-combinable

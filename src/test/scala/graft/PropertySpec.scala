@@ -53,6 +53,23 @@ class PropertySpec extends SparkSpec {
     assert(out.except(df).count() === 0L) // every survivor is an input row
   }
 
+  test("property: native graft_shingles matches the HOF formulation as a set") {
+    GraftExtensions.register(spark)
+    // include empty tokens (double spaces) and docs shorter than k
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaLowerStr.map(_.take(4)), Gen.const("")))
+      .map(_.mkString(" ").take(200))
+    val texts = samples(gen, 300)
+    val df = texts.toDF("t").select(
+      org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.call_function("graft_shingles",
+          org.apache.spark.sql.functions.col("t"),
+          org.apache.spark.sql.functions.lit(3))).as("native"),
+      org.apache.spark.sql.functions.array_sort(
+        graft.operators.Dedup.shinglesHof(org.apache.spark.sql.functions.col("t"), 3)).as("hof"))
+    assert(df.filter(org.apache.spark.sql.functions.col("native") =!=
+      org.apache.spark.sql.functions.col("hof")).count() === 0L)
+  }
+
   test("property: quality_score is always in [0, 1] and bands are consistent") {
     val texts = samples(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
       .map(_.mkString(" ").take(400)), 300)
