@@ -4,12 +4,28 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 private object VectorExpressions {
-  def isDoubleArray(dt: DataType): Boolean = dt match {
-    case ArrayType(DoubleType, _) => true
+  /** Accept array<double> OR array<float>: float widens to double
+    * exactly, so taking floats directly is bit-identical to a
+    * `transform(x, _.cast("double"))` pre-pass — minus one interpreted
+    * HOF evaluation per row. */
+  def isNumericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
     case _ => false
+  }
+
+  /** Element accessor for interpreted eval. */
+  def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case _ => (a, i) => a.getDouble(i)
+  }
+
+  /** Element accessor for generated code. */
+  def genGetter(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
   }
 }
 
@@ -33,10 +49,10 @@ case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (VectorExpressions.isDoubleArray(left.dataType) &&
-        VectorExpressions.isDoubleArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (VectorExpressions.isNumericArray(left.dataType) &&
+        VectorExpressions.isNumericArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<double> arguments, got " +
+      s"$prettyName expects two array<double|float> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -45,12 +61,14 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val gx = VectorExpressions.getter(left.dataType)
+    val gy = VectorExpressions.getter(right.dataType)
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getDouble(i) * y.getDouble(i)
+      s += gx(x, i) * gy(y, i)
       i += 1
     }
     s
@@ -61,6 +79,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val ga = VectorExpressions.genGetter(left.dataType, a, i)
+      val gb = VectorExpressions.genGetter(right.dataType, b, i)
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -69,7 +89,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |    $s += $ga * $gb;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
@@ -88,20 +108,21 @@ case class L2Norm(child: Expression)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (VectorExpressions.isDoubleArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (VectorExpressions.isNumericArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects an array<double> argument, got ${child.dataType.simpleString}")
+      s"$prettyName expects an array<double|float> argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_norm"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val g = VectorExpressions.getter(child.dataType)
     val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
-      val v = x.getDouble(i)
+      val v = g(x, i)
       s += v * v
       i += 1
     }
@@ -114,12 +135,13 @@ case class L2Norm(child: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val ga = VectorExpressions.genGetter(child.dataType, a, i)
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double $v = $a.getDouble($i);
+         |  double $v = $ga;
          |  $s += $v * $v;
          |}
          |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cast a float embedding to double once, up front — float*float
-    * drifts from double math and is not worth the 2× width saving in
-    * a verification pipeline. */
+  /** Cast a float embedding to double per element. The native
+    * expressions accept array<float> directly (exact widening), so the
+    * hot paths pass raw embeddings; this remains for the portable HOF
+    * twins, which need array<double>. */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -46,7 +47,7 @@ object Ann {
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3): DataFrame = {
     graft.GraftExtensions.register(embeddings.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
@@ -81,7 +82,7 @@ object Ann {
               tables: Int = 4, numBits: Int = 8): DataFrame = {
     graft.GraftExtensions.register(embeddings.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val banded = e.select(col("vec_id"), col("emb"), col("nrm"),
       posexplode(array((0 until tables).map(t => srpBucket(col("emb"), t, numBits)): _*))
@@ -113,7 +114,7 @@ object Ann {
               centroidEvery: Int = 100, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.register(embeddings.sparkSession)
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val centroids = e.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
@@ -149,7 +150,7 @@ object Ann {
     * within the block, never all-pairs across the corpus. */
   def embeddingDedupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     graft.GraftExtensions.register(embeddings.sparkSession)
-    val e = embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
