@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm, Shingles}
+import graft.functions.{DotProduct, L2Norm, Shingles, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,6 +34,13 @@ object GraftExtensions {
         case Literal(k: Int, _) => Shingles(args.head, k)
         case other => throw new IllegalArgumentException(
           s"graft_shingles size must be an integer literal, got $other")
+      }),
+    ("graft_srp_buckets",
+      new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),
+      (args: Seq[Expression]) => (args(1), args(2)) match {
+        case (Literal(t: Int, _), Literal(b: Int, _)) => SrpBuckets(args.head, t, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_srp_buckets tables/bits must be integer literals, got $other")
       }))
 
   /** Idempotently register the functions on an existing session. */

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Sign-random-projection buckets for `tables` LSH hash tables in ONE
+  * pass over the vector.
+  *
+  * Replaces a per-bit `aggregate(zip_with(...))` tree — tables×bits
+  * interpreted 64-element folds per row — with a single native loop.
+  * This is the per-row indexing cost of LSH: at corpus scale it runs
+  * once per vector per write, so it is exactly the expression worth
+  * making native.
+  *
+  * Hyperplane weights are a deterministic ±1 derived from a
+  * murmur-style mix of (table, bit, dim) — any fixed pseudo-random
+  * sign family is a valid SRP; the spec pins the behavioral
+  * guarantees (equal vectors share every bucket, buckets are stable),
+  * not a specific weight scheme.
+  */
+case class SrpBuckets(child: Expression, tables: Int, numBits: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(tables >= 1 && numBits >= 1 && numBits <= 63)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExpressions.isNumericArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<double|float> argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_srp_buckets"
+
+  private def mix(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val get = VectorExpressions.getter(child.dataType)
+    val n = emb.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < numBits) {
+        val planeSeed = (t.toLong * numBits + j) * 0x9e3779b97f4a7c15L
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          if (emb.isNullAt(d)) return null
+          val sign = if ((mix(planeSeed + d * 0xc2b2ae3d27d4eb4fL) & 1L) == 0L) 1.0 else -1.0
+          proj += get(emb, d) * sign
+          d += 1
+        }
+        if (proj > 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
+    copy(child = newChild)
+}

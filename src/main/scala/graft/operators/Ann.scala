@@ -60,18 +60,12 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos").as("cosine"), col("rank"))
   }
 
-  /** Sign-random-projection bucket for one hash table: `numBits`
-    * pseudo-hyperplanes with deterministic ±1 weights derived from
-    * `xxhash64(table, bit, dim)`; the bucket is the packed sign
-    * pattern. Pure expressions — computed inside the scan projection. */
-  def srpBucket(emb: Column, table: Int, numBits: Int): Column =
-    (0 until numBits).map { j =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x * when(pmod(xxhash64(lit(table), lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
+  /** Sign-random-projection buckets for ALL hash tables in one native
+    * pass ([[graft.functions.SrpBuckets]]): deterministic ±1
+    * hyperplanes, one packed sign-pattern long per table — the per-row
+    * LSH indexing cost, computed inside the scan projection. */
+  def srpBuckets(emb: Column, tables: Int, numBits: Int): Column =
+    call_function("graft_srp_buckets", emb, lit(tables), lit(numBits))
 
   /** LSH-bucketed ANN: L hash tables of `numBits` sign bits; queries
     * meet only same-bucket candidates (the join key is (table,
@@ -85,8 +79,7 @@ object Ann {
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val banded = e.select(col("vec_id"), col("emb"), col("nrm"),
-      posexplode(array((0 until tables).map(t => srpBucket(col("emb"), t, numBits)): _*))
-        .as(Seq("table", "bucket")))
+      posexplode(srpBuckets(col("emb"), tables, numBits)).as(Seq("table", "bucket")))
     val q = banded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         col("table"), col("bucket"))

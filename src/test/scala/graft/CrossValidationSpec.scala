@@ -33,18 +33,23 @@ class CrossValidationSpec extends SparkSpec {
     assert(sim.subsetOf(exactLoose))
   }
 
-  test("LSH and IVF rank-1 results agree with brute force for most queries") {
+  test("BF, LSH and IVF all recover a planted exact-duplicate neighbor at rank 1") {
+    // Uniformly random vectors have no meaningful neighbors (max cos
+    // ~0.5), so "agree with brute force" would assert luck. Planting
+    // an exact copy of each query gives every method a neighbor its
+    // contract GUARANTEES: identical vectors share all LSH buckets and
+    // the same IVF cell deterministically, and cosine 1.0 outranks the
+    // random background everywhere.
     val emb = Tables.embeddings(spark, dir)
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
     def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.filter(col("rank") === 1).select("query_id", "vec_id")
         .as[(Long, Long)].collect().toMap
-    val bf = rank1(Ann.bruteForceTopK(emb, numQueries = 5, k = 1))
-    val lsh = rank1(Ann.lshTopK(emb, numQueries = 5, k = 1))
-    val ivf = rank1(Ann.ivfTopK(emb, numQueries = 5, k = 1))
-    assert(bf.size === 5)
-    // approximate methods can miss, but on 5 queries at least one
-    // rank-1 should be exact for each method — and usually more
-    assert(lsh.count { case (q, v) => bf.get(q).contains(v) } >= 1)
-    assert(ivf.count { case (q, v) => bf.get(q).contains(v) } >= 1)
+    val expected = (0L until 5L).map(q => q -> (q + 9000L)).toMap
+    assert(rank1(Ann.bruteForceTopK(corpus, numQueries = 5, k = 1)) === expected)
+    assert(rank1(Ann.lshTopK(corpus, numQueries = 5, k = 1)) === expected)
+    assert(rank1(Ann.ivfTopK(corpus, numQueries = 5, k = 1)) === expected)
   }
 }
