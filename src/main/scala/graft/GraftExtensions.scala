@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm, Shingles, SrpBuckets}
+import graft.functions.{DotProduct, L2Norm, Shingles, SimHashAgg, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -41,7 +41,10 @@ object GraftExtensions {
         case (Literal(t: Int, _), Literal(b: Int, _)) => SrpBuckets(args.head, t, b)
         case other => throw new IllegalArgumentException(
           s"graft_srp_buckets tables/bits must be integer literals, got $other")
-      }))
+      }),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()))
 
   /** Idempotently register the functions on an existing session. */
   def register(spark: SparkSession): Unit = {

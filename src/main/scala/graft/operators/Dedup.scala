@@ -92,15 +92,13 @@ object Dedup {
     * fingerprint tracks actual near-duplication — cross-validated
     * against exact n-gram Jaccard in the spec suite. */
   def simhashFingerprints(documents: DataFrame): DataFrame = {
-    val tok = shingleRows(documents).withColumnRenamed("shingle", "token")
-    val h = xxhash64(col("token"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i"))
-    tok.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("simhash"))
+    graft.GraftExtensions.register(documents.sparkSession)
+    // ONE native aggregate ([[graft.functions.SimHashAgg]]: a 64-long
+    // vote buffer) instead of 64 sum(when(...)) columns — same
+    // fingerprint bit-for-bit, 1/64th the aggregation buffer width.
+    shingleRows(documents)
+      .groupBy(col("doc_id"))
+      .agg(call_function("graft_simhash", xxhash64(col("shingle"))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming: 4

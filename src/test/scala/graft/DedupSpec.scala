@@ -40,6 +40,24 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("native simhash aggregate equals the declarative 64-column vote form") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val tok = Dedup.shingleRows(docs((1L, base), (2L, near), (3L, other)))
+    val native = Dedup.simhashFingerprints(docs((1L, base), (2L, near), (3L, other)))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val h = xxhash64(col("shingle"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i"))
+    val declarative = tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(native.toSeq === declarative.toSeq)
+  }
+
   test("ngram jaccard computes the exact set similarity") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
     val out = Dedup.ngramJaccardPairs(docs((1L, "a b c d"), (2L, "a b c")))
