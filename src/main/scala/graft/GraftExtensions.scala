@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm, Shingles, SimHashAgg, SrpBuckets}
+import graft.functions.{DotProduct, L2Norm, MinHashAgg, Shingles, SimHashAgg, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -44,7 +44,14 @@ object GraftExtensions {
       }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()))
+      (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(n: Int, _) => MinHashAgg(args.head, n).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash size must be an integer literal, got $other")
+      }))
 
   /** Idempotently register the functions on an existing session. */
   def register(spark: SparkSession): Unit = {

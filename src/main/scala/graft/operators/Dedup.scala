@@ -43,19 +43,18 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** 64-permutation MinHash signatures: one map-side-combinable
-    * aggregate over exploded shingles. The variable-length shingle is
-    * string-hashed ONCE (`xxhash64`); each permutation re-hashes that
-    * fixed 8-byte value with a distinct seed — the same signature
-    * quality as 64 independent string hashes at a fraction of the
-    * cost (and no ANSI overflow risk a multiply-add family would
-    * have). Never a per-doc collect. */
+  /** 64-permutation MinHash signatures as ONE native aggregate
+    * ([[graft.functions.MinHashAgg]]): the variable-length shingle is
+    * string-hashed once (`xxhash64`), each permutation re-mixes that
+    * fixed 8-byte value with a per-permutation seed and keeps the
+    * minimum — one buffer slot per permutation instead of 64 separate
+    * `min(...)` aggregate columns. Map-side combinable; never a
+    * per-doc collect. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64): DataFrame = {
-    val sh = shingleRows(documents).withColumn("h", xxhash64(col("shingle")))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    graft.GraftExtensions.register(documents.sparkSession)
+    shingleRows(documents)
+      .groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash", xxhash64(col("shingle")), lit(numHashes)).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand
