@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked `run` JVM must write straight to stdout: Bench's contract
+// is ONE raw JSON line, and sbt's default logger would prefix it with
+// "[info] ", breaking any consumer that json-parses the output.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

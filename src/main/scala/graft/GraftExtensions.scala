@@ -21,36 +21,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def badSignature(name: String, expected: String, got: Seq[Expression]): Nothing =
+    throw new IllegalArgumentException(
+      s"$name expects $expected, got ${got.size} argument(s): ${got.mkString(", ")}")
+
+  // Builders pattern-match the FULL argument Seq so a wrong arity (e.g.
+  // `graft_shingles(text)`) fails analysis with the expected signature,
+  // not an IndexOutOfBoundsException.
   private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case other => badSignature("graft_dot", "(array, array)", other)
+      }),
     ("graft_norm",
       new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
-      (args: Seq[Expression]) => L2Norm(args.head)),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => L2Norm(a)
+        case other => badSignature("graft_norm", "(array)", other)
+      }),
     ("graft_shingles",
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(k: Int, _) => Shingles(args.head, k)
-        case other => throw new IllegalArgumentException(
-          s"graft_shingles size must be an integer literal, got $other")
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(k: Int, _)) => Shingles(text, k)
+        case other => badSignature("graft_shingles", "(text, k: int literal)", other)
       }),
     ("graft_srp_buckets",
       new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),
-      (args: Seq[Expression]) => (args(1), args(2)) match {
-        case (Literal(t: Int, _), Literal(b: Int, _)) => SrpBuckets(args.head, t, b)
-        case other => throw new IllegalArgumentException(
-          s"graft_srp_buckets tables/bits must be integer literals, got $other")
+      (args: Seq[Expression]) => args match {
+        case Seq(vec, Literal(t: Int, _), Literal(b: Int, _)) => SrpBuckets(vec, t, b)
+        case other => badSignature(
+          "graft_srp_buckets", "(vector, tables: int literal, bits: int literal)", other)
       }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()),
+      (args: Seq[Expression]) => args match {
+        case Seq(h) => SimHashAgg(h).toAggregateExpression()
+        case other => badSignature("graft_simhash", "(tokenHash: long)", other)
+      }),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(n: Int, _) => MinHashAgg(args.head, n).toAggregateExpression()
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash size must be an integer literal, got $other")
+      (args: Seq[Expression]) => args match {
+        case Seq(h, Literal(n: Int, _)) => MinHashAgg(h, n).toAggregateExpression()
+        case other => badSignature("graft_minhash", "(shingleHash: long, n: int literal)", other)
       }))
 
   /** Idempotently register the functions on an existing session. */

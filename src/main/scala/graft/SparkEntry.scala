@@ -312,9 +312,9 @@ object SparkEntry {
       Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
              |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
              |freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
              |rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE df <= 100),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
              |com AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS common
              |        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              |        GROUP BY 1, 2)

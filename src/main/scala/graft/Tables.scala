@@ -52,15 +52,25 @@ object Tables {
     * `timestamp_ntz` matches the file's naive timestamps (and the
     * DuckDB oracle's TIMESTAMP).
     *
-    * NOTE: `nanosAsLong` is a session-wide SQL conf (Spark exposes no
-    * per-read option for it) — after the first call, any OTHER
-    * nanos-timestamp parquet read in the session also gets longs.
-    * Acceptable here because events is the only nanos table; a
-    * multi-tenant session would need to save/restore the conf. */
+    * `nanosAsLong` is a session-wide SQL conf (Spark exposes no
+    * per-read option for it), so it is saved and restored around the
+    * schema-resolving read — other nanos-timestamp parquet reads in
+    * the same session keep their configured behavior. Restoring is
+    * safe because the conf only matters at analysis time (schema
+    * resolution happens inside `load`), not when the scan executes. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      load(spark, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

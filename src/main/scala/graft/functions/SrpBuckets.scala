@@ -40,25 +40,60 @@ case class SrpBuckets(child: Expression, tables: Int, numBits: Int)
     h ^ (h >>> 33)
   }
 
+  // The ±1 hyperplane matrix depends only on (tables, numBits, dims) —
+  // compute it once per task on the first row and reuse (the hash
+  // mixes would otherwise run tables×bits×dims times PER ROW on the
+  // LSH indexing hot path). @transient: rebuilt lazily per executor.
+  @transient private var signDims: Int = -1
+  @transient private var signs: Array[Double] = _
+
+  private def signMatrix(n: Int): Array[Double] = {
+    if (signDims != n) {
+      val m = new Array[Double](tables * numBits * n)
+      var p = 0
+      var t = 0
+      while (t < tables) {
+        var j = 0
+        while (j < numBits) {
+          val planeSeed = (t.toLong * numBits + j) * 0x9e3779b97f4a7c15L
+          var d = 0
+          while (d < n) {
+            m(p) = if ((mix(planeSeed + d * 0xc2b2ae3d27d4eb4fL) & 1L) == 0L) 1.0 else -1.0
+            p += 1; d += 1
+          }
+          j += 1
+        }
+        t += 1
+      }
+      signs = m
+      signDims = n
+    }
+    signs
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
     val get = VectorExpressions.getter(child.dataType)
     val n = emb.numElements()
+    var d = 0
+    while (d < n) { // one null scan up front, not one per (table, bit)
+      if (emb.isNullAt(d)) return null
+      d += 1
+    }
+    val m = signMatrix(n)
+    val vec = new Array[Double](n)
+    d = 0
+    while (d < n) { vec(d) = get(emb, d); d += 1 }
     val out = new Array[Long](tables)
+    var p = 0
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var j = 0
       while (j < numBits) {
-        val planeSeed = (t.toLong * numBits + j) * 0x9e3779b97f4a7c15L
         var proj = 0.0
-        var d = 0
-        while (d < n) {
-          if (emb.isNullAt(d)) return null
-          val sign = if ((mix(planeSeed + d * 0xc2b2ae3d27d4eb4fL) & 1L) == 0L) 1.0 else -1.0
-          proj += get(emb, d) * sign
-          d += 1
-        }
+        d = 0
+        while (d < n) { proj += vec(d) * m(p); p += 1; d += 1 }
         if (proj > 0) bucket |= 1L << j
         j += 1
       }

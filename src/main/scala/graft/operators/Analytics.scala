@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.Exact._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's analytics views re-expressed as single-pass Spark
@@ -49,17 +48,29 @@ object Analytics {
         max(col("content_length")).as("max_length"))
 
   /** view_publishing_patterns (`init.sql:134-143`): hour-of-day counts
-    * with share-of-total. */
-  def publishingPatterns(events: DataFrame): DataFrame =
-    events
+    * with share-of-total.
+    *
+    * The share denominator is a broadcast cross-join of the one-row
+    * grand total, NOT `sum over (empty window)`: an unpartitioned
+    * window would funnel the hourly rollup through a single-partition
+    * exchange (WindowExec warns about exactly this), while the
+    * broadcast keeps every partition independent. The total is counted
+    * directly from `events` — same value, and the two aggregations
+    * share the scan. */
+  def publishingPatterns(events: DataFrame): DataFrame = {
+    val hourly = events
       .groupBy(hour(col("ts")).cast("long").as("publish_hour"))
       .agg(
         count(lit(1)).as("total_events"),
         countDistinct(col("event_type")).as("unique_types"),
         avgFixed(col("value")).as("avg_value"))
-      .withColumn(
-        "percentage",
-        round(col("total_events") * 100.0 / sum(col("total_events")).over(Window.partitionBy()), 2))
+    val total = events.agg(count(lit(1)).as("__grand_total"))
+    hourly
+      .crossJoin(broadcast(total))
+      .withColumn("percentage",
+        round(col("total_events") * 100.0 / col("__grand_total"), 2))
+      .drop("__grand_total")
+  }
 
   /** view_weekly_trends (`init.sql:146-156`). */
   def weeklyTrends(events: DataFrame): DataFrame =

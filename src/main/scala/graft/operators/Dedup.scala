@@ -119,15 +119,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs: join docs on shared shingles (doc-freq
-    * capped), count the intersection, derive |union| from per-doc
-    * shingle counts — |A∪B| = |A|+|B|-|A∩B| — so the union is never
-    * materialized. */
+  /** Exact n-gram Jaccard pairs over the doc-frequency-capped shingle
+    * universe: join docs on shared shingles, count the intersection,
+    * derive |union| from per-doc shingle counts — |A∪B| = |A|+|B|-|A∩B|
+    * — so the union is never materialized.
+    *
+    * The df cap (shingles appearing in > `maxDocFreq` docs are dropped)
+    * is what keeps the self-join candidate set bounded at corpus scale;
+    * |A|, |B| and |A∩B| are ALL counted over the retained universe, so
+    * the Jaccard is exact over that universe rather than a biased
+    * estimate of the uncapped one (high-df boilerplate shingles carry
+    * no near-dup signal anyway — dropping them from both sides of the
+    * ratio is the textbook stopword treatment). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
                         maxDocFreq: Long = 100L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(documents)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Doc-frequency cap as a window count (NOT a pre-aggregated join):
     // both self-join sides stay the identical shuffle-by-shingle
     // subtree, so the explode runs once and the join consumes one
@@ -136,6 +143,7 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDocFreq)
       .select(col("doc_id"), col("shingle"))
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = rare.as("a")
       .join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
