@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm, MinHashAgg, Shingles, SimHashAgg, SrpBuckets}
+import graft.functions.{DotProduct, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -65,6 +65,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(h, Literal(n: Int, _)) => MinHashAgg(h, n).toAggregateExpression()
         case other => badSignature("graft_minhash", "(shingleHash: long, n: int literal)", other)
+      }),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh, Literal(n: Int, _)) => MinHashSig(sh, n)
+        case other => badSignature("graft_minhash_sig", "(shingles: array<string>, n: int literal)", other)
+      }),
+    ("graft_simhash_sig",
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh) => SimHashSig(sh)
+        case other => badSignature("graft_simhash_sig", "(shingles: array<string>)", other)
       }))
 
   /** Idempotently register the functions on an existing session. */

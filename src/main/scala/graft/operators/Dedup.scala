@@ -43,18 +43,21 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** 64-permutation MinHash signatures as ONE native aggregate
-    * ([[graft.functions.MinHashAgg]]): the variable-length shingle is
-    * string-hashed once (`xxhash64`), each permutation re-mixes that
-    * fixed 8-byte value with a per-permutation seed and keeps the
-    * minimum — one buffer slot per permutation instead of 64 separate
-    * `min(...)` aggregate columns. Map-side combinable; never a
-    * per-doc collect. */
-  def minhashSignatures(documents: DataFrame, numHashes: Int = 64): DataFrame = {
+  /** 64-permutation MinHash signatures as a MAP-ONLY scalar expression
+    * ([[graft.functions.MinHashSig]]): the fingerprint is a pure
+    * function of the document's own shingle set, so it is computed in
+    * place during the scan — no shingle explode, no groupBy shuffle.
+    * Bit-for-bit the same signature as the `graft_minhash` aggregate
+    * over exploded shingles (spec-pinned); empty-shingle docs are
+    * filtered to match the explode path, which drops them. */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 64, k: Int = 3): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
-    shingleRows(documents)
-      .groupBy(col("doc_id"))
-      .agg(call_function("graft_minhash", xxhash64(col("shingle")), lit(numHashes)).as("sig"))
+    documents
+      .select(col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(k)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig", col("shingles"), lit(numHashes)).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand
@@ -90,14 +93,18 @@ object Dedup {
     * word distribution, different text); shingles carry order, so the
     * fingerprint tracks actual near-duplication — cross-validated
     * against exact n-gram Jaccard in the spec suite. */
-  def simhashFingerprints(documents: DataFrame): DataFrame = {
+  def simhashFingerprints(documents: DataFrame, k: Int = 3): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
-    // ONE native aggregate ([[graft.functions.SimHashAgg]]: a 64-long
-    // vote buffer) instead of 64 sum(when(...)) columns — same
-    // fingerprint bit-for-bit, 1/64th the aggregation buffer width.
-    shingleRows(documents)
-      .groupBy(col("doc_id"))
-      .agg(call_function("graft_simhash", xxhash64(col("shingle"))).as("simhash"))
+    // MAP-ONLY scalar fingerprint ([[graft.functions.SimHashSig]]):
+    // same bit-for-bit result as the `graft_simhash` aggregate over
+    // exploded shingles (spec-pinned), without the explode shuffle.
+    // Empty-shingle docs are filtered to match the explode path.
+    documents
+      .select(col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(k)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        call_function("graft_simhash_sig", col("shingles")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming: 4

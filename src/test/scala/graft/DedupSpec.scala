@@ -58,6 +58,31 @@ class DedupSpec extends SparkSpec {
     assert(native.toSeq === declarative.toSeq)
   }
 
+  test("scalar minhash/simhash signatures equal the aggregate-over-exploded-shingles form") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val d = docs((1L, base), (2L, near), (3L, other))
+    val tok = Dedup.shingleRows(d)
+    val aggMin = tok.groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash", xxhash64(col("shingle")), lit(64)).as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val scalarMin = Dedup.minhashSignatures(d)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(scalarMin.toSeq === aggMin.toSeq)
+    val aggSim = tok.groupBy(col("doc_id"))
+      .agg(call_function("graft_simhash", xxhash64(col("shingle"))).as("simhash"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val scalarSim = Dedup.simhashFingerprints(d)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(scalarSim.toSeq === aggSim.toSeq)
+  }
+
+  test("scalar signature path drops empty-shingle docs like the explode path") {
+    val d = docs((1L, base), (2L, "x y")) // doc 2: < 3 tokens -> empty shingle set
+    assert(Dedup.minhashSignatures(d).select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(Dedup.simhashFingerprints(d).select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("ngram jaccard computes the exact set similarity") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
     val out = Dedup.ngramJaccardPairs(docs((1L, "a b c d"), (2L, "a b c")))
