@@ -27,6 +27,13 @@ object Bench {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
+        // Full GC between queries: Spark's ContextCleaner releases the
+        // previous queries' broadcast blocks only when their references
+        // are collected, so without this the 40+ accumulated broadcasts
+        // squeeze the heap and a query's measurement absorbs its
+        // predecessors' GC debt (observed as 10x swings on identical
+        // plans mid-suite).
+        System.gc()
         // Warm-up execution first (JIT + code cache + file index), then
         // the min of two measured runs: steady-state plan cost, not JVM
         // cold start or a GC pause (round-3 bench swung 1.9x on

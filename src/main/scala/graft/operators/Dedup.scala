@@ -53,11 +53,14 @@ object Dedup {
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64, k: Int = 3): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
     documents
+      // Shingles are empty exactly when the doc has < k tokens, so the
+      // empty-set filter is a cheap token count. Filtering on
+      // size(shingles) instead would be pushed below the projection by
+      // Catalyst and build the full shingle set twice per row.
+      .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"),
-        call_function("graft_shingles", col("text"), lit(k)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        call_function("graft_minhash_sig", col("shingles"), lit(numHashes)).as("sig"))
+        call_function("graft_minhash_sig",
+          call_function("graft_shingles", col("text"), lit(k)), lit(numHashes)).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand
@@ -70,6 +73,13 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))): _*)
     }
+    // The signature stage is map-only, so scan-dedup across the two
+    // self-join sides is regime-dependent and AQE picks correctly: at
+    // corpus scale the join is a sort-merge whose two band-key
+    // exchanges are identical subtrees — ReusedExchange computes the
+    // signatures ONCE (spec-pinned with broadcast disabled); on small
+    // inputs AQE broadcasts one side and re-computing the cheap scan
+    // beats forcing a shuffle of sig-carrying banded rows.
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
     val candidates = banded.as("l")
@@ -100,11 +110,11 @@ object Dedup {
     // exploded shingles (spec-pinned), without the explode shuffle.
     // Empty-shingle docs are filtered to match the explode path.
     documents
+      // Cheap token-count filter; see [[minhashSignatures]].
+      .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"),
-        call_function("graft_shingles", col("text"), lit(k)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        call_function("graft_simhash_sig", col("shingles")).as("simhash"))
+        call_function("graft_simhash_sig",
+          call_function("graft_shingles", col("text"), lit(k))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming: 4
@@ -114,6 +124,9 @@ object Dedup {
     val fps = simhashFingerprints(documents)
     val bandCols = (0 until 4).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
+    // Same scan-dedup story as [[minhashPairs]]: under sort-merge (the
+    // at-scale shape) the two band-key exchanges are identical and
+    // ReusedExchange fingerprints the corpus once.
     val banded = fps.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
     banded.as("l")

@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("near-dup self-joins fingerprint the corpus ONCE at scale (SMJ → ReusedExchange)") {
+    // The signature stage is map-only, so the scan-once property rests
+    // on the sort-merge join's two identical band-key exchanges being
+    // deduplicated. Disable broadcast to force the at-scale join shape
+    // (on tiny data AQE broadcasts one side and legitimately re-runs
+    // the cheap scan instead of shuffling).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      for (q <- Seq("dedup_minhash", "dedup_simhash")) {
+        val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+        assert(count(plan, "Scan parquet") === 1, s"$q should scan documents once:\n$plan")
+        assert(count(plan, "ReusedExchange") >= 1, s"$q should reuse the banded exchange:\n$plan")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("overview_metrics: one scan (not the reference's 8 subquery scans)") {
     val plan = finalPlan(SparkEntry.queries("overview_metrics")(spark, dir))
     assert(count(plan, "Scan parquet") === 1)
