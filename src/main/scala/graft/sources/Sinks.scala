@@ -21,6 +21,25 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed table write: rows are hash-clustered into `buckets`
+    * files per partition on `bucketCols`, and the layout is recorded
+    * in the catalog. A later join or aggregation on the bucket
+    * columns consumes the files' clustering directly — NO shuffle of
+    * the fact table at read time (spec-verified: the bucketed
+    * fact⋈fact join plan has zero Exchanges). This is the
+    * pre-partitioning story for 100 TB fact-to-fact joins that are
+    * too big to broadcast and too frequent to re-shuffle per query:
+    * pay the shuffle once at write, never at read.
+    * `saveAsTable` is required — bucket metadata lives in the
+    * catalog, a bare path write would lose it. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** JDBC writer configured like the reference's batched PG loader:
     * rewriteBatchedStatements + explicit batch size. Returned
     * unexecuted (no database in this environment) — callers `.save()`. */

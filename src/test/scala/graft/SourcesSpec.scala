@@ -52,6 +52,21 @@ class SourcesSpec extends SparkSpec {
     assert(w.toString.nonEmpty) // construction only; no DB in this environment
   }
 
+  test("Sinks.writeBucketed: a join on the bucket key needs NO shuffle at read time") {
+    val left = (1L to 200L).map(i => (i, s"o$i")).toDF("k", "ov")
+    val right = (1L to 400L).map(i => (i % 200 + 1, s"l$i")).toDF("k", "lv")
+    Sinks.writeBucketed(left, "bkt_left", Seq("k"), buckets = 4)
+    Sinks.writeBucketed(right, "bkt_right", Seq("k"), buckets = 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the at-scale join shape
+    try {
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() === 400L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("Multimodal metadata derives features without decoding; stub is deterministic") {
     val docs = Seq((1L, "hello world", "en", "s", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

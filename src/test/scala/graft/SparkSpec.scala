@@ -16,6 +16,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // saveAsTable (bucketed-write specs) must not litter the repo
+      // with a ./spark-warehouse directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
