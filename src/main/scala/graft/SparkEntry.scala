@@ -224,6 +224,15 @@ object SparkEntry {
               |  MAX(confidence) AS max_confidence
               |FROM ents GROUP BY 1""".stripMargin)),
 
+    ("ner_backlog",
+      (s: SparkSession, d: String) => Ner.nerBacklog(s, docs(s, d)),
+      Some(s"""WITH silver AS ($silverSql), $nerCtes
+              |SELECT doc_id, id, content_length, topic
+              |FROM silver
+              |WHERE content IS NOT NULL AND content_length > 100
+              |  AND doc_id NOT IN (SELECT doc_id FROM ents)
+              |ORDER BY doc_id DESC LIMIT 50""".stripMargin)),
+
     ("gold_trends",
       (s: SparkSession, d: String) => Analytics.goldTrends(goldDf(s, d)),
       Some(s"""WITH $goldCtes

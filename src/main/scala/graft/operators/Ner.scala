@@ -112,4 +112,20 @@ object Ner {
         countDistinct(col("entity_text")).as("unique_entities"),
         countDistinct(col("doc_id")).as("articles"),
         max(col("confidence")).as("max_confidence"))
+
+  /** NER work queue (`staging_pg.py:294-321`): quality-filtered silver
+    * docs with NO extracted entities yet — the incremental-processing
+    * anti-join pattern (silver LEFT JOIN entities … WHERE NULL,
+    * recency-ordered, LIMIT n). At scale the anti-join shuffles only
+    * doc ids on the build side and the order+limit plans as
+    * TakeOrderedAndProject — no global sort materializes. */
+  def nerBacklog(spark: SparkSession, documents: DataFrame, limit: Int = 50): DataFrame = {
+    val processed = extract(spark, documents).select(col("doc_id")).distinct()
+    Cleaning.silver(documents)
+      .filter(col("content").isNotNull && col("content_length") > 100)
+      .join(processed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("id"), col("content_length"), col("topic"))
+      .orderBy(col("doc_id").desc)
+      .limit(limit)
+  }
 }
