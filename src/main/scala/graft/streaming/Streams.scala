@@ -56,6 +56,22 @@ object Streams {
         col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("events"), col("sum_value"))
 
+  /** Streaming exact dedup — the unbounded twin of the reference's
+    * `ON CONFLICT (link) DO NOTHING` bronze upsert
+    * (`staging_pg.py:139-189`): keep the first occurrence of each key,
+    * drop replays. `dropDuplicatesWithinWatermark` bounds the dedup
+    * state to one watermark interval — the non-negotiable at 100 TB,
+    * where an unbounded seen-keys set would grow with the stream
+    * forever. Duplicates farther apart than the watermark fall to the
+    * batch-side `Cleaning.dedupKeepFirst` compaction pass (same
+    * key, same keep-first semantics). */
+  def dedupStream(raw: DataFrame, key: String = "id",
+                  eventTimeCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    raw
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Micro-batch bronze ingest — the reference's consumer loop
     * (`pipeline/consumer_pipeline.py`) lands each poll as a PG upsert;
     * the file-native equivalent is append-only bronze plus exact dedup

@@ -47,6 +47,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps the first occurrence of a key and drops in-watermark replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("id", "ts", "payload")
+    val q = Streams.dedupStream(df, key = "id", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), "first"), (2L, ts(2), "other"))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), "replay")) // same key, inside the watermark
+      q.processAllAvailable()
+      val out = spark.sql("SELECT id, payload FROM dedup_out")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(out.toSeq === Seq((1L, "first"), (2L, "other")))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap timeout and counts events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
