@@ -70,6 +70,26 @@ class PropertySpec extends SparkSpec {
       org.apache.spark.sql.functions.col("hof")).count() === 0L)
   }
 
+  test("property: scalar minhash/simhash sigs equal the aggregate-over-explode form") {
+    GraftExtensions.register(spark)
+    // random docs incl. short (< k tokens, dropped by both paths via
+    // their respective filters) and repeated-token texts
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaLowerStr.map(_.take(3)), Gen.const("tok")))
+      .map(_.mkString(" ").take(200))
+    val texts = samples(gen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+    val docs = texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tok = graft.operators.Dedup.shingleRows(docs)
+    val aggSigs = tok.groupBy(col("doc_id")).agg(
+      call_function("graft_minhash", xxhash64(col("shingle")), lit(64)).as("sig"),
+      call_function("graft_simhash", xxhash64(col("shingle"))).as("simhash"))
+    val scalarSigs = graft.operators.Dedup.minhashSignatures(docs)
+      .join(graft.operators.Dedup.simhashFingerprints(docs), "doc_id")
+    assert(scalarSigs.count() === aggSigs.count()) // same doc set survives
+    assert(scalarSigs.except(aggSigs).count() === 0L)
+    assert(aggSigs.except(scalarSigs).count() === 0L)
+  }
+
   test("property: quality_score is always in [0, 1] and bands are consistent") {
     val texts = samples(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
       .map(_.mkString(" ").take(400)), 300)
