@@ -25,6 +25,10 @@ object GraftExtensions {
     throw new IllegalArgumentException(
       s"$name expects $expected, got ${got.size} argument(s): ${got.mkString(", ")}")
 
+  private def notLiteral(name: String, param: String, got: Expression): Nothing =
+    throw new IllegalArgumentException(
+      s"$name $param must be an integer literal, got $got")
+
   // Builders pattern-match the FULL argument Seq so a wrong arity (e.g.
   // `graft_shingles(text)`) fails analysis with the expected signature,
   // not an IndexOutOfBoundsException.
@@ -45,12 +49,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => args match {
         case Seq(text, Literal(k: Int, _)) => Shingles(text, k)
+        case Seq(_, other) => notLiteral("graft_shingles", "k", other)
         case other => badSignature("graft_shingles", "(text, k: int literal)", other)
       }),
     ("graft_srp_buckets",
       new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),
       (args: Seq[Expression]) => args match {
         case Seq(vec, Literal(t: Int, _), Literal(b: Int, _)) => SrpBuckets(vec, t, b)
+        case Seq(_, t, b) =>
+          notLiteral("graft_srp_buckets", "tables/bits",
+            Seq(t, b).find { case Literal(_: Int, _) => false; case _ => true }.getOrElse(t))
         case other => badSignature(
           "graft_srp_buckets", "(vector, tables: int literal, bits: int literal)", other)
       }),
@@ -64,12 +72,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {
         case Seq(h, Literal(n: Int, _)) => MinHashAgg(h, n).toAggregateExpression()
+        case Seq(_, other) => notLiteral("graft_minhash", "n", other)
         case other => badSignature("graft_minhash", "(shingleHash: long, n: int literal)", other)
       }),
     ("graft_minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => args match {
         case Seq(sh, Literal(n: Int, _)) => MinHashSig(sh, n)
+        case Seq(_, other) => notLiteral("graft_minhash_sig", "n", other)
         case other => badSignature("graft_minhash_sig", "(shingles: array<string>, n: int literal)", other)
       }),
     ("graft_simhash_sig",

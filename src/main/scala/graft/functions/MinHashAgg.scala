@@ -38,13 +38,6 @@ case class MinHashAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a bigint shingle-hash argument, got ${child.dataType.simpleString}")
 
-  private def mix(x: Long): Long = {
-    var h = x
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^ (h >>> 33)
-  }
-
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
@@ -54,7 +47,9 @@ case class MinHashAgg(
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < numHashes) {
-        val p = mix(h + i * 0x9e3779b97f4a7c15L)
+        // SigHash is the single source of the mixing scheme — shared
+        // with the scalar MinHashSig so the two stay bit-identical.
+        val p = SigHash.mix(h + i * SigHash.Golden)
         if (p < buffer(i)) buffer(i) = p
         i += 1
       }

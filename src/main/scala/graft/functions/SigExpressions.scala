@@ -26,9 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * set has no similarity signal; its all-MaxValue / all-zero
   * fingerprint would otherwise collide with every other empty doc).
   */
-private object SigHash {
+private[functions] object SigHash {
+  /** Golden-ratio odd constant for per-permutation / per-plane seeds. */
   val Golden = 0x9e3779b97f4a7c15L
 
+  /** Murmur3 finalizer — THE mixing function of the signature family.
+    * [[MinHashAgg]] and [[SrpBuckets]] delegate here: the scalar and
+    * aggregate fingerprints are contractually bit-identical, so there
+    * must be exactly one copy of this function to diverge from. */
   def mix(x: Long): Long = {
     var h = x
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL

@@ -33,13 +33,6 @@ case class SrpBuckets(child: Expression, tables: Int, numBits: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_srp_buckets"
 
-  private def mix(x: Long): Long = {
-    var h = x
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^ (h >>> 33)
-  }
-
   // The ±1 hyperplane matrix depends only on (tables, numBits, dims) —
   // compute it once per task on the first row and reuse (the hash
   // mixes would otherwise run tables×bits×dims times PER ROW on the
@@ -55,10 +48,10 @@ case class SrpBuckets(child: Expression, tables: Int, numBits: Int)
       while (t < tables) {
         var j = 0
         while (j < numBits) {
-          val planeSeed = (t.toLong * numBits + j) * 0x9e3779b97f4a7c15L
+          val planeSeed = (t.toLong * numBits + j) * SigHash.Golden
           var d = 0
           while (d < n) {
-            m(p) = if ((mix(planeSeed + d * 0xc2b2ae3d27d4eb4fL) & 1L) == 0L) 1.0 else -1.0
+            m(p) = if ((SigHash.mix(planeSeed + d * 0xc2b2ae3d27d4eb4fL) & 1L) == 0L) 1.0 else -1.0
             p += 1; d += 1
           }
           j += 1

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale notes: every query is one hash-aggregate over a pruned scan —
   * partial (map-side) aggregation bounds shuffle volume by
   * |groups| × partitions, not |rows|. The pct-of-total in
-  * `publishingPatterns` windows over the already-aggregated 24 rows,
-  * not the input. `overviewMetrics` collapses the reference's 8 scalar
+  * `publishingPatterns` windows over the already-aggregated ≤24
+  * rollup rows, not the input. `overviewMetrics` collapses the
+  * reference's 8 scalar
   * subqueries (8 table scans, `apx.py:66-76`) into ONE
   * conditional-aggregation scan. Averages use [[graft.functions.Exact]]
   * so results are partitioning-independent.
@@ -50,26 +51,25 @@ object Analytics {
   /** view_publishing_patterns (`init.sql:134-143`): hour-of-day counts
     * with share-of-total.
     *
-    * The share denominator is a broadcast cross-join of the one-row
-    * grand total, NOT `sum over (empty window)`: an unpartitioned
-    * window would funnel the hourly rollup through a single-partition
-    * exchange (WindowExec warns about exactly this), while the
-    * broadcast keeps every partition independent. The total is counted
-    * directly from `events` — same value, and the two aggregations
-    * share the scan. */
+    * The pct-of-total is an unpartitioned window over the POST-
+    * AGGREGATION rollup — at most 24 rows at any corpus size, so the
+    * single-partition exchange WindowExec warns about moves ≤24 rows,
+    * not the input. The alternatives are strictly worse: a separate
+    * grand-total aggregate re-scans the events table (Catalyst prunes
+    * the total branch to a narrower aggregate, so the rollup exchange
+    * cannot be reused — verified in the AQE-final plan), and the
+    * window keeps the query one scan + one shuffle (plan-spec-pinned). */
   def publishingPatterns(events: DataFrame): DataFrame = {
-    val hourly = events
+    import org.apache.spark.sql.expressions.Window
+    events
       .groupBy(hour(col("ts")).cast("long").as("publish_hour"))
       .agg(
         count(lit(1)).as("total_events"),
         countDistinct(col("event_type")).as("unique_types"),
         avgFixed(col("value")).as("avg_value"))
-    val total = events.agg(count(lit(1)).as("__grand_total"))
-    hourly
-      .crossJoin(broadcast(total))
-      .withColumn("percentage",
-        round(col("total_events") * 100.0 / col("__grand_total"), 2))
-      .drop("__grand_total")
+      .withColumn(
+        "percentage",
+        round(col("total_events") * 100.0 / sum(col("total_events")).over(Window.partitionBy()), 2))
   }
 
   /** view_weekly_trends (`init.sql:146-156`). */

@@ -73,6 +73,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("publishing_patterns: one events scan; the global window sees only the rollup") {
+    val plan = finalPlan(SparkEntry.queries("publishing_patterns")(spark, dir))
+    assert(count(plan, "Scan parquet") === 1, s"should scan events once:\n$plan")
+    // the unpartitioned window must consume the aggregate, not the scan
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(windowIdx >= 0 && aggIdx >= 0 && windowIdx < aggIdx,
+      s"window should sit above the hourly aggregate:\n$plan")
+  }
+
   test("overview_metrics: one scan (not the reference's 8 subquery scans)") {
     val plan = finalPlan(SparkEntry.queries("overview_metrics")(spark, dir))
     assert(count(plan, "Scan parquet") === 1)
