@@ -31,7 +31,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Rows-only queries have no oracle for the compare loop to trip
+    # over; Verify records every crash here so none can hide.
+    try:
+        crashed = json.load(open(f"{out}/failures.json"))
+    except FileNotFoundError:
+        crashed = {}
+    for name, err in sorted(crashed.items()):
+        print(f"FAIL {name}: crashed in Verify: {err}")
+        n_fail += 1
     for name, sql in sorted(oracles.items()):
+        if name in crashed:
+            continue  # already counted above
         try:
             spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
             oracle_df = con.sql(sql).df()
