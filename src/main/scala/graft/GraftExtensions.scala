@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{CleanContent, DotProduct, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -87,6 +87,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(sh) => SimHashSig(sh)
         case other => badSignature("graft_simhash_sig", "(shingles: array<string>)", other)
+      }),
+    ("graft_clean_content",
+      new ExpressionInfo(classOf[CleanContent].getName, "graft_clean_content"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => CleanContent(text)
+        case other => badSignature("graft_clean_content", "(text: string)", other)
       }))
 
   /** Idempotently register the functions on an existing session. */

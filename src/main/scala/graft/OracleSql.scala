@@ -7,20 +7,14 @@ package graft
   */
 object OracleSql {
 
-  /** Mirrors [[graft.operators.Cleaning.cleanContent]]. */
+  /** Mirrors [[graft.operators.Cleaning.cleanContent]] — generated
+    * from the same [[graft.operators.Cleaning.ContentSteps]] list so
+    * the Spark and DuckDB pipelines cannot drift. Literal newlines in
+    * the Scala patterns are escaped to `\n` for the SQL string (RE2
+    * parses `\n` to the same newline char the Java pattern holds). */
   def cleanContentSql(expr: String): String = {
-    val steps: Seq[(String, String)] = Seq(
-      ("(?is)ADVERTISEMENT.*?SCROLL TO CONTINUE WITH CONTENT", ""),
-      ("Pilihan Redaksi[^A-Z0-9]*", ""),
-      ("Lihat Juga\\s*:[^\\n]*", ""),
-      ("(?i)\\([^)]*FOTO[^)]*\\)", ""),
-      ("(?i)\\([^)]*CNN[^)]*\\)", ""),
-      ("\\[Gambas:[^\\]\\n]*\\]", ""),
-      ("\\n{3,}", "\n\n"),
-      ("\\s+", " "),
-      ("^[A-Za-z\\s,]+CNN Indonesia\\s*--\\s*", ""))
-    val nested = steps.foldLeft(expr) { case (e, (pat, rep)) =>
-      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    val nested = graft.operators.Cleaning.ContentSteps.foldLeft(expr) { case (e, (pat, rep)) =>
+      s"regexp_replace($e, '${pat.replace("\n", "\\n")}', '$rep', 'g')"
     }
     s"TRIM($nested)"
   }

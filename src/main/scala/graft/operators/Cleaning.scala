@@ -23,30 +23,43 @@ object Cleaning {
   def cleanTitle(title: Column): Column =
     trim(regexp_replace(regexp_replace(title, "\n", " "), "\\s+", " "))
 
-  /** Content cleanup, the reference's 8-step regex pipeline
-    * (`cleaner.py:24-54`), re-expressed lookahead-free. */
-  def cleanContent(content: Column): Column = {
-    val steps: Seq[(String, String)] = Seq(
-      // 1. advertisements / scroll prompts (dotall, case-insensitive)
-      ("(?is)ADVERTISEMENT.*?SCROLL TO CONTINUE WITH CONTENT", ""),
-      // 2. "Pilihan Redaksi" sections up to the next capital/digit
-      ("Pilihan Redaksi[^A-Z0-9]*", ""),
-      // 3. "Lihat Juga" sections to end of line
-      ("Lihat Juga\\s*:[^\n]*", ""),
-      // 4a. photo credit notes (ANTARA FOTO/...)
-      ("(?i)\\([^)]*FOTO[^)]*\\)", ""),
-      // 4b. CNN credit notes
-      ("(?i)\\([^)]*CNN[^)]*\\)", ""),
-      // 5. video embed tags [Gambas:Video ...]
-      ("\\[Gambas:[^\\]\n]*\\]", ""),
-      // 6. 3+ newlines → 2
-      ("\n{3,}", "\n\n"),
-      // 7. whitespace collapse
-      ("\\s+", " "),
-      // 8. leading dateline "Jakarta, CNN Indonesia -- "
-      ("^[A-Za-z\\s,]+CNN Indonesia\\s*--\\s*", ""))
-    trim(steps.foldLeft(content) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) })
-  }
+  /** The reference's content regex pipeline (`cleaner.py:24-54`),
+    * re-expressed lookahead-free. SINGLE SOURCE OF TRUTH: consumed by
+    * the native [[graft.functions.CleanContent]] expression, the
+    * portable Column chain [[cleanContentColumns]], and the DuckDB
+    * oracle rendering ([[graft.OracleSql.cleanContentSql]]). */
+  val ContentSteps: Seq[(String, String)] = Seq(
+    // 1. advertisements / scroll prompts (dotall, case-insensitive)
+    ("(?is)ADVERTISEMENT.*?SCROLL TO CONTINUE WITH CONTENT", ""),
+    // 2. "Pilihan Redaksi" sections up to the next capital/digit
+    ("Pilihan Redaksi[^A-Z0-9]*", ""),
+    // 3. "Lihat Juga" sections to end of line
+    ("Lihat Juga\\s*:[^\n]*", ""),
+    // 4a. photo credit notes (ANTARA FOTO/...)
+    ("(?i)\\([^)]*FOTO[^)]*\\)", ""),
+    // 4b. CNN credit notes
+    ("(?i)\\([^)]*CNN[^)]*\\)", ""),
+    // 5. video embed tags [Gambas:Video ...]
+    ("\\[Gambas:[^\\]\n]*\\]", ""),
+    // 6. 3+ newlines → 2
+    ("\n{3,}", "\n\n"),
+    // 7. whitespace collapse
+    ("\\s+", " "),
+    // 8. leading dateline "Jakarta, CNN Indonesia -- "
+    ("^[A-Za-z\\s,]+CNN Indonesia\\s*--\\s*", ""))
+
+  /** Content cleanup as ONE native expression (one UTF8String decode/
+    * encode instead of 9 — see [[graft.functions.CleanContent]]).
+    * Resolved through the function registry: callers that build their
+    * own frames must have run [[graft.GraftExtensions.register]]
+    * ([[silver]] does it for them). */
+  def cleanContent(content: Column): Column =
+    call_function("graft_clean_content", content)
+
+  /** Portable Column-chain twin of [[cleanContent]] — kept for the
+    * spec pinning the native expression to identical output. */
+  def cleanContentColumns(content: Column): Column =
+    trim(ContentSteps.foldLeft(content) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) })
 
   /** Stable article id: md5 of the link (`cleaner.py:68-70`). */
   def articleId(link: Column): Column = md5(link)
@@ -63,7 +76,8 @@ object Cleaning {
   /** Bronze→silver over the `documents` corpus: stable id, cleaned
     * text, content_length — the projection of `silver_lv`
     * (`/root/reference/init.sql:28-44`). */
-  def silver(documents: DataFrame): DataFrame =
+  def silver(documents: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
     documents
       // Two projections so the 9-step regex chain is evaluated ONCE:
       // CollapseProject keeps non-cheap expressions with >1 downstream
@@ -79,6 +93,7 @@ object Cleaning {
         col("id"), col("doc_id"), col("content"),
         length(col("content")).cast("long").as("content_length"),
         col("lang"), col("topic"))
+  }
 
   /** Exact dedup keyed on a column, keep-first by tiebreak — the
     * bronze upsert `ON CONFLICT (link) DO UPDATE`

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 class CleaningSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cleaned(raw: String): String =
+  private def cleaned(raw: String): String = {
+    GraftExtensions.register(spark) // cleanContent resolves graft_clean_content
     Seq(raw).toDF("c").select(Cleaning.cleanContent(col("c"))).as[String].head()
+  }
 
   test("advertisement blocks are stripped (case-insensitive, multi-line)") {
     assert(cleaned("Intro ADVERTISEMENT buy\nthings SCROLL TO CONTINUE WITH CONTENT outro")

@@ -18,11 +18,11 @@ class PlanSpec extends SparkSpec {
   private def count(plan: String, token: String): Int =
     token.r.findAllIn(plan).size
 
-  test("silver cleaning: single scan, zero shuffles, one regex chain") {
+  test("silver cleaning: single scan, zero shuffles, one native clean pass") {
     val plan = finalPlan(graft.operators.Cleaning.silver(Tables.documents(spark, dir)))
     assert(count(plan, "Exchange") === 0)
     assert(count(plan, "Scan parquet") === 1)
-    assert(count(plan, "regexp_replace") === 9) // evaluated once, not per consumer
+    assert(count(plan, "graft_clean_content") === 1) // evaluated once, not per consumer
   }
 
   test("keyword_search pushes the text predicate into the parquet scan") {

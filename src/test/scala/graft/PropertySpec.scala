@@ -28,6 +28,7 @@ class PropertySpec extends SparkSpec {
   // (like the reference's cleaner.py) — stripping a dateline can expose
   // a second dateline behind it, which only the next pass would strip.
   test("property: cleanContent is a no-op on trigger-free normalized text") {
+    GraftExtensions.register(spark)
     val plain = Gen.nonEmptyListOf(
       Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
       .map(_.mkString(" ").take(400).trim)
@@ -38,11 +39,21 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: cleaned content never has leading/trailing or doubled spaces") {
+    GraftExtensions.register(spark)
     val texts = samples(messyText, 300)
     val bad = texts.toDF("t")
       .select(Cleaning.cleanContent(col("t")).as("c"))
       .filter(col("c").rlike("^\\s|\\s$|\\s\\s"))
     assert(bad.count() === 0L)
+  }
+
+  test("property: native clean_content equals the regexp_replace Column chain") {
+    GraftExtensions.register(spark)
+    val texts = samples(messyText, 300)
+    val df = texts.toDF("t").select(
+      Cleaning.cleanContent(col("t")).as("native"),
+      Cleaning.cleanContentColumns(col("t")).as("chain"))
+    assert(df.filter(col("native") =!= col("chain")).count() === 0L)
   }
 
   test("property: dedupKeepFirst emits one row per distinct key, all from the input") {
