@@ -13,6 +13,17 @@ class CleaningSpec extends SparkSpec {
     Seq(raw).toDF("c").select(Cleaning.cleanContent(col("c"))).as[String].head()
   }
 
+  test("native cleaner passes null through and empties to empty, like the chain") {
+    GraftExtensions.register(spark)
+    val df = Seq((1, Option("  ")), (2, Option("")), (3, Option.empty[String]))
+      .toDF("i", "c")
+      .select(col("i"), Cleaning.cleanContent(col("c")).as("n"),
+        Cleaning.cleanContentColumns(col("c")).as("chain"))
+    val rows = df.orderBy("i").collect()
+    assert(rows.map(r => Option(r.get(1))).toSeq === Seq(Some(""), Some(""), None))
+    rows.foreach(r => assert(Option(r.get(1)) === Option(r.get(2))))
+  }
+
   test("advertisement blocks are stripped (case-insensitive, multi-line)") {
     assert(cleaned("Intro ADVERTISEMENT buy\nthings SCROLL TO CONTINUE WITH CONTENT outro")
       === "Intro outro")
