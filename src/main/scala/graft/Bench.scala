@@ -46,16 +46,13 @@ object Bench {
         }
         timings(name) = runs.min
       } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .takeWhile(_ != '\n').take(200)
+        case e: Throwable => errors(name) = Json.errorSummary(e)
       }
     }
-    def jstr(s: String): String = Json.str(s)
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s"${Json.str(k)}:$v" }.mkString("{", ",", "}")
+    val es = Json.obj(errors)
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${Json.str(sfDir)}}""")
     spark.stop()
   }
 }

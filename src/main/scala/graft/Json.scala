@@ -16,4 +16,15 @@ object Json {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  /** JSON object of string values — the one rendering for every map
+    * Verify/Bench emit. */
+  def obj(m: Iterable[(String, String)]): String =
+    m.map { case (k, v) => s"${str(k)}:${str(v)}" }.mkString("{", ",", "}")
+
+  /** First line of a throwable's message (or its class name), bounded —
+    * the one error-summarizing rule for driver-facing outputs. */
+  def errorSummary(e: Throwable, max: Int = 200): String =
+    Option(e.getMessage).getOrElse(e.getClass.getName)
+      .takeWhile(_ != '\n').take(max)
 }

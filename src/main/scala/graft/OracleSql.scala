@@ -14,6 +14,13 @@ object OracleSql {
     * parses `\n` to the same newline char the Java pattern holds). */
   def cleanContentSql(expr: String): String = {
     val nested = graft.operators.Cleaning.ContentSteps.foldLeft(expr) { case (e, (pat, rep)) =>
+      // Enforce the no-drift contract: a quote would break the SQL
+      // literal; $ or backslash in a replacement means Java replaceAll,
+      // Spark RegExpReplace and RE2 would each interpret it differently.
+      require(!pat.contains("'"),
+        s"ContentSteps pattern not renderable as a DuckDB literal: $pat")
+      require(!rep.exists(c => c == '\'' || c == '$' || c == '\\'),
+        s"ContentSteps replacement must be literal text (no ', $$, \\): $rep")
       s"regexp_replace($e, '${pat.replace("\n", "\\n")}', '$rep', 'g')"
     }
     s"TRIM($nested)"

@@ -27,8 +27,15 @@ object Pipeline {
   def runBatch(spark: SparkSession, sourceDir: String, outDir: String): Summary = {
     val raw = Tables.documents(spark, sourceDir)
 
-    // bronze: append-only raw + exact keep-first dedup on content hash
-    val bronze = Cleaning.dedupKeepFirst(raw, md5(col("text")), col("doc_id"))
+    // bronze: append-only raw + exact keep-first dedup on content hash.
+    // NULL-text docs get a per-doc surrogate key: md5(NULL) is NULL and
+    // Window.partitionBy groups all NULL keys together, which would
+    // silently collapse every null-text doc into one row (the
+    // reference's upsert conflicts on per-doc link, never on content —
+    // it keeps them all).
+    val bronze = Cleaning.dedupKeepFirst(raw,
+      coalesce(md5(col("text")), concat(lit("__null__"), col("doc_id").cast("string"))),
+      col("doc_id"))
     Sinks.writeParquet(bronze, s"$outDir/bronze", Seq("lang"))
 
     // silver: cleaned projection over the deduped bronze
@@ -36,26 +43,29 @@ object Pipeline {
     Sinks.writeParquet(silver, s"$outDir/silver", Seq("lang"))
 
     // gold: enrichment + quality gate over silver-as-written
-    val silverBack = spark.read.parquet(s"$outDir/silver")
-    val gold = Enrichment.gold(silverBack)
+    val gold = Enrichment.gold(spark.read.parquet(s"$outDir/silver"))
     Sinks.writeParquet(gold, s"$outDir/gold", Seq("lang"))
 
     // entities: NER over the deduped bronze corpus
     val entities = Ner.extract(spark, spark.read.parquet(s"$outDir/bronze"))
     Sinks.writeParquet(entities, s"$outDir/entities", Seq.empty)
 
-    // rollup views (the reference's refresh_gold_views step)
-    val goldBack = spark.read.parquet(s"$outDir/gold")
-    Sinks.writeParquet(Analytics.goldAnalytics(goldBack), s"$outDir/views/gold_analytics", Seq.empty)
-    Sinks.writeParquet(Analytics.goldTrends(goldBack), s"$outDir/views/gold_trends", Seq.empty)
+    // rollup views (the reference's refresh_gold_views step). Derived
+    // from the in-memory gold frame, not a read-back: an EMPTY layer
+    // writes no part files and cannot be schema-inferred again — a
+    // legal state (e.g. every doc below the quality gate) that must
+    // not crash the run.
+    val ga = Analytics.goldAnalytics(gold)
+    val gt = Analytics.goldTrends(gold)
+    Sinks.writeParquet(ga, s"$outDir/views/gold_analytics", Seq.empty)
+    Sinks.writeParquet(gt, s"$outDir/views/gold_trends", Seq.empty)
 
-    def n(path: String): Long = spark.read.parquet(path).count()
     Map(
-      "bronze" -> n(s"$outDir/bronze"),
-      "silver" -> n(s"$outDir/silver"),
-      "gold" -> n(s"$outDir/gold"),
-      "entities" -> n(s"$outDir/entities"),
-      "gold_analytics" -> n(s"$outDir/views/gold_analytics"),
-      "gold_trends" -> n(s"$outDir/views/gold_trends"))
+      "bronze" -> spark.read.parquet(s"$outDir/bronze").count(),
+      "silver" -> spark.read.parquet(s"$outDir/silver").count(),
+      "gold" -> gold.count(),
+      "entities" -> entities.count(),
+      "gold_analytics" -> ga.count(),
+      "gold_trends" -> gt.count())
   }
 }

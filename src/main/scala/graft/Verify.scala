@@ -21,19 +21,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .takeWhile(_ != '\n').take(200)
+        failures(name) = Json.errorSummary(e)
       }
     }
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), Json.obj(SparkEntry.oracleSql))
     // A crashed rows-only query has no oracle entry for the compare to
     // trip over — record every failure explicitly and exit non-zero so
     // a crash can never masquerade as a clean (merely smaller) dump.
-    val fjson = failures
-      .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/failures.json"), fjson)
+    Files.writeString(Paths.get(s"$outDir/failures.json"), Json.obj(failures))
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   * exactness costs ~3x on the aggregate. Summing integer cents as
   * longs would be exact AND fast for plain sums, but the discounted
   * price product (cents x basis points, ~1e11/row) overflows 64 bits
-  * near 1e10 rows — real 100 TB territory — so decimal is the design:
-  * correctness guarantees don't get to depend on the corpus staying
-  * small.
+  * (~9.2e18) near 1e8 rows — two orders of magnitude BELOW a 100 TB
+  * fact table — so decimal is the design: correctness guarantees
+  * don't get to depend on the corpus staying small.
   */
 object Exact {
 

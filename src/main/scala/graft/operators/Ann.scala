@@ -140,7 +140,13 @@ object Ann {
 
   /** Embedding-cosine near-dup pairs, blocked on a key (here the
     * `label` column — in production a coarse quantization cell): exact
-    * within the block, never all-pairs across the corpus. */
+    * within the block, never all-pairs across the corpus.
+    *
+    * Work is Σ |block|² — the blocking key MUST bound block size
+    * (IVF-style cells do; free-form labels may not). For blocks too
+    * large to pair exactly, switch to the sub-quadratic candidates of
+    * [[lshTopK]]'s SRP buckets or [[graft.operators.Dedup.minhashPairs]]
+    * — accepting their recall contract instead of exactness. */
   def embeddingDedupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding").as("emb"))

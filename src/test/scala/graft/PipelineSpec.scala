@@ -31,4 +31,22 @@ class PipelineSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
+
+  test("bronze dedup keeps every null-text doc (content hash is per-doc for nulls)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_pipe_null").toString
+    val out = Files.createTempDirectory("graft_pipe_null_out").toString
+    Seq(
+      (1L, Option("same text"), "en", "s", 9L),
+      (2L, Option("same text"), "en", "s", 9L), // true content dup -> collapses
+      (3L, Option.empty[String], "en", "s", 0L), // null text: must BOTH survive
+      (4L, Option.empty[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$src/documents.parquet")
+    val summary = Pipeline.runBatch(spark, src, out)
+    assert(summary("bronze") === 3L) // docs 1, 3, 4
+    val kept = spark.read.parquet(s"$out/bronze").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L))
+  }
 }
