@@ -389,6 +389,28 @@ object SparkEntry {
              |  substr(md5(text), 1, 2) AS shard
              |FROM documents""".stripMargin)),
 
+    ("pii_redact",
+      (s: SparkSession, d: String) => TextOps.redactPii(docs(s, d)),
+      Some {
+        val redacted = TextOps.PiiSteps.foldLeft("text") { case (e, (pat, rep)) =>
+          s"regexp_replace($e, '$pat', '$rep', 'g')"
+        }
+        s"""SELECT doc_id, $redacted AS redacted,
+           |  text != $redacted AS had_pii
+           |FROM documents""".stripMargin
+      }),
+
+    ("decontam_overlap",
+      (s: SparkSession, d: String) =>
+        TextOps.decontaminate(docs(s, d), docs(s, d).filter(col("doc_id") % 100 === 0)),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0)
+             |SELECT doc_id, COUNT(*) AS overlap_shingles
+             |FROM sh JOIN bench USING (shingle)
+             |GROUP BY 1 HAVING COUNT(*) >= 1""".stripMargin)),
+
     // ---- Relational/statistics (SURVEY §2 #17-19) ----
     ("q_tpch_pricing",
       (s: SparkSession, d: String) => Relational.pricingSummary(Tables.lineitem(s, d)),

@@ -101,4 +101,46 @@ object TextOps {
       .agg(
         min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("dup_count"))
+
+  /** PII scrubbing patterns, ordered — RE2 ∩ Java regex so the DuckDB
+    * oracle replays them verbatim. URL first: an email-looking token
+    * inside a URL should disappear with the URL, not leave
+    * `<URL><EMAIL>` fragments. */
+  val PiiSteps: Seq[(String, String)] = Seq(
+    ("https?://[^\\s]+", "<URL>"),
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>"))
+
+  /** Pre-training PII redaction: URLs, emails, phone-shaped digit runs
+    * replaced with typed placeholders — a pure codegen'd
+    * `regexp_replace` chain, no shuffle, linear at any corpus size. */
+  def redactPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      PiiSteps.foldLeft(col("text")) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }.as("redacted"),
+      (col("text") =!= PiiSteps.foldLeft(col("text")) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }).as("had_pii"))
+
+  /** Train/test decontamination: flag corpus docs sharing >= `minOverlap`
+    * distinct k-gram shingles with a benchmark set (the standard
+    * n-gram-overlap decontamination of LLM training corpora).
+    *
+    * The benchmark side is tiny by nature (eval sets, not corpora) —
+    * its DISTINCT shingles broadcast, the corpus explode+semi-join is
+    * map-side, and the only shuffle is the per-doc overlap count.
+    * Returns one row per contaminated doc. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    minOverlap: Long = 1L): DataFrame = {
+    val corpusShingles = Dedup.shingleRows(corpus)
+    val benchShingles = Dedup.shingleRows(benchmark)
+      .select(col("shingle")).distinct()
+    corpusShingles
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("overlap_shingles"))
+      .filter(col("overlap_shingles") >= minOverlap)
+  }
 }

@@ -50,6 +50,30 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0).getAs[String]("shard") === fps(0).getAs[String]("fp_raw").take(2))
   }
 
+  test("redactPii scrubs URLs, emails, and phone runs with typed placeholders") {
+    val df = docs(
+      (1L, "mail me at a.b+c@example.co.id or call +62 812-3456-7890 now", "en", "s", 1L),
+      (2L, "see https://example.com/x?u=a@b.com for details", "en", "s", 1L),
+      (3L, "clean text only", "en", "s", 1L))
+    val out = TextOps.redactPii(df).orderBy("doc_id")
+      .select("redacted", "had_pii").as[(String, Boolean)].collect()
+    assert(out(0) === (("mail me at <EMAIL> or call <PHONE> now", true)))
+    // the email inside the URL disappears WITH the url (order matters)
+    assert(out(1) === (("see <URL> for details", true)))
+    assert(out(2) === (("clean text only", false)))
+  }
+
+  test("decontaminate flags exactly the docs sharing k-grams with the benchmark") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta", "en", "s", 1L), // shares "alpha beta gamma"
+      (2L, "totally different words here", "en", "s", 1L),
+      (3L, "x y alpha beta gamma", "en", "s", 1L))
+    val bench = docs((100L, "alpha beta gamma", "en", "s", 1L))
+    val out = TextOps.decontaminate(corpus, bench).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L), (3L, 1L)))
+  }
+
   test("dedupExact groups by content hash keeping min id and group size") {
     val df = docs((5L, "same", "en", "s", 4L), (2L, "same", "en", "s", 4L),
       (9L, "other", "en", "s", 5L))
