@@ -400,6 +400,19 @@ object SparkEntry {
            |FROM documents""".stripMargin
       }),
 
+    ("doc_repetition",
+      (s: SparkSession, d: String) => TextOps.docRepetition(docs(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |  1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / CASE WHEN len(string_split(text, ' ')) > 0
+             |             THEN CAST(len(string_split(text, ' ')) AS DOUBLE) END AS dup_word_frac,
+             |  1.0 - CAST(len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             |               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS DOUBLE)
+             |      / CASE WHEN len(string_split(text, ' ')) > 1
+             |             THEN CAST(len(string_split(text, ' ')) - 1 AS DOUBLE) END AS dup_bigram_frac
+             |FROM documents""".stripMargin)),
+
     ("decontam_overlap",
       (s: SparkSession, d: String) =>
         TextOps.decontaminate(docs(s, d), docs(s, d).filter(col("doc_id") % 100 === 0)),

@@ -124,6 +124,24 @@ object TextOps {
         regexp_replace(c, pat, rep)
       }).as("had_pii"))
 
+  /** Within-document repetition metrics — the Gopher/C4-style quality
+    * rules for pre-training curation: a doc whose token stream keeps
+    * repeating itself carries little signal. Pure per-row expressions
+    * (no shuffle): duplicate-word fraction and duplicate-bigram
+    * fraction, with the n_words denominator for downstream filters. */
+  def docRepetition(documents: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val words = size(w).cast("long")
+    val bigrams = Dedup.shinglesHof(col("text"), 2)
+    documents.select(
+      col("doc_id"),
+      words.as("n_words"),
+      (lit(1.0) - size(array_distinct(w)).cast("double") /
+        when(words > 0, words.cast("double"))).as("dup_word_frac"),
+      (lit(1.0) - size(bigrams).cast("double") /
+        when(words > 1, (words - 1).cast("double"))).as("dup_bigram_frac"))
+  }
+
   /** Train/test decontamination: flag corpus docs sharing >= `minOverlap`
     * distinct k-gram shingles with a benchmark set (the standard
     * n-gram-overlap decontamination of LLM training corpora).

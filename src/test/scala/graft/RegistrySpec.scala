@@ -25,7 +25,7 @@ class RegistrySpec extends SparkSpec {
   private val extraKeys = Seq(
     "q_order_priority", "gold_trends", "pipeline_stats", "entity_top", "entity_overview",
     "windowed_counts", "sessionize_batch", "json_source", "ann_ivf", "ner_backlog",
-    "pii_redact", "decontam_overlap")
+    "pii_redact", "decontam_overlap", "doc_repetition")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

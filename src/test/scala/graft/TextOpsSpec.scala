@@ -74,6 +74,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (3L, 1L)))
   }
 
+  test("docRepetition measures duplicate word/bigram fractions") {
+    val df = docs(
+      (1L, "a a a a", "en", "s", 7L),        // 4 words, 1 distinct; 3 bigrams, 1 distinct
+      (2L, "w x y z", "en", "s", 7L),        // all unique
+      (3L, "solo", "en", "s", 4L))           // 1 word: bigram frac is null
+    val out = TextOps.docRepetition(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("dup_word_frac") === 0.75)
+    assert(out(0).getAs[Double]("dup_bigram_frac") === 1.0 - 1.0 / 3.0)
+    assert(out(1).getAs[Double]("dup_word_frac") === 0.0)
+    assert(out(1).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("dup_bigram_frac")))
+  }
+
   test("dedupExact groups by content hash keeping min id and group size") {
     val df = docs((5L, "same", "en", "s", 4L), (2L, "same", "en", "s", 4L),
       (9L, "other", "en", "s", 5L))
