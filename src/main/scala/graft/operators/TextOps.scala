@@ -103,26 +103,35 @@ object TextOps {
         count(lit(1)).as("dup_count"))
 
   /** PII scrubbing patterns, ordered — RE2 ∩ Java regex so the DuckDB
-    * oracle replays them verbatim. URL first: an email-looking token
-    * inside a URL should disappear with the URL, not leave
-    * `<URL><EMAIL>` fragments. */
+    * oracle replays them verbatim. Whitespace is written as the
+    * explicit class `[ \t\n\r\f]` because the engines disagree on
+    * `\s` itself (Java includes vertical tab, RE2 does not). URL
+    * first: an email-looking token inside a URL should disappear with
+    * the URL, not leave `<URL><EMAIL>` fragments.
+    *
+    * The phone rule requires >= 9 digits joined only by `-`/`(`/`)` —
+    * deliberately NOT spaces: with spaces (or at 8 digits) the
+    * heuristic swallows ISO dates ("2024-01-02 03:04") and short
+    * number lists, corrupting clean text. The cost is that a
+    * space-separated phone is only partially redacted (its longest
+    * separator-joined digit run). */
   val PiiSteps: Seq[(String, String)] = Seq(
-    ("https?://[^\\s]+", "<URL>"),
+    ("https?://[^ \t\n\r\f]+", "<URL>"),
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>"))
+    ("\\+?(?:[0-9][()\\-]?){8,}[0-9]", "<PHONE>"))
 
   /** Pre-training PII redaction: URLs, emails, phone-shaped digit runs
     * replaced with typed placeholders — a pure codegen'd
     * `regexp_replace` chain, no shuffle, linear at any corpus size. */
-  def redactPii(documents: DataFrame): DataFrame =
+  def redactPii(documents: DataFrame): DataFrame = {
+    val redacted = PiiSteps.foldLeft(col("text")) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
     documents.select(
       col("doc_id"),
-      PiiSteps.foldLeft(col("text")) { case (c, (pat, rep)) =>
-        regexp_replace(c, pat, rep)
-      }.as("redacted"),
-      (col("text") =!= PiiSteps.foldLeft(col("text")) { case (c, (pat, rep)) =>
-        regexp_replace(c, pat, rep)
-      }).as("had_pii"))
+      redacted.as("redacted"),
+      (col("text") =!= redacted).as("had_pii"))
+  }
 
   /** Within-document repetition metrics — the Gopher/C4-style quality
     * rules for pre-training curation: a doc whose token stream keeps

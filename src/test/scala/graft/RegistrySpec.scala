@@ -17,15 +17,15 @@ class RegistrySpec extends SparkSpec {
     "keyword_search", "ranked_search", "search_filtered",
     // ner
     "ner_extract", "entity_insights", "entity_type_stats",
-    // training-data suite
+    // training-data suite (incl. SURVEY rows 37b-37d)
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_bruteforce", "ann_lsh",
-    "lang_id", "quality_score", "token_count", "doc_fingerprint", "multimodal_meta")
+    "lang_id", "quality_score", "token_count", "doc_fingerprint", "multimodal_meta",
+    "pii_redact", "decontam_overlap", "doc_repetition")
 
   private val extraKeys = Seq(
     "q_order_priority", "gold_trends", "pipeline_stats", "entity_top", "entity_overview",
-    "windowed_counts", "sessionize_batch", "json_source", "ann_ivf", "ner_backlog",
-    "pii_redact", "decontam_overlap", "doc_repetition")
+    "windowed_counts", "sessionize_batch", "json_source", "ann_ivf", "ner_backlog")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

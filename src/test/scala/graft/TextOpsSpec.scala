@@ -52,7 +52,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("redactPii scrubs URLs, emails, and phone runs with typed placeholders") {
     val df = docs(
-      (1L, "mail me at a.b+c@example.co.id or call +62 812-3456-7890 now", "en", "s", 1L),
+      (1L, "mail me at a.b+c@example.co.id or call 0812-3456-7890 now", "en", "s", 1L),
       (2L, "see https://example.com/x?u=a@b.com for details", "en", "s", 1L),
       (3L, "clean text only", "en", "s", 1L))
     val out = TextOps.redactPii(df).orderBy("doc_id")
@@ -61,6 +61,16 @@ class TextOpsSpec extends SparkSpec {
     // the email inside the URL disappears WITH the url (order matters)
     assert(out(1) === (("see <URL> for details", true)))
     assert(out(2) === (("clean text only", false)))
+  }
+
+  test("redactPii leaves dates, times and short number lists intact") {
+    val df = docs(
+      (1L, "meeting on 2024-01-02 03:04 in room 9", "en", "s", 1L),
+      (2L, "scores 10 20 30 40", "en", "s", 1L))
+    val out = TextOps.redactPii(df).orderBy("doc_id")
+      .select("redacted", "had_pii").as[(String, Boolean)].collect()
+    assert(out(0) === (("meeting on 2024-01-02 03:04 in room 9", false)))
+    assert(out(1) === (("scores 10 20 30 40", false)))
   }
 
   test("decontaminate flags exactly the docs sharing k-grams with the benchmark") {
