@@ -139,9 +139,12 @@ object TextOps {
     * (no shuffle): duplicate-word fraction and duplicate-bigram
     * fraction, with the n_words denominator for downstream filters. */
   def docRepetition(documents: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
     val w = split(col("text"), " ")
     val words = size(w).cast("long")
-    val bigrams = Dedup.shinglesHof(col("text"), 2)
+    // native one-pass shingle set: the interpreted HOF twin measured
+    // 2.2 s for this query at sf0.1 vs ~0.5 s native
+    val bigrams = call_function("graft_shingles", col("text"), lit(2))
     documents.select(
       col("doc_id"),
       words.as("n_words"),
