@@ -83,6 +83,15 @@ class PlanSpec extends SparkSpec {
       s"window should sit above the hourly aggregate:\n$plan")
   }
 
+  test("entity_top: rank<=1 window gets a map-side partial WindowGroupLimit") {
+    // the window partitions by entity_type (4 values at ANY corpus
+    // size) — without the partial group-limit, every aggregated entity
+    // row of a type would funnel through one task before ranking
+    val plan = finalPlan(SparkEntry.queries("entity_top")(spark, dir))
+    assert(plan.contains("WindowGroupLimit") &&
+      plan.contains("Partial"), s"expected partial group-limit pushdown:\n$plan")
+  }
+
   test("overview_metrics: one scan (not the reference's 8 subquery scans)") {
     val plan = finalPlan(SparkEntry.queries("overview_metrics")(spark, dir))
     assert(count(plan, "Scan parquet") === 1)
