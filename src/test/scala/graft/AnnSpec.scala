@@ -95,6 +95,29 @@ class AnnSpec extends SparkSpec {
     assert(r.getDouble(1) === 5.0)
   }
 
+  test("graft_srp_buckets sign cache keyed by dims: mixed-length vectors stay correct") {
+    GraftExtensions.register(spark)
+    // ONE expression instance evaluates consecutive rows of DIFFERENT
+    // dimension (single partition forces same instance) — the per-task
+    // hyperplane cache must rebuild on each dim change, not silently
+    // reuse the previous matrix
+    import spark.implicits._
+    val mixed = Seq(
+      (1, Seq(1.0, -2.0)),
+      (2, Seq(1.0, -2.0, 0.5, 3.0)),
+      (3, Seq(1.0, -2.0))) // back to 2 dims: second rebuild
+      .toDF("i", "v").coalesce(1)
+      .selectExpr("i", "graft_srp_buckets(v, 2, 8) AS b")
+      .orderBy("i").collect().map(_.getSeq[Long](1))
+    val fresh2 = spark.sql(
+      "SELECT graft_srp_buckets(array(1.0D, -2.0D), 2, 8) AS b").head().getSeq[Long](0)
+    val fresh4 = spark.sql(
+      "SELECT graft_srp_buckets(array(1.0D, -2.0D, 0.5D, 3.0D), 2, 8) AS b").head().getSeq[Long](0)
+    assert(mixed(0) === fresh2)
+    assert(mixed(1) === fresh4)
+    assert(mixed(2) === fresh2)
+  }
+
   test("graft_dot rejects non-double-array arguments at analysis time") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
