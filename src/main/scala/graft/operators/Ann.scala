@@ -95,38 +95,60 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos").as("cosine"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN: a deterministic subset of the corpus
-    * serves as coarse centroids; every vector is assigned to its
-    * nearest centroid cell (one broadcast pass), queries probe the
-    * `nprobe` nearest cells and rank exact cosine only inside them.
-    * At 100 TB the cell assignment is a cheap scan-side projection,
-    * the probe join shuffles on cell id, and recall/cost is tuned
-    * with `nprobe` — the classic IVF trade, no training step (real
-    * k-means centroids would slot into `centroids` unchanged). */
+  /** Fixed-size IVF coarse-centroid set, aggregated to ONE row: the
+    * `numCentroids` lowest vec_ids stand in for trained k-means
+    * centroids (deterministic; a trained set slots in unchanged).
+    * |centroids| is a constant independent of corpus size — the
+    * broadcast stays k vectors at 100 TB, unlike an every-Nth-vector
+    * sample whose broadcast (and pair expansion) grows with N. */
+  private[graft] def ivfCentroids(e: DataFrame, numCentroids: Int): DataFrame =
+    e.filter(col("vec_id") < numCentroids)
+      .agg(collect_list(struct(col("vec_id").as("cell"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))).as("cents"))
+
+  /** Map-side nearest-cell assignment: each row scores the broadcast
+    * one-row centroid array with array HOFs and explodes its `keep`
+    * best cells — no per-pair row expansion, no window, no shuffle on
+    * the corpus side (plan-spec-pinned). The (-sim, cell) sort key
+    * ranks by similarity descending with ties to the lower cell id. */
+  private[graft] def nearestCells(df: DataFrame, centroids: DataFrame,
+                                  embCol: String, nrmCol: String, keep: Int): DataFrame = {
+    val scored = transform(col("cents"), c =>
+      struct((-(dot(col(embCol), c.getField("cemb")) / (col(nrmCol) * c.getField("cnrm"))))
+        .as("negsim"), c.getField("cell").as("cell")))
+    val joined = df.crossJoin(broadcast(centroids))
+    // keep=1 (the whole corpus) is an O(k) argmin — no sort, no
+    // explode; keep>1 (the handful of query rows) pays the sort.
+    val assigned =
+      if (keep == 1) joined.withColumn("cell", array_min(scored).getField("cell"))
+      else joined
+        .withColumn("__cell", explode(slice(array_sort(scored), 1, keep)))
+        .withColumn("cell", col("__cell.cell"))
+        .drop("__cell")
+    assigned.drop("cents")
+  }
+
+  /** IVF (inverted-file) ANN: a fixed-size deterministic subset of the
+    * corpus serves as coarse centroids; every vector is assigned to
+    * its nearest centroid cell map-side ([[nearestCells]]), queries
+    * probe their `nprobe` nearest cells and rank exact cosine only
+    * inside them. At 100 TB the cell assignment is a scan-side
+    * projection against a constant-size broadcast, the probe join
+    * shuffles on cell id, and recall/cost is tuned with `nprobe` —
+    * the classic IVF trade, no training step (real k-means centroids
+    * would slot into [[ivfCentroids]] unchanged). */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
-              centroidEvery: Int = 100, nprobe: Int = 4): DataFrame = {
+              numCentroids: Int = 64, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val centroids = e.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cell"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    // nearest-centroid assignment: rank each (vector, centroid) pair,
-    // keep rank 1 for the corpus, rank <= nprobe for the queries
-    def assign(df: DataFrame, idCol: String, embCol: String, nrmCol: String,
-               keep: Int): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", dot(col(embCol), col("cemb")) / (col(nrmCol) * col("cnrm")))
-        .withColumn("crank",
-          row_number().over(Window.partitionBy(col(idCol))
-            .orderBy(col("csim").desc, col("cell"))))
-        .filter(col("crank") <= keep)
-        .drop("cemb", "cnrm", "csim", "crank")
-    val cells = assign(e, "vec_id", "emb", "nrm", keep = 1)
-    val q = assign(
+    val centroids = ivfCentroids(e, numCentroids)
+    val cells = nearestCells(e, centroids, "emb", "nrm", keep = 1)
+    val q = nearestCells(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm")),
-      "query_id", "qemb", "qnrm", keep = nprobe)
+      centroids, "qemb", "qnrm", keep = nprobe)
     cells.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")

@@ -153,15 +153,22 @@ object Dedup {
     * ratio is the textbook stopword treatment). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
                         maxDocFreq: Long = 100L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(documents)
-    // Doc-frequency cap as a window count (NOT a pre-aggregated join):
-    // both self-join sides stay the identical shuffle-by-shingle
-    // subtree, so the explode runs once and the join consumes one
-    // ReusedExchange with no further shuffle.
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDocFreq)
+    // Doc-frequency cap as an aggregated heavy-hitter set removed by a
+    // broadcast anti-join: shingles with df > maxDocFreq are shared
+    // boilerplate by construction, so the surviving set is tiny, and
+    // the aggregate's map-side combine bounds its shuffle by |distinct
+    // shingles per partition|, not |exploded rows|. The former
+    // per-shingle window count kept one explode but SORTED the entire
+    // exploded corpus inside each shuffle partition just to count df
+    // (r5 bench: 6.4 s vs 4.3 at sf0.1) — a full sort is a worse trade
+    // than a second cheap explode. If the heavy set ever outgrew the
+    // broadcast budget, dropping the hint falls back to a shuffle join
+    // on `shingle` — still sort-free on the probe side.
+    val heavy = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("shingle"))
+    val rare = sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = rare.as("a")

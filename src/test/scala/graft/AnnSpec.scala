@@ -61,11 +61,12 @@ class AnnSpec extends SparkSpec {
   }
 
   test("ivfTopK finds the nearest vector when it shares the query's cell") {
-    // centroidEvery=1 makes every vector a centroid; vec 10 (≈ e1) lands
-    // in the cell of centroid 0 or 10 — either way query 0 probes it
+    // numCentroids=100 makes every vector a centroid; vec 10 (≈ e1)
+    // sits in its own cell, which query 0 probes at nprobe=2 (its
+    // second-nearest centroid after its own cell 0)
     val out = Ann.ivfTopK(
       embs((0L, e1, 0), (10L, e1close, 0), (11L, e2, 0), (12L, e3, 0)),
-      numQueries = 1, k = 2, centroidEvery = 1, nprobe = 2)
+      numQueries = 1, k = 2, numCentroids = 100, nprobe = 2)
       .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
     assert(out.nonEmpty)
     assert(out.find(_._3 == 1L).get._2 === 10L)

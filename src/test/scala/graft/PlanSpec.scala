@@ -92,6 +92,22 @@ class PlanSpec extends SparkSpec {
       plan.contains("Partial"), s"expected partial group-limit pushdown:\n$plan")
   }
 
+  test("ann_ivf cell assignment is map-side: no shuffle, no window on the corpus expansion") {
+    import org.apache.spark.sql.functions.col
+    val ops = graft.operators.Ann
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", ops.norm(col("emb")))
+    val plan = finalPlan(ops.nearestCells(e, ops.ivfCentroids(e, 64), "emb", "nrm", keep = 1))
+    assert(count(plan, "Window") === 0, s"assignment must not rank per-pair rows:\n$plan")
+    // the only exchanges belong to the one-row centroid aggregate and
+    // its broadcast — the corpus side reaches the join straight from
+    // the scan, so no hash-partitioned shuffle may exist anywhere
+    assert(count(plan, "Exchange hashpartitioning") === 0,
+      s"corpus side must not shuffle for assignment:\n$plan")
+    assert(count(plan, "BroadcastExchange") === 1, s"centroids broadcast once:\n$plan")
+  }
+
   test("overview_metrics: one scan (not the reference's 8 subquery scans)") {
     val plan = finalPlan(SparkEntry.queries("overview_metrics")(spark, dir))
     assert(count(plan, "Scan parquet") === 1)
