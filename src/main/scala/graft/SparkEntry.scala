@@ -169,6 +169,38 @@ object SparkEntry {
           .withColumn("bucket", col("bucket").cast("timestamp_ntz")),
       Some("SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS doc_count FROM events GROUP BY 1")),
 
+    ("date_histogram_week",
+      (s: SparkSession, d: String) =>
+        Analytics.dateHistogram(Tables.events(s, d), "week")
+          .withColumn("bucket", col("bucket").cast("timestamp_ntz")),
+      Some("SELECT date_trunc('week', ts) AS bucket, COUNT(*) AS doc_count FROM events GROUP BY 1")),
+
+    ("date_histogram_month",
+      (s: SparkSession, d: String) =>
+        Analytics.dateHistogram(Tables.events(s, d), "month")
+          .withColumn("bucket", col("bucket").cast("timestamp_ntz")),
+      Some("SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS doc_count FROM events GROUP BY 1")),
+
+    ("overview_recency",
+      (s: SparkSession, d: String) =>
+        Analytics.overviewRecency(Tables.events(s, d), "2024-01-30"),
+      Some("""SELECT COUNT(*) AS total_events,
+             |  CAST(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-30' THEN 1 ELSE 0 END) AS BIGINT) AS today_events,
+             |  CAST(SUM(CASE WHEN CAST(ts AS DATE) >= (DATE '2024-01-30' - 7) THEN 1 ELSE 0 END) AS BIGINT) AS week_events
+             |FROM events""".stripMargin)),
+
+    ("layer_diff",
+      (s: SparkSession, d: String) => Analytics.layerDiff(docs(s, d), silverDf(s, d)),
+      Some(s"""WITH silver AS ($silverSql)
+              |SELECT d.source AS topic,
+              |  COUNT(*) AS bronze_rows,
+              |  CAST(SUM(CASE WHEN s.content IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_silver,
+              |  CAST(SUM(CASE WHEN s.content IS NOT NULL AND s.content != d.text THEN 1 ELSE 0 END) AS BIGINT) AS changed_rows,
+              |  CAST(SUM(CASE WHEN s.content_length <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS below_gold_gate,
+              |  CAST(SUM(d.n_chars - COALESCE(s.content_length, 0)) AS BIGINT) AS chars_removed
+              |FROM documents d LEFT JOIN silver s ON d.doc_id = s.doc_id
+              |GROUP BY 1""".stripMargin)),
+
     ("stats_agg",
       (s: SparkSession, d: String) => Analytics.statsAgg(docs(s, d)),
       Some(s"""SELECT COUNT(n_chars) AS cnt, MIN(n_chars) AS min_chars,
@@ -190,6 +222,23 @@ object SparkEntry {
              |      + CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS score
              |  FROM documents) t
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("fuzzy_search",
+      (s: SparkSession, d: String) => Search.fuzzySearch(docs(s, d), "windo"),
+      Some("""SELECT doc_id, lang, score FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split(substr(text, 1, 80), ' '), w -> levenshtein(w, 'windo') <= 1)) AS BIGINT) * 3
+             |    + CAST(len(list_filter(string_split(text, ' '), w -> levenshtein(w, 'windo') <= 1)) AS BIGINT) AS score
+             |  FROM documents) t
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("search_highlight",
+      (s: SparkSession, d: String) => Search.searchHighlight(docs(s, d), "window"),
+      Some("""SELECT doc_id, source AS topic,
+             |  substr(text,
+             |         GREATEST(1, strpos(text, 'window') - 60),
+             |         strpos(text, 'window') - GREATEST(1, strpos(text, 'window') - 60) + 66) AS snippet
+             |FROM documents WHERE text LIKE '%window%'""".stripMargin)),
 
     ("search_filtered",
       (s: SparkSession, d: String) => Search.searchFiltered(docs(s, d), "merge", "en", 100L, 400L),

@@ -164,11 +164,51 @@ object Analytics {
       .orderBy(col("doc_count").desc, col("topic"))
       .limit(topN)
 
-  /** ES date_histogram (`es.py:273-302`). */
-  def dateHistogram(events: DataFrame): DataFrame =
+  /** ES date_histogram (`es.py:273-302`), `interval` = day/week/month
+    * like the endpoint's `interval: str = "day"` parameter (weeks are
+    * ISO Monday-start in both Spark and the oracle). */
+  def dateHistogram(events: DataFrame, interval: String = "day"): DataFrame = {
+    require(Set("day", "week", "month", "year").contains(interval),
+      s"unsupported date_histogram interval: $interval")
     events
-      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .groupBy(date_trunc(interval, col("ts")).as("bucket"))
       .agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Relative-date overview counts (`apx.py:69-70`: `today_articles`,
+    * `week_articles`) over the events stream. The reference anchors on
+    * CURRENT_DATE; a deterministic pipeline takes the clock as an
+    * INJECTED `now` (ISO date string) so replays and oracles agree.
+    * One conditional-aggregation scan; "this week" is the trailing 7
+    * days inclusive, as in the reference's `>= CURRENT_DATE - 7 days`. */
+  def overviewRecency(events: DataFrame, now: String): DataFrame = {
+    val today = to_date(lit(now))
+    events.agg(
+      count(lit(1)).as("total_events"),
+      sum(when(to_date(col("ts")) === today, 1L).otherwise(0L)).as("today_events"),
+      sum(when(to_date(col("ts")) >= date_sub(today, 7), 1L).otherwise(0L)).as("week_events"))
+  }
+
+  /** Bronze↔silver layer reconciliation (`viz.py:133-160`
+    * `get_bronze_silver_diff`): which rows the clean changed, which
+    * are missing downstream, and what the gold gate would drop —
+    * folded to a per-topic rollup. The reference renders raw diff ROWS
+    * (`b.content != s.content OR s.content IS NULL`) into a dashboard
+    * table; returning those rows at 100 TB is a driver OOM, and the
+    * rollup is what the dashboard plots. One equi-join on the layer
+    * key, then one hash aggregate. */
+  def layerDiff(bronze: DataFrame, silver: DataFrame): DataFrame =
+    bronze.select(col("doc_id"), col("text"), col("n_chars"), col("source").as("topic"))
+      .join(silver.select(col("doc_id"), col("content"), col("content_length")),
+        Seq("doc_id"), "left")
+      .groupBy(col("topic"))
+      .agg(
+        count(lit(1)).as("bronze_rows"),
+        sum(when(col("content").isNull, 1L).otherwise(0L)).as("missing_in_silver"),
+        sum(when(col("content").isNotNull && col("content") =!= col("text"), 1L).otherwise(0L))
+          .as("changed_rows"),
+        sum(when(col("content_length") <= 50, 1L).otherwise(0L)).as("below_gold_gate"),
+        sum(col("n_chars") - coalesce(col("content_length"), lit(0L))).as("chars_removed"))
 
   /** ES stats aggregation (`es.py:304-345`): min/max/avg/sum/count. */
   def statsAgg(documents: DataFrame): DataFrame =

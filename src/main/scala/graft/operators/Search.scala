@@ -67,6 +67,56 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
 
+  /** ES `"fuzziness": "AUTO"` edit budget (`es.py:181`): terms under 3
+    * chars match exactly, 3-5 chars allow one edit, longer allow two. */
+  def autoFuzziness(term: String): Int =
+    if (term.length < 3) 0 else if (term.length <= 5) 1 else 2
+
+  /** Fuzzy term frequency: whitespace tokens within `maxEdits`
+    * Levenshtein edits of the term, counted map-side with an array
+    * filter over the split — deterministic, unlike ES's BM25+fuzzy
+    * scoring. The thresholded `levenshtein` abandons a token as soon
+    * as its running distance exceeds the budget, so the per-token cost
+    * is O(|token| × maxEdits), not O(|token| × |term|). */
+  def fuzzyTermFrequency(text: Column, term: String, maxEdits: Int): Column =
+    size(filter(split(text, " "), w =>
+      if (maxEdits == 0) w === lit(term)
+      else levenshtein(w, lit(term), maxEdits) >= 0)).cast("long")
+
+  /** Fuzzy ranked search (`es.py:166-240` with fuzziness AUTO): a
+    * typo'd query still ranks hits. Score = 3×fuzzy-tf(title zone) +
+    * fuzzy-tf(body), descending — the same TakeOrderedAndProject
+    * shape as [[rankedSearch]], so only the top N survive per
+    * partition and no global sort materializes. */
+  def fuzzySearch(documents: DataFrame, term: String, topN: Int = 20): DataFrame = {
+    val maxEdits = autoFuzziness(term)
+    documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (fuzzyTermFrequency(titleZone(col("text")), term, maxEdits) * 3 +
+          fuzzyTermFrequency(col("text"), term, maxEdits)).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Search highlighting (`es.py:188-229`): the reference returns up
+    * to 150-char highlight fragments per hit; we extract ONE
+    * deterministic fragment — `context` chars either side of the FIRST
+    * occurrence. Positional (instr + substr), not regex: greedy-match
+    * semantics differ between regex engines, byte positions do not, so
+    * any oracle agrees bytewise. The contains() pre-filter reaches the
+    * scan as a pushed StringContains. */
+  def searchHighlight(documents: DataFrame, term: String, context: Int = 60): DataFrame = {
+    val pos = instr(col("text"), term)
+    val start = greatest(lit(1), pos - context)
+    documents
+      .filter(col("text").contains(term))
+      .select(col("doc_id"), col("source").as("topic"),
+        col("text").substr(start, pos - start + lit(term.length + context)).as("snippet"))
+  }
+
   /** Search with topic/lang/size filters (`es.py:204-215`): the
     * structured predicates sit in front of the text match so they reach
     * the scan as pushed filters. */

@@ -25,7 +25,10 @@ class RegistrySpec extends SparkSpec {
 
   private val extraKeys = Seq(
     "q_order_priority", "gold_trends", "pipeline_stats", "entity_top", "entity_overview",
-    "windowed_counts", "sessionize_batch", "json_source", "ann_ivf", "ner_backlog")
+    "windowed_counts", "sessionize_batch", "json_source", "ann_ivf", "ner_backlog",
+    // round-6 reference-surface tail (VERDICT r5 "What's missing")
+    "fuzzy_search", "search_highlight", "date_histogram_week", "date_histogram_month",
+    "overview_recency", "layer_diff")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+/** Fuzzy search + highlighting (reference `es.py:166-240`): the exact
+  * keyword/ranked paths are oracle-checked end-to-end; these pin the
+  * edit-budget and fragment-boundary semantics on crafted rows. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("autoFuzziness follows the ES AUTO ladder") {
+    assert(Search.autoFuzziness("ab") === 0)
+    assert(Search.autoFuzziness("abc") === 1)
+    assert(Search.autoFuzziness("abcde") === 1)
+    assert(Search.autoFuzziness("abcdef") === 2)
+  }
+
+  test("fuzzySearch ranks typo'd-term hits; unrelated text scores zero") {
+    // "windo" (5 chars -> 1 edit) matches "window" (insert) and "wind"
+    // (delete) but not "winter" (distance 3)
+    val out = Search.fuzzySearch(
+      docs((1L, "the window is open"), (2L, "wind from the north"),
+        (3L, "winter is coming"), (4L, "")),
+      "windo")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(1L, 2L))
+    // both hits sit in the 80-char title zone: score = 3*1 + 1
+    assert(out(1L) === 4L)
+  }
+
+  test("fuzzySearch body-only hits score without the title boost") {
+    val pad = ("x " * 50).trim // pushes the term past the 80-char title zone
+    val out = Search.fuzzySearch(docs((1L, s"$pad window")), "windo")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L)
+  }
+
+  test("fuzzySearch with a short term falls back to exact matching") {
+    val out = Search.fuzzySearch(docs((1L, "ab here"), (2L, "ax here")), "ab")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L)) // maxEdits=0: "ax" does not match
+  }
+
+  test("searchHighlight clamps the fragment at both text boundaries") {
+    val long = ("a" * 100) + " window " + ("b" * 100)
+    val out = Search.searchHighlight(
+      docs((1L, "window at the start"), (2L, long), (3L, "no match here")),
+      "window")
+      .select("doc_id", "snippet").as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === "window at the start") // start clamp + short tail
+    // interior hit: exactly 60 chars context before, 60 after
+    assert(out(2L) === ("a" * 59) + " window " + ("b" * 59))
+    assert(out(2L).length === 60 + "window".length + 60)
+  }
+}
