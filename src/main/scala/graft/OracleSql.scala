@@ -19,6 +19,10 @@ object OracleSql {
       // Spark RegExpReplace and RE2 would each interpret it differently.
       require(!pat.contains("'"),
         s"ContentSteps pattern not renderable as a DuckDB literal: $pat")
+      // Java reads \s as [ \t\n\x0B\f\r]; RE2 excludes the vertical
+      // tab — spell the class out (Cleaning.Ws) instead of drifting.
+      require(!pat.contains("\\s"),
+        s"ContentSteps pattern must not use \\s (Java/RE2 disagree on \\x0B): $pat")
       require(!rep.exists(c => c == '\'' || c == '$' || c == '\\'),
         s"ContentSteps replacement must be literal text (no ', $$, \\): $rep")
       s"regexp_replace($e, '${pat.replace("\n", "\\n")}', '$rep', 'g')"

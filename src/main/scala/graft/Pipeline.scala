@@ -60,12 +60,21 @@ object Pipeline {
     Sinks.writeParquet(ga, s"$outDir/views/gold_analytics", Seq.empty)
     Sinks.writeParquet(gt, s"$outDir/views/gold_trends", Seq.empty)
 
+    // Count what was WRITTEN — a parquet-footer metadata scan per
+    // layer — instead of re-running the derivations (`entities.count()`
+    // would re-execute the whole NER extraction, roughly doubling the
+    // most expensive stages just to report row counts). The explicit
+    // schema keeps EMPTY layers countable: they write no part files,
+    // so schema inference would throw.
+    def written(path: String, schema: org.apache.spark.sql.types.StructType): Long =
+      spark.read.schema(schema).parquet(path).count()
+
     Map(
-      "bronze" -> spark.read.parquet(s"$outDir/bronze").count(),
-      "silver" -> spark.read.parquet(s"$outDir/silver").count(),
-      "gold" -> gold.count(),
-      "entities" -> entities.count(),
-      "gold_analytics" -> ga.count(),
-      "gold_trends" -> gt.count())
+      "bronze" -> written(s"$outDir/bronze", bronze.schema),
+      "silver" -> written(s"$outDir/silver", silver.schema),
+      "gold" -> written(s"$outDir/gold", gold.schema),
+      "entities" -> written(s"$outDir/entities", entities.schema),
+      "gold_analytics" -> written(s"$outDir/views/gold_analytics", ga.schema),
+      "gold_trends" -> written(s"$outDir/views/gold_trends", gt.schema))
   }
 }

@@ -37,31 +37,34 @@ case class SrpBuckets(child: Expression, tables: Int, numBits: Int)
   // compute it once per task on the first row and reuse (the hash
   // mixes would otherwise run tables×bits×dims times PER ROW on the
   // LSH indexing hot path). @transient: rebuilt lazily per executor.
-  @transient private var signDims: Int = -1
-  @transient private var signs: Array[Double] = _
+  // The (dims, matrix) pair is built into a local and published via
+  // ONE volatile write — Spark deserializes a fresh instance per task,
+  // but if one instance were ever evaluated from two threads, separate
+  // non-volatile fields would let a reader pair the new dims with a
+  // stale matrix (JMM reordering) and emit silently wrong buckets.
+  @transient @volatile private var cached: (Int, Array[Double]) = _
 
   private def signMatrix(n: Int): Array[Double] = {
-    if (signDims != n) {
-      val m = new Array[Double](tables * numBits * n)
-      var p = 0
-      var t = 0
-      while (t < tables) {
-        var j = 0
-        while (j < numBits) {
-          val planeSeed = (t.toLong * numBits + j) * SigHash.Golden
-          var d = 0
-          while (d < n) {
-            m(p) = if ((SigHash.mix(planeSeed + d * 0xc2b2ae3d27d4eb4fL) & 1L) == 0L) 1.0 else -1.0
-            p += 1; d += 1
-          }
-          j += 1
+    val c = cached
+    if (c != null && c._1 == n) return c._2
+    val m = new Array[Double](tables * numBits * n)
+    var p = 0
+    var t = 0
+    while (t < tables) {
+      var j = 0
+      while (j < numBits) {
+        val planeSeed = (t.toLong * numBits + j) * SigHash.Golden
+        var d = 0
+        while (d < n) {
+          m(p) = if ((SigHash.mix(planeSeed + d * 0xc2b2ae3d27d4eb4fL) & 1L) == 0L) 1.0 else -1.0
+          p += 1; d += 1
         }
-        t += 1
+        j += 1
       }
-      signs = m
-      signDims = n
+      t += 1
     }
-    signs
+    cached = (n, m)
+    m
   }
 
   override def nullSafeEval(input: Any): Any = {

@@ -31,13 +31,21 @@ object Cleaning {
     * the native [[graft.functions.CleanContent]] expression, the
     * portable Column chain [[cleanContentColumns]], and the DuckDB
     * oracle rendering ([[graft.OracleSql.cleanContentSql]]). */
+  /** Java's `\s` = `[ \t\n\x0B\f\r]` spelled out: RE2 (the DuckDB
+    * oracle's engine) excludes vertical tab from `\s`, Java includes
+    * it — the shorthand is the one metachar the two engines read
+    * differently, so every step uses this explicit class instead
+    * (enforced by a renderability require in
+    * [[graft.OracleSql.cleanContentSql]]). */
+  private val Ws = "[ \\t\\n\\x0B\\f\\r]"
+
   val ContentSteps: Seq[(String, String)] = Seq(
     // 1. advertisements / scroll prompts (dotall, case-insensitive)
     ("(?is)ADVERTISEMENT.*?SCROLL TO CONTINUE WITH CONTENT", ""),
     // 2. "Pilihan Redaksi" sections up to the next capital/digit
     ("Pilihan Redaksi[^A-Z0-9]*", ""),
     // 3. "Lihat Juga" sections to end of line
-    ("Lihat Juga\\s*:[^\n]*", ""),
+    (s"Lihat Juga$Ws*:[^\n]*", ""),
     // 4a. photo credit notes (ANTARA FOTO/...)
     ("(?i)\\([^)]*FOTO[^)]*\\)", ""),
     // 4b. CNN credit notes
@@ -47,9 +55,9 @@ object Cleaning {
     // 6. 3+ newlines → 2
     ("\n{3,}", "\n\n"),
     // 7. whitespace collapse
-    ("\\s+", " "),
+    (s"$Ws+", " "),
     // 8. leading dateline "Jakarta, CNN Indonesia -- "
-    ("^[A-Za-z\\s,]+CNN Indonesia\\s*--\\s*", ""))
+    (s"^[A-Za-z \\t\\n\\x0B\\f\\r,]+CNN Indonesia$Ws*--$Ws*", ""))
 
   /** Content cleanup as ONE native expression (one UTF8String decode/
     * encode instead of 9 — see [[graft.functions.CleanContent]]).

@@ -20,6 +20,22 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("missing columns"))
   }
 
+  test("Tables.events EXECUTES after the nanosAsLong conf restore, next to another parquet read") {
+    // The nanos conf is saved/restored inside Tables.events on the
+    // assumption it only matters at schema-resolution time. That holds
+    // on this Spark version; if an upgrade ever re-consults the
+    // session conf when the scan executes, this join (action AFTER the
+    // restore, alongside a normal parquet read) fails loudly instead
+    // of the correctness gate failing mysteriously.
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Tables.events must leave the session conf as it found it")
+    assert(ev.join(docs, ev("event_id") === docs("doc_id")).count() > 0)
+    assert(ev.select(max(col("ts"))).head().get(0) != null) // ts really materializes
+  }
+
   test("JsonSource.parseProps parses the payload against the declared schema") {
     val df = Seq((1L, """{"k": 42}"""), (2L, "not json")).toDF("event_id", "props")
     val out = JsonSource.parseProps(df).orderBy("event_id")
