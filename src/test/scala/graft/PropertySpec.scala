@@ -101,6 +101,42 @@ class PropertySpec extends SparkSpec {
     assert(aggSigs.except(scalarSigs).count() === 0L)
   }
 
+  test("property: PII redaction leaves no live URL/email and never corrupts protected forms") {
+    // adversarial mixes of the three PII shapes plus the forms the
+    // phone heuristic explicitly protects (TextOps.PiiSteps ordering
+    // and >=9-digit rule)
+    val piiText: Gen[String] = {
+      val token = Gen.oneOf(
+        Gen.alphaLowerStr.map(_.take(6)),
+        Gen.const("https://ex.com/a@b.com/x?q=1"), // email INSIDE a url
+        Gen.const("user.name+tag@mail-host.co.id"),
+        Gen.const("0812-3456-7890"),
+        Gen.const("+62(21)4567-89012"),
+        Gen.const("2024-01-02 03:04"), // ISO date+time: 8 digits, protected
+        Gen.const("call 555-0199 now")) // 7 digits: below threshold
+      Gen.listOf(token).map(_.mkString(" ")).map(_.take(400))
+    }
+    val texts = samples(piiText, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+    val docs = texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.redactPii(docs).join(docs, "doc_id")
+    // nothing URL- or email-shaped survives redaction (a BARE dangling
+    // "https://" scheme — the generator's truncation can cut a URL to
+    // exactly that — carries no content and is rightly left alone)
+    assert(out.filter(col("redacted").rlike("https?://[^ ]")).count() === 0L)
+    assert(out.filter(col("redacted")
+      .rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() === 0L)
+    // an email inside a URL vanishes WITH the url — never a dangling
+    // <EMAIL> glued to the <URL> placeholder
+    assert(out.filter(col("redacted").contains("<URL><EMAIL>")).count() === 0L)
+    // protected forms pass through verbatim
+    for (kept <- Seq("2024-01-02 03:04", "call 555-0199 now"))
+      assert(out.filter(col("text").contains(kept) && !col("redacted").contains(kept))
+        .count() === 0L, s"protected form corrupted: $kept")
+    // phone-shaped runs are gone
+    assert(out.filter(col("redacted").contains("0812-3456-7890")).count() === 0L)
+  }
+
   test("property: quality_score is always in [0, 1] and bands are consistent") {
     val texts = samples(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
       .map(_.mkString(" ").take(400)), 300)

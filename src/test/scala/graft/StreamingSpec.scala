@@ -64,6 +64,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream re-emits a replay past the watermark; batch compaction restores keep-first") {
+    // The documented contract (Streams.dedupStream): state is bounded
+    // to one watermark interval, so duplicates farther apart than the
+    // watermark are NOT caught in-stream — they fall to the batch
+    // compaction pass. Pin both halves of that contract.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("id", "ts", "payload")
+    val q = Streams.dedupStream(df, key = "id", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "first"))
+      q.processAllAvailable()
+      // move the watermark far past ts(0) + 5 min: key 1's state expires
+      input.addData((9L, ts(59), "mover"))
+      q.processAllAvailable()
+      input.addData((1L, Timestamp.valueOf("2024-01-01 11:30:00"), "replay-after-watermark"))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT payload FROM dedup_wm_out WHERE id = 1")
+        .as[String].collect().sorted
+      assert(emitted.toSeq === Seq("first", "replay-after-watermark"))
+      // downstream compaction (same key, same keep-first tiebreak)
+      val compacted = graft.operators.Cleaning.dedupKeepFirst(
+        spark.table("dedup_wm_out"), col("id"), col("ts"))
+        .filter(col("id") === 1L).select("payload").as[String].collect()
+      assert(compacted.toSeq === Seq("first"))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap timeout and counts events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
