@@ -161,10 +161,14 @@ object Dedup {
     // shingles per partition|, not |exploded rows|. The former
     // per-shingle window count kept one explode but SORTED the entire
     // exploded corpus inside each shuffle partition just to count df
-    // (r5 bench: 6.4 s vs 4.3 at sf0.1) — a full sort is a worse trade
-    // than a second cheap explode. If the heavy set ever outgrew the
-    // broadcast budget, dropping the hint falls back to a shuffle join
-    // on `shingle` — still sort-free on the probe side.
+    // (r5 bench: 6.4 s vs 3.4 at sf0.1) — a full sort is a worse trade
+    // than a second cheap explode. (Also measured and rejected:
+    // broadcasting the heavy set as ONE collected row and dropping it
+    // map-side with `array_except` — that expression rebuilds its
+    // lookup set per ROW for a non-literal argument, 10% slower than
+    // the anti-join's shared hash table.) If the heavy set ever
+    // outgrew the broadcast budget, dropping the hint falls back to a
+    // shuffle join on `shingle` — still sort-free on the probe side.
     val heavy = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("shingle"))
