@@ -303,6 +303,31 @@ object SparkEntry {
               |  COUNT(DISTINCT lang) AS unique_langs
               |FROM silver""".stripMargin)),
 
+    ("processing_stage_stats",
+      (s: SparkSession, d: String) => Analytics.processingStageStats(silverDf(s, d)),
+      Some(s"""WITH silver AS ($silverSql),
+              |agg AS (
+              |  SELECT COUNT(*) AS bronze_total,
+              |    CAST(SUM(CASE WHEN content IS NOT NULL AND LENGTH(content) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS silver_processed,
+              |    CAST(SUM(CASE WHEN content_length > 50 THEN 1 ELSE 0 END) AS BIGINT) AS gold_total
+              |  FROM silver)
+              |SELECT 'Bronze' AS stage, bronze_total AS total_records, bronze_total AS processed,
+              |  ROUND(CAST(bronze_total AS DOUBLE) * 100.0 / bronze_total, 2) AS processing_rate FROM agg
+              |UNION ALL
+              |SELECT 'Silver', bronze_total, silver_processed,
+              |  ROUND(CAST(silver_processed AS DOUBLE) * 100.0 / bronze_total, 2) FROM agg
+              |UNION ALL
+              |SELECT 'Gold', gold_total, gold_total,
+              |  ROUND(CAST(gold_total AS DOUBLE) * 100.0 / gold_total, 2) FROM agg""".stripMargin)),
+
+    ("recent_daily",
+      (s: SparkSession, d: String) =>
+        Analytics.recentDaily(Tables.events(s, d), "2024-01-30", days = 7),
+      Some("""SELECT CAST(ts AS DATE) AS date, COUNT(*) AS cnt
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= (DATE '2024-01-30' - 7)
+             |GROUP BY 1 ORDER BY date DESC""".stripMargin)),
+
     ("entity_overview",
       (s: SparkSession, d: String) => Ner.entityOverview(s, docs(s, d)),
       Some(s"""WITH $nerCtes

@@ -148,6 +148,41 @@ object Analytics {
       countDistinct(col("topic")).as("unique_topics"),
       countDistinct(col("lang")).as("unique_langs"))
 
+  /** Per-stage processing rates (`viz.py:189-224`
+    * `get_processing_times`): the reference UNION-ALLs three full
+    * table scans (bronze/silver/gold); here ONE conditional-
+    * aggregation scan over silver feeds a 3-row stage explode —
+    * same output shape, a third of the reads. Bronze rows are all
+    * ingested (processed = total), silver counts non-empty cleans,
+    * gold counts quality-gate survivors. */
+  def processingStageStats(silver: DataFrame): DataFrame =
+    silver
+      .agg(
+        count(lit(1)).as("bronze_total"),
+        sum(when(col("content").isNotNull && length(col("content")) > 0, 1L).otherwise(0L))
+          .as("silver_processed"),
+        sum(when(col("content_length") > 50, 1L).otherwise(0L)).as("gold_total"))
+      .select(explode(array(
+        struct(lit("Bronze").as("stage"), col("bronze_total").as("total_records"),
+          col("bronze_total").as("processed")),
+        struct(lit("Silver").as("stage"), col("bronze_total").as("total_records"),
+          col("silver_processed").as("processed")),
+        struct(lit("Gold").as("stage"), col("gold_total").as("total_records"),
+          col("gold_total").as("processed")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.total_records").as("total_records"),
+        col("s.processed").as("processed"),
+        round(col("s.processed") * 100.0 / col("s.total_records"), 2).as("processing_rate"))
+
+  /** Trailing-window daily counts (`viz.py:224-248`
+    * `get_daily_articles`: last 30 days, newest first) with the same
+    * injected deterministic `now` as [[overviewRecency]]. */
+  def recentDaily(events: DataFrame, now: String, days: Int = 30): DataFrame =
+    events
+      .filter(to_date(col("ts")) >= date_sub(to_date(lit(now)), days))
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("date").desc)
+
   /** Daily × type trends (`apx.py:97-112`). */
   def timeTrends(events: DataFrame): DataFrame =
     events
