@@ -263,6 +263,18 @@ object SparkEntry {
               |  MAX(confidence) AS confidence
               |FROM ents GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin)),
 
+    ("entity_insights_typed",
+      (s: SparkSession, d: String) => Ner.entityInsightsTyped(s, docs(s, d)),
+      Some(s"""WITH $nerCtes
+              |SELECT entity_text, entity_type,
+              |  CAST(SUM(mentions) AS BIGINT) AS mention_count,
+              |  COUNT(DISTINCT doc_id) AS article_count,
+              |  ${avgFixedSql("confidence")} AS avg_confidence
+              |FROM ents
+              |WHERE entity_type = 'PER' AND confidence > 0.7
+              |GROUP BY 1, 2 HAVING CAST(SUM(mentions) AS BIGINT) >= 2
+              |ORDER BY mention_count DESC, avg_confidence DESC, entity_text LIMIT 20""".stripMargin)),
+
     ("entity_type_stats",
       (s: SparkSession, d: String) => Ner.entityTypeStats(s, docs(s, d)),
       Some(s"""WITH $nerCtes

@@ -77,6 +77,29 @@ object Ner {
         max(col("confidence")).as("confidence"))
       .filter(col("article_count") >= 2)
 
+  /** Per-type entity drill-down (`apx.py:114-136` get_entity_insights):
+    * confidence-thresholded, grouped per entity, HAVING >= 2 mentions,
+    * top-N by mention count. The type + confidence predicates sit
+    * UNDER the aggregation so they prune before any shuffle, and the
+    * average confidence uses the exact decimal accumulator
+    * ([[graft.functions.Exact.avgFixed]]) so the double is
+    * partitioning-independent. The reference's ORDER BY ends at
+    * avg_confidence (ties nondeterministic); entity_text is appended
+    * as a total-order tiebreak. */
+  def entityInsightsTyped(spark: SparkSession, documents: DataFrame,
+                          entityType: String = "PER", minConfidence: Double = 0.7,
+                          limit: Int = 20): DataFrame =
+    extract(spark, documents)
+      .filter(col("entity_type") === entityType && col("confidence") > minConfidence)
+      .groupBy(col("entity_text"), col("entity_type"))
+      .agg(
+        sum(col("mentions")).as("mention_count"),
+        countDistinct(col("doc_id")).as("article_count"),
+        graft.functions.Exact.avgFixed(col("confidence")).as("avg_confidence"))
+      .filter(col("mention_count") >= 2)
+      .orderBy(col("mention_count").desc, col("avg_confidence").desc, col("entity_text"))
+      .limit(limit)
+
   /** Dashboard entity overview (`apx.py:72-74`): the reference's three
     * scalar subqueries (3 scans of gold_entities) as ONE conditional
     * aggregation pass. */

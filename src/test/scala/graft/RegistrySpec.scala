@@ -28,7 +28,8 @@ class RegistrySpec extends SparkSpec {
     "windowed_counts", "sessionize_batch", "json_source", "ann_ivf", "ner_backlog",
     // round-6 reference-surface tail (VERDICT r5 "What's missing")
     "fuzzy_search", "search_highlight", "date_histogram_week", "date_histogram_month",
-    "overview_recency", "layer_diff", "processing_stage_stats", "recent_daily")
+    "overview_recency", "layer_diff", "processing_stage_stats", "recent_daily",
+    "entity_insights_typed")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
