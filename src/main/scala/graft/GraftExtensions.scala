@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CleanContent, DotProduct, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -93,6 +93,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(text) => CleanContent(text)
         case other => badSignature("graft_clean_content", "(text: string)", other)
+      }),
+    ("graft_ivf_argmin",
+      new ExpressionInfo(classOf[IvfArgmin].getName, "graft_ivf_argmin"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec, cents) => IvfArgmin(vec, cents)
+        case other => badSignature(
+          "graft_ivf_argmin", "(vector, centroids: array<struct<cell, cemb, cnrm>>)", other)
       }))
 
   /** Idempotently register the functions on an existing session. */

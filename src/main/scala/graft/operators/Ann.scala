@@ -117,10 +117,14 @@ object Ann {
       struct((-(dot(col(embCol), c.getField("cemb")) / (col(nrmCol) * c.getField("cnrm"))))
         .as("negsim"), c.getField("cell").as("cell")))
     val joined = df.crossJoin(broadcast(centroids))
-    // keep=1 (the whole corpus) is an O(k) argmin — no sort, no
-    // explode; keep>1 (the handful of query rows) pays the sort.
+    // keep=1 (the whole corpus) is an O(k) argmin fused into ONE
+    // native pass ([[graft.functions.IvfArgmin]] — no per-centroid
+    // lambda binds or struct allocations, same ordering as the
+    // declarative struct-min, spec-pinned equal); keep>1 (the handful
+    // of query rows) pays the interpreted sort.
     val assigned =
-      if (keep == 1) joined.withColumn("cell", array_min(scored).getField("cell"))
+      if (keep == 1) joined.withColumn("cell",
+        call_function("graft_ivf_argmin", col(embCol), col("cents")))
       else joined
         .withColumn("__cell", explode(slice(array_sort(scored), 1, keep)))
         .withColumn("cell", col("__cell.cell"))

@@ -119,6 +119,26 @@ class AnnSpec extends SparkSpec {
     assert(mixed(2) === fresh2)
   }
 
+  test("graft_ivf_argmin equals the declarative struct-min on random mixed vectors") {
+    GraftExtensions.register(spark)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, (0 until 16).map(j => math.sin(i * 16 + j).toFloat), 0))
+    val df = embs(vecs: _*)
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", Ann.norm(col("emb")))
+    val cents = Ann.ivfCentroids(df, 32)
+    val scored = transform(col("cents"), c =>
+      struct((-(Ann.dot(col("emb"), c.getField("cemb")) / (col("nrm") * c.getField("cnrm"))))
+        .as("negsim"), c.getField("cell").as("cell")))
+    val diffs = df.crossJoin(broadcast(cents))
+      .select(
+        call_function("graft_ivf_argmin", col("emb"), col("cents")).as("native"),
+        array_min(scored).getField("cell").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs === 0L)
+  }
+
   test("graft_dot rejects non-double-array arguments at analysis time") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
