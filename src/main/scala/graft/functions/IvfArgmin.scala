@@ -53,11 +53,15 @@ case class IvfArgmin(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_ivf_argmin"
 
+  // Interpreted-only expression (CodegenFallback): resolve the element
+  // accessors once per deserialized instance, not per row.
+  @transient private lazy val ge = VectorExpressions.getter(left.dataType)
+  @transient private lazy val gc =
+    VectorExpressions.getter(centroidType(right.dataType).get._2)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val emb = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val cents = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val ge = VectorExpressions.getter(left.dataType)
-    val gc = VectorExpressions.getter(centroidType(right.dataType).get._2)
     val n = emb.numElements()
     val k = cents.numElements()
     if (k == 0) return null
