@@ -46,6 +46,30 @@ class SearchSpec extends SparkSpec {
     assert(out === Set(1L)) // maxEdits=0: "ax" does not match
   }
 
+  test("fuzzy recall dominates exact recall on the real corpus (typo'd term)") {
+    // every doc the exact ranked search finds for "window" must score
+    // > 0 under fuzzySearch("windo"): the exact token is within the
+    // 1-edit budget, so fuzzy hits are a superset before top-N. (Holds
+    // on whitespace-tokenized corpora like the test tables; a
+    // punctuation-glued occurrence — "window," — would satisfy the
+    // exact \b match but exceed the token edit budget.)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Search.rankedSearch(docs, "window", topN = 1000000)
+      .select("doc_id").as[Long].collect().toSet
+    val fuzzy = Search.fuzzySearch(docs, "windo", topN = 1000000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(fuzzy))
+  }
+
+  test("dateHistogram rejects an unsupported interval at construction") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Analytics.dateHistogram(
+        Tables.events(spark, "/root/testdata/sf0.001"), "fortnight")
+    }
+    assert(e.getMessage.contains("interval"))
+  }
+
   test("searchHighlight clamps the fragment at both text boundaries") {
     val long = ("a" * 100) + " window " + ("b" * 100)
     val out = Search.searchHighlight(
