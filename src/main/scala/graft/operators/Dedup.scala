@@ -175,10 +175,19 @@ object Dedup {
     val rare = sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = rare.as("a")
-      .join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+    // Co-occurrence via groupBy-collect + map-side pair generation
+    // instead of a sort-merge self-join: the df cap bounds every
+    // posting list at maxDocFreq docs, so the per-shingle pair
+    // expansion is safe, and the exploded corpus is shuffled ONCE
+    // with no sort on either side (a self-join would sort both).
+    val postings = rare.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val common = postings
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("doc_id_1"), col("p.d2").as("doc_id_2"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("doc_id_1"), col("n").as("n1")), "doc_id_1")
