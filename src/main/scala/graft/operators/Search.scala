@@ -77,7 +77,13 @@ object Search {
     * filter over the split — deterministic, unlike ES's BM25+fuzzy
     * scoring. The thresholded `levenshtein` abandons a token as soon
     * as its running distance exceeds the budget, so the per-token cost
-    * is O(|token| × maxEdits), not O(|token| × |term|). */
+    * is O(|token| × maxEdits), not O(|token| × |term|).
+    *
+    * Measured and rejected: a fused native expression (one loop over
+    * `UTF8String.split` + thresholded `levenshteinDistance`) was
+    * indistinguishable at sf0.1 (0.40-0.53 s vs 0.37-0.52 s) — the
+    * per-token DP dominates and both paths share it, so the HOF
+    * stays for its transparency. */
   def fuzzyTermFrequency(text: Column, term: String, maxEdits: Int): Column =
     size(filter(split(text, " "), w =>
       if (maxEdits == 0) w === lit(term)
