@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{BoundedCollect, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -100,6 +100,13 @@ object GraftExtensions {
         case Seq(vec, cents) => IvfArgmin(vec, cents)
         case other => badSignature(
           "graft_ivf_argmin", "(vector, centroids: array<struct<cell, cemb, cnrm>>)", other)
+      }),
+    ("graft_bounded_collect",
+      new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(n: Int, _)) => BoundedCollect(v, n).toAggregateExpression()
+        case Seq(_, other) => notLiteral("graft_bounded_collect", "maxN", other)
+        case other => badSignature("graft_bounded_collect", "(value: bigint, maxN: int literal)", other)
       }))
 
   /** Idempotently register the functions on an existing session. */

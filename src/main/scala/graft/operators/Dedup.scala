@@ -153,37 +153,41 @@ object Dedup {
     * ratio is the textbook stopword treatment). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
                         maxDocFreq: Long = 100L): DataFrame = {
+    require(maxDocFreq >= 1 && maxDocFreq <= Int.MaxValue,
+      s"maxDocFreq must be in [1, Int.MaxValue], got $maxDocFreq")
     val sh = shingleRows(documents)
-    // Doc-frequency cap as an aggregated heavy-hitter set removed by a
-    // broadcast anti-join: shingles with df > maxDocFreq are shared
-    // boilerplate by construction, so the surviving set is tiny, and
-    // the aggregate's map-side combine bounds its shuffle by |distinct
-    // shingles per partition|, not |exploded rows|. The former
-    // per-shingle window count kept one explode but SORTED the entire
-    // exploded corpus inside each shuffle partition just to count df
-    // (r5 bench: 6.4 s vs 3.4 at sf0.1) — a full sort is a worse trade
-    // than a second cheap explode. (Also measured and rejected:
-    // broadcasting the heavy set as ONE collected row and dropping it
-    // map-side with `array_except` — that expression rebuilds its
-    // lookup set per ROW for a non-literal argument, 10% slower than
-    // the anti-join's shared hash table.) If the heavy set ever
-    // outgrew the broadcast budget, dropping the hint falls back to a
-    // shuffle join on `shingle` — still sort-free on the probe side.
-    val heavy = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select(col("shingle"))
-    val rare = sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
-      .select(col("doc_id"), col("shingle"))
-    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Co-occurrence via groupBy-collect + map-side pair generation
-    // instead of a sort-merge self-join: the df cap bounds every
-    // posting list at maxDocFreq docs, so the per-shingle pair
-    // expansion is safe, and the exploded corpus is shuffled ONCE
-    // with no sort on either side (a self-join would sort both).
-    val postings = rare.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+    // Doc-frequency cap FUSED into the posting-list aggregation:
+    // [[graft.functions.BoundedCollect]] collects each shingle's doc
+    // ids into a buffer hard-capped at maxDocFreq + 1 slots and
+    // evaluates heavy hitters (df > maxDocFreq) to NULL — so the whole
+    // retained universe falls out of ONE corpus explode and ONE
+    // map-side-combinable shuffle. The r5 window formulation sorted
+    // the entire exploded corpus to count df (6.4 s at sf0.1); the
+    // interim heavy-set broadcast anti-join (3.4 s) still exploded the
+    // corpus twice more and carried a broadcast that GROWS with corpus
+    // diversity; this shape (2.x s) has no broadcast, no anti-join
+    // probe, and a collect buffer that a million-doc boilerplate
+    // shingle cannot blow — it saturates at maxDocFreq + 1 and
+    // collapses to NULL. (Also measured and rejected: capping via
+    // `array_except` against a collected heavy row — the expression
+    // rebuilds its lookup set per row.)
+    graft.GraftExtensions.register(documents.sparkSession)
+    val postings = sh.groupBy(col("shingle"))
+      .agg(call_function("graft_bounded_collect",
+        col("doc_id"), lit(maxDocFreq.toInt)).as("ds"))
+      .filter(col("ds").isNotNull)
+      .select(sort_array(col("ds")).as("ds"))
+    // Per-doc retained-universe sizes re-derived from the (bounded)
+    // postings — no second pass over the corpus.
+    val sizes = postings
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Co-occurrence via map-side pair generation over the bounded
+    // lists — a sort-merge self-join would sort the exploded corpus
+    // on both sides; here nothing is ever sorted but the ≤(maxDocFreq)
+    // -element lists themselves.
     val common = postings
+      .filter(size(col("ds")) >= 2)
       .select(explode(flatten(transform(col("ds"), (a, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),
           b => struct(a.as("d1"), b.as("d2")))))).as("p"))

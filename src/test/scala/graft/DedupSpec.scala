@@ -21,6 +21,17 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("graft_bounded_collect keeps lists under the cap, NULLs groups above it") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      """SELECT k, sort_array(graft_bounded_collect(v, 3)) AS ds FROM VALUES
+        | (1, 10L), (1, 11L), (1, 12L),
+        | (2, 20L), (2, 21L), (2, 22L), (2, 23L) AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(out(0).getSeq[Long](1) === Seq(10L, 11L, 12L))
+    assert(out(1).isNullAt(1)) // 4 elements > cap 3: heavy hitter collapses
+  }
+
   test("minhash pairs identical docs at est_jaccard 1.0 and skips unrelated") {
     val out = Dedup.minhashPairs(docs((1L, base), (2L, base), (3L, other)))
       .as[(Long, Long, Double)].collect()
