@@ -44,27 +44,58 @@ object Ner {
     Dictionary.toDF("word", "entity_type", "confidence")
   }
 
+  /** Columns a gazetteer frame must carry. */
+  val DictionaryColumns: Seq[String] = Seq("word", "entity_type", "confidence")
+
+  /** Load a gazetteer from parquet (or any `spark.read`-able path a
+    * caller pre-reads) — the dictionary is DATA, not code: a real
+    * corpus swaps in its own entity list without recompiling. Schema
+    * is validated up front so a malformed dictionary fails at load,
+    * not as an unresolved-column error three operators later. */
+  def loadDictionary(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = DictionaryColumns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"gazetteer at $path is missing columns: ${missing.mkString(",")}")
+    df.select(col("word").cast("string"), col("entity_type").cast("string"),
+      col("confidence").cast("double"))
+  }
+
   /** Raw validated mentions: one row per (doc, token occurrence) that
     * survives validation — length >= 2, confidence >= 0.5, not
-    * blocklisted, alphabetic surface form (`ner.py:115-168`). */
-  def mentions(spark: SparkSession, documents: DataFrame): DataFrame =
+    * blocklisted, alphabetic surface form (`ner.py:115-168`).
+    *
+    * `dictionary` is any (word, entity_type, confidence) frame — see
+    * [[loadDictionary]]; it is broadcast regardless of origin (a
+    * gazetteer is dimension-sized by construction), so the corpus side
+    * never shuffles — the only join shape that survives 100 TB. */
+  def mentions(spark: SparkSession, documents: DataFrame,
+               dictionary: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(broadcast(dictDf(spark)), "word")
+      .join(broadcast(dictionary), "word")
       .filter(
         length(col("word")) >= 2 &&
           col("confidence") >= 0.5 &&
           !col("word").isin(Blocklist.toSeq: _*) &&
           col("word").rlike("^[a-z]+$"))
 
+  /** [[mentions]] with the built-in spec-fixture gazetteer. */
+  def mentions(spark: SparkSession, documents: DataFrame): DataFrame =
+    mentions(spark, documents, dictDf(spark))
+
   /** Entity table: deduped per (doc, text, type) keeping the max
     * confidence, with the mention count (`ner.py:200-229`). */
-  def extract(spark: SparkSession, documents: DataFrame): DataFrame =
-    mentions(spark, documents)
+  def extract(spark: SparkSession, documents: DataFrame,
+              dictionary: DataFrame): DataFrame =
+    mentions(spark, documents, dictionary)
       .groupBy(col("doc_id"), col("word").as("entity_text"), col("entity_type"))
       .agg(
         max(col("confidence")).as("confidence"),
         count(lit(1)).as("mentions"))
+
+  /** [[extract]] with the built-in gazetteer. */
+  def extract(spark: SparkSession, documents: DataFrame): DataFrame =
+    extract(spark, documents, dictDf(spark))
 
   /** view_gold_entities (`process_silver_to_gold.sql:139-170`): per
     * entity, mention + article counts, HAVING >= 2 articles. */

@@ -37,6 +37,35 @@ class NerSpec extends SparkSpec {
     assert(out.toSeq === Seq(("spark", 2L))) // query & stream appear in 1 article each
   }
 
+  test("a parquet-loaded gazetteer drives extraction; built-in dict stays the default") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gazetteer").toString
+    // a domain dictionary the built-in fixture knows nothing about
+    Seq(("jakarta", "NOR", 0.9), ("airlangga", "PER", 0.8), ("komnas", "ORG", 0.75))
+      .toDF("word", "entity_type", "confidence")
+      .write.mode("overwrite").parquet(s"$dir/dict.parquet")
+    val dict = Ner.loadDictionary(spark, s"$dir/dict.parquet")
+    val corpus = docs((1L, "airlangga visited jakarta"), (2L, "komnas jakarta report"))
+    val out = Ner.extract(spark, corpus, dict)
+      .orderBy("doc_id", "entity_text")
+      .select("doc_id", "entity_text", "entity_type").as[(Long, String, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "airlangga", "PER"), (1L, "jakarta", "NOR"),
+      (2L, "jakarta", "NOR"), (2L, "komnas", "ORG")))
+    // same validation pipeline applies to external dictionaries too:
+    // blocklist, confidence floor, min length
+    Seq(("data", "ORG", 0.9), ("x", "PER", 0.9), ("weak", "PER", 0.3))
+      .toDF("word", "entity_type", "confidence")
+      .write.mode("overwrite").parquet(s"$dir/bad.parquet")
+    assert(Ner.extract(spark, docs((1L, "data x weak")),
+      Ner.loadDictionary(spark, s"$dir/bad.parquet")).count() === 0L)
+    // schema drift fails at load
+    Seq(("w", 1.0)).toDF("word", "confidence")
+      .write.mode("overwrite").parquet(s"$dir/drift.parquet")
+    intercept[IllegalArgumentException] {
+      Ner.loadDictionary(spark, s"$dir/drift.parquet")
+    }
+  }
+
   test("entityTypeStats rolls up by type") {
     val df = docs((1L, "spark customer spark"), (2L, "customer"))
     val out = Ner.entityTypeStats(spark, df).orderBy("entity_type")
