@@ -223,6 +223,56 @@ object SparkEntry {
              |  FROM documents) t
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    ("ranked_search_recency",
+      (s: SparkSession, d: String) => Search.rankedSearch(docs(s, d), "window", 20,
+        recency = Some(date_add(lit("2024-01-01").cast("date"),
+          (col("doc_id") % 365).cast("int")))),
+      // The corpus has no publish date; a deterministic derived one
+      // (doc_id % 365 days into 2024) exercises ES's `_score desc,
+      // date desc` secondary sort (`es.py:197-200`) — within a score
+      // tie the order is NOT doc_id order, so the tiebreak is load-bearing.
+      Some("""SELECT doc_id, lang, recency, score FROM (
+             |  SELECT doc_id, lang,
+             |    DATE '2024-01-01' + CAST(doc_id % 365 AS INTEGER) AS recency,
+             |    CAST(len(regexp_extract_all(substr(text, 1, 80), '\bwindow\b')) AS BIGINT) * 3
+             |      + CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS score
+             |  FROM documents) t
+             |WHERE score > 0 ORDER BY score DESC, recency DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("ranked_search_page2",
+      (s: SparkSession, d: String) => Search.rankedSearchAfter(docs(s, d), "window",
+        Search.pageCursor(Search.rankedSearch(docs(s, d), "window", 20))),
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(substr(text, 1, 80), '\bwindow\b')) AS BIGINT) * 3
+             |      + CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS score
+             |  FROM documents),
+             |hits AS (SELECT * FROM scored WHERE score > 0),
+             |page1 AS (SELECT * FROM hits ORDER BY score DESC, doc_id LIMIT 20),
+             |cur AS (SELECT score AS cursor_score, doc_id AS cursor_doc
+             |        FROM page1 ORDER BY score ASC, doc_id DESC LIMIT 1)
+             |SELECT doc_id, lang, score FROM hits, cur
+             |WHERE score < cursor_score OR (score = cursor_score AND doc_id > cursor_doc)
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("search_highlight_multi",
+      (s: SparkSession, d: String) => Search.searchHighlightMulti(docs(s, d), "window"),
+      // successive byte-offset fragments: p_{i+1} searches the
+      // remainder AFTER p_i's term, both engines pure positional
+      Some("""WITH h1 AS (
+             |  SELECT doc_id, source AS topic, text, strpos(text, 'window') AS p1
+             |  FROM documents WHERE text LIKE '%window%'),
+             |h2 AS (SELECT *, CASE WHEN p1 > 0 AND strpos(substr(text, p1 + 6), 'window') > 0
+             |         THEN p1 + 6 + strpos(substr(text, p1 + 6), 'window') - 1 ELSE 0 END AS p2 FROM h1),
+             |h3 AS (SELECT *, CASE WHEN p2 > 0 AND strpos(substr(text, p2 + 6), 'window') > 0
+             |         THEN p2 + 6 + strpos(substr(text, p2 + 6), 'window') - 1 ELSE 0 END AS p3 FROM h2)
+             |SELECT doc_id, topic, list_filter([
+             |    CASE WHEN p1 > 0 THEN substr(text, GREATEST(1, p1 - 60), p1 - GREATEST(1, p1 - 60) + 66) END,
+             |    CASE WHEN p2 > 0 THEN substr(text, GREATEST(1, p2 - 60), p2 - GREATEST(1, p2 - 60) + 66) END,
+             |    CASE WHEN p3 > 0 THEN substr(text, GREATEST(1, p3 - 60), p3 - GREATEST(1, p3 - 60) + 66) END
+             |  ], x -> x IS NOT NULL) AS fragments
+             |FROM h3""".stripMargin)),
+
     ("fuzzy_search",
       (s: SparkSession, d: String) => Search.fuzzySearch(docs(s, d), "windo"),
       Some("""SELECT doc_id, lang, score FROM (

@@ -53,19 +53,64 @@ object Search {
         else col("text").contains(term))
       .select(col("doc_id"), col("lang"), col("source").as("topic"), col("n_chars"))
 
-  /** Ranked search (`es.py:166-240`): score = 3×tf(title) + tf(body),
-    * descending, top N. TakeOrderedAndProject bounds the sort at N rows
-    * per partition — no global sort materializes at scale. */
-  def rankedSearch(documents: DataFrame, term: String, topN: Int = 20): DataFrame =
+  /** The scored hit set shared by every ranked variant: score =
+    * 3×tf(title) + tf(body) (`es.py:166-240`), zero-score rows
+    * dropped, plus any extra pass-through columns (one map-side
+    * projection — no re-join to recover them later). */
+  private def scoredHits(documents: DataFrame, term: String,
+                         extra: Seq[Column] = Seq.empty): DataFrame =
     documents
-      .select(
-        col("doc_id"),
-        col("lang"),
+      .select(Seq(col("doc_id"), col("lang")) ++ extra :+
         (termFrequency(titleZone(col("text")), term) * 3 +
-          termFrequency(col("text"), term)).as("score"))
+          termFrequency(col("text"), term)).as("score"): _*)
       .filter(col("score") > 0)
+
+  /** Ranked search (`es.py:166-240`): score desc, top N.
+    * TakeOrderedAndProject bounds the sort at N rows per partition —
+    * no global sort materializes at scale.
+    *
+    * `recency` mirrors ES's secondary sort `_score desc, date desc`
+    * (`es.py:197-200`): an optional expression over the document row
+    * (a publish-date column on a corpus that has one). It sorts
+    * BETWEEN score and the doc_id total-order tiebreak and is emitted
+    * as a `recency` output column so consumers see what broke the
+    * tie. */
+  def rankedSearch(documents: DataFrame, term: String, topN: Int = 20,
+                   recency: Option[Column] = None): DataFrame = {
+    val hits = scoredHits(documents, term, recency.map(_.as("recency")).toSeq)
+    val order =
+      if (recency.isDefined) Seq(col("score").desc, col("recency").desc, col("doc_id"))
+      else Seq(col("score").desc, col("doc_id"))
+    hits.orderBy(order: _*).limit(topN)
+  }
+
+  /** Keyset cursor for the next page: the LAST row of the given page
+    * under the ranked order (score desc, doc_id asc) — i.e. the
+    * minimum by that order. One row; callers broadcast it. */
+  def pageCursor(page: DataFrame): DataFrame =
+    page.orderBy(col("score").asc, col("doc_id").desc).limit(1)
+      .select(col("score").as("cursor_score"), col("doc_id").as("cursor_doc"))
+
+  /** Page N+1 of [[rankedSearch]] by KEYSET pagination — the reference
+    * paginates with LIMIT/OFFSET (`services/batch_pg.py:303-311`),
+    * which at scale re-scores and re-sorts every preceding page just
+    * to throw it away (OFFSET 10 000 000 walks ten million rows). The
+    * scale-correct form seeks instead: everything STRICTLY AFTER the
+    * previous page's last row in (score desc, doc_id asc) order —
+    * `score < cursor OR (score = cursor AND doc_id > cursor_doc)`.
+    * The one-row cursor rides a broadcast nested-loop join (a 1×N
+    * predicate pushover, not a real cross product) and the result is
+    * again TakeOrderedAndProject-bounded: page depth never changes the
+    * cost of a page. */
+  def rankedSearchAfter(documents: DataFrame, term: String, cursor: DataFrame,
+                        topN: Int = 20): DataFrame =
+    scoredHits(documents, term)
+      .crossJoin(broadcast(cursor))
+      .filter(col("score") < col("cursor_score") ||
+        (col("score") === col("cursor_score") && col("doc_id") > col("cursor_doc")))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
+      .drop("cursor_score", "cursor_doc")
 
   /** ES `"fuzziness": "AUTO"` edit budget (`es.py:181`): terms under 3
     * chars match exactly, 3-5 chars allow one edit, longer allow two. */
@@ -122,6 +167,49 @@ object Search {
       .select(col("doc_id"), col("source").as("topic"),
         col("text").substr(start, pos - start + lit(term.length + context)).as("snippet"))
   }
+
+  /** Multi-fragment highlighting — the full ES highlight contract
+    * (`es.py:188-229`): up to `numFragments` fragments, each `context`
+    * chars either side of successive occurrences of the term. Like
+    * [[searchHighlight]] the arithmetic is positional (instr/substr
+    * byte offsets, which every engine agrees on) — occurrence i+1 is
+    * found by searching the remainder AFTER occurrence i's term, so
+    * fragments never re-highlight the same match. Fewer occurrences
+    * than `numFragments` yield a shorter array (ES drops empty
+    * fragments too). No merging of overlapping fragments — successive
+    * occurrences closer than a fragment width repeat the shared text,
+    * a documented simplification of ES's fragment merging.
+    *
+    * All `numFragments` offsets come from ONE projection over the row
+    * (chained byte searches, no explode, no regex) — per-row cost is
+    * O(numFragments × |text|) worst case and the operator stays a
+    * zero-shuffle codegen'd map. */
+  def searchHighlightMulti(documents: DataFrame, term: String, context: Int = 60,
+                           numFragments: Int = 3): DataFrame = {
+    require(numFragments >= 1 && context >= 0)
+    val len = term.length
+    // successive absolute 1-based positions; 0 = no further occurrence
+    val positions = Iterator.iterate(instr(col("text"), term)) { prev =>
+      // search the remainder after the previous match's term; r is
+      // relative (1-based) inside that remainder, 0 when absent
+      val r = instr(substring_index_safe(col("text"), prev + len), term)
+      when(prev > 0 && r > 0, prev + len + r - 1).otherwise(lit(0))
+    }.take(numFragments).toSeq
+    val frags = positions.map { p =>
+      val start = greatest(lit(1), p - context)
+      when(p > 0, col("text").substr(start, p - start + lit(len + context)))
+    }
+    documents
+      .filter(col("text").contains(term))
+      .select(col("doc_id"), col("source").as("topic"),
+        filter(array(frags: _*), f => f.isNotNull).as("fragments"))
+  }
+
+  /** `substr(text, pos)` with a Column position (the 2-arg form Spark
+    * only exposes with literal positions): everything from `pos` to
+    * the end. */
+  private def substring_index_safe(text: Column, pos: Column): Column =
+    text.substr(pos, length(text))
 
   /** Search with topic/lang/size filters (`es.py:204-215`): the
     * structured predicates sit in front of the text match so they reach

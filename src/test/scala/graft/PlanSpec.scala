@@ -108,6 +108,23 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "BroadcastExchange") === 1, s"centroids broadcast once:\n$plan")
   }
 
+  test("keyset pagination: 1-row cursor broadcast; page bounded by TakeOrderedAndProject") {
+    val plan = finalPlan(SparkEntry.queries("ranked_search_page2")(spark, dir))
+    // the cursor is the ONLY broadcast (1 row); the probe side must be
+    // a bare scan — OFFSET-style re-sort of prior pages would show as
+    // an extra global Sort or a hash-partitioned exchange
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1, s"cursor rides a BNLJ:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") === 0,
+      s"page must not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"page sort must be N-bounded:\n$plan")
+  }
+
+  test("search_highlight_multi: zero-shuffle map with the contains filter pushed") {
+    val plan = finalPlan(SparkEntry.queries("search_highlight_multi")(spark, dir))
+    assert(count(plan, "Exchange") === 0, s"highlighting must be map-only:\n$plan")
+    assert(plan.contains("StringContains(text,window)"), s"pre-filter must push:\n$plan")
+  }
+
   test("overview_metrics: one scan (not the reference's 8 subquery scans)") {
     val plan = finalPlan(SparkEntry.queries("overview_metrics")(spark, dir))
     assert(count(plan, "Scan parquet") === 1)

@@ -29,7 +29,9 @@ class RegistrySpec extends SparkSpec {
     // round-6 reference-surface tail (VERDICT r5 "What's missing")
     "fuzzy_search", "search_highlight", "date_histogram_week", "date_histogram_month",
     "overview_recency", "layer_diff", "processing_stage_stats", "recent_daily",
-    "entity_insights_typed")
+    "entity_insights_typed",
+    // round-7 parity tail (VERDICT r6 "Next round" items 3-5)
+    "ranked_search_recency", "ranked_search_page2", "search_highlight_multi")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

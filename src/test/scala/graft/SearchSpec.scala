@@ -70,6 +70,55 @@ class SearchSpec extends SparkSpec {
     assert(e.getMessage.contains("interval"))
   }
 
+  test("recency tiebreak reorders score ties and is load-bearing") {
+    // three docs, identical score ("term" once in the title zone):
+    // default order is doc_id asc; recency desc must reverse it
+    val d = docs((1L, "term alpha"), (2L, "term bravo"), (3L, "term charlie"))
+    val default = Search.rankedSearch(d, "term")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(default === Seq(1L, 2L, 3L))
+    val byRecency = Search.rankedSearch(d, "term",
+      recency = Some(col("doc_id") * 10)) // newer = higher doc_id here
+      .select("doc_id").as[Long].collect().toSeq
+    assert(byRecency === Seq(3L, 2L, 1L))
+    // recency sorts BETWEEN score and doc_id: a higher score still wins
+    val mixed = docs((1L, "term term alpha"), (2L, "term bravo"))
+    val out = Search.rankedSearch(mixed, "term", recency = Some(-col("doc_id")))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L)) // doc 1 scores 6 > 3 despite older recency
+  }
+
+  test("keyset pagination: pages are disjoint, contiguous, and union to the top-2N") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val page1 = Search.rankedSearch(docs, "window", topN = 10)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    val page2 = Search.rankedSearchAfter(docs, "window",
+      Search.pageCursor(Search.rankedSearch(docs, "window", topN = 10)), topN = 10)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    val top20 = Search.rankedSearch(docs, "window", topN = 20)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    assert(page1.size === 10 && page2.size === 10)
+    assert(page1 ++ page2 === top20) // same order, no gap, no overlap
+  }
+
+  test("searchHighlightMulti returns successive non-null fragments, bounded by count") {
+    val spread = "window " + ("a" * 70) + " window " + ("b" * 70) +
+      " window " + ("c" * 70) + " window end" // 4 occurrences, 3 fragments max
+    val out = Search.searchHighlightMulti(
+      docs((1L, "one window only"), (2L, spread), (3L, "none here")),
+      "window", context = 10, numFragments = 3)
+      .select("doc_id", "fragments").as[(Long, Seq[String])].collect().toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === Seq("one window only")) // single occurrence -> 1 fragment
+    val frags = out(2L)
+    assert(frags.size === 3) // capped at numFragments despite 4 occurrences
+    // fragment i centers occurrence i: 10 context chars each side
+    // (space included), clamped at the text start for occurrence 1
+    assert(frags(0) === "window " + "a" * 9)
+    assert(frags(1) === "a" * 9 + " window " + "b" * 9)
+    assert(frags(2) === "b" * 9 + " window " + "c" * 9)
+  }
+
   test("searchHighlight clamps the fragment at both text boundaries") {
     val long = ("a" * 100) + " window " + ("b" * 100)
     val out = Search.searchHighlight(
