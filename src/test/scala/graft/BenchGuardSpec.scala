@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression guardrail's pure parts: baseline parsing (both
+  * the committed round-file shape and a raw bench line) and the
+  * regression rule. The wiring is exercised by every driver bench run. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val committed =
+    """{
+      |  "n": 6, "rc": 0, "cpus": 32, "sf": 0.1,
+      |  "tail": "noise\n{\"metric\":\"total\",\"value\":9.9,\"queries\":{\"q_a\":0.5,\"q_b\":2.0},\"sf\":\"/root/testdata/sf0.1\"}\n",
+      |  "parsed": {"metric": "total", "value": 9.9,
+      |    "queries":{"q_a":0.5,"q_b":2.0,"q_c":0.05},
+      |    "errors": {}, "sf": "/root/testdata/sf0.1"}
+      |}""".stripMargin
+
+  test("parseBaselineQueries reads the structured copy, not the escaped tail") {
+    // the tail's escaped copy lacks q_c — only the parsed object has it
+    assert(Bench.parseBaselineQueries(committed) ===
+      Map("q_a" -> 0.5, "q_b" -> 2.0, "q_c" -> 0.05))
+  }
+
+  test("parseBaselineQueries reads a raw bench output line too") {
+    val raw = """{"metric":"total","value":1.0,"queries":{"x":0.25,"y":7.5E-2},"sf":"/d/sf0.01"}"""
+    assert(Bench.parseBaselineQueries(raw) === Map("x" -> 0.25, "y" -> 0.075))
+  }
+
+  test("baselineSf handles the numeric and the path-valued forms") {
+    assert(Bench.baselineSf(committed) === Some("0.1"))
+    assert(Bench.baselineSf("""{"queries":{},"sf":"/root/testdata/sf0.01"}""") === Some("0.01"))
+    assert(Bench.baselineSf("no sf here") === None)
+  }
+
+  test("regression rule: ratio AND absolute floor must both trip") {
+    val prev = Map("big" -> 2.0, "small" -> 0.1, "grown" -> 1.0, "new" -> 1.0)
+    val cur = Map(
+      "big" -> 3.5,    // 1.75x and +1.5s -> regression
+      "small" -> 0.25, // 2.5x but +0.15s < floor -> jitter, not flagged
+      "grown" -> 1.4,  // +0.4s but 1.4x < ratio -> not flagged
+      "added" -> 9.0)  // no baseline -> not flagged
+    assert(Bench.regressions(prev, cur) === Map("big" -> (2.0, 3.5)))
+  }
+}
