@@ -155,8 +155,15 @@ object Ann {
       centroids, "qemb", "qnrm", keep = nprobe)
     cells.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id")
+      // score BEFORE deduping so the dedup aggregate sees only three
+      // narrow columns: with the embedding arrays still aboard,
+      // dropDuplicates plans as first(array<double>) which cannot
+      // hash-aggregate and falls back to Sort + SortAggregate ×2; the
+      // narrow form is a plain hash aggregate (cos is deterministic
+      // per pair, so deduping after scoring is value-identical)
       .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
