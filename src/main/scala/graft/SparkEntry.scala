@@ -273,6 +273,36 @@ object SparkEntry {
              |  ], x -> x IS NOT NULL) AS fragments
              |FROM h3""".stripMargin)),
 
+    ("ranked_search_multi",
+      (s: SparkSession, d: String) =>
+        Search.multiTermSearch(docs(s, d), Seq("window", "merge")),
+      // idf weights mirror Spark's exact association: per term
+      // CAST(tf AS DOUBLE) * (n_docs / GREATEST(df, 1.0)), left-fold sum
+      Some("""WITH stats AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    CAST(SUM(CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             |    CAST(SUM(CASE WHEN text LIKE '%merge%' THEN 1 ELSE 0 END) AS DOUBLE) AS df_1
+             |  FROM documents)
+             |SELECT doc_id, lang, score FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(CAST(len(regexp_extract_all(substr(text, 1, 80), '\bwindow\b')) AS BIGINT) * 3
+             |       + CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS DOUBLE)
+             |      * (n_docs / GREATEST(df_0, 1.0))
+             |    + CAST(CAST(len(regexp_extract_all(substr(text, 1, 80), '\bmerge\b')) AS BIGINT) * 3
+             |       + CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS DOUBLE)
+             |      * (n_docs / GREATEST(df_1, 1.0)) AS score
+             |  FROM documents, stats) t
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("hash_split",
+      (s: SparkSession, d: String) => TextOps.hashSplitStats(docs(s, d)),
+      Some(s"""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '19a'
+              |         THEN 'test' ELSE 'train' END AS split,
+              |  COUNT(*) AS docs,
+              |  ${avgLongSql("n_chars")} AS avg_chars,
+              |  COUNT(DISTINCT lang) AS langs
+              |FROM documents GROUP BY 1""".stripMargin)),
+
     ("fuzzy_search",
       (s: SparkSession, d: String) => Search.fuzzySearch(docs(s, d), "windo"),
       Some("""SELECT doc_id, lang, score FROM (

@@ -84,6 +84,43 @@ object Search {
     hits.orderBy(order: _*).limit(topN)
   }
 
+  /** Multi-term ranked search with inverse-document-frequency weights —
+    * ES `multi_match` takes a QUERY, not a term (`es.py:166-240`), and
+    * BM25 weighs each term by its rarity. Single-term [[rankedSearch]]
+    * cannot express that (for one term idf is a constant — a monotone
+    * transform that never reorders); with several terms the weights
+    * decide who wins: a doc matching the rare term outranks one
+    * matching the common term the same number of times.
+    *
+    * score(doc) = Σ_t (3×tf_title(t) + tf_body(t)) × (N / df_t) — a
+    * LINEAR idf, not BM25's log: every operation (count ratio,
+    * multiply, left-fold add) is IEEE exact-rounded, so any engine
+    * reproduces the double bit-for-bit, while `ln` carries no such
+    * guarantee across libms. Same term-rarity ordering, deterministic
+    * cross-engine.
+    *
+    * Two scans by nature (corpus statistics, then scoring): the stats
+    * aggregate collapses to ONE row broadcast to the scorers — at
+    * 100 TB the df pass is a map-side conditional count and the join
+    * adds no shuffle. */
+  def multiTermSearch(documents: DataFrame, terms: Seq[String], topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "multiTermSearch needs at least one term")
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("text").contains(t), 1L).otherwise(0L)).cast("double").as(s"df_$i")
+      }
+    val stats = documents.agg(aggs.head, aggs.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      (termFrequency(titleZone(col("text")), t) * 3 + termFrequency(col("text"), t))
+        .cast("double") * (col("n_docs") / greatest(col(s"df_$i"), lit(1.0)))
+    }.reduce(_ + _) // left fold: association mirrored in the oracle SQL
+    documents.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Keyset cursor for the next page: the LAST row of the given page
     * under the ranked order (score desc, doc_id asc) — i.e. the
     * minimum by that order. One row; callers broadcast it. */

@@ -154,6 +154,37 @@ object TextOps {
         when(words > 1, (words - 1).cast("double"))).as("dup_bigram_frac"))
   }
 
+  /** Deterministic hash split — the train/holdout assignment step of a
+    * training-data pipeline (the sibling of [[decontaminate]]: split
+    * first, then verify no leakage). Assignment is a pure function of
+    * the key via md5, so it is stable under re-runs, engine changes,
+    * cluster resizing, and corpus growth (a doc never migrates between
+    * splits when new data arrives — the property random `sample()`
+    * loses). Granularity is 1/4096 (3 hex chars); the comparison is
+    * LEXICOGRAPHIC on fixed-width lowercase hex, which equals the
+    * numeric compare and needs no hex-to-int conversion (portable to
+    * any engine with md5 + substr). Zero shuffle, zero state. */
+  def hashSplit(df: DataFrame, key: Column, testBuckets: Int = 410): DataFrame = {
+    // 4095 max: 4096 would format to 4 hex chars and break the
+    // fixed-width lexicographic compare ("fff" > "1000")
+    require(testBuckets >= 0 && testBuckets <= 4095,
+      "testBuckets is out of 4096 (0 to 4095)")
+    df.withColumn("split",
+      when(substring(md5(key.cast("string")), 1, 3) < lit(f"$testBuckets%03x"), "test")
+        .otherwise("train"))
+  }
+
+  /** Per-split corpus statistics over [[hashSplit]] — the sanity view
+    * run right after splitting (sizes near the target fraction,
+    * length/lang distributions comparable across splits). */
+  def hashSplitStats(documents: DataFrame, testBuckets: Int = 410): DataFrame =
+    hashSplit(documents, col("doc_id"), testBuckets)
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("docs"),
+        graft.functions.Exact.avgLong(col("n_chars")).as("avg_chars"),
+        countDistinct(col("lang")).as("langs"))
+
   /** Train/test decontamination: flag corpus docs sharing >= `minOverlap`
     * distinct k-gram shingles with a benchmark set (the standard
     * n-gram-overlap decontamination of LLM training corpora).

@@ -56,6 +56,63 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("chain")).count() === 0L)
   }
 
+  test("property: searchHighlightMulti equals a straightforward Scala reference") {
+    // reference implementation: scan occurrences left to right, each
+    // search resuming after the previous match's term; take the first
+    // `n` fragments of `ctx` chars context each side (1-based clamps)
+    def ref(text: String, term: String, ctx: Int, n: Int): Seq[String] = {
+      Iterator.iterate(text.indexOf(term)) { p =>
+        val next = text.indexOf(term, p + term.length)
+        next
+      }.takeWhile(_ >= 0).take(n).map { p0 =>
+        val p = p0 + 1 // 1-based
+        val start = math.max(1, p - ctx)
+        val len = p - start + term.length + ctx
+        text.slice(start - 1, start - 1 + len)
+      }.toSeq
+    }
+    val term = "xy"
+    // texts over a tiny alphabet so the term appears 0..many times,
+    // adjacent, overlapping-context and boundary-clamped
+    val gen = Gen.listOf(Gen.oneOf("x", "y", "a", " ")).map(_.mkString.take(60))
+    val texts = samples(gen, 400).filter(_.contains(term))
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = graft.operators.Search
+      .searchHighlightMulti(got, term, context = 5, numFragments = 3)
+      .select("doc_id", "fragments").as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) === ref(t, term, 5, 3), s"text=<$t>")
+    }
+  }
+
+  test("property: hashSplit is exhaustive, disjoint and stable under corpus growth") {
+    val ids = samples(Gen.choose(1L, 1000000L), 500).distinct
+    val base = ids.toDF("doc_id")
+    val split = TextOps.hashSplit(base, col("doc_id"), testBuckets = 410)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.keySet === ids.toSet) // every doc assigned exactly once
+    assert(split.values.toSet.subsetOf(Set("train", "test")))
+    // growth stability: adding rows must not move any existing doc
+    val grown = TextOps.hashSplit(
+      (ids ++ Seq(2000001L, 2000002L)).toDF("doc_id"), col("doc_id"), testBuckets = 410)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    ids.foreach(id => assert(grown(id) === split(id)))
+    // 410/4096 ≈ 10%: loose band, this is a determinism check not a
+    // statistical one
+    val testFrac = split.values.count(_ == "test").toDouble / ids.size
+    assert(testFrac > 0.02 && testFrac < 0.25, s"test fraction $testFrac")
+    // boundary semantics: 0 buckets -> all train; 4096 is rejected
+    // (4-hex-char threshold would break the fixed-width compare)
+    assert(TextOps.hashSplit(base, col("doc_id"), 0)
+      .filter(col("split") === "test").count() === 0L)
+    intercept[IllegalArgumentException] {
+      TextOps.hashSplit(base, col("doc_id"), 4096)
+    }
+  }
+
   test("property: dedupKeepFirst emits one row per distinct key, all from the input") {
     val rows = samples(Gen.zip(Gen.choose(1L, 50L), Gen.choose(1, 5)), 400)
     val df = rows.toDF("id", "k")

@@ -70,6 +70,27 @@ class SearchSpec extends SparkSpec {
     assert(e.getMessage.contains("interval"))
   }
 
+  test("multiTermSearch: the rare term outranks the common term at equal tf") {
+    // "common" appears in 4 docs (df=4), "rare" in 1 (df=4x weight):
+    // doc 10 matches only rare, docs 1-3 only common — same tf, but
+    // idf must put doc 10 first
+    val d = docs(
+      (1L, "common talk"), (2L, "common talk"), (3L, "common talk"),
+      (4L, "common and rare together"), (10L, "rare only"))
+    val out = Search.multiTermSearch(d, Seq("common", "rare"))
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    // doc 4 matches both -> highest; then the rare-only doc; commons last
+    assert(out.map(_._1).toSeq === Seq(4L, 10L, 1L, 2L, 3L))
+    val score = out.toMap
+    assert(score(10L) > score(1L)) // idf is load-bearing
+    // single term: idf is a constant factor -> same ORDER as rankedSearch
+    val one = Search.multiTermSearch(d, Seq("common")).select("doc_id")
+      .as[Long].collect().toSeq
+    val plain = Search.rankedSearch(d, "common").select("doc_id")
+      .as[Long].collect().toSeq
+    assert(one === plain)
+  }
+
   test("recency tiebreak reorders score ties and is load-bearing") {
     // three docs, identical score ("term" once in the title zone):
     // default order is doc_id asc; recency desc must reverse it
