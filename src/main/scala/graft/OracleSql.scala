@@ -101,6 +101,29 @@ object OracleSql {
        |  FROM documents) t""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Dedup.ngramJaccardPairs]] (threshold
+    * 0.5, maxDocFreq 100) as a CTE chain ending in
+    * `pairs(doc_id_1, doc_id_2, jaccard)`. Use as
+    * `WITH $ngramPairsCtes SELECT ... FROM pairs`. */
+  def ngramPairsCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+      |freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE df <= 100),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
+      |com AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS common
+      |        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_id_1, doc_id_2, jaccard FROM (
+      |    SELECT doc_id_1, doc_id_2,
+      |      CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+      |    FROM com
+      |    JOIN sizes s1 ON com.doc_id_1 = s1.doc_id
+      |    JOIN sizes s2 ON com.doc_id_2 = s2.doc_id) t
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
   /** Mirrors [[graft.operators.Enrichment.gold]] as a CTE chain
     * (silver → gold). Use as `WITH $goldCtes SELECT ... FROM gold`. */
   def goldCtes: String =

@@ -484,22 +484,20 @@ object SparkEntry {
 
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(docs(s, d)),
-      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-             |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-             |freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-             |rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE df <= 100),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
-             |com AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS common
-             |        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |        GROUP BY 1, 2)
-             |SELECT doc_id_1, doc_id_2, jaccard FROM (
-             |  SELECT doc_id_1, doc_id_2,
-             |    CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
-             |  FROM com
-             |  JOIN sizes s1 ON com.doc_id_1 = s1.doc_id
-             |  JOIN sizes s2 ON com.doc_id_2 = s2.doc_id) t
-             |WHERE jaccard >= 0.5""".stripMargin)),
+      Some(s"WITH $ngramPairsCtes SELECT doc_id_1, doc_id_2, jaccard FROM pairs")),
+
+    ("dedup_clusters",
+      (s: SparkSession, d: String) =>
+        Dedup.clusterPairs(Dedup.ngramJaccardPairs(docs(s, d))),
+      // oracle: true transitive closure via a (linear) recursive CTE —
+      // every node's cluster is the least id it can reach
+      Some(s"""WITH RECURSIVE $ngramPairsCtes,
+              |edges AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+              |          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+              |FROM reach GROUP BY a""".stripMargin)),
 
     ("dedup_embedding",
       (s: SparkSession, d: String) => Ann.embeddingDedupPairs(Tables.embeddings(s, d)),

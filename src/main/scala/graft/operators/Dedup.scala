@@ -201,4 +201,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
+
+  /** Connected-component cluster assignment over a near-dup pair list
+    * — the step that turns ANY of the pair generators above
+    * ([[minhashPairs]], [[simhashPairs]], [[ngramJaccardPairs]],
+    * [[Ann.embeddingDedupPairs]]) into an actually deduplicated
+    * corpus: every doc reachable through the pair graph gets the
+    * component's MINIMUM doc_id as `cluster_id`, so "keep one per
+    * near-dup cluster" is a filter (`doc_id = cluster_id`) and
+    * "drop the rest" an anti-join ([[applyClusters]]).
+    *
+    * Min-label propagation: labels start as each node's own id and
+    * every round takes the min over the neighbors' labels; a round is
+    * one join + one map-side-combinable min aggregate, and the loop
+    * converges in eccentricity(min-node) <= diameter rounds. Near-dup
+    * components are dense by construction (high-similarity pairs —
+    * quasi-cliques), so the diameter is small; a pathological chain
+    * longer than `maxIters` is cut off deterministically (document
+    * the bound) — the published alternating large-star/small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce")
+    * slot in here if a corpus ever produces deep chains. Fixpoint
+    * loops are DRIVER-COORDINATED in Spark by design (each round is a
+    * distributed job; only the 1-row convergence count comes back),
+    * and `localCheckpoint` cuts the per-round lineage so the plan does
+    * not grow with the iteration count. */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1)
+    val edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val msgs = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.union(msgs)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        converged = next.as("n")
+          .join(labels.as("o"), "node")
+          .filter(col("n.label") =!= col("o.label"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    } finally edges.unpersist()
+  }
+
+  /** Deduplicate a corpus with a cluster assignment: keep every doc
+    * that is its cluster's representative (or in no cluster at all —
+    * the overwhelming majority, which never shuffles: the cluster
+    * table is pair-graph-sized, broadcast into a map-side anti-join
+    * against the corpus scan). */
+  def applyClusters(documents: DataFrame, clusters: DataFrame): DataFrame =
+    documents.join(
+      broadcast(clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
 }

@@ -32,6 +32,53 @@ class DedupSpec extends SparkSpec {
     assert(out(1).isNullAt(1)) // 4 elements > cap 3: heavy hitter collapses
   }
 
+  test("clusterPairs assigns every component its min id (chain, triangle, isolated pair)") {
+    // components: a 4-hop chain 1-2-3-4-5 (min must traverse multiple
+    // rounds), a triangle 10-11-12, and an isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("doc_id_1", "doc_id_2", "jaccard")
+    val out = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusterPairs matches a union-find oracle on a random pair graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b), 0.9) }
+      .distinct
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.clusterPairs(pairs.toDF("doc_id_1", "doc_id_2", "jaccard"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("applyClusters keeps representatives and untouched docs, drops the rest") {
+    val corpus = docs((1L, base), (2L, base), (3L, other), (9L, "solo doc here"))
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val kept = Dedup.applyClusters(corpus, clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 9L)) // 2 dropped: non-representative member
+  }
+
   test("minhash pairs identical docs at est_jaccard 1.0 and skips unrelated") {
     val out = Dedup.minhashPairs(docs((1L, base), (2L, base), (3L, other)))
       .as[(Long, Long, Double)].collect()

@@ -32,8 +32,9 @@ class RegistrySpec extends SparkSpec {
     "entity_insights_typed",
     // round-7 parity tail (VERDICT r6 "Next round" items 3-5)
     "ranked_search_recency", "ranked_search_page2", "search_highlight_multi",
-    // round-7 depth: multi-term idf search, deterministic hash split
-    "ranked_search_multi", "hash_split")
+    // round-7 depth: multi-term idf search, deterministic hash split,
+    // near-dup cluster assignment
+    "ranked_search_multi", "hash_split", "dedup_clusters")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
