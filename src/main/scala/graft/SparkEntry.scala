@@ -420,6 +420,14 @@ object SparkEntry {
              |WHERE CAST(ts AS DATE) >= (DATE '2024-01-30' - 7)
              |GROUP BY 1 ORDER BY date DESC""".stripMargin)),
 
+    ("retention_sweep",
+      (s: SparkSession, d: String) =>
+        Analytics.retentionSweep(Tables.events(s, d), "2024-01-30", keepDays = 7),
+      Some("""SELECT COUNT(*) AS total_events,
+             |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < (DATE '2024-01-30' - 7) THEN 1 ELSE 0 END) AS BIGINT) AS bronze_expired,
+             |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < (DATE '2024-01-30' - 14) THEN 1 ELSE 0 END) AS BIGINT) AS silver_expired
+             |FROM events""".stripMargin)),
+
     ("entity_overview",
       (s: SparkSession, d: String) => Ner.entityOverview(s, docs(s, d)),
       Some(s"""WITH $nerCtes

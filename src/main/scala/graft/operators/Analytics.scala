@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Exact._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's analytics views re-expressed as single-pass Spark
@@ -244,6 +244,31 @@ object Analytics {
           .as("changed_rows"),
         sum(when(col("content_length") <= 50, 1L).otherwise(0L)).as("below_gold_gate"),
         sum(col("n_chars") - coalesce(col("content_length"), lit(0L))).as("chars_removed"))
+
+  /** Retention sweep (`/root/reference/services/pg_staging.py:399-427`
+    * `cleanup_old_data`): bronze keeps `keepDays`, silver twice as
+    * long, and the run reports how much each layer sheds. The
+    * reference row-DELETEs in place; a lake never does — expiry is
+    * [[expireOlderThan]] (a partition-prunable filter rewritten/
+    * dropped at the storage layer) and this sweep is its dry-run
+    * report: ONE conditional-aggregation scan, deterministic via the
+    * injected `now` (like [[overviewRecency]]). */
+  def retentionSweep(events: DataFrame, now: String, keepDays: Int = 30): DataFrame = {
+    val today = to_date(lit(now))
+    events.agg(
+      count(lit(1)).as("total_events"),
+      sum(when(to_date(col("ts")) < date_sub(today, keepDays), 1L).otherwise(0L))
+        .as("bronze_expired"),
+      sum(when(to_date(col("ts")) < date_sub(today, keepDays * 2), 1L).otherwise(0L))
+        .as("silver_expired"))
+  }
+
+  /** The retention filter itself: rows at or after the cutoff. The
+    * predicate is on the RAW timestamp column (no cast), so on a
+    * date/ts-partitioned layer it partition-prunes — expiry reads and
+    * rewrites nothing but the affected partitions. */
+  def expireOlderThan(df: DataFrame, tsCol: Column, cutoffTs: String): DataFrame =
+    df.filter(tsCol >= lit(cutoffTs).cast("timestamp_ntz"))
 
   /** ES stats aggregation (`es.py:304-345`): min/max/avg/sum/count. */
   def statsAgg(documents: DataFrame): DataFrame =

@@ -36,6 +36,18 @@ class SourcesSpec extends SparkSpec {
     assert(ev.select(max(col("ts"))).head().get(0) != null) // ts really materializes
   }
 
+  test("expireOlderThan keeps the cutoff row itself and everything after") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-15 00:00:01")))
+      .toDF("id", "ts")
+    val kept = graft.operators.Analytics
+      .expireOlderThan(df, col("ts"), "2024-01-15 00:00:00")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L)) // >= cutoff, boundary inclusive
+  }
+
   test("JsonSource.parseProps parses the payload against the declared schema") {
     val df = Seq((1L, """{"k": 42}"""), (2L, "not json")).toDF("event_id", "props")
     val out = JsonSource.parseProps(df).orderBy("event_id")
