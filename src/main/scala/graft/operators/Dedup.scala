@@ -227,10 +227,14 @@ object Dedup {
     * not grow with the iteration count. */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     require(maxIters >= 1)
-    val edges = pairs
+    // persist the PAIR projection, not the symmetric union: the union
+    // has the pair plan as BOTH branches, so caching only the union
+    // would still run the (expensive) pair generation twice in the
+    // first job
+    val p = pairs.select(col("doc_id_1"), col("doc_id_2")).persist()
+    val edges = p
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
-      .persist()
+      .union(p.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -251,7 +255,7 @@ object Dedup {
         iter += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-    } finally edges.unpersist()
+    } finally p.unpersist()
   }
 
   /** Deduplicate a corpus with a cluster assignment: keep every doc

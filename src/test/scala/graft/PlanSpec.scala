@@ -125,6 +125,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("StringContains(text,window)"), s"pre-filter must push:\n$plan")
   }
 
+  test("ranked_search_multi: the df stats ride a 1-row broadcast, the corpus never shuffles") {
+    val plan = finalPlan(SparkEntry.queries("ranked_search_multi")(spark, dir))
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1, s"stats ride a BNLJ:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") === 0,
+      s"scoring must not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-N bounds the sort:\n$plan")
+  }
+
   test("overview_metrics: one scan (not the reference's 8 subquery scans)") {
     val plan = finalPlan(SparkEntry.queries("overview_metrics")(spark, dir))
     assert(count(plan, "Scan parquet") === 1)
