@@ -420,6 +420,13 @@ object SparkEntry {
              |WHERE CAST(ts AS DATE) >= (DATE '2024-01-30' - 7)
              |GROUP BY 1 ORDER BY date DESC""".stripMargin)),
 
+    ("skew_salted_agg",
+      // the salted two-phase rewrite must be VALUE-identical to the
+      // plain groupBy it replaces — the oracle is exactly that
+      (s: SparkSession, d: String) =>
+        Skew.saltedCount(Tables.events(s, d), col("user_id")),
+      Some("SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1")),
+
     ("retention_sweep",
       (s: SparkSession, d: String) =>
         Analytics.retentionSweep(Tables.events(s, d), "2024-01-30", keepDays = 7),

@@ -34,7 +34,8 @@ class RegistrySpec extends SparkSpec {
     "ranked_search_recency", "ranked_search_page2", "search_highlight_multi",
     // round-7 depth: multi-term idf search, deterministic hash split,
     // near-dup cluster assignment
-    "ranked_search_multi", "hash_split", "dedup_clusters", "retention_sweep")
+    "ranked_search_multi", "hash_split", "dedup_clusters", "retention_sweep",
+    "skew_salted_agg")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
