@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Cleaning, Enrichment, Ner}
+import graft.operators.{Analytics, Cleaning, Dedup, Enrichment, Ner, TextOps}
 import graft.sources.Sinks
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -76,5 +76,60 @@ object Pipeline {
       "entities" -> written(s"$outDir/entities", entities.schema),
       "gold_analytics" -> written(s"$outDir/views/gold_analytics", ga.schema),
       "gold_trends" -> written(s"$outDir/views/gold_trends", gt.schema))
+  }
+
+  /** End-to-end TRAINING-DATA preparation — what a pre-training corpus
+    * actually runs over raw documents, composed entirely from the
+    * operators the registry verifies one by one:
+    *
+    *   clean → quality gate → exact dedup → near-dup clustering →
+    *   keep-one-per-cluster → PII redaction → deterministic
+    *   train/holdout split → partitioned writes.
+    *
+    * Stage order is the scale order: the cheap row-local gates (clean,
+    * quality) shrink the corpus before anything that shuffles; exact
+    * dedup (one hash shuffle) runs before the costlier near-dup pass;
+    * PII redaction is a zero-shuffle projection so it rides the final
+    * write; the split adds a column, not a shuffle. Near-dup pair
+    * generation is the only super-linear stage and is bounded by the
+    * doc-frequency cap ([[graft.operators.Dedup.ngramJaccardPairs]]).
+    * The returned counts give per-stage survivor numbers — the
+    * curation funnel every training-data run reports. */
+  def runTrainingPrep(spark: SparkSession, sourceDir: String, outDir: String,
+                      testBuckets: Int = 410): Summary = {
+    val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
+    val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+    val exact = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
+
+    // near-dup clustering over the exact-deduped survivors; clusterPairs
+    // persists the pair projection internally for its fixpoint rounds
+    val clusters = Dedup.clusterPairs(Dedup.ngramJaccardPairs(
+      exact.select(col("doc_id"), col("content").as("text"))))
+    val deduped = Dedup.applyClusters(exact, clusters)
+
+    val prepared = deduped.withColumn("content", TextOps.redact(col("content")))
+    val split = TextOps.hashSplit(prepared, col("doc_id"), testBuckets)
+    Sinks.writeParquet(split.filter(col("split") === "train").drop("split"),
+      s"$outDir/train", Seq("lang"))
+    Sinks.writeParquet(split.filter(col("split") === "test").drop("split"),
+      s"$outDir/test", Seq("lang"))
+
+    def written(path: String): Long =
+      spark.read.schema(prepared.schema).parquet(path).count()
+
+    // the funnel: input -> quality -> exact -> near-dup -> split sizes.
+    // quality/exact/deduped counts re-derive their (lazy) frames; the
+    // expensive near-dup stage is NOT re-run for counting — train/test
+    // are counted from the written parquet footers and deduped's count
+    // is their sum.
+    val trainN = written(s"$outDir/train")
+    val testN = written(s"$outDir/test")
+    Map(
+      "input" -> Tables.documents(spark, sourceDir).count(),
+      "quality" -> quality.count(),
+      "exact_deduped" -> exact.count(),
+      "near_deduped" -> (trainN + testN),
+      "train" -> trainN,
+      "test" -> testN)
   }
 }

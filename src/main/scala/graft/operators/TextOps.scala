@@ -120,13 +120,15 @@ object TextOps {
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\+?(?:[0-9][()\\-]?){8,}[0-9]", "<PHONE>"))
 
+  /** The [[PiiSteps]] chain applied to any text column. */
+  def redact(c: Column): Column =
+    PiiSteps.foldLeft(c) { case (e, (pat, rep)) => regexp_replace(e, pat, rep) }
+
   /** Pre-training PII redaction: URLs, emails, phone-shaped digit runs
     * replaced with typed placeholders — a pure codegen'd
     * `regexp_replace` chain, no shuffle, linear at any corpus size. */
   def redactPii(documents: DataFrame): DataFrame = {
-    val redacted = PiiSteps.foldLeft(col("text")) { case (c, (pat, rep)) =>
-      regexp_replace(c, pat, rep)
-    }
+    val redacted = redact(col("text"))
     documents.select(
       col("doc_id"),
       redacted.as("redacted"),

@@ -32,6 +32,52 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("runTrainingPrep: the curation funnel drops, redacts and splits as composed") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_prep").toString
+    val out = Files.createTempDirectory("graft_prep_out").toString
+    val filler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    Seq(
+      (1L, filler, "en"),                        // survives, cluster representative
+      (2L, filler, "en"),                        // exact dup of 1 -> dropped at exact stage
+      (3L, nearDup, "en"),                       // near-dup of 1 -> dropped at cluster stage
+      (4L, "contact admin@example.com about " +
+        (1 to 40).map(i => s"mail$i").mkString(" "), "en"), // PII -> redacted, no shingle overlap
+      (5L, "too short", "en"),                   // quality gate -> dropped
+      (6L, (1 to 40).map(i => s"other$i").mkString(" "), "id")) // unrelated survivor
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$src/documents.parquet")
+
+    val s1 = Pipeline.runTrainingPrep(spark, src, out)
+    assert(s1("input") === 6L)
+    assert(s1("quality") === 5L)        // doc 5 out
+    assert(s1("exact_deduped") === 4L)  // doc 2 out
+    assert(s1("near_deduped") === 3L)   // doc 3 out
+    assert(s1("train") + s1("test") === s1("near_deduped"))
+
+    val written = spark.read.parquet(s"$out/train")
+      .unionByName(spark.read.parquet(s"$out/test"))
+    val kept = written.select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L, 6L))
+    // PII left the corpus before the write
+    val doc4 = written.filter(col("doc_id") === 4L)
+      .select("content").as[String].head()
+    assert(doc4.contains("<EMAIL>") && !doc4.contains("admin@example.com"))
+    // the split is the hashSplit assignment (re-derivable, deterministic)
+    val expected = graft.operators.TextOps
+      .hashSplit(written.select(col("doc_id")), col("doc_id"), 410)
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    val testIds = spark.read.schema(written.schema).parquet(s"$out/test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(testIds === expected)
+    // re-running is byte-deterministic on the funnel counts
+    val s2 = Pipeline.runTrainingPrep(spark, src,
+      Files.createTempDirectory("graft_prep_out2").toString)
+    assert(s2 === s1)
+  }
+
   test("bronze dedup keeps every null-text doc (content hash is per-doc for nulls)") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_pipe_null").toString
