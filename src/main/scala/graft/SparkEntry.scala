@@ -555,16 +555,18 @@ object SparkEntry {
 
     ("token_count",
       (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
-      Some("""SELECT doc_id,
+      // whitespace spelled as the explicit class (TextOps.Ws): RE2's
+      // `\s` excludes vertical tab, Java's includes it
+      Some(s"""SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9${TextOps.Ws}]')) AS BIGINT) AS bpe_tokens,
              |  n_chars AS chars
              |FROM documents""".stripMargin)),
 
     ("doc_fingerprint",
       (s: SparkSession, d: String) => TextOps.docFingerprint(docs(s, d)),
-      Some("""SELECT doc_id, md5(text) AS fp_raw,
-             |  md5(TRIM(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm,
+      Some(s"""SELECT doc_id, md5(text) AS fp_raw,
+             |  md5(TRIM(regexp_replace(lower(text), '[${TextOps.Ws}]+', ' ', 'g'))) AS fp_norm,
              |  substr(md5(text), 1, 2) AS shard
              |FROM documents""".stripMargin)),
 

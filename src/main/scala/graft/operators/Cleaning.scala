@@ -24,7 +24,7 @@ object Cleaning {
   /** Title cleanup: newline removal + whitespace collapse + trim
     * (`cleaner.py:13-22`). */
   def cleanTitle(title: Column): Column =
-    trim(regexp_replace(regexp_replace(title, "\n", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(title, "\n", " "), s"$Ws+", " "))
 
   /** The reference's content regex pipeline (`cleaner.py:24-54`),
     * re-expressed lookahead-free. SINGLE SOURCE OF TRUTH: consumed by

@@ -69,13 +69,19 @@ object TextOps {
       when(score >= 0.6, "high").when(score >= 0.4, "medium").otherwise("low").as("quality_band"))
   }
 
+  /** Java's `\s` spelled out — RE2 (the DuckDB oracle) excludes
+    * vertical tab from `\s`, Java includes it, so every oracle-replayed
+    * pattern uses this explicit class (same convention as
+    * [[graft.operators.Cleaning]] and [[PiiSteps]]). */
+  val Ws = " \\t\\n\\x0B\\f\\r"
+
   /** Token counting: whitespace tokens plus a BPE-ish regex token count
     * (letter runs / digit runs / single other non-space chars). */
   def tokenCount(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+      regexp_count(col("text"), lit(s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$Ws]"))
         .cast("long").as("bpe_tokens"),
       col("n_chars").as("chars"))
 
@@ -83,7 +89,7 @@ object TextOps {
     * (case-folded, whitespace-collapsed), and a 2-hex-char shard key —
     * the bucket a 100 TB dedup job would hash-partition on. */
   def docFingerprint(documents: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val norm = trim(regexp_replace(lower(col("text")), s"[$Ws]+", " "))
     documents.select(
       col("doc_id"),
       md5(col("text")).as("fp_raw"),

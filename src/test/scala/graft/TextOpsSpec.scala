@@ -50,6 +50,19 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0).getAs[String]("shard") === fps(0).getAs[String]("fp_raw").take(2))
   }
 
+  test("Ws class keeps Java \\s semantics: vertical tab is whitespace in fp_norm and bpe tokens") {
+    // `\s` is the one metachar Java (includes \x0B) and RE2 (excludes
+    // it) read differently; the operators spell the class explicitly so
+    // both engines agree — and the explicit class must keep VT inside.
+    val df = docs((1L, "ab", "en", "s", 3L), (2L, "a b", "en", "s", 3L))
+    val fps = TextOps.docFingerprint(df).orderBy("doc_id").collect()
+    assert(fps(0).getAs[String]("fp_norm") === fps(1).getAs[String]("fp_norm"))
+    val toks = TextOps.tokenCount(df).orderBy("doc_id").collect()
+    // VT is whitespace, not a standalone "other" token: a / b only
+    assert(toks(0).getAs[Long]("bpe_tokens") === 2L)
+    assert(toks(1).getAs[Long]("bpe_tokens") === 2L)
+  }
+
   test("redactPii scrubs URLs, emails, and phone runs with typed placeholders") {
     val df = docs(
       (1L, "mail me at a.b+c@example.co.id or call 0812-3456-7890 now", "en", "s", 1L),
