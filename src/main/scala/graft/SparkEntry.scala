@@ -258,7 +258,10 @@ object SparkEntry {
     ("search_highlight_multi",
       (s: SparkSession, d: String) => Search.searchHighlightMulti(docs(s, d), "window"),
       // successive byte-offset fragments: p_{i+1} searches the
-      // remainder AFTER p_i's term, both engines pure positional
+      // remainder AFTER p_i's term, both engines pure positional.
+      // One ROW per fragment (scalar columns only — the driver gate
+      // sorts with pandas and crashes on list cells); frag_idx can't
+      // gap because positions are successive (p_{i+1}>0 => p_i>0).
       Some("""WITH h1 AS (
              |  SELECT doc_id, source AS topic, text, strpos(text, 'window') AS p1
              |  FROM documents WHERE text LIKE '%window%'),
@@ -266,12 +269,17 @@ object SparkEntry {
              |         THEN p1 + 6 + strpos(substr(text, p1 + 6), 'window') - 1 ELSE 0 END AS p2 FROM h1),
              |h3 AS (SELECT *, CASE WHEN p2 > 0 AND strpos(substr(text, p2 + 6), 'window') > 0
              |         THEN p2 + 6 + strpos(substr(text, p2 + 6), 'window') - 1 ELSE 0 END AS p3 FROM h2)
-             |SELECT doc_id, topic, list_filter([
-             |    CASE WHEN p1 > 0 THEN substr(text, GREATEST(1, p1 - 60), p1 - GREATEST(1, p1 - 60) + 66) END,
-             |    CASE WHEN p2 > 0 THEN substr(text, GREATEST(1, p2 - 60), p2 - GREATEST(1, p2 - 60) + 66) END,
-             |    CASE WHEN p3 > 0 THEN substr(text, GREATEST(1, p3 - 60), p3 - GREATEST(1, p3 - 60) + 66) END
-             |  ], x -> x IS NOT NULL) AS fragments
-             |FROM h3""".stripMargin)),
+             |SELECT doc_id, topic, 0 AS frag_idx,
+             |  substr(text, GREATEST(1, p1 - 60), p1 - GREATEST(1, p1 - 60) + 66) AS fragment
+             |FROM h3 WHERE p1 > 0
+             |UNION ALL
+             |SELECT doc_id, topic, 1 AS frag_idx,
+             |  substr(text, GREATEST(1, p2 - 60), p2 - GREATEST(1, p2 - 60) + 66) AS fragment
+             |FROM h3 WHERE p2 > 0
+             |UNION ALL
+             |SELECT doc_id, topic, 2 AS frag_idx,
+             |  substr(text, GREATEST(1, p3 - 60), p3 - GREATEST(1, p3 - 60) + 66) AS fragment
+             |FROM h3 WHERE p3 > 0""".stripMargin)),
 
     ("ranked_search_multi",
       (s: SparkSession, d: String) =>

@@ -236,10 +236,18 @@ object Search {
       val start = greatest(lit(1), p - context)
       when(p > 0, col("text").substr(start, p - start + lit(len + context)))
     }
+    // One row per fragment, scalar columns only. The round-7 form
+    // returned `fragments array<string>` and the driver's correctness
+    // gate crashed sorting it (pandas lexsort can't hash ndarray
+    // cells) — registry outputs must stay flat. posexplode keeps the
+    // operator a zero-shuffle map: Generate over the same codegen'd
+    // positional projection, no aggregation, no exchange.
     documents
       .filter(col("text").contains(term))
       .select(col("doc_id"), col("source").as("topic"),
-        filter(array(frags: _*), f => f.isNotNull).as("fragments"))
+        posexplode(filter(array(frags: _*), f => f.isNotNull)))
+      .withColumnRenamed("pos", "frag_idx")
+      .withColumnRenamed("col", "fragment")
   }
 
   /** `substr(text, pos)` with a Column position (the 2-arg form Spark

@@ -82,9 +82,11 @@ class PropertySpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")).cast("long"))
     val out = graft.operators.Search
       .searchHighlightMulti(got, term, context = 5, numFragments = 3)
-      .select("doc_id", "fragments").as[(Long, Seq[String])].collect().toMap
+      .select("doc_id", "frag_idx", "fragment").as[(Long, Int, String)]
+      .collect().toSeq.sorted
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
-      assert(out(i.toLong) === ref(t, term, 5, 3), s"text=<$t>")
+      assert(out.getOrElse(i.toLong, Seq.empty) === ref(t, term, 5, 3), s"text=<$t>")
     }
   }
 

@@ -128,7 +128,9 @@ class SearchSpec extends SparkSpec {
     val out = Search.searchHighlightMulti(
       docs((1L, "one window only"), (2L, spread), (3L, "none here")),
       "window", context = 10, numFragments = 3)
-      .select("doc_id", "fragments").as[(Long, Seq[String])].collect().toMap
+      .select("doc_id", "frag_idx", "fragment").as[(Long, Int, String)]
+      .collect().toSeq.sorted
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
     assert(out.keySet === Set(1L, 2L))
     assert(out(1L) === Seq("one window only")) // single occurrence -> 1 fragment
     val frags = out(2L)

@@ -58,6 +58,20 @@ def main():
             continue
         sd = spark_df[s_cols]
         od = oracle_df[o_cols]
+        # Driver parity: the real gate sorts rows with pandas
+        # sort_values over every column, which CRASHES on list/ndarray
+        # cells (unhashable in lexsort's Categorical). Round 7 shipped
+        # an array<string> column that passed this replica's
+        # stringify-sort but red-flagged at the driver — replicate the
+        # driver's sort so non-scalar outputs fail HERE.
+        try:
+            sd.sort_values(by=s_cols)
+            od.sort_values(by=o_cols)
+        except Exception as e:
+            print(f"FAIL {name}: driver-style sort_values crashed "
+                  f"(non-scalar column?): {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if len(sd) != len(od):
             print(f"FAIL {name}: rows spark={len(sd)} oracle={len(od)}")
             n_fail += 1
