@@ -443,6 +443,63 @@ object SparkEntry {
              |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < (DATE '2024-01-30' - 14) THEN 1 ELSE 0 END) AS BIGINT) AS silver_expired
              |FROM events""".stripMargin)),
 
+    // ---- Corpus-construction ops (round 8): rebalancing sample,
+    // per-group exemplars, corpus n-gram stats, length shape ----
+    ("stratified_sample",
+      // rebalance a language-skewed corpus: keep 10% of en (410/4096),
+      // 25% of everything else — deterministic per (stratum, key)
+      (s: SparkSession, d: String) =>
+        Corpus.stratifiedSample(docs(s, d), col("lang"), col("doc_id"),
+            Map("en" -> 410), defaultBuckets = 1024)
+          .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 3)
+             |      < CASE WHEN lang = 'en' THEN '19a' ELSE '400' END""".stripMargin)),
+
+    ("group_topk",
+      // 3 longest docs per language — WindowGroupLimit keeps the
+      // shuffle at O(langs x 3) rows; doc_id makes the order total
+      (s: SparkSession, d: String) =>
+        Corpus.groupTopK(docs(s, d), col("lang"),
+            Seq(col("n_chars").desc, col("doc_id")), k = 3)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("rank")),
+      Some("""SELECT doc_id, lang, n_chars, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER (
+             |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+             |  FROM documents) WHERE rank <= 3""".stripMargin)),
+
+    ("bigram_counts",
+      (s: SparkSession, d: String) => Corpus.bigramCounts(docs(s, d), topN = 100),
+      Some("""WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+             |idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM toks WHERE len(t) > 1)
+             |SELECT t[i] || ' ' || t[i+1] AS gram, COUNT(*) AS n
+             |FROM idx GROUP BY 1 ORDER BY n DESC, gram LIMIT 100""".stripMargin)),
+
+    ("length_histogram",
+      (s: SparkSession, d: String) => Corpus.lengthHistogram(docs(s, d)),
+      Some("""SELECT LEAST(n_chars // 50, 19) AS bucket,
+             |  LEAST(n_chars // 50, 19) * 50 AS bucket_lo,
+             |  COUNT(*) AS docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    ("entity_pair_lift",
+      // PMI sans log (monotone, cross-engine-exact): pair doc count x N
+      // over the product of single doc counts, pairs >= 2 docs
+      (s: SparkSession, d: String) => Ner.entityPairLift(s, docs(s, d)),
+      Some(s"""WITH $nerCtes,
+              |e AS (SELECT DISTINCT doc_id, entity_text AS word FROM ents),
+              |singles AS (SELECT word, COUNT(*) AS c FROM e GROUP BY 1),
+              |p AS (SELECT a.word AS entity_1, b.word AS entity_2, COUNT(*) AS pair_docs
+              |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.word < b.word
+              |      GROUP BY 1, 2),
+              |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents)
+              |SELECT entity_1, entity_2, pair_docs,
+              |  (CAST(pair_docs AS DOUBLE) * nd) / (CAST(s1.c AS DOUBLE) * CAST(s2.c AS DOUBLE)) AS lift
+              |FROM p JOIN singles s1 ON p.entity_1 = s1.word
+              |       JOIN singles s2 ON p.entity_2 = s2.word, n
+              |WHERE pair_docs >= 2""".stripMargin)),
+
     ("entity_overview",
       (s: SparkSession, d: String) => Ner.entityOverview(s, docs(s, d)),
       Some(s"""WITH $nerCtes

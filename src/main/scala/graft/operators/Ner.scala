@@ -182,4 +182,49 @@ object Ner {
       .orderBy(col("doc_id").desc)
       .limit(limit)
   }
+
+  /** Entity co-occurrence lift — which entity pairs appear in the same
+    * document far more often than their individual frequencies
+    * predict: `lift = P(a,b) / (P(a) * P(b)) = pair_docs * N /
+    * (docs_a * docs_b)`. This is PMI without the logarithm — `ln`
+    * carries no cross-engine correct-rounding guarantee while
+    * products/ratios of exactly-represented counts are IEEE
+    * exact-rounded, and the log is monotone so every ranking/threshold
+    * use is unchanged (same trade as ranked_search_multi's linear
+    * idf).
+    *
+    * Scale shape: per-doc DISTINCT entity sets are gazetteer-bounded,
+    * so map-side pair generation over the sorted set (the bounded
+    * trick from [[Dedup.ngramJaccardPairs]]) replaces a mentions
+    * self-join; the per-entity doc counts are a gazetteer-sized
+    * broadcast; N rides a 1-row broadcast. Nothing corpus-sized is
+    * ever joined or sorted. */
+  def entityPairLift(spark: SparkSession, documents: DataFrame,
+                     minPairDocs: Long = 2L): DataFrame = {
+    val ents = mentions(spark, documents)
+      .select(col("doc_id"), col("word")).distinct()
+    val pairs = ents
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("word"))).as("es"))
+      .filter(size(col("es")) >= 2)
+      .select(explode(flatten(transform(col("es"), (a, i) =>
+        transform(slice(col("es"), i + 2, size(col("es"))),
+          b => struct(a.as("e1"), b.as("e2")))))).as("p"))
+      .groupBy(col("p.e1").as("entity_1"), col("p.e2").as("entity_2"))
+      .agg(count(lit(1)).as("pair_docs"))
+    val singles = ents.groupBy(col("word"))
+      .agg(count(lit(1)).as("c")) // ents is distinct -> doc frequency
+    val n = documents.agg(count(lit(1)).cast("double").as("nd"))
+    pairs
+      .join(broadcast(singles.select(col("word").as("entity_1"), col("c").as("c1"))),
+        "entity_1")
+      .join(broadcast(singles.select(col("word").as("entity_2"), col("c").as("c2"))),
+        "entity_2")
+      .crossJoin(broadcast(n))
+      .filter(col("pair_docs") >= minPairDocs)
+      .withColumn("lift",
+        (col("pair_docs").cast("double") * col("nd")) /
+          (col("c1").cast("double") * col("c2").cast("double")))
+      .select(col("entity_1"), col("entity_2"), col("pair_docs"), col("lift"))
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Corpus, Ner}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("stratifiedSample is deterministic, stratified and stable under growth") {
+    val base = (1L to 400L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "fr", "s"))
+    val df = docs(base: _*)
+    val kept = Corpus.stratifiedSample(df, col("lang"), col("doc_id"),
+      Map("en" -> 410), defaultBuckets = 1024)
+      .select("doc_id").as[Long].collect().toSet
+    // re-run identical; growth never evicts or admits an existing doc
+    val again = Corpus.stratifiedSample(df, col("lang"), col("doc_id"),
+      Map("en" -> 410), defaultBuckets = 1024)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === again)
+    val grown = Corpus.stratifiedSample(
+      docs((base :+ ((401L, "new", "en", "s"))): _*),
+      col("lang"), col("doc_id"), Map("en" -> 410), defaultBuckets = 1024)
+      .select("doc_id").as[Long].collect().toSet
+    assert((grown - 401L) === kept)
+    // the per-stratum rule is the documented md5-prefix compare
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex3(s: String) = md.digest(s.getBytes("UTF-8"))
+      .take(2).map(b => f"$b%02x").mkString.take(3)
+    base.foreach { case (id, _, lang, _) =>
+      val expectKept = hex3(s"$lang:$id") < (if (lang == "en") "19a" else "400")
+      assert(kept.contains(id) === expectKept, s"doc $id lang $lang")
+    }
+  }
+
+  test("stratifiedSample rejects out-of-range bucket counts") {
+    val df = docs((1L, "t", "en", "s"))
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(df, col("lang"), col("doc_id"), Map("en" -> 4096), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(df, col("lang"), col("doc_id"), Map.empty, -1)
+    }
+  }
+
+  test("groupTopK keeps exactly k per group under the total order") {
+    val df = docs(
+      (1L, "aaaa", "en", "s"), (2L, "bbbb", "en", "s"), (3L, "cc", "en", "s"),
+      (4L, "dddddd", "fr", "s"), (5L, "e", "fr", "s"))
+    val out = Corpus.groupTopK(df, col("lang"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 2)
+      .select("lang", "doc_id", "rank").as[(String, Long, Int)].collect().toSet
+    // en: docs 1 and 2 tie at 4 chars -> doc_id breaks the tie; doc 3 cut
+    assert(out === Set(("en", 1L, 1), ("en", 2L, 2), ("fr", 4L, 1), ("fr", 5L, 2)))
+  }
+
+  test("bigramCounts counts adjacent lowercased pairs with multiplicity") {
+    val df = docs(
+      (1L, "Big Cat big cat", "en", "s"), // "big cat" x2, "cat big" x1
+      (2L, "big cat", "en", "s"),
+      (3L, "solo", "en", "s")) // single token -> no bigrams
+    val out = Corpus.bigramCounts(df, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out.head === (("big cat", 3L)))
+    assert(out.toMap === Map("big cat" -> 3L, "cat big" -> 1L))
+    // deterministic order: count desc then gram asc
+    assert(out === out.sortBy { case (g, n) => (-n, g) })
+  }
+
+  test("lengthHistogram buckets on exact integer division with an overflow cap") {
+    val df = docs(
+      (1L, "x" * 49, "en", "s"), // bucket 0
+      (2L, "x" * 50, "en", "s"), // bucket 1
+      (3L, "x" * 99, "en", "s"), // bucket 1
+      (4L, "x" * 2000, "en", "s")) // 40 -> capped at 19
+    val out = Corpus.lengthHistogram(df)
+      .select("bucket", "bucket_lo", "docs", "min_chars", "max_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0L, 0L, 1L, 49L, 49L),
+      (1L, 50L, 2L, 50L, 99L),
+      (19L, 950L, 1L, 2000L, 2000L)))
+  }
+
+  test("entityPairLift computes pair_docs x N over single-count products") {
+    // gazetteer words: use two dictionary entries via real Ner fixtures
+    val dict = Ner.Dictionary
+      .filter { case (w, _, c) => w.length >= 2 && c >= 0.5 && !Ner.Blocklist(w) }
+      .map(_._1).take(2)
+    val Seq(a, b) = dict
+    val df = docs(
+      (1L, s"$a $b together", "en", "s"),
+      (2L, s"$a $b again", "en", "s"),
+      (3L, s"$a alone", "en", "s"),
+      (4L, "neither here", "en", "s"))
+    val out = Ner.entityPairLift(spark, df)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.length === 1)
+    val (e1, e2, pairDocs, lift) = out.head
+    assert(Set(e1, e2) === Set(a, b) && e1 < e2)
+    assert(pairDocs === 2L)
+    // N=4, docs(a)=3, docs(b)=2 -> lift = 2*4/(3*2)
+    assert(lift === (2.0 * 4.0) / (3.0 * 2.0))
+  }
+
+  test("entityPairLift drops pairs below minPairDocs") {
+    val dict = Ner.Dictionary
+      .filter { case (w, _, c) => w.length >= 2 && c >= 0.5 && !Ner.Blocklist(w) }
+      .map(_._1).take(2)
+    val Seq(a, b) = dict
+    val df = docs((1L, s"$a $b once", "en", "s"), (2L, s"$a only", "en", "s"))
+    assert(Ner.entityPairLift(spark, df).isEmpty)
+    assert(Ner.entityPairLift(spark, df, minPairDocs = 1L).count() === 1L)
+  }
+}

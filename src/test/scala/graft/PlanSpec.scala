@@ -137,4 +137,27 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan(SparkEntry.queries("overview_metrics")(spark, dir))
     assert(count(plan, "Scan parquet") === 1)
   }
+
+  test("stratified_sample: a single map-side filter, no shuffle, no sample operator") {
+    val plan = finalPlan(SparkEntry.queries("stratified_sample")(spark, dir))
+    assert(count(plan, "Exchange") === 0, s"sampling must be map-only:\n$plan")
+    assert(count(plan, "Scan parquet") === 1)
+  }
+
+  test("group_topk: rank limit pushed below the exchange (WindowGroupLimit)") {
+    val plan = finalPlan(SparkEntry.queries("group_topk")(spark, dir))
+    // map-side partial top-k per group BEFORE the shuffle — the shape
+    // that keeps the exchange at O(groups x k) rows at 100 TB
+    assert(count(plan, "WindowGroupLimit") >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
+  test("entity_pair_lift: gazetteer-sized sides broadcast; the corpus never sort-merge-joins") {
+    val plan = finalPlan(SparkEntry.queries("entity_pair_lift")(spark, dir))
+    assert(count(plan, "SortMergeJoin") === 0, s"no corpus-sized join:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 3,
+      s"dictionary + singles joins must broadcast:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1,
+      s"N must ride a 1-row broadcast:\n$plan")
+  }
 }

@@ -35,7 +35,11 @@ class RegistrySpec extends SparkSpec {
     // round-7 depth: multi-term idf search, deterministic hash split,
     // near-dup cluster assignment
     "ranked_search_multi", "hash_split", "dedup_clusters", "retention_sweep",
-    "skew_salted_agg")
+    "skew_salted_agg",
+    // round-8 corpus-construction suite: rebalancing sample, per-group
+    // exemplars, corpus n-gram stats, length shape, entity PMI-lift
+    "stratified_sample", "group_topk", "bigram_counts", "length_histogram",
+    "entity_pair_lift")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
