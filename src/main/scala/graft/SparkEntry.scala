@@ -483,6 +483,40 @@ object SparkEntry {
              |  COUNT(*) AS docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    ("length_percentiles",
+      // type-1 quantiles by integer cross-multiplication — no doubles,
+      // no interpolation, any engine agrees bit-for-bit
+      (s: SparkSession, d: String) =>
+        Corpus.exactPercentiles(docs(s, d), col("n_chars")),
+      Some("""WITH counts AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+             |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+             |               CAST(SUM(c) OVER () AS BIGINT) AS n FROM counts)
+             |SELECT n,
+             |  MIN(CASE WHEN cum*4 >= n*1 THEN v END) AS p25,
+             |  MIN(CASE WHEN cum*2 >= n*1 THEN v END) AS p50,
+             |  MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS p75,
+             |  MIN(CASE WHEN cum*20 >= n*19 THEN v END) AS p95
+             |FROM cum GROUP BY n""".stripMargin)),
+
+    ("char_budget_sample",
+      // per-source keep fraction = budget/total in 65536ths (exact DIV),
+      // applied as the md5-prefix rule; under-budget sources keep all
+      (s: SparkSession, d: String) =>
+        Corpus.sampleToCharBudget(docs(s, d), budgetChars = 4000L),
+      Some("""WITH totals AS (
+             |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+             |  FROM documents GROUP BY 1),
+             |thr AS (SELECT source, chars_total,
+             |  lower(lpad(to_hex(262144000 // chars_total), 4, '0')) AS t FROM totals),
+             |kept AS (
+             |  SELECT d.source, d.n_chars, t.chars_total
+             |  FROM documents d JOIN thr t ON d.source = t.source
+             |  WHERE t.chars_total <= 4000
+             |     OR substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4) < t.t)
+             |SELECT source, MIN(chars_total) AS chars_total,
+             |  COUNT(*) AS docs_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+             |FROM kept GROUP BY 1""".stripMargin)),
+
     ("entity_pair_lift",
       // PMI sans log (monotone, cross-engine-exact): pair doc count x N
       // over the product of single doc counts, pairs >= 2 docs

@@ -94,6 +94,79 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Exact distributed percentiles of an integer column — the corpus
+    * length/token-count report ("p50/p95 doc length") where
+    * `percentile_approx` would give engine- and partitioning-dependent
+    * answers. Definition: p_q = the smallest value whose cumulative
+    * count reaches ceil(q*N) — type-1 (lower) empirical quantile,
+    * expressed with integer cross-multiplication (`cum*den >= n*num`)
+    * so no double, ceil or interpolation ever enters: bit-identical on
+    * any engine.
+    *
+    * Scale shape: ONE map-side-combinable count per distinct value,
+    * then the window runs over the DISTINCT-VALUE table, whose size is
+    * bounded by the value domain (doc lengths, token counts), not the
+    * corpus — the same bounded-rollup argument as
+    * publishing_patterns' share-of-total window. The WindowExec
+    * single-partition warning it emits refers to those rollup rows. */
+  def exactPercentiles(df: DataFrame, value: Column,
+                       quantiles: Seq[(String, Long, Long)] = Seq(
+                         ("p25", 1L, 4L), ("p50", 1L, 2L),
+                         ("p75", 3L, 4L), ("p95", 19L, 20L))): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (_, num, den) => num >= 0 && den >= 1 && num <= den })
+    val counts = df.groupBy(value.as("v")).agg(count(lit(1)).as("c"))
+    val byV = Window.orderBy(col("v"))
+    val whole = byV.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val aggs = quantiles.map { case (name, num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col("v"))).as(name)
+    }
+    counts
+      .select(col("v"), sum(col("c")).over(byV).as("cum"),
+        sum(col("c")).over(whole).cast("long").as("n"))
+      .groupBy(col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Budget-proportional corpus mixing: deterministically downsample
+    * each source so its kept characters land near `budgetChars` — the
+    * dataset-composition primitive ("X% web, Y% code, cap every
+    * source at B tokens") of training-data curation. Per source the
+    * keep fraction is `budget/total`, quantized to 65536ths by exact
+    * integer division and applied as the same md5-prefix rule as
+    * [[stratifiedSample]] (4 hex chars here for finer grain); sources
+    * under budget keep everything via the explicit escape (a 65536
+    * threshold would print 5 hex digits and break the fixed-width
+    * compare). Per-doc keep/drop is a pure function of (source,
+    * doc_id), so the mix is reproducible and additions to one source
+    * never reshuffle another.
+    *
+    * Scale shape: source totals are a source-cardinality-sized
+    * aggregate broadcast back onto the scan; the keep rule is a
+    * map-side filter; the report re-aggregates per source. Nothing
+    * corpus-sized shuffles. Returns per-source (chars_total,
+    * docs_kept, chars_kept). */
+  def sampleToCharBudget(documents: DataFrame,
+                         budgetChars: Long = 4000L): DataFrame = {
+    require(budgetChars >= 1)
+    val totals = documents.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars_total"))
+    val thr = totals.withColumn("thr",
+      // exact integer division; conv() prints uppercase hex like
+      // DuckDB's to_hex, lower() on both sides keeps md5 parity
+      lower(lpad(conv(expr(s"${budgetChars * 65536L} DIV chars_total")
+        .cast("string"), 10, 16), 4, "0")))
+    documents
+      .join(broadcast(thr), "source")
+      .filter(col("chars_total") <= budgetChars ||
+        substring(md5(concat(col("source"), lit(":"),
+          col("doc_id").cast("string"))), 1, 4) < col("thr"))
+      .groupBy(col("source"))
+      .agg(min(col("chars_total")).as("chars_total"),
+        count(lit(1)).as("docs_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
+
   /** Document-length histogram: fixed-width buckets with a capped
     * overflow bucket — the one-glance shape check run on every corpus
     * snapshot (a sudden mass at tiny lengths means the cleaner

@@ -86,6 +86,50 @@ class CorpusSpec extends SparkSpec {
       (19L, 950L, 1L, 2000L, 2000L)))
   }
 
+  test("exactPercentiles picks the smallest value reaching ceil(q*N)") {
+    // values 1..10, one each: p25 -> smallest v with cum >= 2.5 -> 3
+    val df = docs((1L to 10L).map(i => (i, "x" * i.toInt, "en", "s")): _*)
+    val out = Corpus.exactPercentiles(df, col("n_chars"))
+      .select("n", "p25", "p50", "p75", "p95")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((10L, 3L, 5L, 8L, 10L)))
+  }
+
+  test("exactPercentiles equals a sorted-seq reference on skewed data") {
+    val values = Seq.fill(40)(7L) ++ (1L to 25L) ++ Seq.fill(10)(100L)
+    val df = docs(values.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "x" * v.toInt, "en", "s")
+    }: _*)
+    val qs = Seq(("p10", 1L, 10L), ("p50", 1L, 2L), ("p99", 99L, 100L))
+    val out = Corpus.exactPercentiles(df, col("n_chars"), qs)
+      .select("p10", "p50", "p99").as[(Long, Long, Long)].collect().head
+    val sorted = values.sorted
+    def ref(num: Long, den: Long) =
+      sorted((((sorted.size * num) + den - 1) / den - 1).toInt) // ceil(q*N)th, 1-based
+    assert(out === ((ref(1, 10), ref(1, 2), ref(99, 100))))
+  }
+
+  test("sampleToCharBudget keeps under-budget sources whole and samples the rest down") {
+    val rows = (1L to 200L).map(i => (i, "x" * 100, "big", "big")) ++
+      Seq((201L, "y" * 30, "small", "small"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Corpus.sampleToCharBudget(df, budgetChars = 2000L)
+      .select("source", "chars_total", "docs_kept", "chars_kept")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // small: 30 <= 2000 -> kept whole
+    assert(out("small") === (("small", 30L, 1L, 30L)))
+    // big: 20000 chars, fraction 2000/20000 = 0.1 -> expect ~20 docs;
+    // md5 is uniform so allow wide slack, but it must be a strict sample
+    val (_, total, kept, chars) = out("big")
+    assert(total === 20000L && chars === kept * 100)
+    assert(kept > 5 && kept < 60, s"kept=$kept not near 10% of 200")
+    // determinism: identical re-run
+    val again = Corpus.sampleToCharBudget(df, budgetChars = 2000L)
+      .select("source", "docs_kept").as[(String, Long)].collect().toMap
+    assert(again("big") === kept)
+  }
+
   test("entityPairLift computes pair_docs x N over single-count products") {
     // gazetteer words: use two dictionary entries via real Ner fixtures
     val dict = Ner.Dictionary

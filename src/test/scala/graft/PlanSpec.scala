@@ -152,6 +152,23 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit:\n$plan")
   }
 
+  test("length_percentiles: window runs over the distinct-value rollup, single scan") {
+    val plan = finalPlan(SparkEntry.queries("length_percentiles")(spark, dir))
+    assert(count(plan, "Scan parquet") === 1, s"one corpus scan:\n$plan")
+    assert(count(plan, "SortMergeJoin") === 0, s"no join at all:\n$plan")
+    // the global-order window must sit ABOVE the per-value aggregate
+    // (bounded rollup), never over raw corpus rows
+    assert(plan.indexOf("Window") > plan.indexOf("HashAggregate"),
+      s"window must consume the aggregated value table:\n$plan")
+  }
+
+  test("char_budget_sample: source totals broadcast back onto the scan, no corpus SMJ") {
+    val plan = finalPlan(SparkEntry.queries("char_budget_sample")(spark, dir))
+    assert(count(plan, "SortMergeJoin") === 0, s"no corpus-sized join:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") === 1,
+      s"thresholds must ride a broadcast:\n$plan")
+  }
+
   test("entity_pair_lift: gazetteer-sized sides broadcast; the corpus never sort-merge-joins") {
     val plan = finalPlan(SparkEntry.queries("entity_pair_lift")(spark, dir))
     assert(count(plan, "SortMergeJoin") === 0, s"no corpus-sized join:\n$plan")

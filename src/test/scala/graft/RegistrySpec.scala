@@ -39,7 +39,7 @@ class RegistrySpec extends SparkSpec {
     // round-8 corpus-construction suite: rebalancing sample, per-group
     // exemplars, corpus n-gram stats, length shape, entity PMI-lift
     "stratified_sample", "group_topk", "bigram_counts", "length_histogram",
-    "entity_pair_lift")
+    "entity_pair_lift", "length_percentiles", "char_budget_sample")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
