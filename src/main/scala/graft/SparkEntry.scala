@@ -435,6 +435,44 @@ object SparkEntry {
         Skew.saltedCount(Tables.events(s, d), col("user_id")),
       Some("SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1")),
 
+    ("skew_salted_join",
+      // the salted join rewrite must be VALUE-identical to the plain
+      // join it replaces — aggregate after joining a derived user dim
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.select(col("user_id").as("uid")).distinct()
+          .withColumn("tier", pmod(col("uid"), lit(5L)))
+        Skew.saltedJoin(ev, dim, "user_id", "uid")
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("events"), countDistinct(col("user_id")).as("users"))
+      },
+      Some("""WITH dim AS (SELECT DISTINCT user_id AS uid, user_id % 5 AS tier FROM events)
+             |SELECT tier, COUNT(*) AS events, COUNT(DISTINCT e.user_id) AS users
+             |FROM events e JOIN dim d ON e.user_id = d.uid
+             |GROUP BY 1""".stripMargin)),
+
+    ("lang_token_stats",
+      // fertility = ratio of corpus sums (exact), not avg of ratios
+      (s: SparkSession, d: String) => TextOps.langTokenStats(docs(s, d)),
+      Some(s"""SELECT lang, COUNT(*) AS docs,
+              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+              |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9${TextOps.Ws}]'))) AS BIGINT) AS bpe_tokens,
+              |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+              |  CAST(CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9${TextOps.Ws}]'))) AS BIGINT) AS DOUBLE)
+              |    / CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE) AS fertility
+              |FROM documents GROUP BY 1""".stripMargin)),
+
+    ("multimodal_triage",
+      // the decode-free binary pass, bytewise-deterministic so (unlike
+      // the stubbed decode in multimodal_meta) it oracle-checks
+      (s: SparkSession, d: String) =>
+        Multimodal.triage(Multimodal.binarize(docs(s, d))),
+      Some("""SELECT doc_id, lang,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  substr(hex(encode(text)), 1, 8) AS magic,
+             |  md5(text) AS fp
+             |FROM documents""".stripMargin)),
+
     ("retention_sweep",
       (s: SparkSession, d: String) =>
         Analytics.retentionSweep(Tables.events(s, d), "2024-01-30", keepDays = 7),

@@ -38,6 +38,20 @@ object Multimodal {
       (crc32(col("payload")) % 480 + 1).cast("int").as("height"),    // STUB decode
       (length(col("payload")) % 16 + 1).cast("int").as("n_frames"))  // STUB decode
 
+  /** Decode-free triage projection — the subset of [[metadata]] that
+    * needs NO codec and no stub: byte length, leading magic bytes,
+    * full-payload md5. This is the pass that decides what ever gets
+    * decoded at 100 TB (dedupe on fp, route on magic, drop on size),
+    * and because every column is bytewise-deterministic it is
+    * oracle-checked through the driver gate (the stubbed width/height
+    * decode in [[metadata]] stays rows-only, honestly marked). */
+  def triage(binarized: DataFrame): DataFrame =
+    binarized.select(
+      col("doc_id"), col("lang"),
+      length(col("payload")).cast("long").as("byte_len"),
+      hex(substring(col("payload"), 1, 4)).as("magic"),
+      md5(col("payload")).as("fp"))
+
   /** Frame sampling: one row per sampled frame index with a per-frame
     * byte-slice checksum — the explode shape (and shuffle-free
     * projection) a video frame-extraction job has. */

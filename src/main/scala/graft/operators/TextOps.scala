@@ -85,6 +85,27 @@ object TextOps {
         .cast("long").as("bpe_tokens"),
       col("n_chars").as("chars"))
 
+  /** Per-language tokenizer-fertility report: how many BPE-ish tokens
+    * a language costs per whitespace token (and per char) — the
+    * statistic that decides per-language mixing budgets when the
+    * training budget is counted in tokens, not documents. Fertility is
+    * the ratio of corpus SUMS (exact BIGINTs; the one double division
+    * is IEEE exact-rounded and association-matched in the oracle),
+    * not an average of per-doc ratios — short docs would otherwise
+    * dominate. One combinable aggregate over the [[tokenCount]]
+    * projections; zero extra shuffles. */
+  def langTokenStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+        sum(regexp_count(col("text"), lit(s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$Ws]"))
+          .cast("long")).as("bpe_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+
   /** Document fingerprinting: raw md5, a normalization-invariant md5
     * (case-folded, whitespace-collapsed), and a 2-hex-char shard key —
     * the bucket a 100 TB dedup job would hash-partition on. */

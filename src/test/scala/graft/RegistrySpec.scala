@@ -39,7 +39,10 @@ class RegistrySpec extends SparkSpec {
     // round-8 corpus-construction suite: rebalancing sample, per-group
     // exemplars, corpus n-gram stats, length shape, entity PMI-lift
     "stratified_sample", "group_topk", "bigram_counts", "length_histogram",
-    "entity_pair_lift", "length_percentiles", "char_budget_sample")
+    "entity_pair_lift", "length_percentiles", "char_budget_sample",
+    // round-8 parity/robustness tail: salted-join value parity,
+    // per-language tokenizer fertility, decode-free binary triage
+    "skew_salted_join", "lang_token_stats", "multimodal_triage")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -106,6 +106,18 @@ class SourcesSpec extends SparkSpec {
     assert(meta.getAs[Long]("checksum") === again.getAs[Long]("checksum"))
   }
 
+  test("Multimodal triage is bytewise-deterministic and codec-free") {
+    val docs = Seq((1L, "hello world", "en", "s", 11L), (2L, "hello world", "fr", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = Multimodal.triage(Multimodal.binarize(docs))
+      .orderBy("doc_id").collect()
+    assert(t(0).getAs[Long]("byte_len") === 11L)
+    assert(t(0).getAs[String]("magic") === "68656C6C") // 'hell', uppercase hex
+    // same payload -> same fingerprint across rows (dedupe key works)
+    assert(t(0).getAs[String]("fp") === t(1).getAs[String]("fp"))
+    assert(t(0).getAs[String]("fp").matches("[0-9a-f]{32}"))
+  }
+
   test("Multimodal frameSample explodes strided frame rows") {
     val docs = Seq((1L, "a" * 64, "en", "s", 64L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

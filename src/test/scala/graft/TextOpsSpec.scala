@@ -42,6 +42,18 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("bpe_tokens") === 5L)
   }
 
+  test("langTokenStats: fertility is the ratio of corpus sums, not avg of ratios") {
+    val df = docs(
+      (1L, "ab cd", "en", "s", 5L),   // ws 2, bpe 2
+      (2L, "a, b!", "en", "s", 5L),   // ws 2, bpe 4 (a , b !)
+      (3L, "xy", "fr", "s", 2L))      // ws 1, bpe 1
+    val out = TextOps.langTokenStats(df)
+      .select("lang", "docs", "ws_tokens", "bpe_tokens", "chars", "fertility")
+      .as[(String, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("en") === (("en", 2L, 4L, 6L, 10L, 6.0 / 4.0)))
+    assert(out("fr") === (("fr", 1L, 1L, 1L, 2L, 1.0)))
+  }
+
   test("docFingerprint: normalized fingerprint is whitespace/case invariant") {
     val df = docs((1L, "Hello  World", "en", "s", 12L), (2L, "hello world", "en", "s", 11L))
     val fps = TextOps.docFingerprint(df).orderBy("doc_id").collect()
