@@ -664,6 +664,19 @@ object SparkEntry {
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
              |WHERE cos >= 0.4""".stripMargin)),
 
+    ("embedding_norm_stats",
+      // min/max of deterministic doubles are partitioning-independent;
+      // a double sum/avg would not be, and is deliberately absent
+      (s: SparkSession, d: String) => Ann.embeddingNormStats(Tables.embeddings(s, d)),
+      Some("""WITH n AS (SELECT CAST(len(embedding) AS BIGINT) AS dim,
+             |  sqrt(list_reduce(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nrm
+             |FROM embeddings)
+             |SELECT dim, COUNT(*) AS vectors, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+             |  CAST(SUM(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS non_unit,
+             |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors
+             |FROM n GROUP BY 1""".stripMargin)),
+
     ("ann_bruteforce",
       (s: SparkSession, d: String) => Ann.bruteForceTopK(Tables.embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id,

@@ -191,4 +191,26 @@ object Ann {
       .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
         col("a.label").as("label"), col("cos").as("cosine"))
   }
+
+  /** Embedding-table sanity report — the check an embedding pipeline
+    * runs before anything consumes the vectors: per dimensionality
+    * (ragged tables show up as extra rows), vector count, norm range,
+    * and how many vectors are non-unit or all-zero (both break
+    * cosine math downstream: zero norms divide by zero, mixed norms
+    * mean dot ≠ cosine). One map-side projection (native codegen'd
+    * norm, computed once per vector) + one combinable aggregate;
+    * min/max of deterministic doubles are partitioning-independent,
+    * unlike a double sum/avg, which is deliberately NOT reported. */
+  def embeddingNormStats(embeddings: DataFrame, unitTol: Double = 1e-3): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    embeddings
+      .select(size(col("embedding")).cast("long").as("dim"),
+        norm(col("embedding")).as("nrm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("vectors"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        sum(when(abs(col("nrm") - 1.0) > unitTol, 1L).otherwise(0L)).as("non_unit"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("zero_vectors"))
+  }
 }

@@ -15,6 +15,19 @@ class AnnSpec extends SparkSpec {
   private val e2 = Seq(0f, 1f, 0f, 0f)
   private val e3 = Seq(0f, 0f, 1f, 0f)
 
+  test("embeddingNormStats flags non-unit and zero vectors per dimensionality") {
+    val df = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),      // unit
+      (1L, Seq(0f, 2f, 0f, 0f), 0),      // norm 2 -> non-unit
+      (2L, Seq(0f, 0f, 0f, 0f), 0))      // zero vector (also non-unit)
+      .union(embs((3L, Seq(0f, 1f), 1))) // ragged: dim 2
+    val out = Ann.embeddingNormStats(df)
+      .select("dim", "vectors", "min_norm", "max_norm", "non_unit", "zero_vectors")
+      .as[(Long, Long, Double, Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(4L) === ((4L, 3L, 0.0, 2.0, 2L, 1L)))
+    assert(out(2L) === ((2L, 1L, 1.0, 1.0, 0L, 0L)))
+  }
+
   test("cosine expression matches hand-computed values") {
     GraftExtensions.register(spark)
     val df = embs((0L, e1, 0), (1L, e1, 0))

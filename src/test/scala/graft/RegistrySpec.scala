@@ -42,7 +42,8 @@ class RegistrySpec extends SparkSpec {
     "entity_pair_lift", "length_percentiles", "char_budget_sample",
     // round-8 parity/robustness tail: salted-join value parity,
     // per-language tokenizer fertility, decode-free binary triage
-    "skew_salted_join", "lang_token_stats", "multimodal_triage")
+    "skew_salted_join", "lang_token_stats", "multimodal_triage",
+    "embedding_norm_stats")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
