@@ -435,6 +435,35 @@ object SparkEntry {
         Skew.saltedCount(Tables.events(s, d), col("user_id")),
       Some("SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1")),
 
+    ("retention_cohorts",
+      // Monday-start weeks on both engines; offset = exact day-diff DIV 7
+      (s: SparkSession, d: String) =>
+        Analytics.retentionCohorts(Tables.events(s, d)),
+      Some("""WITH first AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date FROM events GROUP BY 1),
+             |cohorts AS (
+             |  SELECT user_id, CAST(date_trunc('week', first_date) AS DATE) AS cohort_week
+             |  FROM first),
+             |activity AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+             |  FROM events)
+             |SELECT cohort_week, date_diff('day', cohort_week, activity_week) // 7 AS week_offset,
+             |  COUNT(DISTINCT a.user_id) AS active_users
+             |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+             |WHERE date_diff('day', cohort_week, activity_week) // 7 <= 8
+             |GROUP BY 1, 2""".stripMargin)),
+
+    ("dup_rate_by_source",
+      (s: SparkSession, d: String) => TextOps.dupRateBySource(docs(s, d)),
+      Some("""WITH fps AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+             |g AS (SELECT fp, COUNT(*) AS copies, MIN(doc_id) AS keeper_id FROM fps GROUP BY 1)
+             |SELECT source, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+             |  CAST(SUM(CASE WHEN f.doc_id <> keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS would_drop,
+             |  CAST(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+             |FROM fps f JOIN g USING (fp) GROUP BY 1""".stripMargin)),
+
     ("skew_salted_join",
       // the salted join rewrite must be VALUE-identical to the plain
       // join it replaces — aggregate after joining a derived user dim

@@ -270,6 +270,36 @@ object Analytics {
   def expireOlderThan(df: DataFrame, tsCol: Column, cutoffTs: String): DataFrame =
     df.filter(tsCol >= lit(cutoffTs).cast("timestamp_ntz"))
 
+  /** Weekly retention cohorts: users grouped by first-seen week, and
+    * for each (cohort, week offset) how many came back — the standard
+    * activity-retention matrix over the event stream. Week truncation
+    * is Monday-start on both engines; the offset is exact integer
+    * day-difference DIV 7, so no doubles and no calendar arithmetic
+    * ambiguity.
+    *
+    * Scale shape: first-seen and the distinct (user, week) activity
+    * set are both user-keyed aggregates — they share hash
+    * partitioning, so the cohort join is co-partitioned and AQE plans
+    * it without a third corpus-wide exchange; the final matrix is
+    * (weeks × offsets)-sized. No windows, no collect. */
+  def retentionCohorts(events: DataFrame, maxWeeks: Int = 8): DataFrame = {
+    val cohorts = events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_date"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_date")).cast("date").as("cohort_week"))
+    events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("activity_week"))
+      .distinct()
+      .join(cohorts, "user_id")
+      .withColumn("week_offset",
+        expr("datediff(activity_week, cohort_week) DIV 7"))
+      .filter(col("week_offset") <= maxWeeks)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** ES stats aggregation (`es.py:304-345`): min/max/avg/sum/count. */
   def statsAgg(documents: DataFrame): DataFrame =
     documents.agg(

@@ -85,6 +85,30 @@ object TextOps {
         .cast("long").as("bpe_tokens"),
       col("n_chars").as("chars"))
 
+  /** Per-source duplication report — which source pollutes the corpus
+    * ("dup_docs" = docs whose exact fingerprint appears more than once
+    * ANYWHERE in the corpus, cross-source included; "would_drop" =
+    * docs a keep-min-id exact dedup would remove). The curation
+    * question this answers — drop or downweight a source — comes
+    * before any per-document filtering.
+    *
+    * Scale shape: one fingerprint aggregate and one join, both keyed
+    * on the fingerprint (co-partitioned, AQE plans no third corpus
+    * exchange), then a source-cardinality-sized rollup. */
+  def dupRateBySource(documents: DataFrame): DataFrame = {
+    val fps = documents.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val groups = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper_id"))
+    fps.join(groups, "fp")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("doc_id") =!= col("keeper_id"), 1L).otherwise(0L)).as("would_drop"))
+      .withColumn("dup_rate",
+        col("dup_docs").cast("double") / col("docs").cast("double"))
+  }
+
   /** Per-language tokenizer-fertility report: how many BPE-ish tokens
     * a language costs per whitespace token (and per char) — the
     * statistic that decides per-language mixing budgets when the

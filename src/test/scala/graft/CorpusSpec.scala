@@ -130,6 +130,24 @@ class CorpusSpec extends SparkSpec {
     assert(again("big") === kept)
   }
 
+  test("retentionCohorts: offsets are whole weeks from the Monday-start cohort week") {
+    import graft.operators.Analytics
+    // user 10 first seen Wed 2024-01-03 (cohort week Mon 01-01), back
+    // the next week and in week 3; user 20 only ever appears once
+    val ev = Seq(
+      (10L, "2024-01-03 10:00:00"), (10L, "2024-01-08 09:00:00"),
+      (10L, "2024-01-17 23:00:00"), (20L, "2024-01-09 00:00:00"))
+      .toDF("user_id", "s")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val out = Analytics.retentionCohorts(ev)
+      .select("cohort_week", "week_offset", "active_users")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (w, o, n) => (w.toString, o, n) }.toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
   test("entityPairLift computes pair_docs x N over single-count products") {
     // gazetteer words: use two dictionary entries via real Ner fixtures
     val dict = Ner.Dictionary

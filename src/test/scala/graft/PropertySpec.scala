@@ -90,6 +90,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: exactPercentiles equals the sorted-multiset reference on random data") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 50L))
+    samples(gen, 25).foreach { values =>
+      val df = values.zipWithIndex
+        .map { case (v, i) => (i.toLong, "x", "en", "s", v) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val qs = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L), ("p95", 19L, 20L))
+      val got = graft.operators.Corpus.exactPercentiles(df, col("n_chars"), qs)
+        .select("p25", "p50", "p75", "p95")
+        .as[(Long, Long, Long, Long)].collect().head
+      val sorted = values.sorted
+      def ref(num: Long, den: Long) = // smallest value with cum >= ceil(q*N)
+        sorted((((sorted.size * num) + den - 1) / den - 1).toInt.max(0))
+      assert(got === ((ref(1, 4), ref(1, 2), ref(3, 4), ref(19, 20))),
+        s"values=$values")
+    }
+  }
+
   test("property: hashSplit is exhaustive, disjoint and stable under corpus growth") {
     val ids = samples(Gen.choose(1L, 1000000L), 500).distinct
     val base = ids.toDF("doc_id")

@@ -43,7 +43,7 @@ class RegistrySpec extends SparkSpec {
     // round-8 parity/robustness tail: salted-join value parity,
     // per-language tokenizer fertility, decode-free binary triage
     "skew_salted_join", "lang_token_stats", "multimodal_triage",
-    "embedding_norm_stats")
+    "embedding_norm_stats", "retention_cohorts", "dup_rate_by_source")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

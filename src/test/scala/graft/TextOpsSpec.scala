@@ -42,6 +42,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("bpe_tokens") === 5L)
   }
 
+  test("dupRateBySource counts cross-source duplicates against every holder") {
+    val df = docs(
+      (1L, "same text", "en", "a", 9L),  // keeper of the dup group
+      (2L, "same text", "en", "b", 9L),  // cross-source copy
+      (3L, "unique a", "en", "a", 8L),
+      (4L, "unique b", "en", "b", 8L))
+    val out = TextOps.dupRateBySource(df)
+      .select("source", "docs", "dup_docs", "would_drop", "dup_rate")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // both sources hold a copy of the duplicated text -> dup_docs 1 each,
+    // but only source b's copy (doc 2, not the min id) would be dropped
+    assert(out("a") === (("a", 2L, 1L, 0L, 0.5)))
+    assert(out("b") === (("b", 2L, 1L, 1L, 0.5)))
+  }
+
   test("langTokenStats: fertility is the ratio of corpus sums, not avg of ratios") {
     val df = docs(
       (1L, "ab cd", "en", "s", 5L),   // ws 2, bpe 2
