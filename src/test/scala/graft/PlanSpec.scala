@@ -169,6 +169,21 @@ class PlanSpec extends SparkSpec {
       s"thresholds must ride a broadcast:\n$plan")
   }
 
+  test("retention_cohorts: joinless — one user aggregate + the matrix rollup, no third exchange") {
+    val plan = finalPlan(SparkEntry.queries("retention_cohorts")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") <= 2,
+      s"cohorts must come from one user-keyed aggregate:\n$plan")
+    assert(count(plan, "Join") === 0, s"no cohort join:\n$plan")
+    assert(count(plan, "Scan parquet") === 1, s"events scanned once:\n$plan")
+  }
+
+  test("dup_rate_by_source: fp-keyed join co-partitions with the fingerprint aggregate") {
+    val plan = finalPlan(SparkEntry.queries("dup_rate_by_source")(spark, dir))
+    // fp agg + fp join + source rollup: nothing else corpus-wide
+    assert(count(plan, "Exchange hashpartitioning") <= 3,
+      s"fp join must reuse fp partitioning:\n$plan")
+  }
+
   test("entity_pair_lift: gazetteer-sized sides broadcast; the corpus never sort-merge-joins") {
     val plan = finalPlan(SparkEntry.queries("entity_pair_lift")(spark, dir))
     assert(count(plan, "SortMergeJoin") === 0, s"no corpus-sized join:\n$plan")
