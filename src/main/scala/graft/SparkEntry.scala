@@ -510,6 +510,86 @@ object SparkEntry {
              |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < (DATE '2024-01-30' - 14) THEN 1 ELSE 0 END) AS BIGINT) AS silver_expired
              |FROM events""".stripMargin)),
 
+    // ---- Event-time ops (round 8): as-of join, funnel, rolling trend,
+    // pivot, rollup grouping sets ----
+    ("asof_join",
+      // each purchase matched to the user's most recent prior-or-equal
+      // click — union+window merge form, ONE shuffle, no range explode;
+      // clicks pre-aggregated unique per (user, ts) as asofJoin requires
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("value")).as("click_value"))
+        Temporal.asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+          .withColumn("gap_us",
+            expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(click_ts as timestamp))"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value,
+             |  epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin)),
+
+    ("funnel_steps",
+      // signup -> purchase conversion: stepB counts only AT OR AFTER the
+      // user's first stepA; mean time-to-convert sums exact decimal micros
+      (s: SparkSession, d: String) => Temporal.funnelSteps(Tables.events(s, d)),
+      Some("""WITH w AS (
+             |  SELECT user_id, event_type, ts,
+             |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS fa
+             |  FROM events),
+             |u AS (
+             |  SELECT user_id, MIN(fa) AS first_a,
+             |    MIN(CASE WHEN event_type = 'purchase' AND ts >= fa THEN ts END) AS first_b
+             |  FROM w GROUP BY 1)
+             |SELECT COUNT(*) AS users,
+             |  CAST(SUM(CASE WHEN first_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_first,
+             |  CAST(SUM(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+             |  CAST(SUM(CAST(epoch_us(first_b) - epoch_us(first_a) AS DECIMAL(30,0))) AS DOUBLE)
+             |    / SUM(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END) AS avg_us_to_convert
+             |FROM u""".stripMargin)),
+
+    ("rolling_daily",
+      // trailing-7-observed-day moving average over the bounded daily
+      // rollup; exact integer ratio, one double division
+      (s: SparkSession, d: String) => Temporal.rollingDaily(Tables.events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS date, COUNT(*) AS cnt FROM events GROUP BY 1)
+             |SELECT date, cnt,
+             |  CAST(SUM(cnt) OVER w AS BIGINT) AS win_events,
+             |  COUNT(*) OVER w AS win_days,
+             |  CAST(CAST(SUM(cnt) OVER w AS BIGINT) AS DOUBLE) / COUNT(*) OVER w AS rolling_avg
+             |FROM daily
+             |WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    ("event_pivot",
+      // declared pivot domain: no value-discovery job; missing cells 0
+      (s: SparkSession, d: String) => Analytics.eventPivot(Tables.events(s, d)),
+      Some("""SELECT CAST(ts AS DATE) AS date,
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    ("rollup_counts",
+      // leaf + per-lang subtotal + grand total in ONE expanded aggregate;
+      // gid disambiguates rollup NULLs from data NULLs
+      (s: SparkSession, d: String) => Analytics.rollupCounts(docs(s, d)),
+      Some(s"""SELECT lang, source, COUNT(*) AS docs,
+              |  ${avgLongSql("n_chars")} AS avg_chars,
+              |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+              |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin)),
+
     // ---- Corpus-construction ops (round 8): rebalancing sample,
     // per-group exemplars, corpus n-gram stats, length shape ----
     ("stratified_sample",
@@ -583,6 +663,48 @@ object SparkEntry {
              |SELECT source, MIN(chars_total) AS chars_total,
              |  COUNT(*) AS docs_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
              |FROM kept GROUP BY 1""".stripMargin)),
+
+    ("scrub_boilerplate",
+      // corpus-frequent bigrams (the token-stream analog of C4's
+      // repeated-line removal) collapse to ONE broadcast array row;
+      // the scrub itself is a pure map — no explode, no corpus shuffle
+      (s: SparkSession, d: String) => Corpus.scrubBoilerplate(docs(s, d), topN = 20),
+      Some("""WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+             |idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM toks WHERE len(t) > 1),
+             |top AS (SELECT t[i] || ' ' || t[i+1] AS gram, COUNT(*) AS n
+             |        FROM idx GROUP BY 1 ORDER BY n DESC, gram LIMIT 20),
+             |g AS (SELECT list_sort(list(gram)) AS grams FROM top),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |marked AS (
+             |  SELECT doc_id, t,
+             |    list_filter(range(1, len(t) + 1), i ->
+             |      NOT ( (i > 1 AND list_contains(grams, lower(t[i-1]) || ' ' || lower(t[i])))
+             |         OR (i < len(t) AND list_contains(grams, lower(t[i]) || ' ' || lower(t[i+1]))) )) AS kept
+             |  FROM d, g)
+             |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+             |  array_to_string(list_transform(kept, i -> t[i]), ' ') AS scrubbed
+             |FROM marked""".stripMargin)),
+
+    ("topic_terms",
+      // tf-idf with LINEAR idf (n_sources/df — log is not IEEE
+      // exact-rounded cross-engine; products and divisions are), top-5
+      // distinctive terms per source via WindowGroupLimit
+      (s: SparkSession, d: String) => Corpus.topicTerms(docs(s, d), k = 5),
+      Some("""WITH terms AS (
+             |  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+             |tf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+             |sf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+             |scored AS (
+             |  SELECT source, term, tf, df,
+             |    CAST(tf AS DOUBLE) * (CAST(n_sources AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+             |  FROM tf JOIN sf USING (term), n)
+             |SELECT source, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |    ORDER BY score DESC, term) AS rank
+             |  FROM scored) WHERE rank <= 5""".stripMargin)),
 
     ("entity_pair_lift",
       // PMI sans log (monotone, cross-engine-exact): pair doc count x N

@@ -303,6 +303,37 @@ object Analytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("active_users"))
 
+  /** Day × event-type crosstab via the DataFrame pivot API — the
+    * wide-format dashboard matrix. The pivot values are DECLARED
+    * (`types`), not discovered: `pivot(col)` without values runs an
+    * extra distinct job over the corpus and caps at
+    * `spark.sql.pivotMaxValues`; with a declared domain the plan is
+    * one aggregate, same as the conditional-sum form. Missing cells
+    * are 0, not NULL (a day with no errors has zero errors). */
+  def eventPivot(events: DataFrame,
+                 types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("date"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+
+  /** Hierarchical totals in one pass: per-(lang, source) counts, the
+    * per-lang subtotal, and the grand total via ROLLUP grouping sets —
+    * the reference runs separate queries per level (`apx.py` issues
+    * one aggregate per dashboard card). `gid` is the standard grouping
+    * bitmask (0 = leaf, 1 = source aggregated, 3 = grand total) so
+    * consumers can tell a real NULL group from a rollup row.
+    *
+    * Scale shape: Spark plans ROLLUP as ONE expanded aggregate (each
+    * input row feeds every grouping set) — one scan and one shuffle
+    * for all three levels, vs three scans as separate queries. */
+  def rollupCounts(documents: DataFrame): DataFrame =
+    documents
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), avgLong(col("n_chars")).as("avg_chars"),
+        grouping_id().cast("long").as("gid"))
+
   /** ES stats aggregation (`es.py:304-345`): min/max/avg/sum/count. */
   def statsAgg(documents: DataFrame): DataFrame =
     documents.agg(

@@ -167,6 +167,73 @@ object Corpus {
         sum(col("n_chars")).as("chars_kept"))
   }
 
+  /** C4-style boilerplate scrubbing, token-gram form: find the corpus'
+    * `topN` most frequent bigrams ([[bigramCounts]] — the navigation
+    * chrome / legal footer of a real web corpus) and delete every
+    * token that participates in one. The classic formulation removes
+    * repeated LINES; this corpus is a token stream, so the unit is the
+    * token-bigram — same curation semantics (kill text shared across
+    * many documents), same two-phase shape.
+    *
+    * Scale shape: phase one is the word-count-shaped bigram aggregate
+    * bounded to `topN` rows, collapsed to ONE array row and broadcast
+    * (the constant-broadcast pattern of the IVF centroids); phase two
+    * is a pure map over the corpus — per-token membership tests
+    * against the broadcast array via HOFs, no explode, no shuffle, no
+    * join keyed on corpus rows. Matching is case-insensitive
+    * (bigramCounts lowercases); emitted tokens keep original case. */
+  def scrubBoilerplate(documents: DataFrame, topN: Int = 20): DataFrame = {
+    val grams = bigramCounts(documents, topN)
+      .agg(array_sort(collect_list(col("gram"))).as("grams"))
+    val t = split(col("text"), " ")
+    val n = size(t)
+    def lw(i: Column) = lower(element_at(t, i))
+    def isBp(g: Column) = array_contains(col("grams"), g)
+    // p is the 1-based token position; a token goes if the bigram it
+    // closes (p-1, p) or the one it opens (p, p+1) is boilerplate
+    val kept = filter(
+      transform(t, (x, i) => struct(x.as("w"), (i + 1).as("p"))),
+      s => {
+        val p = s.getField("p")
+        !((p > 1 && isBp(concat(lw(p - 1), lit(" "), lw(p)))) ||
+          (p < n && isBp(concat(lw(p), lit(" "), lw(p + 1)))))
+      })
+    documents
+      .crossJoin(broadcast(grams))
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        (n - size(kept)).cast("long").as("n_removed"),
+        array_join(transform(kept, s => s.getField("w")), " ").as("scrubbed"))
+  }
+
+  /** Distinctive terms per source: tf-idf where idf is the LINEAR
+    * source ratio `n_sources / sources_with_term` (no log — log is
+    * monotone per term but mixes into the tf product, and `ln` is not
+    * IEEE exact-rounded across engines; products and divisions are —
+    * the same determinism argument as ranked_search_multi). The
+    * corpus-insight query behind "what is source X actually about",
+    * and the seed list for topic taxonomies.
+    *
+    * Scale shape: one corpus-sized token explode into a map-side-
+    * combinable (source, term) count; everything after runs on
+    * VOCABULARY-sized rollups — the source-frequency aggregate, a
+    * term-keyed rollup⋈rollup join, the 1-row source-count broadcast —
+    * and the final top-k rides WindowGroupLimit at O(sources × k). */
+  def topicTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val tf = documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nSources = documents.agg(countDistinct(col("source")).as("n_sources"))
+    val scored = tf.join(sf, "term")
+      .crossJoin(broadcast(nSources))
+      .withColumn("score", col("tf").cast("double")
+        * (col("n_sources").cast("double") / col("df").cast("double")))
+    groupTopK(scored, col("source"), Seq(col("score").desc, col("term")), k)
+      .select(col("source"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   /** Document-length histogram: fixed-width buckets with a capped
     * overflow bucket — the one-glance shape check run on every corpus
     * snapshot (a sudden mass at tiny lengths means the cleaner

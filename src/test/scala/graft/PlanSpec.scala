@@ -184,6 +184,74 @@ class PlanSpec extends SparkSpec {
       s"fp join must reuse fp partitioning:\n$plan")
   }
 
+  test("asofJoin: ONE key exchange, no join operator, no row expansion") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val plan = finalPlan(graft.operators.Temporal.asofJoin(
+      purchases, clicks, "user_id", "ts", "click_ts"))
+    // the union+window form: both sides shuffle once on the key and the
+    // window walks the merge — the naive range-join+argmax would show a
+    // Join node and a per-pair expansion here
+    assert(count(plan, "Exchange hashpartitioning") === 1,
+      s"as-of must shuffle once on the key:\n$plan")
+    assert(count(plan, "Join") === 0, s"no join operator, the window IS the match:\n$plan")
+    assert(count(plan, "Window ") >= 1)
+  }
+
+  test("funnel_steps: window and per-user aggregate share one user exchange") {
+    val plan = finalPlan(SparkEntry.queries("funnel_steps")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") === 1,
+      s"the user aggregate must reuse the window's partitioning:\n$plan")
+    assert(count(plan, "Scan parquet") === 1)
+  }
+
+  test("rolling_daily: the global window consumes the daily rollup, not raw events") {
+    val plan = finalPlan(SparkEntry.queries("rolling_daily")(spark, dir))
+    assert(count(plan, "Scan parquet") === 1)
+    assert(plan.indexOf("Window") > 0 &&
+      plan.indexOf("Window") < plan.indexOf("HashAggregate"),
+      s"window must sit above the daily aggregate:\n$plan")
+  }
+
+  test("event_pivot: declared pivot domain plans as one scan, no discovery job") {
+    val plan = finalPlan(SparkEntry.queries("event_pivot")(spark, dir))
+    assert(count(plan, "Scan parquet") === 1, s"no distinct-values pre-pass:\n$plan")
+    // Spark plans pivot as two aggregates: (date, type) counts, then
+    // pivot_first by date — the second exchange moves the bounded
+    // (days x types) rollup, not events. Undeclared values would add a
+    // third job (a corpus-wide distinct) before any of this.
+    assert(count(plan, "Exchange hashpartitioning") === 2)
+  }
+
+  test("rollup_counts: all three grouping levels ride ONE Expand, one scan") {
+    val plan = finalPlan(SparkEntry.queries("rollup_counts")(spark, dir))
+    assert(count(plan, "Expand") === 1, s"rollup must expand once:\n$plan")
+    assert(count(plan, "Scan parquet") === 1)
+  }
+
+  test("scrub_boilerplate: grams ride a 1-row broadcast; the scrub is a pure map") {
+    val plan = finalPlan(SparkEntry.queries("scrub_boilerplate")(spark, dir))
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1,
+      s"the gram array must ride a constant broadcast:\n$plan")
+    assert(count(plan, "SortMergeJoin") === 0, s"no corpus-keyed join:\n$plan")
+    // the only hash exchange belongs to the bigram word-count; the
+    // corpus branch goes scan -> BNLJ -> project untouched
+    assert(count(plan, "Exchange hashpartitioning") === 1,
+      s"only the gram aggregate may shuffle:\n$plan")
+  }
+
+  test("topic_terms: top-k rides WindowGroupLimit; n_sources rides a 1-row broadcast") {
+    val plan = finalPlan(SparkEntry.queries("topic_terms")(spark, dir))
+    assert(count(plan, "WindowGroupLimit") >= 2,
+      s"expected partial+final group-limit:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1,
+      s"n_sources must ride a 1-row broadcast:\n$plan")
+  }
+
   test("entity_pair_lift: gazetteer-sized sides broadcast; the corpus never sort-merge-joins") {
     val plan = finalPlan(SparkEntry.queries("entity_pair_lift")(spark, dir))
     assert(count(plan, "SortMergeJoin") === 0, s"no corpus-sized join:\n$plan")

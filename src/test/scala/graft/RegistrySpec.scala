@@ -43,7 +43,11 @@ class RegistrySpec extends SparkSpec {
     // round-8 parity/robustness tail: salted-join value parity,
     // per-language tokenizer fertility, decode-free binary triage
     "skew_salted_join", "lang_token_stats", "multimodal_triage",
-    "embedding_norm_stats", "retention_cohorts", "dup_rate_by_source")
+    "embedding_norm_stats", "retention_cohorts", "dup_rate_by_source",
+    // round-8 event-time + curation tail: as-of join, funnel, rolling
+    // trend, pivot/rollup API surface, boilerplate scrub, tf-idf terms
+    "asof_join", "funnel_steps", "rolling_daily", "event_pivot",
+    "rollup_counts", "scrub_boilerplate", "topic_terms")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
