@@ -115,10 +115,18 @@ object Bench {
     // parsed fine) — the consumer evidently rejects keys outside the
     // documented {metric,value,unit,queries,errors,sf} shape. Keep the
     // stdout line exactly at the r6-proven shape.
-    val qs = timings.map { case (k, v) => s"${Json.str(k)}:$v" }.mkString("{", ",", "}")
+    //
+    // Length matters too: the round-7 tail capture cut the FRONT of the
+    // JSON line off (it starts mid-number in BENCH_r07.json), so the
+    // consumer reads only the last ~3 KB of output. At 80+ queries a
+    // full-precision double per query (10-17 chars) pushes the line
+    // past that window. Millisecond precision is all the comparison
+    // needs and keeps the line ~2 KB even at 100 queries.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = timings.map { case (k, v) => s"${Json.str(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val es = Json.obj(errors)
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${Json.str(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":${Json.str(sfDir)}}""")
     spark.stop()
     // strict mode for pre-commit use: a regression is a hard failure
     if (regs.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))

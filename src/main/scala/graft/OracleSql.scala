@@ -105,6 +105,22 @@ object OracleSql {
     * 0.5, maxDocFreq 100) as a CTE chain ending in
     * `pairs(doc_id_1, doc_id_2, jaccard)`. Use as
     * `WITH $ngramPairsCtes SELECT ... FROM pairs`. */
+  /** True transitive closure over the ngram-Jaccard pair graph via a
+    * (linear) recursive CTE — every node's cluster is the least id it
+    * can reach. The shared oracle for BOTH connected-component
+    * implementations ([[graft.operators.Dedup.clusterPairs]] min-label
+    * propagation and [[graft.operators.Dedup.clusterPairsStar]]
+    * large-star/small-star): same pair graph, same output contract,
+    * one oracle. */
+  def clustersCcSql: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |edges AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+       |          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+       |reach AS (SELECT a, b FROM edges
+       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |FROM reach GROUP BY a""".stripMargin
+
   def ngramPairsCtes: String =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

@@ -792,15 +792,15 @@ object SparkEntry {
     ("dedup_clusters",
       (s: SparkSession, d: String) =>
         Dedup.clusterPairs(Dedup.ngramJaccardPairs(docs(s, d))),
-      // oracle: true transitive closure via a (linear) recursive CTE —
-      // every node's cluster is the least id it can reach
-      Some(s"""WITH RECURSIVE $ngramPairsCtes,
-              |edges AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
-              |          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
-              |reach AS (SELECT a, b FROM edges
-              |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-              |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-              |FROM reach GROUP BY a""".stripMargin)),
+      Some(clustersCcSql)),
+
+    ("dedup_clusters_star",
+      // the deep-chain-safe CC variant, oracle-checked against the
+      // SAME transitive-closure SQL as dedup_clusters: both must land
+      // on identical component minima
+      (s: SparkSession, d: String) =>
+        Dedup.clusterPairsStar(Dedup.ngramJaccardPairs(docs(s, d))),
+      Some(clustersCcSql)),
 
     ("dedup_embedding",
       (s: SparkSession, d: String) => Ann.embeddingDedupPairs(Tables.embeddings(s, d)),
@@ -863,6 +863,38 @@ object SparkEntry {
              |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9${TextOps.Ws}]')) AS BIGINT) AS bpe_tokens,
              |  n_chars AS chars
              |FROM documents""".stripMargin)),
+
+    ("gopher_rules",
+      (s: SparkSession, d: String) => TextOps.gopherRules(docs(s, d)),
+      // stopword CASE terms generated from the same GopherStops list
+      // the operator uses — the two cannot drift apart
+      Some {
+        val stops = TextOps.GopherStops
+          .map(w => s"(CASE WHEN regexp_matches(text, '\\b$w\\b') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, n_chars, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           |  FROM documents),
+           |m AS (SELECT doc_id, n_words,
+           |    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+           |      / CAST(n_words AS DOUBLE) AS symbol_ratio,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           |      / CAST(n_words AS DOUBLE) AS alpha_ratio,
+           |    CAST($stops AS BIGINT) AS stop_hits
+           |  FROM w)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+           |  n_words >= 50 AND n_words <= 100000 AS pass_words,
+           |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mwl,
+           |  symbol_ratio < 0.1 AS pass_symbol,
+           |  alpha_ratio > 0.8 AS pass_alpha,
+           |  stop_hits >= 2 AS pass_stops,
+           |  n_words >= 50 AND n_words <= 100000
+           |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           |    AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+           |    AND stop_hits >= 2 AS gopher_pass
+           |FROM m""".stripMargin
+      }),
 
     ("doc_fingerprint",
       (s: SparkSession, d: String) => TextOps.docFingerprint(docs(s, d)),

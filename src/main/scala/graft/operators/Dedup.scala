@@ -243,18 +243,103 @@ object Dedup {
       var converged = false
       while (!converged && iter < maxIters) {
         val msgs = edges.join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("label"))
-        val next = labels.union(msgs)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .select(col("dst").as("node"), col("label"), lit(false).as("own"))
+        // Convergence detection FUSED into the label round: each node's
+        // previous label rides along as `min(label WHERE own)` (every
+        // node contributes exactly one own-row, so `prev` is never
+        // null), and "did anything change" is a filter over the
+        // checkpointed result — not the separate next-vs-old join the
+        // first formulation paid per round (one extra shuffle join per
+        // iteration on the hot fixpoint path).
+        val next = labels.withColumn("own", lit(true)).union(msgs)
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"),
+               min(when(col("own"), col("label"))).as("prev"))
           .localCheckpoint()
-        converged = next.as("n")
-          .join(labels.as("o"), "node")
-          .filter(col("n.label") =!= col("o.label"))
-          .isEmpty
-        labels = next
+        converged = next.filter(col("label") =!= col("prev")).isEmpty
+        labels = next.select(col("node"), col("label"))
         iter += 1
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    } finally p.unpersist()
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — same output contract as [[clusterPairs]] (every
+    * pair-graph node labelled with its component's minimum id), but
+    * convergence in O(log^2 n) rounds REGARDLESS of component shape.
+    * [[clusterPairs]]' min-label propagation needs diameter rounds,
+    * which is the right trade for the dense quasi-cliques near-dup
+    * pairs produce; this is the scale-safe fallback when a corpus
+    * yields deep chains (transitive near-dup drift — A~B~C~... with no
+    * short-cut pairs), where label propagation would either run
+    * hundreds of rounds or cut off.
+    *
+    * Each round is two self-contained aggregate+join jobs over the
+    * canonical (larger, smaller) edge list:
+    *   - large-star: every node points its LARGER neighbors at the
+    *     minimum of its closed neighborhood — long tails fold in half;
+    *   - small-star: every node rewires its smaller neighbors and
+    *     itself onto that minimum — stars flatten.
+    * Edges stay canonically oriented (u > v) by construction, so no
+    * orientation normalization job is needed between rounds.
+    * Convergence is detected from a 1-row (count, hash-sum) signature
+    * of the checkpointed edge list — two scalar aggregates, no
+    * edge-to-edge comparison join. `localCheckpoint` per round cuts
+    * lineage exactly as in [[clusterPairs]]. */
+  def clusterPairsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    require(maxIters >= 1)
+    val p = pairs.select(col("doc_id_1"), col("doc_id_2")).persist()
+    try {
+      var edges = p
+        .select(greatest(col("doc_id_1"), col("doc_id_2")).as("u"),
+          least(col("doc_id_1"), col("doc_id_2")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      def signature(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)).as("c"),
+          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var sig = signature(edges)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        // large-star: center a sees ALL neighbors (symmetric adjacency),
+        // larger neighbors b > a re-point at min(closed neighborhood)
+        val adj = edges.select(col("u").as("a"), col("v").as("b"))
+          .union(edges.select(col("v").as("a"), col("u").as("b")))
+        val mins = adj.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        val large = adj.join(mins, "a")
+          .filter(col("b") > col("a"))
+          // b > a >= least(a, mn): canonical orientation is free
+          .select(col("b").as("u"), least(col("a"), col("mn")).as("v"))
+          .distinct()
+          .localCheckpoint()
+        // small-star: center u (the larger endpoint) rewires its smaller
+        // neighbors and itself onto its minimum neighbor
+        val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val rewired = large.join(sm, "u")
+          .select(col("v").as("x"), col("m"))
+          .union(sm.select(col("u").as("x"), col("m")))
+          .filter(col("x") =!= col("m"))
+          // x is either a neighbor >= m or the center u > m: canonical
+          .select(col("x").as("u"), col("m").as("v"))
+          .distinct()
+          .localCheckpoint()
+        val nextSig = signature(rewired)
+        converged = nextSig == sig
+        sig = nextSig
+        edges = rewired
+        iter += 1
+      }
+      // converged edge list is a union of stars rooted at component
+      // minima: children label from their edge, roots label themselves
+      edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+        .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
     } finally p.unpersist()
   }
 

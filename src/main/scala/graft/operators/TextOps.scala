@@ -257,4 +257,68 @@ object TextOps {
       .agg(count(lit(1)).as("overlap_shingles"))
       .filter(col("overlap_shingles") >= minOverlap)
   }
+
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", table A1) — the published heuristic battery most
+    * curation pipelines start from, adapted to a token-stream corpus
+    * (the line-based bullet/ellipsis-prefix rules have no lines to
+    * apply to here):
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10]
+    *   - symbol-to-word ratio ('#' or '...') below 0.1
+    *   - >= 80% of words contain at least one alphabetic character
+    *   - at least 2 distinct members of a small stopword list appear
+    *
+    * Emits every intermediate measure plus per-rule booleans so a
+    * curation run can relax one rule without recomputing the corpus
+    * pass, and `gopher_pass` as the conjunction. Scale shape: a pure
+    * projection — one corpus scan, zero shuffles, every expression
+    * codegen'd; at 100 TB this runs at scan speed alongside the other
+    * map-only triage columns.
+    *
+    * Parity note: thresholds compare STRICTLY except the documented
+    * closed bounds, and all ratios are exact IEEE divisions of integer
+    * counts (same cross-engine determinism argument as
+    * [[qualityScore]]). Mean word length uses the single-space token
+    * convention of this corpus: chars excluding separators =
+    * n_chars - (n_words - 1). */
+  def gopherRules(documents: DataFrame,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("long")
+    val mwl = (col("n_chars") - (nWords - lit(1L))).cast("double") / nWords.cast("double")
+    val symbolRatio = regexp_count(col("text"), lit("#|\\.\\.\\."))
+      .cast("double") / nWords.cast("double")
+    val alphaRatio = size(filter(toks, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = GopherStops.map(w =>
+      when(col("text").rlike(s"\\b$w\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val passWords = nWords >= minWords && nWords <= maxWords
+    val passMwl = mwl >= 3.0 && mwl <= 10.0
+    val passSymbol = symbolRatio < 0.1
+    val passAlpha = alphaRatio > 0.8
+    val passStops = stopHits >= 2L
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      mwl.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      passWords.as("pass_words"),
+      passMwl.as("pass_mwl"),
+      passSymbol.as("pass_symbol"),
+      passAlpha.as("pass_alpha"),
+      passStops.as("pass_stops"),
+      (passWords && passMwl && passSymbol && passAlpha && passStops)
+        .as("gopher_pass"))
+  }
+
+  /** Stopword probe list for [[gopherRules]] — the 8-word function-word
+    * set from the paper's rule ("the, be, to, of, and, that, have,
+    * with"). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 }

@@ -52,6 +52,35 @@ object Sinks {
       .option("isolationLevel", "READ_COMMITTED")
       .mode("append")
 
+  /** Keyed upsert merge (SCD-1): `updates` rows replace same-key rows
+    * in `existing`, new keys append — the set semantics of the
+    * reference's `ON CONFLICT (id) DO UPDATE` PG loader
+    * (`/root/reference/services/batch_pg.py:114`), re-expressed as the
+    * bulk merge a columnar lake needs (parquet files are immutable;
+    * per-row upsert at 100 TB is a non-starter — you rewrite the
+    * affected partitions instead).
+    *
+    * Shape: one left-anti join keyed on `keys` unioned with `updates`
+    * verbatim. The anti-join broadcasts when the update batch is small
+    * (the overwhelmingly common case: a day's corrections against a
+    * corpus) and falls back to a shuffle join under AQE when it
+    * isn't; the surviving `existing` rows stream through map-side.
+    * Updates are REQUIRED key-unique (duplicate update keys would make
+    * "replace" ambiguous); violations fail fast rather than writing a
+    * nondeterministic merge. Pair with [[writeParquet]] partitioned on
+    * a date column so only touched partitions rewrite. */
+  def mergeUpsert(existing: DataFrame, updates: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeUpsert needs at least one key column")
+    require(existing.columns.sameElements(updates.columns),
+      s"schema mismatch: ${existing.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val dupKeys = updates.groupBy(keys.map(updates(_)): _*)
+      .count().filter("count > 1").limit(1).count()
+    require(dupKeys == 0L, "update batch has duplicate keys — replace is ambiguous")
+    existing.join(updates.select(keys.map(updates(_)): _*), keys, "left_anti")
+      .unionByName(updates)
+  }
+
   /** Streaming parquet sink with checkpointing — exactly-once file
     * output, the streaming twin of [[writeParquet]]. Returned
     * unstarted — callers `.start()`. */

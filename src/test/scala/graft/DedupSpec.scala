@@ -71,6 +71,53 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("clusterPairsStar matches clusterPairs on chain, triangle, isolated pair") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("doc_id_1", "doc_id_2", "jaccard")
+    val out = Dedup.clusterPairsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusterPairsStar labels a deep chain past label-propagation's round budget") {
+    // a 120-hop chain needs 119 min-label rounds (clusterPairs'
+    // default maxIters=20 deterministically cuts it off); the star
+    // rounds fold it logarithmically and finish inside maxIters=30
+    val n = 120
+    val pairs = (0 until n).map(i => (i.toLong, i + 1L, 0.9))
+      .toDF("doc_id_1", "doc_id_2", "jaccard")
+    val out = Dedup.clusterPairsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(out.size === n + 1)
+    assert(out.values.forall(_ == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("clusterPairsStar matches a union-find oracle on a random pair graph") {
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b), 0.9) }
+      .distinct
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.clusterPairsStar(pairs.toDF("doc_id_1", "doc_id_2", "jaccard"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("applyClusters keeps representatives and untouched docs, drops the rest") {
     val corpus = docs((1L, base), (2L, base), (3L, other), (9L, "solo doc here"))
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")

@@ -47,7 +47,10 @@ class RegistrySpec extends SparkSpec {
     // round-8 event-time + curation tail: as-of join, funnel, rolling
     // trend, pivot/rollup API surface, boilerplate scrub, tf-idf terms
     "asof_join", "funnel_steps", "rolling_daily", "event_pivot",
-    "rollup_counts", "scrub_boilerplate", "topic_terms")
+    "rollup_counts", "scrub_boilerplate", "topic_terms",
+    // round-8 quality + CC-at-scale tail: published Gopher rule
+    // battery, log-round connected components for deep chains
+    "gopher_rules", "dedup_clusters_star")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -118,6 +118,24 @@ class SourcesSpec extends SparkSpec {
     assert(t(0).getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
 
+  test("Sinks.mergeUpsert replaces same-key rows, appends new keys, keeps the rest") {
+    val existing = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("doc_id", "text", "n_chars")
+    val updates = Seq((2L, "B2", 21L), (9L, "z", 90L))
+      .toDF("doc_id", "text", "n_chars")
+    val merged = Sinks.mergeUpsert(existing, updates, Seq("doc_id"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(merged === Seq((1L, "a", 10L), (2L, "B2", 21L), (3L, "c", 30L), (9L, "z", 90L)))
+  }
+
+  test("Sinks.mergeUpsert fails fast on duplicate update keys") {
+    val existing = Seq((1L, "a")).toDF("doc_id", "text")
+    val updates = Seq((2L, "x"), (2L, "y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Sinks.mergeUpsert(existing, updates, Seq("doc_id"))
+    }
+  }
+
   test("Multimodal frameSample explodes strided frame rows") {
     val docs = Seq((1L, "a" * 64, "en", "s", 64L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
