@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{BoundedCollect, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -100,6 +100,13 @@ object GraftExtensions {
         case Seq(vec, cents) => IvfArgmin(vec, cents)
         case other => badSignature(
           "graft_ivf_argmin", "(vector, centroids: array<struct<cell, cemb, cnrm>>)", other)
+      }),
+    ("graft_scrub_tokens",
+      new ExpressionInfo(classOf[ScrubTokens].getName, "graft_scrub_tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, grams) => ScrubTokens(toks, grams)
+        case other => badSignature(
+          "graft_scrub_tokens", "(tokens: array<string>, grams: array<string>)", other)
       }),
     ("graft_bounded_collect",
       new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),

@@ -108,6 +108,27 @@ class TemporalSpec extends SparkSpec {
       (3L, 4L, 3L, "q"))) // a a a: all three tokens sit in an "a a" bigram
   }
 
+  test("scrubBoilerplate native expression is bit-identical to the declarative HOF form") {
+    // random token streams over a tiny vocab force heavy bigram
+    // repetition, case variance exercises the lowercase matching,
+    // single-token and empty-ish docs hit the no-bigram edge
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "B", "cc", "Dd", "e", "#")
+    val rows = (1L to 60L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (99L, "solo")
+    val d = rows.toDF("doc_id", "text")
+    val native = Corpus.scrubBoilerplate(d, topN = 3)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val declarative = Corpus.scrubBoilerplateDeclarative(d, topN = 3)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(native === declarative)
+    assert(native.size === rows.size)
+  }
+
   test("topicTerms: a source-exclusive term outranks shared vocabulary") {
     val d = Seq(
       ("s1", "quark quark common"), ("s2", "common common boson"), ("s3", "common")
