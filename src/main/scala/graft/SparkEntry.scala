@@ -537,6 +537,32 @@ object SparkEntry {
              |FROM purchases p ASOF LEFT JOIN clicks c
              |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin)),
 
+    ("interval_join",
+      // attribution pairs: every purchase within (click_ts, +30 min]
+      // of the same user's click — equi-key join, time bounds as the
+      // join residual (no bucket cross product); batch contract of the
+      // watermarked stream-stream Streams.attributionJoin
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        Temporal.intervalJoin(clicks, purchases, "user_id", "click_ts", "p_ts")
+          .withColumn("gap_us",
+            expr("unix_micros(cast(p_ts as timestamp)) - unix_micros(cast(click_ts as timestamp))"))
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |          FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT click_id, c.user_id, click_ts, p_id, p_ts,
+             |  epoch_us(p_ts) - epoch_us(click_ts) AS gap_us
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND p_ts > click_ts AND p_ts <= click_ts + INTERVAL 30 MINUTE""".stripMargin)),
+
     ("funnel_steps",
       // signup -> purchase conversion: stepB counts only AT OR AFTER the
       // user's first stepA; mean time-to-convert sums exact decimal micros
@@ -722,6 +748,24 @@ object SparkEntry {
               |FROM p JOIN singles s1 ON p.entity_1 = s1.word
               |       JOIN singles s2 ON p.entity_2 = s2.word, n
               |WHERE pair_docs >= 2""".stripMargin)),
+
+    ("entity_centrality",
+      // integer power-iteration centrality: BIGINT iterates are
+      // partitioning-independent where a damped double PageRank sum
+      // would not be; DuckDB SUM(BIGINT) is HUGEINT, hence the casts
+      (s: SparkSession, d: String) => Ner.entityCentrality(s, docs(s, d)),
+      Some(s"""WITH $nerCtes,
+              |e AS (SELECT DISTINCT doc_id, entity_text AS word FROM ents),
+              |p AS (SELECT a.word AS e1, b.word AS e2, COUNT(*) AS w
+              |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.word < b.word
+              |      GROUP BY 1, 2),
+              |adj AS (SELECT e1 AS u, e2 AS v, w FROM p
+              |        UNION ALL SELECT e2, e1, w FROM p),
+              |deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS degree FROM adj GROUP BY 1),
+              |cent AS (SELECT adj.u, CAST(SUM(adj.w * d2.degree) AS BIGINT) AS centrality
+              |         FROM adj JOIN deg d2 ON adj.v = d2.u GROUP BY 1)
+              |SELECT deg.u AS entity, degree, centrality
+              |FROM deg JOIN cent ON deg.u = cent.u""".stripMargin)),
 
     ("entity_overview",
       (s: SparkSession, d: String) => Ner.entityOverview(s, docs(s, d)),

@@ -227,4 +227,46 @@ object Ner {
           (col("c1").cast("double") * col("c2").cast("double")))
       .select(col("entity_1"), col("entity_2"), col("pair_docs"), col("lift"))
   }
+
+  /** Weighted graph centrality over the entity co-occurrence graph —
+    * which entities sit at the center of the corpus' concept network.
+    * `degree` is the weighted degree (Σ co-occurrence doc counts over
+    * incident edges, the first power-iteration step A·1) and
+    * `centrality` the second iterate (Σ edge-weight × neighbor degree,
+    * A·(A·1)) — unnormalized eigenvector-centrality power iteration
+    * kept in EXACT BIGINT: a damped double PageRank would sum doubles,
+    * and a distributed double sum is partitioning-dependent (the same
+    * determinism rule as `embedding_norm_stats`' deliberately absent
+    * double mean). Integer iterates rank identically to the normalized
+    * vector at every fixed depth.
+    *
+    * Scale shape: the ONLY corpus-sized work is the per-doc distinct
+    * mention aggregate already bounded by the gazetteer; the graph
+    * itself is gazetteer² at most, so the adjacency union, both
+    * degree aggregates and the final join run on broadcast-scale
+    * rows. Iterate depth 2 keeps the worst-case magnitude
+    * (|V| × N × (|V| × N)) far inside BIGINT for any realistic
+    * gazetteer. */
+  def entityCentrality(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val ents = mentions(spark, documents)
+      .select(col("doc_id"), col("word")).distinct()
+    val pairs = ents
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("word"))).as("es"))
+      .filter(size(col("es")) >= 2)
+      .select(explode(flatten(transform(col("es"), (a, i) =>
+        transform(slice(col("es"), i + 2, size(col("es"))),
+          b => struct(a.as("e1"), b.as("e2")))))).as("p"))
+      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
+      .agg(count(lit(1)).as("w"))
+    val adj = pairs.select(col("e1").as("u"), col("e2").as("v"), col("w"))
+      .union(pairs.select(col("e2").as("u"), col("e1").as("v"), col("w")))
+    val deg = adj.groupBy(col("u")).agg(sum(col("w")).as("degree"))
+    val cent = adj
+      .join(broadcast(deg.select(col("u").as("v"), col("degree").as("dv"))), "v")
+      .groupBy(col("u"))
+      .agg(sum(col("w") * col("dv")).as("centrality"))
+    deg.join(cent, "u")
+      .select(col("u").as("entity"), col("degree"), col("centrality"))
+  }
 }

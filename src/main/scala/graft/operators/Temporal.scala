@@ -124,4 +124,33 @@ object Temporal {
         count(lit(1)).over(trailing).as("win_days"))
       .withColumn("rolling_avg", col("win_events").cast("double") / col("win_days"))
   }
+
+  /** Interval (range) join: every (left, right) pair with the same
+    * `key` whose right timestamp falls in `(leftTs, leftTs + window]`
+    * — the attribution join ("which purchases followed this click
+    * within 30 minutes"), and the batch twin of the watermarked
+    * stream-stream join ([[graft.streaming.Streams.attributionJoin]]).
+    * Unlike [[asofJoin]] (one best match, no expansion) this KEEPS
+    * every in-window pair — use it when downstream wants the pair
+    * list, not a point lookup.
+    *
+    * Scale shape: the join is equi-keyed on `key` — Spark plans the
+    * usual hash-partitioned SMJ/SHJ and evaluates the time bounds as
+    * a join residual, so there is no time-bucket cross product and no
+    * row expansion beyond true matches. (A key-less pure range join
+    * would need time-bucketing both sides to an equi key first; with
+    * a real key — user, session, device — that machinery is dead
+    * weight.) Column names must be disjoint apart from `key`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   window: String = "INTERVAL 30 MINUTES"): DataFrame = {
+    val collisions = right.columns.toSet
+      .intersect(left.columns.toSet).filterNot(_ == key)
+    require(collisions.isEmpty, s"right columns collide with left: $collisions")
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) > left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(window))
+      .drop(right(key))
+  }
 }

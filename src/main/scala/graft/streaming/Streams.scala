@@ -172,4 +172,26 @@ object Streams {
         col("session_end").cast("timestamp_ntz").as("session_end"),
         col("events"))
   }
+
+  /** Watermarked stream-stream interval join — the unbounded twin of
+    * [[graft.operators.Temporal.intervalJoin]] (whose registry query
+    * `interval_join` is the oracle-checked batch contract): every
+    * purchase joined to the same user's clicks from the preceding
+    * `windowMinutes`. Both sides carry watermarks AND the join
+    * condition bounds event-time distance, which is exactly what
+    * Structured Streaming needs to evict join state: a click older
+    * than (watermark - window) can never match again and is dropped,
+    * so state is bounded by rate × window regardless of stream age.
+    *
+    * Contract: `clicks(user_id, click_ts, ...)`,
+    * `purchases(p_user_id, p_ts, ...)` — disjoint names because
+    * stream-stream joins resolve columns by name across both sides. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowMinutes: Int = 30): DataFrame =
+    clicks.withWatermark("click_ts", s"$windowMinutes minutes")
+      .join(
+        purchases.withWatermark("p_ts", s"$windowMinutes minutes"),
+        expr(s"""user_id = p_user_id AND
+                 p_ts > click_ts AND
+                 p_ts <= click_ts + INTERVAL $windowMinutes MINUTES"""))
 }

@@ -73,4 +73,18 @@ class NerSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(out.toSeq === Seq(("ORG", 2L, 1L, 1L), ("PER", 2L, 1L, 2L)))
   }
+
+  test("entityCentrality computes exact integer power iterates") {
+    // co-occurrence graph: {spark,customer} x2 docs, {spark,query} x1
+    //   w(spark,customer)=2, w(spark,query)=1
+    // degree: spark=3, customer=2, query=1
+    // centrality (Σ w×neighbor degree):
+    //   spark = 2×2 + 1×1 = 5, customer = 2×3 = 6, query = 1×3 = 3
+    val df = docs(
+      (1L, "spark customer"), (2L, "customer spark"), (3L, "spark query"))
+    val out = Ner.entityCentrality(spark, df)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("spark", 3L, 5L), ("customer", 2L, 6L), ("query", 1L, 3L)))
+  }
 }

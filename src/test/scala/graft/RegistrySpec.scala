@@ -50,7 +50,8 @@ class RegistrySpec extends SparkSpec {
     "rollup_counts", "scrub_boilerplate", "topic_terms",
     // round-8 quality + CC-at-scale tail: published Gopher rule
     // battery, log-round connected components for deep chains
-    "gopher_rules", "dedup_clusters_star")
+    "gopher_rules", "dedup_clusters_star", "entity_centrality",
+    "interval_join")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin pairs purchases with in-window clicks, stream-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = Streams.attributionJoin(
+      clicks.toDF().toDF("click_id", "click_ts", "user_id"),
+      purchases.toDF().toDF("p_id", "p_ts", "p_user_id"),
+      windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // user 7: click at t=1, purchases at t=10 (in window) and t=40
+      // (outside); user 8 purchases with no click at all
+      clicks.addData((100L, ts(1), 7L))
+      purchases.addData((200L, ts(10), 7L), (201L, ts(40), 7L), (202L, ts(10), 8L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT click_id, p_id FROM attr_out")
+        .as[(Long, Long)].collect().toSet
+      assert(out === Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps the first occurrence of a key and drops in-watermark replays") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
