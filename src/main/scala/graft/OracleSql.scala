@@ -105,6 +105,39 @@ object OracleSql {
     * 0.5, maxDocFreq 100) as a CTE chain ending in
     * `pairs(doc_id_1, doc_id_2, jaccard)`. Use as
     * `WITH $ngramPairsCtes SELECT ... FROM pairs`. */
+  /** Mirrors [[graft.operators.TextOps.gopherRules]] (default
+    * thresholds). Stopword CASE terms are generated from the same
+    * `GopherStops` list the operator uses, so the two cannot drift.
+    * Shared by the `gopher_rules` row and the `gopher_report`
+    * per-source rollup. */
+  def gopherRulesSql: String = {
+    val stops = graft.operators.TextOps.GopherStops
+      .map(w => s"(CASE WHEN regexp_matches(text, '\\b$w\\b') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, source, n_chars, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents),
+       |m AS (SELECT doc_id, source, n_words,
+       |    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+       |      / CAST(n_words AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+       |      / CAST(n_words AS DOUBLE) AS alpha_ratio,
+       |    CAST($stops AS BIGINT) AS stop_hits
+       |  FROM w)
+       |SELECT doc_id, source, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+       |  n_words >= 50 AND n_words <= 100000 AS pass_words,
+       |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mwl,
+       |  symbol_ratio < 0.1 AS pass_symbol,
+       |  alpha_ratio > 0.8 AS pass_alpha,
+       |  stop_hits >= 2 AS pass_stops,
+       |  n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+       |    AND stop_hits >= 2 AS gopher_pass
+       |FROM m""".stripMargin
+  }
+
   /** True transitive closure over the ngram-Jaccard pair graph via a
     * (linear) recursive CTE — every node's cluster is the least id it
     * can reach. The shared oracle for BOTH connected-component

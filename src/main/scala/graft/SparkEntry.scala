@@ -537,6 +537,24 @@ object SparkEntry {
              |FROM purchases p ASOF LEFT JOIN clicks c
              |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin)),
 
+    ("z_value",
+      // Morton interleave of (user bucket, epoch day) — the write-time
+      // clustering key behind Layout.zOrdered; the oracle arithmetic is
+      // GENERATED from the same loop as the Spark expression
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        ev.select(col("event_id"),
+          (col("user_id") % 65536L).as("ux"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")).cast("long") % 65536L).as("dy"))
+          .withColumn("zval", Layout.zValue(col("ux"), col("dy")))
+      },
+      Some(s"""WITH b AS (SELECT event_id, user_id % 65536 AS ux,
+              |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 65536 AS dy
+              |  FROM events)
+              |SELECT event_id, ux, dy,
+              |  ${graft.operators.Layout.zValueSql("ux", "dy")} AS zval
+              |FROM b""".stripMargin)),
+
     ("interval_join",
       // attribution pairs: every purchase within (click_ts, +30 min]
       // of the same user's click — equi-key join, time bounds as the
@@ -910,35 +928,23 @@ object SparkEntry {
 
     ("gopher_rules",
       (s: SparkSession, d: String) => TextOps.gopherRules(docs(s, d)),
-      // stopword CASE terms generated from the same GopherStops list
-      // the operator uses — the two cannot drift apart
-      Some {
-        val stops = TextOps.GopherStops
-          .map(w => s"(CASE WHEN regexp_matches(text, '\\b$w\\b') THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH w AS (SELECT doc_id, n_chars, text,
-           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
-           |  FROM documents),
-           |m AS (SELECT doc_id, n_words,
-           |    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
-           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
-           |      / CAST(n_words AS DOUBLE) AS symbol_ratio,
-           |    CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-           |      / CAST(n_words AS DOUBLE) AS alpha_ratio,
-           |    CAST($stops AS BIGINT) AS stop_hits
-           |  FROM w)
-           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
-           |  n_words >= 50 AND n_words <= 100000 AS pass_words,
-           |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mwl,
-           |  symbol_ratio < 0.1 AS pass_symbol,
-           |  alpha_ratio > 0.8 AS pass_alpha,
-           |  stop_hits >= 2 AS pass_stops,
-           |  n_words >= 50 AND n_words <= 100000
-           |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-           |    AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
-           |    AND stop_hits >= 2 AS gopher_pass
-           |FROM m""".stripMargin
-      }),
+      Some(gopherRulesSql)),
+
+    ("gopher_report",
+      // which rule kills which source — the drop/downweight/fix-the-
+      // extractor decision view; rules projection fuses into the agg
+      (s: SparkSession, d: String) => TextOps.gopherReport(docs(s, d)),
+      Some(s"""WITH g AS ($gopherRulesSql)
+              |SELECT source, COUNT(*) AS docs,
+              |  CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+              |  CAST(SUM(CASE WHEN NOT pass_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+              |  CAST(SUM(CASE WHEN NOT pass_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+              |  CAST(SUM(CASE WHEN NOT pass_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+              |  CAST(SUM(CASE WHEN NOT pass_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+              |  CAST(SUM(CASE WHEN NOT pass_stops THEN 1 ELSE 0 END) AS BIGINT) AS fail_stops,
+              |  CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+              |FROM g GROUP BY 1""".stripMargin)),
 
     ("doc_fingerprint",
       (s: SparkSession, d: String) => TextOps.docFingerprint(docs(s, d)),

@@ -302,6 +302,7 @@ object TextOps {
     val passStops = stopHits >= 2L
     documents.select(
       col("doc_id"),
+      col("source"),
       nWords.as("n_words"),
       mwl.as("mean_word_len"),
       symbolRatio.as("symbol_ratio"),
@@ -314,6 +315,26 @@ object TextOps {
       passStops.as("pass_stops"),
       (passWords && passMwl && passSymbol && passAlpha && passStops)
         .as("gopher_pass"))
+  }
+
+  /** Per-source curation report over [[gopherRules]]: how much of each
+    * source survives the battery, and WHICH rule kills it — the
+    * decide-per-source view (drop, downweight, or fix the extractor)
+    * that runs before any per-document filtering, same curation
+    * altitude as [[dupRateBySource]]. Pass rate is one exact integer
+    * ratio; per-rule failure counts are conditional BIGINT sums on the
+    * same single corpus scan (the rules projection fuses into this
+    * aggregate — no second pass, no join). */
+  def gopherReport(documents: DataFrame): DataFrame = {
+    def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L)).as(s"fail_${c.stripPrefix("pass_")}")
+    gopherRules(documents)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("passed"),
+        fails("pass_words"), fails("pass_mwl"), fails("pass_symbol"),
+        fails("pass_alpha"), fails("pass_stops"))
+      .withColumn("pass_rate", col("passed").cast("double") / col("docs").cast("double"))
   }
 
   /** Stopword probe list for [[gopherRules]] — the 8-word function-word
