@@ -90,4 +90,44 @@ object Sinks {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+
+  /** Streaming keyed upsert into a parquet layer — the reference's
+    * continuous `ON CONFLICT DO UPDATE` consumer re-expressed for
+    * immutable files: each micro-batch runs [[mergeUpsert]] against
+    * the current layer and atomically swaps the result in (write to a
+    * staging dir, then rename — never overwrite the directory being
+    * read, which would race the lazy scan of the existing layer).
+    *
+    * Replay-safe where at-least-once delivery needs it: re-merging an
+    * already-applied batch replaces the same keys with the same rows,
+    * so foreachBatch re-execution after a crash converges to the same
+    * layer. In-batch duplicate keys are resolved keep-one BEFORE the
+    * merge (`dropDuplicates` — last-writer-wins needs an explicit
+    * version column upstream, same as any upsert bus).
+    *
+    * The full-layer rewrite per batch is the no-table-format ceiling:
+    * with a transactional format the same [[mergeUpsert]] plan becomes
+    * a partition-scoped MERGE. Returned unstarted — callers
+    * `.start()`. */
+  def streamingUpsertSink(stream: DataFrame, path: String, checkpoint: String,
+                          keys: Seq[String]): DataStreamWriter[Row] = {
+    require(keys.nonEmpty, "streamingUpsertSink needs at least one key column")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(path)
+        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+        val fs = target.getFileSystem(hconf)
+        val updates = batch.dropDuplicates(keys)
+        val merged =
+          if (fs.exists(target))
+            mergeUpsert(spark.read.schema(batch.schema).parquet(path), updates, keys)
+          else updates
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        require(fs.rename(staging, target), s"rename $staging -> $target failed")
+      }
+  }
 }

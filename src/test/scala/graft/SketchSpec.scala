@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Sketch cross-validation: Spark's built-in HLL++ and quantile
+  * sketches against this library's EXACT counterparts. The exact forms
+  * are what the registry verifies (deterministic, oracle-checkable);
+  * the sketches are what a 100 TB interactive query uses when a
+  * bounded-error answer in one map-side-combinable pass beats an
+  * exact shuffle. These specs pin the error actually delivered on a
+  * known distribution, so "swap exact for approx at scale" is a
+  * measured trade, not folklore.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = {
+    // zipf-ish: value v appears ~ 40000/v times, 1..400 -> ~40k rows,
+    // heavy head + long tail, the shape corpus stats actually have
+    val rows = (1 to 400).flatMap(v => Seq.fill(4000 / v + 1)(v.toLong))
+    rows.toDF("v")
+  }
+
+  test("approx_count_distinct lands within the configured rsd on a skewed column") {
+    val df = (1L to 20000L).map(i => i % 3777L).toDF("u")
+    val (exact, approx) = df
+      .agg(countDistinct(col("u")), approx_count_distinct(col("u"), rsd = 0.02))
+      .as[(Long, Long)].head()
+    assert(exact === 3777L) // residues 0..3776 all hit
+    val relErr = math.abs(approx.toDouble - exact) / exact
+    assert(relErr < 0.05, s"HLL++ rel error $relErr vs rsd 0.02 (approx=$approx exact=$exact)")
+  }
+
+  test("approx_percentile brackets the exact type-1 quantiles on a zipf head") {
+    val exact = Corpus.exactPercentiles(skewed, col("v"))
+      .select("p25", "p50", "p75", "p95")
+      .as[(Long, Long, Long, Long)].head()
+    val approx = skewed
+      .select(percentile_approx(col("v"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("q"))
+      .as[Seq[Long]].head()
+    // at accuracy 10000 on 40k rows, the sketch should land within one
+    // value-domain step of the exact type-1 quantile at every probe
+    val exactSeq = Seq(exact._1, exact._2, exact._3, exact._4)
+    exactSeq.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) <= 1L, s"approx $a vs exact $e")
+    }
+  }
+}

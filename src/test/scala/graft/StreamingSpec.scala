@@ -114,6 +114,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingUpsertSink: later micro-batches replace same-key rows in the layer") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.sources.Sinks.streamingUpsertSink(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/layer", s"$dir/ckpt", Seq("doc_id")).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "B2"), (3L, "c"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/layer")
+        .as[(Long, String)].collect().toSet
+      assert(out === Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap timeout and counts events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
