@@ -314,9 +314,13 @@ object Dedup {
         val mins = adj.groupBy(col("a")).agg(min(col("b")).as("mn"))
         val large = adj.join(mins, "a")
           .filter(col("b") > col("a"))
-          // b > a >= least(a, mn): canonical orientation is free
+          // b > a >= least(a, mn): canonical orientation is free.
+          // NOT distinct'd: two centers can emit the same (b, m), but
+          // small-star's min-aggregate absorbs duplicates and the
+          // round's final distinct cleans its output — deduping here
+          // would cost an extra full-edge shuffle per round for
+          // nothing.
           .select(col("b").as("u"), least(col("a"), col("mn")).as("v"))
-          .distinct()
           .localCheckpoint()
         // small-star: center u (the larger endpoint) rewires its smaller
         // neighbors and itself onto its minimum neighbor
