@@ -52,6 +52,55 @@ object Multimodal {
       hex(substring(col("payload"), 1, 4)).as("magic"),
       md5(col("payload")).as("fp"))
 
+  /** Batched decode seam — the JVM analog of `mapInPandas`: payloads
+    * flow through a pluggable `decode` in bounded batches per
+    * partition, because real codecs amortize model/codec init over a
+    * batch and must NOT materialize a whole partition (a partition is
+    * sized in input-split bytes; decoded frames can be 100× larger).
+    * `Iterator.grouped` keeps the laziness contract: at most
+    * `maxBatch` payloads and their decoded outputs are live at once,
+    * whatever the partition size.
+    *
+    * The decoder signature is the production seam: `Seq[bytes] =>
+    * Seq[(width, height, features)]`, one output per input, order
+    * preserved — swap in a PIL/ffmpeg-backed implementation on a
+    * cluster with codecs and nothing else changes (schema, batching,
+    * partitioning are already real). The default is the same
+    * deterministic CRC stub as [[metadata]], so the plumbing is
+    * spec-testable here. */
+  def decodeBatched(binarized: DataFrame, maxBatch: Int = 64,
+                    decode: Seq[Array[Byte]] => Seq[(Int, Int, Array[Float])] = stubDecode)
+      : DataFrame = {
+    require(maxBatch >= 1)
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    binarized.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(maxBatch).flatMap { batch =>
+          val out = decode(batch.map(_._2))
+          require(out.length == batch.length,
+            s"decoder returned ${out.length} outputs for ${batch.length} inputs")
+          batch.lazyZip(out).map { case ((id, _), (w, h, f)) => (id, w, h, f) }
+        }
+      }
+      .toDF("doc_id", "width", "height", "features")
+  }
+
+  /** Deterministic stand-in decoder for [[decodeBatched]]: width and
+    * height from the payload CRC EXACTLY as the [[metadata]] stub
+    * computes them (java.util.zip.CRC32 is the same CRC-32 as Spark's
+    * `crc32` — spec-pinned), features a fixed-width byte prefix
+    * scaled to [0, 1]. */
+  private[graft] def stubDecode(payloads: Seq[Array[Byte]]): Seq[(Int, Int, Array[Float])] =
+    payloads.map { bytes =>
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes)
+      val c = crc.getValue
+      val feats = bytes.take(8).padTo(8, 0.toByte).map(b => (b & 0xff) / 255.0f)
+      ((c % 640 + 1).toInt, (c % 480 + 1).toInt, feats)
+    }
+
   /** Frame sampling: one row per sampled frame index with a per-frame
     * byte-slice checksum — the explode shape (and shuffle-free
     * projection) a video frame-extraction job has. */

@@ -136,6 +136,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Multimodal decodeBatched: bounded batches, order kept, stub matches the SQL stub") {
+    val docs = (1L to 150L).map(i => (i, s"payload body $i", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bin = Multimodal.binarize(docs)
+    // capture actual decoder batch sizes from the executors
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val out = Multimodal.decodeBatched(bin, maxBatch = 16,
+      decode = { payloads =>
+        sizes.add(payloads.length)
+        Multimodal.stubDecode(payloads)
+      })
+    // JVM-side stub agrees with the Spark-SQL stub columns per doc
+    val sqlStub = Multimodal.metadata(bin).select("doc_id", "width", "height")
+    assert(out.select("doc_id", "width", "height").except(sqlStub).isEmpty)
+    assert(out.count() === 150L)
+    // the batch contract: nothing exceeds maxBatch, everything decoded
+    val observed = sizes.value
+    assert(observed.size() > 0)
+    observed.forEach(n => assert(n >= 1 && n <= 16))
+    assert(out.select(size(col("features"))).distinct().as[Int].collect().toSeq === Seq(8))
+  }
+
   test("Multimodal frameSample explodes strided frame rows") {
     val docs = Seq((1L, "a" * 64, "en", "s", 64L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
