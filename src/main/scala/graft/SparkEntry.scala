@@ -435,6 +435,33 @@ object SparkEntry {
         Skew.saltedCount(Tables.events(s, d), col("user_id")),
       Some("SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1")),
 
+    ("skew_report",
+      // the decide-before-salting measurement: heaviest key's share and
+      // top-k combined share, exact integer ratios
+      (s: SparkSession, d: String) =>
+        Skew.skewReport(Tables.events(s, d), col("user_id")),
+      Some("""WITH c AS (SELECT user_id AS key, COUNT(*) AS c FROM events GROUP BY 1),
+             |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+             |        MAX(c) AS max_key_rows FROM c),
+             |tk AS (SELECT CAST(SUM(c) AS BIGINT) AS topk_rows FROM
+             |        (SELECT c FROM c ORDER BY c DESC, key LIMIT 10))
+             |SELECT n_rows, n_keys, max_key_rows,
+             |  CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+             |  topk_rows,
+             |  CAST(topk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topk_share
+             |FROM t, tk""".stripMargin)),
+
+    ("token_rarity",
+      // unigram rarity profile: exact integer df sums, one division
+      (s: SparkSession, d: String) => Corpus.tokenRarity(docs(s, d)),
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, term FROM
+             |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)),
+             |d AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_terms,
+             |  CAST(SUM(df) AS BIGINT) AS df_sum, MIN(df) AS min_df,
+             |  CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
+             |FROM toks JOIN d USING (term) GROUP BY doc_id""".stripMargin)),
+
     ("retention_cohorts",
       // Monday-start weeks on both engines; offset = exact day-diff DIV 7
       (s: SparkSession, d: String) =>

@@ -257,6 +257,34 @@ object Corpus {
       .select(col("source"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Token-rarity quality signal: per document, the document-frequency
+    * profile of its DISTINCT tokens — total and mean df plus the
+    * single rarest token's df. A doc whose tokens are all
+    * corpus-common is boilerplate-ish; one full of df=1 tokens is
+    * either novel or garbage (OCR noise, hex dumps, another language's
+    * script) — both tails are what a curation pass reads next. The
+    * unigram analog of a perplexity score, kept in exact integers
+    * (corpus log-probabilities would sum doubles — not
+    * cross-engine-deterministic; df sums and one final division are).
+    *
+    * Scale shape: per-doc distinct happens INSIDE the array
+    * (`array_distinct` before explode — no dedup shuffle), then one
+    * df aggregate and one term-keyed rollup⋈explode join, both
+    * co-partitioned on the term; the per-doc re-aggregate is the only
+    * doc-keyed shuffle. */
+  def tokenRarity(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+    val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("df")).as("df_sum"),
+        min(col("df")).as("min_df"))
+      .withColumn("mean_df", col("df_sum").cast("double") / col("n_terms").cast("double"))
+  }
+
   /** Document-length histogram: fixed-width buckets with a capped
     * overflow bucket — the one-glance shape check run on every corpus
     * snapshot (a sudden mass at tiny lengths means the cleaner

@@ -49,4 +49,32 @@ object Skew {
       salted(bigKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Key-skew diagnostics — the measurement that decides whether the
+    * salted rewrites above (or AQE skew-join splitting) are needed AT
+    * ALL: total rows, distinct keys, the heaviest key's share, and the
+    * top-k keys' combined share. A perfectly uniform key has
+    * `max_share ≈ 1/keys`; a max_share orders of magnitude above that
+    * is the hot-partition smoking gun.
+    *
+    * Scale shape: one map-side-combinable key count, then every
+    * further step runs on the KEY rollup (top-k via TakeOrdered, the
+    * totals via a second combinable agg, joined as two 1-row
+    * broadcasts). Shares are exact integer ratios — one double
+    * division each, cross-engine deterministic. */
+  def skewReport(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1)
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(
+      sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_key_rows"))
+    val top = counts.orderBy(col("c").desc, col("key")).limit(topK)
+      .agg(sum(col("c")).as("topk_rows"))
+    totals.crossJoin(broadcast(top))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_key_rows"),
+        (col("max_key_rows").cast("double") / col("n_rows").cast("double")).as("max_share"),
+        col("topk_rows"),
+        (col("topk_rows").cast("double") / col("n_rows").cast("double")).as("topk_share"))
+  }
 }

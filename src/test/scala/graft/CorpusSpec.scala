@@ -148,6 +148,16 @@ class CorpusSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L)))
   }
 
+  test("tokenRarity profiles distinct-token document frequencies") {
+    val d = docs(
+      (1L, "common common rare1", "en", "s"),   // distinct: common(df2), rare1(df1)
+      (2L, "common other", "en", "s"))          // distinct: common(df2), other(df1)
+    val out = Corpus.tokenRarity(d).orderBy("doc_id")
+      .select("doc_id", "n_terms", "df_sum", "min_df", "mean_df")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 3L, 1L, 1.5), (2L, 2L, 3L, 1L, 1.5)))
+  }
+
   test("entityPairLift computes pair_docs x N over single-count products") {
     // gazetteer words: use two dictionary entries via real Ner fixtures
     val dict = Ner.Dictionary

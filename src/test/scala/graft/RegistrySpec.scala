@@ -51,7 +51,8 @@ class RegistrySpec extends SparkSpec {
     // round-8 quality + CC-at-scale tail: published Gopher rule
     // battery, log-round connected components for deep chains
     "gopher_rules", "dedup_clusters_star", "entity_centrality",
-    "interval_join", "gopher_report", "z_value")
+    "interval_join", "gopher_report", "z_value", "skew_report",
+    "token_rarity")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -29,6 +29,17 @@ class SkewSpec extends SparkSpec {
     assert(phase1.count() > 1L) // hot key spread across >1 salt bucket
   }
 
+  test("skewReport surfaces the hot key's share exactly") {
+    // 900 "hot" + 100 spread over 10 cold keys = 1000 rows, 11 keys
+    val out = Skew.skewReport(skewed, col("k"), topK = 2)
+      .as[(Long, Long, Long, Double, Long, Double)].head()
+    val (nRows, nKeys, maxRows, maxShare, topkRows, topkShare) = out
+    assert(nRows === 1000L && maxRows === 900L)
+    assert(maxShare === 0.9)
+    assert(topkRows > 900L && topkShare === topkRows.toDouble / 1000.0)
+    assert(nKeys === skewed.select("k").distinct().count())
+  }
+
   test("saltedJoin equals the plain join") {
     val dim = Seq(("hot", "H"), ("cold1", "C")).toDF("dk", "label")
     val salted = Skew.saltedJoin(skewed, dim, "k", "dk")
