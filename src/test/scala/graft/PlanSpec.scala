@@ -260,4 +260,27 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "BroadcastNestedLoopJoin") === 1,
       s"N must ride a 1-row broadcast:\n$plan")
   }
+
+  test("interval_join: equi-key join with the time bounds as a residual, never a cross product") {
+    val plan = finalPlan(SparkEntry.queries("interval_join")(spark, dir))
+    // the time window must NOT degrade the join to a nested loop /
+    // cartesian — it rides the equi-key join as a residual condition
+    assert(count(plan, "CartesianProduct") === 0, s"no cross product:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") === 0, s"no nested loop:\n$plan")
+    assert(count(plan, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1,
+      s"expected a keyed join:\n$plan")
+  }
+
+  test("z_value: pure projection — no exchange, no join, single scan") {
+    val plan = finalPlan(SparkEntry.queries("z_value")(spark, dir))
+    assert(count(plan, "Exchange") === 0, s"the Morton key is map-side:\n$plan")
+    assert(count(plan, "Join") === 0)
+    assert(count(plan, "Scan parquet") === 1)
+  }
+
+  test("gopher_rules: shuffle-free single-scan projection") {
+    val plan = finalPlan(SparkEntry.queries("gopher_rules")(spark, dir))
+    assert(count(plan, "Exchange") === 0, s"rules run at scan speed:\n$plan")
+    assert(count(plan, "Scan parquet") === 1)
+  }
 }
