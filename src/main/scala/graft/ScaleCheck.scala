@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible N× scale check: replicate the corpus so token/shingle
+  * distributions grow ORGANICALLY (every copy suffixes its words, so
+  * replication does not create artificial exact duplicates or reuse
+  * the same shingle universe), then time registry queries at 1× and
+  * N× and print the runtime ratio per query.
+  *
+  * A ratio ≈ N is linear (map-only ops land here); materially above N
+  * is the superlinear smoking gun this harness exists to catch
+  * (unbounded pair generation, corpus-sized windows). The round-8
+  * check over the near-dup suite measured strongly SUBLINEAR ratios
+  * (posting-list bounds bite harder as df distributions fill in).
+  *
+  * Usage: `sbt "runMain graft.ScaleCheck [baseSfDir] [factor] [q,q,...]"`
+  */
+object ScaleCheck {
+
+  private def replicateDocs(spark: SparkSession, base: String, out: String,
+                            copies: Int): Unit = {
+    val d = spark.read.parquet(s"$base/documents.parquet")
+    val dfs = (0 until copies).map { k =>
+      if (k == 0) d
+      else d.select(
+        (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"x$k"))), " ").as("text"),
+        col("lang"), col("source"),
+        // n_chars tracks the suffixed text exactly
+        (col("n_chars") + size(split(col("text"), " ")) * (1 + s"$k".length)).as("n_chars"))
+    }
+    dfs.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+  }
+
+  private def replicateEvents(spark: SparkSession, base: String, out: String,
+                              copies: Int): Unit = {
+    val e = spark.read.parquet(s"$base/events.parquet")
+    val dfs = (0 until copies).map { k =>
+      if (k == 0) e
+      else e
+        .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(k.toLong * 1000000000L))
+    }
+    dfs.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val queries = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+      "scrub_boilerplate", "gopher_rules", "gopher_report", "token_rarity",
+      "entity_centrality", "interval_join", "z_value", "skew_report",
+      "dedup_clusters_star"))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val oneDir = "/tmp/graft_scale/sf1x"
+    val bigDir = s"/tmp/graft_scale/sf${factor}x"
+    // 1x is REWRITTEN through the same path so both sides share file
+    // layout and encodings — base vs 10x would also compare codecs
+    replicateDocs(spark, base, oneDir, 1)
+    replicateDocs(spark, base, bigDir, factor)
+    replicateEvents(spark, base, oneDir, 1)
+    replicateEvents(spark, base, bigDir, factor)
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    println(f"${"query"}%-22s ${"1x"}%8s ${s"${factor}x"}%8s  ratio")
+    queries.foreach { q =>
+      val t1 = time(q, oneDir)
+      val tN = time(q, bigDir)
+      println(f"$q%-22s $t1%8.2f $tN%8.2f  ${tN / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+}

@@ -15,9 +15,14 @@ object Sinks {
     * at scale. `maxRecordsPerFile` bounds file size so a skewed
     * partition can't produce a multi-GB file. */
   def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String],
-                   maxRecordsPerFile: Long = 5000000L): Unit = {
+                   maxRecordsPerFile: Long = 5000000L,
+                   codec: String = "zstd"): Unit = {
+    // zstd over the snappy default: ~25-35% smaller files at similar
+    // decode speed — at 100 TB the scan is IO-bound and the smaller
+    // footprint wins on every read, for one slightly slower write
     val w = df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", codec)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
