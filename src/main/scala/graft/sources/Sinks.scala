@@ -96,6 +96,33 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Small-files compaction — the OPTIMIZE of a plain-parquet lake.
+    * Streaming sinks and incremental batch appends accrete files far
+    * below the ~128 MB a scan wants (every file costs a task, a
+    * footer read, and an open/close — a million 100 KB files is a
+    * planner DoS long before it is an IO problem). Rewrites the layer
+    * to ceil(bytes / targetFileBytes) files via the same atomic
+    * staging-swap as [[streamingUpsertSink]].
+    *
+    * Round-robin repartition deliberately: it produces evenly-sized
+    * files from ANY input skew. It also discards sort clustering —
+    * relayout-with-clustering is [[graft.operators.Layout.zOrdered]]
+    * + [[writeParquet]], not this. Returns the new file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes >= 1)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(target).getLength
+    val numFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).repartition(numFiles)
+      .write.mode("overwrite").option("compression", "zstd").parquet(staging.toString)
+    fs.delete(target, true)
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    numFiles
+  }
+
   /** Streaming keyed upsert into a parquet layer — the reference's
     * continuous `ON CONFLICT DO UPDATE` consumer re-expressed for
     * immutable files: each micro-batch runs [[mergeUpsert]] against

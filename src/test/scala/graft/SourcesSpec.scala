@@ -118,6 +118,19 @@ class SourcesSpec extends SparkSpec {
     assert(t(0).getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
 
+  test("Sinks.compact collapses a many-small-files layer, data intact") {
+    val dir = Files.createTempDirectory("compact").toString + "/layer"
+    val df = (1L to 2000L).map(i => (i, s"row $i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles === 40)
+    val n = graft.sources.Sinks.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n === 1 && parquetFiles === 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ===
+      (1L to 2000L).map(i => (i, s"row $i")).toSet)
+  }
+
   test("Sinks.mergeUpsert replaces same-key rows, appends new keys, keeps the rest") {
     val existing = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("doc_id", "text", "n_chars")
