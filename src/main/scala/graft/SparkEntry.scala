@@ -935,6 +935,36 @@ object SparkEntry {
              |SELECT query_id, vec_id, cos AS cosine, rank
              |FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    ("ann_quantized",
+      // int8 quantization is exact floor arithmetic and quantized dots
+      // are integer-valued doubles ≤ 127²·64 — the whole quantized ANN
+      // path verifies row-for-row, unlike most quantized-ANN code
+      (s: SparkSession, d: String) => Ann.quantizedTopK(Tables.embeddings(s, d)),
+      Some("""WITH e0 AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |m AS (SELECT vec_id, emb,
+             |        list_max(list_transform(emb, x -> abs(x))) AS ma FROM e0),
+             |qz AS (SELECT vec_id,
+             |        CASE WHEN ma = 0 THEN emb
+             |             ELSE list_transform(emb, x -> floor(x * 127.0 / ma + 0.5)) END AS q
+             |      FROM m),
+             |e AS (SELECT vec_id, q,
+             |        list_reduce(list_transform(range(1, 65), i -> q[i] * q[i]), (a, b) -> a + b) AS nq
+             |      FROM qz),
+             |nz AS (SELECT * FROM e WHERE nq > 0),
+             |qs AS (SELECT vec_id AS query_id, q AS qq, nq AS qnq FROM nz WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT qs.query_id, nz.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> qq[i] * q[i]), (a, b) -> a + b)
+             |      / (sqrt(qnq) * sqrt(nq)) AS cos_q
+             |  FROM nz CROSS JOIN qs WHERE nz.vec_id <> qs.query_id),
+             |ranked AS (SELECT query_id, vec_id, cos_q,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, cos_q AS cosine_q, rank
+             |FROM ranked WHERE rank <= 3""".stripMargin)),
+
     ("ann_lsh", // rows-only: bucket membership is hash-dependent
       (s: SparkSession, d: String) => Ann.lshTopK(Tables.embeddings(s, d)),
       None),

@@ -171,6 +171,52 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos").as("cosine"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding: each component maps
+    * to floor(x·127/max|x| + 0.5) ∈ [-127, 127]. `floor` rather than
+    * `round` because floor is exactly specified on every engine while
+    * round's half-way rule differs (HALF_UP vs banker's); the +0.5
+    * shift makes it round-half-toward-+∞ — deterministic bit-for-bit.
+    * All-zero vectors quantize to all-zero (no division). Values are
+    * kept as integer-valued DOUBLES: every quantized dot product is
+    * ≤ 127²·dims ≪  2^53, so the native codegen'd [[dot]] computes
+    * EXACT integer arithmetic at float-pipeline speed — no separate
+    * integer kernel needed. */
+  def quantize(emb: Column): Column = {
+    val d = transform(emb, x => x.cast("double"))
+    val maxabs = array_max(transform(d, x => abs(x)))
+    when(maxabs === 0.0, d)
+      .otherwise(transform(d, x => floor(x * 127.0 / maxabs + 0.5)))
+  }
+
+  /** Brute-force cosine top-k over int8-QUANTIZED embeddings — the
+    * memory-bandwidth path of ANN at 100 TB: int8 storage is 4× (vs
+    * float32) to 8× (vs float64) smaller, which at corpus scale is the
+    * difference between vectors living in page cache or on disk; real
+    * deployments run the integer scan first and re-rank survivors at
+    * full precision. Same broadcast-queries/no-corpus-shuffle shape as
+    * [[bruteForceTopK]], and because the quantization and the dot are
+    * exact arithmetic (see [[quantize]]) the whole query — unlike most
+    * quantized-ANN code — verifies row-for-row against a SQL oracle.
+    * Zero-norm (all-zero) quantized vectors are excluded: their cosine
+    * is undefined, and rows dropped beat NaN ordering surprises. */
+  def quantizedTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dot(col("q"), col("q")))
+      .filter(col("nq") > 0.0)
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qnq"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_q", dot(col("qq"), col("q")) / (sqrt(col("qnq")) * sqrt(col("nq"))))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_q").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_q").as("cosine_q"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on a key (here the
     * `label` column — in production a coarse quantization cell): exact
     * within the block, never all-pairs across the corpus.

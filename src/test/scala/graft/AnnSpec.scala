@@ -63,6 +63,27 @@ class AnnSpec extends SparkSpec {
     assert(out.find(_._3 == 1L).get._2 === 10L) // e1close is rank 1
   }
 
+  test("quantize maps to [-127,127] ints, keeps signs, zero vector stays zero") {
+    val out = embs((0L, Seq(0.5f, -1.0f, 0.25f, 0f), 0), (1L, Seq(0f, 0f, 0f, 0f), 0))
+      .select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // scale = 127/1.0; floor(0.5*127 + .5)=64, floor(-127+.5)=-127, floor(31.75+.5)=32
+    assert(out(0L) === Seq(64.0, -127.0, 32.0, 0.0))
+    assert(out(1L) === Seq(0.0, 0.0, 0.0, 0.0))
+    out.values.flatten.foreach(v => assert(v == math.floor(v) && math.abs(v) <= 127))
+  }
+
+  test("quantizedTopK agrees with exact brute force on separated vectors, drops zero vectors") {
+    val df = embs((0L, e1, 0), (10L, e1close, 0), (11L, e2, 0), (12L, e3, 0),
+      (13L, Seq(0f, 0f, 0f, 0f), 0))
+    val qTop = Ann.quantizedTopK(df, numQueries = 1, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    val exact = Ann.bruteForceTopK(df.filter(col("vec_id") =!= 13L), numQueries = 1, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(qTop.toSet === exact.toSet)
+    assert(!qTop.exists(_._2 == 13L), "zero vector must be excluded, not NaN-ranked")
+  }
+
   test("lshTopK returns same-bucket candidates ranked by exact cosine") {
     // identical vectors always share every bucket -> guaranteed recall
     val out = Ann.lshTopK(
