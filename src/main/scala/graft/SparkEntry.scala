@@ -451,6 +451,34 @@ object SparkEntry {
              |  CAST(topk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topk_share
              |FROM t, tk""".stripMargin)),
 
+    ("chunk_documents",
+      // 32-token windows advancing by 24 (8-token overlap); tail
+      // chunks run short and carry their true length
+      (s: SparkSession, d: String) => Corpus.chunkDocuments(docs(s, d)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+             |            len(string_split(text, ' ')) AS n FROM documents),
+             |c AS (SELECT doc_id, i AS chunk_idx,
+             |        list_slice(t, CAST(i * 24 + 1 AS BIGINT), CAST(i * 24 + 32 AS BIGINT)) AS c
+             |      FROM d, UNNEST(range(0, (n - 1) // 24 + 1)) AS u(i))
+             |SELECT doc_id, chunk_idx,
+             |  CAST(len(c) AS BIGINT) AS chunk_tokens,
+             |  array_to_string(c, ' ') AS chunk_text
+             |FROM c""".stripMargin)),
+
+    ("pack_sequences",
+      // GPT-style concat-and-split layout: per-domain token streams
+      // cut at 2048-token boundaries; a doc belongs where it starts
+      (s: SparkSession, d: String) => Corpus.packSequences(docs(s, d)),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 256 AS domain,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents)
+             |SELECT doc_id, domain, n_tokens,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+             |FROM t""".stripMargin)),
+
     ("token_rarity",
       // unigram rarity profile: exact integer df sums, one division
       (s: SparkSession, d: String) => Corpus.tokenRarity(docs(s, d)),

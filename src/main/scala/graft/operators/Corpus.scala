@@ -257,6 +257,60 @@ object Corpus {
       .select(col("source"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Overlapping token-window chunking — the step between a cleaned
+    * corpus and anything embedding- or context-window-shaped: each
+    * document explodes into windows of `chunkTokens` tokens advancing
+    * by `chunkTokens - overlap` (tail chunks run short rather than
+    * duplicating tail tokens; `chunk_tokens` carries the actual
+    * length so a min-length filter is one predicate).
+    *
+    * Scale shape: pure per-row explode — chunk count is
+    * ceil(n/step) per doc, no shuffle, no state; the slice/join HOFs
+    * stay inside the scan projection. */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32,
+                     overlap: Int = 8): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val step = chunkTokens - overlap
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        // `div` = exact integer division (operands widen to long)
+        explode(sequence(lit(0L), expr(s"(size(t) - 1) div $step"))).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        slice(col("t"), (col("chunk_idx") * step + 1).cast("int"), lit(chunkTokens)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("chunk_tokens"),
+        array_join(col("c"), " ").as("chunk_text"))
+  }
+
+  /** Concat-and-split sequence packing — the GPT-style pretraining
+    * layout: documents are concatenated in a deterministic order and
+    * the token stream is cut at `windowTokens` boundaries; a document
+    * belongs to the window where it STARTS (`bin`), `tok_offset` is its
+    * token position within the packing domain's stream. Packing runs
+    * independently inside `domains` hash-bounded domains (doc_id mod
+    * domains): a global order would serialize the whole corpus through
+    * one reducer, while per-domain streams keep every partition's
+    * window function local AND the assignment deterministic under any
+    * cluster layout — more domains = more parallelism, same result.
+    * All integer arithmetic (cumulative BIGINT sum, exact DIV), so the
+    * layout verifies row-for-row. */
+  def packSequences(documents: DataFrame, windowTokens: Long = 2048L,
+                    domains: Int = 256): DataFrame = {
+    require(windowTokens >= 1 && domains >= 1)
+    val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(domains.toLong)).as("domain"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("tok_offset") / windowTokens).cast("long"))
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("tok_offset"), col("bin"))
+  }
+
   /** Token-rarity quality signal: per document, the document-frequency
     * profile of its DISTINCT tokens — total and mean df plus the
     * single rarest token's df. A doc whose tokens are all

@@ -148,6 +148,42 @@ class CorpusSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L)))
   }
 
+  test("chunkDocuments windows overlap correctly and tail chunks run short") {
+    val d = docs((1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "s"))
+    val out = Corpus.chunkDocuments(d, chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    // step 3: starts at tokens 1, 4, 7, 10
+    assert(out === Seq(
+      (0L, 4L, "w1 w2 w3 w4"),
+      (1L, 4L, "w4 w5 w6 w7"),
+      (2L, 4L, "w7 w8 w9 w10"),
+      (3L, 1L, "w10")))
+  }
+
+  test("packSequences cuts per-domain token streams at window boundaries") {
+    // one domain (doc_id mod 1): stream of 4 docs x 6 tokens, window 10
+    val d = docs(
+      (1L, "a b c d e f", "en", "s"), (2L, "a b c d e f", "en", "s"),
+      (3L, "a b c d e f", "en", "s"), (4L, "a b c d e f", "en", "s"))
+    val out = Corpus.packSequences(d, windowTokens = 10L, domains = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_offset", "bin")
+      .as[(Long, Long, Long)].collect().toSeq
+    // offsets 0, 6, 12, 18 -> bins 0, 0, 1, 1
+    assert(out === Seq((1L, 0L, 0L), (2L, 6L, 0L), (3L, 12L, 1L), (4L, 18L, 1L)))
+  }
+
+  test("packSequences is deterministic across domain counts for a fixed doc") {
+    val d = docs((1L to 40L).map(i => (i, "a b c", "en", "s")): _*)
+    val a = Corpus.packSequences(d, 8L, domains = 4)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val b = Corpus.packSequences(d.repartition(7), 8L, domains = 4)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(a === b, "assignment must not depend on physical partitioning")
+  }
+
   test("tokenRarity profiles distinct-token document frequencies") {
     val d = docs(
       (1L, "common common rare1", "en", "s"),   // distinct: common(df2), rare1(df1)
