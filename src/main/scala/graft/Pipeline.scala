@@ -124,12 +124,25 @@ object Pipeline {
     // is their sum.
     val trainN = written(s"$outDir/train")
     val testN = written(s"$outDir/test")
+
+    // final layout: the written TRAIN split gets its concat-and-split
+    // packing assignment (Corpus.packSequences contract) — the map a
+    // loader consumes to materialize context windows. Domain-keyed, so
+    // the assignment survives any re-read partitioning.
+    val packed = operators.Corpus.packSequences(
+      spark.read.schema(prepared.schema).parquet(s"$outDir/train")
+        .select(col("doc_id"), col("content").as("text")))
+    Sinks.writeParquet(packed, s"$outDir/train_packing", Seq())
+    val bins = spark.read.parquet(s"$outDir/train_packing")
+      .select(col("domain"), col("bin")).distinct().count()
+
     Map(
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
       "exact_deduped" -> exact.count(),
       "near_deduped" -> (trainN + testN),
       "train" -> trainN,
-      "test" -> testN)
+      "test" -> testN,
+      "train_bins" -> bins)
   }
 }

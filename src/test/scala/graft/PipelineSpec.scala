@@ -56,6 +56,10 @@ class PipelineSpec extends SparkSpec {
     assert(s1("exact_deduped") === 4L)  // doc 2 out
     assert(s1("near_deduped") === 3L)   // doc 3 out
     assert(s1("train") + s1("test") === s1("near_deduped"))
+    // every train doc landed in a packing window; tiny corpus -> each
+    // (domain, bin) distinct pair counted once
+    assert(s1("train_bins") >= 1L && s1("train_bins") <= s1("train"))
+    assert(spark.read.parquet(s"$out/train_packing").count() === s1("train"))
 
     val written = spark.read.parquet(s"$out/train")
       .unionByName(spark.read.parquet(s"$out/test"))
