@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{BoundedCollect, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -100,6 +100,12 @@ object GraftExtensions {
         case Seq(vec, cents) => IvfArgmin(vec, cents)
         case other => badSignature(
           "graft_ivf_argmin", "(vector, centroids: array<struct<cell, cemb, cnrm>>)", other)
+      }),
+    ("graft_quantize_int8",
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => QuantizeInt8(v)
+        case other => badSignature("graft_quantize_int8", "(vector)", other)
       }),
     ("graft_scrub_tokens",
       new ExpressionInfo(classOf[ScrubTokens].getName, "graft_scrub_tokens"),

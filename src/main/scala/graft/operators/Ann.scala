@@ -181,7 +181,13 @@ object Ann {
     * ≤ 127²·dims ≪  2^53, so the native codegen'd [[dot]] computes
     * EXACT integer arithmetic at float-pipeline speed — no separate
     * integer kernel needed. */
-  def quantize(emb: Column): Column = {
+  def quantize(emb: Column): Column =
+    call_function("graft_quantize_int8", emb)
+
+  /** Portable declarative twin of [[quantize]] — three interpreted HOF
+    * passes where the native expression is one loop; kept for the
+    * bit-identity spec pin and engines without the extension. */
+  private[graft] def quantizeHof(emb: Column): Column = {
     val d = transform(emb, x => x.cast("double"))
     val maxabs = array_max(transform(d, x => abs(x)))
     when(maxabs === 0.0, d)

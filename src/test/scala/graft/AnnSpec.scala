@@ -64,6 +64,7 @@ class AnnSpec extends SparkSpec {
   }
 
   test("quantize maps to [-127,127] ints, keeps signs, zero vector stays zero") {
+    graft.GraftExtensions.register(spark)
     val out = embs((0L, Seq(0.5f, -1.0f, 0.25f, 0f), 0), (1L, Seq(0f, 0f, 0f, 0f), 0))
       .select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
       .as[(Long, Seq[Double])].collect().toMap
@@ -71,6 +72,20 @@ class AnnSpec extends SparkSpec {
     assert(out(0L) === Seq(64.0, -127.0, 32.0, 0.0))
     assert(out(1L) === Seq(0.0, 0.0, 0.0, 0.0))
     out.values.flatten.foreach(v => assert(v == math.floor(v) && math.abs(v) <= 127))
+  }
+
+  test("native graft_quantize_int8 is bit-identical to the declarative HOF quantize") {
+    graft.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 50L).map(i =>
+      (i, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 4f), 0)) :+
+      (99L, Seq.fill(16)(0f), 0)
+    val df = embs(rows: _*)
+    val native = df.select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val hof = df.select(col("vec_id"), Ann.quantizeHof(col("embedding")).as("q"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(native === hof)
   }
 
   test("quantizedTopK agrees with exact brute force on separated vectors, drops zero vectors") {
