@@ -302,6 +302,21 @@ object SparkEntry {
              |  FROM documents, stats) t
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    ("split_balance",
+      // does the unstratified md5 split actually preserve per-language
+      // composition on THIS corpus — audit, not assumption
+      (s: SparkSession, d: String) => TextOps.splitBalance(docs(s, d)),
+      Some("""WITH cells AS (
+             |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '19a'
+             |           THEN 'test' ELSE 'train' END AS split,
+             |    lang, COUNT(*) AS docs
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT split, lang, docs,
+             |  CAST(SUM(docs) OVER (PARTITION BY split) AS BIGINT) AS split_docs,
+             |  CAST(docs AS DOUBLE)
+             |    / CAST(CAST(SUM(docs) OVER (PARTITION BY split) AS BIGINT) AS DOUBLE) AS share
+             |FROM cells""".stripMargin)),
+
     ("hash_split",
       (s: SparkSession, d: String) => TextOps.hashSplitStats(docs(s, d)),
       Some(s"""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '19a'

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators (SURVEY §2 #26, #33-36): language ID,
@@ -237,6 +238,26 @@ object TextOps {
         count(lit(1)).as("docs"),
         graft.functions.Exact.avgLong(col("n_chars")).as("avg_chars"),
         countDistinct(col("lang")).as("langs"))
+
+  /** Split-balance audit: per (split, lang), the stratum's share of
+    * its split — a holdout whose language mix diverges from train
+    * means the eval measures distribution shift, not model quality.
+    * An md5 split is unstratified by design, so this is the CHECK that
+    * its law-of-large-numbers balance actually held on a given corpus
+    * (at small corpus sizes it can drift — that is the point of
+    * auditing rather than assuming). Shares are exact integer ratios;
+    * the whole report is two combinable aggregates over the rollup
+    * (the window sees split-cardinality rows, never the corpus). */
+  def splitBalance(documents: DataFrame, testBuckets: Int = 410): DataFrame = {
+    val byCell = hashSplit(documents, col("doc_id"), testBuckets)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("docs"))
+    val w = Window.partitionBy(col("split"))
+    byCell
+      .withColumn("split_docs", sum(col("docs")).over(w))
+      .withColumn("share", col("docs").cast("double") / col("split_docs").cast("double"))
+      .select(col("split"), col("lang"), col("docs"), col("split_docs"), col("share"))
+  }
 
   /** Train/test decontamination: flag corpus docs sharing >= `minOverlap`
     * distinct k-gram shingles with a benchmark set (the standard

@@ -52,7 +52,8 @@ class RegistrySpec extends SparkSpec {
     // battery, log-round connected components for deep chains
     "gopher_rules", "dedup_clusters_star", "entity_centrality",
     "interval_join", "gopher_report", "z_value", "skew_report",
-    "token_rarity", "ann_quantized", "chunk_documents", "pack_sequences")
+    "token_rarity", "ann_quantized", "chunk_documents", "pack_sequences",
+    "split_balance")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -144,4 +144,17 @@ class TextOpsSpec extends SparkSpec {
       .select("keeper_id", "dup_count").as[(Long, Long)].collect()
     assert(out.toSeq === Seq((2L, 2L), (9L, 1L)))
   }
+
+  test("splitBalance shares sum to 1 within each split and counts tie out") {
+    val df = docs((1L to 200L).map(i =>
+      (i, s"doc $i", if (i % 3 == 0) "id" else "en", "s", 6L)): _*)
+    val rows = TextOps.splitBalance(df)
+      .select("split", "lang", "docs", "split_docs", "share")
+      .as[(String, String, Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sum === cells.head._4) // docs sum to split_docs
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-12)
+    }
+    assert(rows.map(_._3).sum === 200L)
+  }
 }
