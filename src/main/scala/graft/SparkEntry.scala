@@ -494,6 +494,35 @@ object SparkEntry {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
              |FROM t""".stripMargin)),
 
+    ("corpus_overview",
+      // the dataset card header: one combinable aggregate pass
+      (s: SparkSession, d: String) => Corpus.corpusOverview(docs(s, d)),
+      Some("""SELECT COUNT(*) AS docs,
+             |  COUNT(DISTINCT lang) AS langs,
+             |  COUNT(DISTINCT source) AS sources,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_chars,
+             |  CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+             |    / COUNT(*) AS mean_tokens
+             |FROM documents""".stripMargin)),
+
+    ("pack_fill",
+      // packing efficiency: per-window docs/fill/overflow — the number
+      // windowTokens and domains get tuned with
+      (s: SparkSession, d: String) => Corpus.packFill(docs(s, d)),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 256 AS domain,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents),
+             |a AS (SELECT doc_id, domain, n_tokens,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+             |  FROM t)
+             |SELECT domain, bin, COUNT(*) AS docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+             |  GREATEST(CAST(SUM(n_tokens) AS BIGINT) - 2048, 0) AS overflow_tokens
+             |FROM a GROUP BY 1, 2""".stripMargin)),
+
     ("token_rarity",
       // unigram rarity profile: exact integer df sums, one division
       (s: SparkSession, d: String) => Corpus.tokenRarity(docs(s, d)),

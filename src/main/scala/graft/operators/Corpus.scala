@@ -311,6 +311,39 @@ object Corpus {
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("tok_offset"), col("bin"))
   }
 
+  /** One-row dataset card — the header block of every corpus release:
+    * volume (docs, chars, whitespace tokens), diversity (distinct
+    * langs/sources), and exact mean lengths. ONE combinable aggregate
+    * pass; the means are exact integer ratios. */
+  def corpusOverview(documents: DataFrame): DataFrame =
+    documents.agg(
+      count(lit(1)).as("docs"),
+      countDistinct(col("lang")).as("langs"),
+      countDistinct(col("source")).as("sources"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+      (sum(size(split(col("text"), " ")).cast("long")).cast("double")
+        / count(lit(1))).as("mean_tokens"))
+
+  /** Packing-efficiency report over [[packSequences]]' layout: per
+    * (domain, bin), the docs packed and tokens filled, plus the
+    * overflow beyond the window (a doc belongs to the bin where it
+    * STARTS, so a bin can exceed `windowTokens` by up to one doc's
+    * tail — that overflow is exactly what a loader truncates or spills,
+    * and the number you tune `windowTokens`/`domains` with; underfull
+    * bins show as fill below the window). All exact integers off the
+    * assignment rollup. */
+  def packFill(documents: DataFrame, windowTokens: Long = 2048L,
+               domains: Int = 256): DataFrame =
+    packSequences(documents, windowTokens, domains)
+      .groupBy(col("domain"), col("bin"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("fill_tokens"))
+      .withColumn("overflow_tokens",
+        greatest(col("fill_tokens") - windowTokens, lit(0L)))
+
   /** Token-rarity quality signal: per document, the document-frequency
     * profile of its DISTINCT tokens — total and mean df plus the
     * single rarest token's df. A doc whose tokens are all

@@ -175,6 +175,27 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq((1L, 0L, 0L), (2L, 6L, 0L), (3L, 12L, 1L), (4L, 18L, 1L)))
   }
 
+  test("packFill reports per-window fill and overflow exactly") {
+    // domain 0 stream: 6+6+6+6 tokens, window 10 -> bins 0 (docs 1,2:
+    // 12 tokens, overflow 2) and 1 (docs 3,4: 12 tokens, overflow 2)
+    val d = docs(
+      (1L, "a b c d e f", "en", "s"), (2L, "a b c d e f", "en", "s"),
+      (3L, "a b c d e f", "en", "s"), (4L, "a b c d e f", "en", "s"))
+    val out = Corpus.packFill(d, windowTokens = 10L, domains = 1)
+      .orderBy("bin").select("bin", "docs", "fill_tokens", "overflow_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 2L, 12L, 2L), (1L, 2L, 12L, 2L)))
+  }
+
+  test("corpusOverview counts volume and diversity in one row") {
+    val d = docs((1L, "a b", "en", "s1"), (2L, "c d e", "id", "s2"))
+    val r = Corpus.corpusOverview(d).head()
+    assert(r.getAs[Long]("docs") === 2L)
+    assert(r.getAs[Long]("langs") === 2L && r.getAs[Long]("sources") === 2L)
+    assert(r.getAs[Long]("total_tokens") === 5L)
+    assert(r.getAs[Double]("mean_tokens") === 2.5)
+  }
+
   test("packSequences is deterministic across domain counts for a fixed doc") {
     val d = docs((1L to 40L).map(i => (i, "a b c", "en", "s")): _*)
     val a = Corpus.packSequences(d, 8L, domains = 4)
