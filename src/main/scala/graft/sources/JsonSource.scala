@@ -28,4 +28,28 @@ object JsonSource {
   /** Streaming JSON-lines reader — `readStream` twin of [[readJson]]. */
   def readJsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
+
+  /** Quarantining JSON reader: good rows parse against the declared
+    * schema, malformed lines land in a `_corrupt_record` column
+    * (PERMISSIVE mode) and are split out — returns (parsed, rejects).
+    * At ingestion scale "one bad producer kills the batch" (FAILFAST)
+    * and "bad rows silently become nulls" (plain PERMISSIVE) are both
+    * wrong: the pipeline continues AND the rejects stay addressable
+    * for replay/alerting — the reference consumer's try/except-per-
+    * message loop, made columnar. Spark requires selecting the corrupt
+    * column through a cache boundary separately, hence the eager split
+    * here rather than handing back one frame with the raw column. */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+                         schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
 }

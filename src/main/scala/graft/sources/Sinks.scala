@@ -26,6 +26,30 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Idempotent backfill write: dynamic partition overwrite replaces
+    * ONLY the partitions present in `df`, leaving every other
+    * partition untouched — re-running one day's batch rewrites that
+    * day, not the table (static overwrite mode would truncate
+    * everything first; append would duplicate the rerun). The
+    * partition-overwrite conf is scoped to this write and restored. */
+  def backfillParquet(df: DataFrame, path: String,
+                      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "backfill needs partition columns to scope the overwrite")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      df.write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed table write: rows are hash-clustered into `buckets`
     * files per partition on `bucketCols`, and the layout is recorded
     * in the catalog. A later join or aggregation on the bucket

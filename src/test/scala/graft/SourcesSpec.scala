@@ -118,6 +118,34 @@ class SourcesSpec extends SparkSpec {
     assert(t(0).getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
 
+  test("JsonSource.readJsonQuarantine splits malformed lines from parsed rows") {
+    val dir = Files.createTempDirectory("jsonq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "v": "ok"}
+        |{broken json
+        |{"id": 3, "v": "also ok"}
+        |""".stripMargin)
+    val schema = new StructType().add("id", LongType).add("v", "string")
+    val (good, bad) = JsonSource.readJsonQuarantine(spark, s"$dir/in.json", schema)
+    assert(good.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    assert(bad.as[String].collect().toSeq === Seq("{broken json"))
+  }
+
+  test("Sinks.backfillParquet rewrites only the partitions in the batch") {
+    val dir = Files.createTempDirectory("backfill").toString + "/t"
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"))
+      .toDF("id", "day", "v")
+    val day2 = Seq((3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    graft.sources.Sinks.backfillParquet(day1.unionByName(day2), dir, Seq("day"))
+    // re-run day 2 with corrected data: day 1 must survive untouched
+    val day2fix = Seq((3L, "2024-01-02", "C2"), (4L, "2024-01-02", "d"))
+      .toDF("id", "day", "v")
+    graft.sources.Sinks.backfillParquet(day2fix, dir, Seq("day"))
+    val out = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a"), (2L, "b"), (3L, "C2"), (4L, "d")))
+  }
+
   test("Sinks.compact collapses a many-small-files layer, data intact") {
     val dir = Files.createTempDirectory("compact").toString + "/layer"
     val df = (1L to 2000L).map(i => (i, s"row $i")).toDF("id", "v")
