@@ -110,6 +110,35 @@ class KafkaSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: wire frame -> decode -> clean -> keyed upsert layer (replaces re-deliveries)") {
+    implicit val sqlCtx = spark.sqlContext
+    val payloadSchema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType).add("n_chars", LongType)
+    val dir = java.nio.file.Files.createTempDirectory("wire_upsert").toString
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, Timestamp, Int)]
+    val wire = input.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val cleaned = Streams.cleanStream(KafkaSource.decodeJson(wire, payloadSchema))
+      .select("doc_id", "content", "content_length")
+    val q = graft.sources.Sinks.streamingUpsertSink(
+      cleaned, s"$dir/layer", s"$dir/ckpt", Seq("doc_id")).start()
+    def frame(id: Long, text: String) = (
+      id.toString.getBytes,
+      s"""{"doc_id": $id, "text": "$text", "lang": "id", "source": "cnn", "n_chars": ${text.length}}""".getBytes,
+      "articles.raw", 0, 0L, Timestamp.valueOf("2024-01-01 10:00:00"), 0)
+    try {
+      input.addData(frame(1L, "first  body"), frame(2L, "second body"))
+      q.processAllAvailable()
+      // producer re-delivers doc 1 with a corrected body: upsert, not append
+      input.addData(frame(1L, "fixed body"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/layer")
+        .select("doc_id", "content").as[(Long, String)].collect().toSet
+      assert(out === Set((1L, "fixed body"), (2L, "second body")))
+    } finally q.stop()
+  }
+
   test("streamReader/batchReader/streamWriter build without a broker (options applied lazily)") {
     // .load()/.start() need a broker + connector jar; the builders must
     // not — a misconfigured option map should fail HERE, in unit tests.
