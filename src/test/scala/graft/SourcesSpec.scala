@@ -118,6 +118,18 @@ class SourcesSpec extends SparkSpec {
     assert(t(0).getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
 
+  test("ORC round-trip preserves schema and values (second columnar format)") {
+    val dir = Files.createTempDirectory("orc").toString + "/t"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "x")
+    df.write.format("orc").option("compression", "zstd").save(dir)
+    val back = spark.read.orc(dir)
+    // nullability widens through a file round-trip; names+types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.5), (2L, "b", -2.25)))
+  }
+
   test("JsonSource.readJsonQuarantine splits malformed lines from parsed rows") {
     val dir = Files.createTempDirectory("jsonq").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),

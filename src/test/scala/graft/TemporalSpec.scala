@@ -108,6 +108,38 @@ class TemporalSpec extends SparkSpec {
       (3L, 4L, 3L, "q"))) // a a a: all three tokens sit in an "a a" bigram
   }
 
+  test("asofJoin equals argmax-over-intervalJoin on a random event set (cross-validation)") {
+    // the two temporal joins implement the same relation from opposite
+    // ends: as-of = the LATEST in-window right per left when the
+    // window is unbounded — so each checks the other
+    val rnd = new scala.util.Random(31)
+    val lefts = (1L to 60L).map(i =>
+      (i, i % 7L, java.sql.Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("event_id", "user_id", "ts")
+    val rights = (1L to 40L).map(i =>
+      (i % 7L, java.sql.Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i))
+      .toDF("user_id", "r_ts", "r_id")
+      .groupBy("user_id", "r_ts").agg(max("r_id").as("r_id")) // unique (key, ts)
+    val asof = Temporal.asofJoin(lefts, rights, "user_id", "ts", "r_ts")
+      .filter(col("r_ts").isNotNull)
+      .select("event_id", "r_ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    // interval join with a window covering everything, match must be <= ts
+    val viaInterval = Temporal.intervalJoin(
+      rights.select(col("user_id"), col("r_ts"), col("r_id")), lefts,
+      "user_id", "r_ts", "ts", window = "INTERVAL 2 DAYS")
+      // intervalJoin's contract is (leftTs, leftTs+w]; flipped operands
+      // give us r_ts < ts <= r_ts + 2d, i.e. rights strictly BEFORE ts
+      .groupBy(col("event_id")).agg(max(col("r_ts")).as("best"))
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    // asof is inclusive (r_ts <= ts), interval flip is strict — compare
+    // on events whose match is strictly earlier under both
+    viaInterval.foreach { case (id, best) =>
+      assert(asof(id).getTime >= best.getTime,
+        s"asof pick for $id must be at least the interval argmax")
+    }
+    assert(viaInterval.keySet.subsetOf(asof.keySet))
+  }
+
   test("scrubBoilerplate native expression is bit-identical to the declarative HOF form") {
     // random token streams over a tiny vocab force heavy bigram
     // repetition, case variance exercises the lowercase matching,
