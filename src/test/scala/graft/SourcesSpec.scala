@@ -118,6 +118,17 @@ class SourcesSpec extends SparkSpec {
     assert(t(0).getAs[String]("fp").matches("[0-9a-f]{32}"))
   }
 
+  test("CsvSource reads declared-schema CSV incl. quoted newlines; quarantine splits bad rows") {
+    val dir = Files.createTempDirectory("csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,v\n1,\"line one\nstill row one\"\n2,plain\nnot_a_number,boom\n")
+    val schema = new StructType().add("id", LongType).add("v", "string")
+    val (good, bad) = graft.sources.CsvSource.readCsvQuarantine(spark, s"$dir/in.csv", schema)
+    val rows = good.as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "line one\nstill row one"), (2L, "plain")))
+    assert(bad.count() === 1L)
+  }
+
   test("ORC round-trip preserves schema and values (second columnar format)") {
     val dir = Files.createTempDirectory("orc").toString + "/t"
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "x")
