@@ -154,8 +154,12 @@ object OracleSql {
        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin
 
-  def ngramPairsCtes: String =
-    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  def ngramPairsCtes: String = ngramPairsCtes(0.5)
+
+  /** Threshold-parameterized form — `thresholdSweep` replays the same
+    * chain at a lower floor to see below the production cut. */
+  def ngramPairsCtes(threshold: Double): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |       FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
       |freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
@@ -171,7 +175,7 @@ object OracleSql {
       |    FROM com
       |    JOIN sizes s1 ON com.doc_id_1 = s1.doc_id
       |    JOIN sizes s2 ON com.doc_id_2 = s2.doc_id) t
-      |  WHERE jaccard >= 0.5)""".stripMargin
+      |  WHERE jaccard >= $threshold)""".stripMargin
 
   /** Mirrors [[graft.operators.Enrichment.gold]] as a CTE chain
     * (silver → gold). Use as `WITH $goldCtes SELECT ... FROM gold`. */

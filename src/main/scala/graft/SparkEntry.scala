@@ -950,6 +950,16 @@ object SparkEntry {
       (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(docs(s, d)),
       Some(s"WITH $ngramPairsCtes SELECT doc_id_1, doc_id_2, jaccard FROM pairs")),
 
+    ("threshold_sweep",
+      // the dedup-threshold evidence: pair counts per 0.05 jaccard
+      // bucket, generated at floor 0.2 to see below the production cut
+      (s: SparkSession, d: String) => Dedup.thresholdSweep(docs(s, d)),
+      Some(s"""WITH ${ngramPairsCtes(0.2)}
+              |SELECT LEAST(CAST(floor(jaccard * 20) AS BIGINT), 19) AS bucket,
+              |  COUNT(*) AS pairs,
+              |  CAST(LEAST(CAST(floor(jaccard * 20) AS BIGINT), 19) AS DOUBLE) / 20.0 AS j_lo
+              |FROM pairs GROUP BY 1""".stripMargin)),
+
     ("dedup_clusters",
       (s: SparkSession, d: String) =>
         Dedup.clusterPairs(Dedup.ngramJaccardPairs(docs(s, d))),

@@ -202,6 +202,23 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
 
+  /** Similarity histogram over the near-dup pair graph: pair counts
+    * per 0.05-wide jaccard bucket — the evidence for choosing the
+    * dedup threshold (a bimodal histogram separates true near-dups
+    * from background similarity; a flat one says the threshold is a
+    * policy call, not a natural cut). Exact integer bucketing
+    * (`floor(j*20)` clamped to the top bucket at j=1.0) over pairs
+    * generated at a LOW floor so the sweep actually sees the region
+    * below the production threshold. */
+  def thresholdSweep(documents: DataFrame, floorJaccard: Double = 0.2): DataFrame = {
+    require(floorJaccard >= 0.0 && floorJaccard <= 1.0)
+    ngramJaccardPairs(documents, threshold = floorJaccard)
+      .select(least(floor(col("jaccard") * 20).cast("long"), lit(19L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("pairs"))
+      .withColumn("j_lo", col("bucket").cast("double") / 20.0)
+  }
+
   /** Connected-component cluster assignment over a near-dup pair list
     * — the step that turns ANY of the pair generators above
     * ([[minhashPairs]], [[simhashPairs]], [[ngramJaccardPairs]],

@@ -53,7 +53,7 @@ class RegistrySpec extends SparkSpec {
     "gopher_rules", "dedup_clusters_star", "entity_centrality",
     "interval_join", "gopher_report", "z_value", "skew_report",
     "token_rarity", "ann_quantized", "chunk_documents", "pack_sequences",
-    "split_balance", "corpus_overview", "pack_fill")
+    "split_balance", "corpus_overview", "pack_fill", "threshold_sweep")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
