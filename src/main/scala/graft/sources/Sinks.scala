@@ -120,6 +120,23 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Swap a freshly-written staging directory into place. Rename the
+    * live dir aside, rename staging in, then delete the old data —
+    * the unrecoverable window is two metadata renames, not a full
+    * recursive delete of the live copy (a crash mid-swap leaves the
+    * previous data intact under `__old` for manual recovery; plain
+    * delete-then-rename would have already destroyed it). */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                       staging: org.apache.hadoop.fs.Path,
+                       target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
+    fs.delete(old, true) // leftover from a prior crashed swap
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"rename $target -> $old failed")
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    fs.delete(old, true)
+  }
+
   /** Small-files compaction — the OPTIMIZE of a plain-parquet lake.
     * Streaming sinks and incremental batch appends accrete files far
     * below the ~128 MB a scan wants (every file costs a task, a
@@ -142,8 +159,7 @@ object Sinks {
     val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
     spark.read.parquet(path).repartition(numFiles)
       .write.mode("overwrite").option("compression", "zstd").parquet(staging.toString)
-    fs.delete(target, true)
-    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    swapInto(fs, staging, target)
     numFiles
   }
 
@@ -182,8 +198,7 @@ object Sinks {
             mergeUpsert(spark.read.schema(batch.schema).parquet(path), updates, keys)
           else updates
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true)
-        require(fs.rename(staging, target), s"rename $staging -> $target failed")
+        swapInto(fs, staging, target)
       }
   }
 }
