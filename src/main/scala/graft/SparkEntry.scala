@@ -1055,6 +1055,10 @@ object SparkEntry {
       (s: SparkSession, d: String) => Ann.ivfTopK(Tables.embeddings(s, d)),
       None),
 
+    ("ann_ivf_trained", // rows-only: k-means means are layout-dependent
+      (s: SparkSession, d: String) => Ann.ivfTopKTrained(Tables.embeddings(s, d)),
+      None),
+
     ("token_count",
       (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
       // whitespace spelled as the explicit class (TextOps.Ws): RE2's

@@ -106,6 +106,81 @@ object Ann {
       .agg(collect_list(struct(col("vec_id").as("cell"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))).as("cents"))
 
+  /** Lloyd's k-means refinement of the IVF coarse quantizer: start
+    * from the deterministic [[ivfCentroids]] seed and run `iters`
+    * assign/re-center rounds. Better-centered cells mean fewer
+    * same-cell misses at a fixed nprobe — the recall knob that costs
+    * training time instead of query time.
+    *
+    * Scale shape per round: assignment is the same map-side broadcast
+    * argmin the query path uses (no shuffle); re-centering is a
+    * posexplode into (cell, dim) partial sums — map-side COMBINABLE,
+    * so the shuffle carries k × dims rows, not the corpus — and the
+    * new centroid row is k-sized. Cells that attract no vectors keep
+    * their previous centroid (the standard empty-cell rule). The
+    * fixpoint is driver-coordinated with `localCheckpoint` cutting
+    * per-round lineage, exactly like [[Dedup.clusterPairs]]; a FIXED
+    * iteration count keeps runs reproducible (vs convergence-epsilon
+    * on floats). Kept rows-only: per-dimension double sums depend on
+    * partition order, so means are not bit-stable across layouts —
+    * the contract is recall, pinned by spec, not bytes. */
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 0)
+    var cents = ivfCentroids(e, k).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = nearestCells(e, cents, "emb", "nrm", keep = 1)
+      val means = assigned
+        .select(col("cell"), posexplode(asDouble(col("emb"))).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("sx") / col("c")).as("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), p => p.getField("m")).as("cemb"))
+        .withColumn("cnrm", norm(col("cemb")))
+      val prev = cents.select(explode(col("cents")).as("p"))
+        .select(col("p.cell").as("cell"), col("p.cemb").as("pemb"),
+          col("p.cnrm").as("pnrm"))
+      cents = prev.join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("cemb"), asDouble(col("pemb"))).as("cemb"),
+          coalesce(col("cnrm"), col("pnrm")).as("cnrm"))
+        .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
+        .localCheckpoint()
+      it += 1
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with a TRAINED coarse quantizer: same query path,
+    * centroids refined by [[kmeansCentroids]] first. */
+  def ivfTopKTrained(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
+                     numCentroids: Int = 64, nprobe: Int = 4,
+                     trainIters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val centroids = kmeansCentroids(e, numCentroids, trainIters)
+    val cells = nearestCells(e, centroids, "emb", "nrm", keep = 1)
+    val q = nearestCells(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm")),
+      centroids, "qemb", "qnrm", keep = nprobe)
+    cells.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"), col("rank"))
+  }
+
   /** Map-side nearest-cell assignment: each row scores the broadcast
     * one-row centroid array with array HOFs and explodes its `keep`
     * best cells — no per-pair row expansion, no window, no shuffle on

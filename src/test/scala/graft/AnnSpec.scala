@@ -121,6 +121,29 @@ class AnnSpec extends SparkSpec {
     assert(out.find(_._3 == 1L).get._2 === 10L)
   }
 
+  test("kmeansCentroids pulls seeds onto well-separated cluster means; trained IVF finds the nearest") {
+    // two tight clusters far apart; seeds (vec 0, vec 1) start one in
+    // each, so 3 Lloyd rounds must land each centroid on its cluster mean
+    val a = (0 until 8).map(i => (i * 2L, Seq(1f, 0.02f * i, 0f, 0f), 0))      // cluster A: even ids
+    val b = (0 until 8).map(i => (i * 2L + 1L, Seq(0f, 0.02f * i, 1f, 0f), 0)) // cluster B: odd ids
+    val df = embs((a ++ b): _*)
+    val e = df.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", Ann.norm(col("emb")))
+    val cents = Ann.kmeansCentroids(e, k = 2, iters = 3)
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.cell"), col("c.cemb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // centroid 0 ≈ mean of A (x-dominant), centroid 1 ≈ mean of B (z-dominant)
+    assert(cents(0L).head > 0.9 && cents(0L)(2) < 0.1)
+    assert(cents(1L)(2) > 0.9 && cents(1L).head < 0.1)
+    // trained IVF: query 0 (in A) must rank another A member first
+    val top = Ann.ivfTopKTrained(df, numQueries = 1, k = 1,
+      numCentroids = 2, nprobe = 1, trainIters = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(top.length === 1 && top.head._2 % 2 === 0L,
+      s"query 0's nearest must come from cluster A, got ${top.toSeq}")
+  }
+
   test("native graft_dot yields NULL for ragged arrays and null elements, like the HOF form") {
     GraftExtensions.register(spark)
     val df = Seq(

@@ -53,7 +53,8 @@ class RegistrySpec extends SparkSpec {
     "gopher_rules", "dedup_clusters_star", "entity_centrality",
     "interval_join", "gopher_report", "z_value", "skew_report",
     "token_rarity", "ann_quantized", "chunk_documents", "pack_sequences",
-    "split_balance", "corpus_overview", "pack_fill", "threshold_sweep")
+    "split_balance", "corpus_overview", "pack_fill", "threshold_sweep",
+    "ann_ivf_trained")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -69,6 +70,6 @@ class RegistrySpec extends SparkSpec {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf",
-      "multimodal_meta"))
+      "ann_ivf_trained", "multimodal_meta"))
   }
 }
