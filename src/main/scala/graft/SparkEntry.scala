@@ -1207,6 +1207,21 @@ object SparkEntry {
       (s: SparkSession, d: String) => Multimodal.metadata(Multimodal.binarize(docs(s, d))),
       None),
 
+    ("q_shipping_priority",
+      // the fact-to-fact join shape (TPC-H Q3): date filters pushed
+      // into both big sides, exact decimal revenue, keyed top-N
+      (s: SparkSession, d: String) => Relational.shippingPriority(
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d)),
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
     ("q_order_priority",
       (s: SparkSession, d: String) => Relational.orderPriorityStats(Tables.orders(s, d)),
       Some(s"""SELECT o_orderpriority,

@@ -58,6 +58,33 @@ object Relational {
       .orderBy(col("revenue").desc, col("custkey"))
   }
 
+  /** Shipping-priority revenue (TPC-H Q3 shape): the FACT-TO-FACT join
+    * the star queries above never exercise — orders⋈lineitem is
+    * big-by-big at any scale, so both sides carry their date filters
+    * INTO the join (pushed to the scans, shrinking what shuffles) and
+    * the segment-filtered customer side stays a semi-join-shaped
+    * key projection the planner can broadcast when small and shuffle
+    * when not (deliberately NOT forced: at 100 TB a 1/5 of customers
+    * is not broadcastable, and the declarative form lets AQE decide
+    * per run). Revenue accumulates exactly as decimal(30,4) — the same
+    * cross-engine determinism as q_tpch_pricing — and the top-N rides
+    * TakeOrderedAndProject with a key tiebreak. */
+  def shippingPriority(orders: DataFrame, lineitem: DataFrame,
+                       customer: DataFrame, segment: String = "BUILDING",
+                       cutoff: String = "1998-01-01", n: Int = 10): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff)),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .join(lineitem.filter(col("l_shipdate") > lit(cutoff)),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(n)
+
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */
   def orderPriorityStats(orders: DataFrame): DataFrame =
