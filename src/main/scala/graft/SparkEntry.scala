@@ -1222,6 +1222,17 @@ object SparkEntry {
              |GROUP BY 1, 2
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    ("q_cust_distribution",
+      // the LEFT OUTER fact join shape (TPC-H Q13): zero-order
+      // customers must land in the 0 bucket, not vanish
+      (s: SparkSession, d: String) => Relational.customerOrderDistribution(
+        Tables.orders(s, d), Tables.customer(s, d)),
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY 1) t
+             |GROUP BY 1""".stripMargin)),
+
     ("q_order_priority",
       (s: SparkSession, d: String) => Relational.orderPriorityStats(Tables.orders(s, d)),
       Some(s"""SELECT o_orderpriority,

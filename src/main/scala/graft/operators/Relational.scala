@@ -85,6 +85,23 @@ object Relational {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(n)
 
+  /** Customers-per-order-count distribution (TPC-H Q13 shape): the
+    * LEFT OUTER big-by-big join — zero-order customers must appear in
+    * the c_count=0 bucket, which an inner join silently drops (the
+    * classic reporting bug this query exists to catch). `count(col)`
+    * skips the outer join's nulls, so no conditional is needed; the
+    * second aggregate runs on the per-customer rollup (customer-
+    * cardinality, not orders-cardinality), and the final distribution
+    * is value-domain-bounded. All BIGINT — exact on any engine. */
+  def customerOrderDistribution(orders: DataFrame, customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */
   def orderPriorityStats(orders: DataFrame): DataFrame =

@@ -24,7 +24,7 @@ class RegistrySpec extends SparkSpec {
     "pii_redact", "decontam_overlap", "doc_repetition")
 
   private val extraKeys = Seq(
-    "q_order_priority", "q_shipping_priority", "gold_trends", "pipeline_stats", "entity_top", "entity_overview",
+    "q_order_priority", "q_shipping_priority", "q_cust_distribution", "gold_trends", "pipeline_stats", "entity_top", "entity_overview",
     "windowed_counts", "sessionize_batch", "json_source", "ann_ivf", "ner_backlog",
     // round-6 reference-surface tail (VERDICT r5 "What's missing")
     "fuzzy_search", "search_highlight", "date_histogram_week", "date_histogram_month",
