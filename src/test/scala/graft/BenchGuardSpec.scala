@@ -33,6 +33,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.baselineSf("no sf here") === None)
   }
 
+  test("stdout summary stays under the driver's tail window at the LIVE registry size") {
+    // The driver captures only the last ~2000 chars of stdout and sbt's
+    // trailing [success] line eats ~75 of them. Rounds 7 AND 8 lost the
+    // headline number to this window; the summary must stay bounded no
+    // matter how many queries the registry grows to. Worst-case render:
+    // every live query key timed at 4 digits.
+    val worst = SparkEntry.queries.keys.map(_ -> 9999.999).toMap
+    val line = Bench.renderSummary(worst, Map.empty, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"summary line ${line.length} chars:\n$line")
+    // and it must carry the count, not a per-query map
+    assert(line.contains(s""""queries":${SparkEntry.queries.size},"""))
+  }
+
+  test("summary keeps the documented key shape (consumer rejects extra keys)") {
+    val line = Bench.renderSummary(Map("a" -> 1.0), Map("b" -> "boom"), "/d/sf0.01")
+    assert(line ===
+      """{"metric":"total","value":1.000,"unit":"sec","queries":1,"errors":{"b":"boom"},"sf":"/d/sf0.01"}""")
+  }
+
+  test("detail line round-trips through the baseline parser") {
+    val detail = Bench.renderDetail(
+      scala.collection.immutable.ListMap("q_a" -> 0.5, "q_b" -> 2.0), Map.empty, "/d/sf0.1")
+    assert(Bench.parseBaselineQueries(detail) === Map("q_a" -> 0.5, "q_b" -> 2.0))
+    assert(Bench.baselineSf(detail) === Some("0.1"))
+  }
+
   test("regression rule: ratio AND absolute floor must both trip") {
     val prev = Map("big" -> 2.0, "small" -> 0.1, "grown" -> 1.0, "new" -> 1.0)
     val cur = Map(
