@@ -120,17 +120,35 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Restore a half-completed [[swapInto]]: a crash between its two
+    * renames leaves the live layer under `__old` and NO target. Any
+    * caller that READS the target before swapping (the upsert merge,
+    * compact) must invoke this first — otherwise the read sees an
+    * empty layer, the merge degenerates to the micro-batch alone, and
+    * the subsequent swap's `delete(__old)` would destroy the only
+    * copy. No-op in every other state (target present, or no `__old`). */
+  private[sources] def recoverHalfSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                       target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target), s"half-swap recovery rename $old -> $target failed")
+  }
+
   /** Swap a freshly-written staging directory into place. Rename the
     * live dir aside, rename staging in, then delete the old data —
     * the unrecoverable window is two metadata renames, not a full
     * recursive delete of the live copy (a crash mid-swap leaves the
-    * previous data intact under `__old` for manual recovery; plain
-    * delete-then-rename would have already destroyed it). */
+    * previous data intact under `__old`, and [[recoverHalfSwap]]
+    * restores it on the next run; plain delete-then-rename would have
+    * already destroyed it). `__old` is only ever deleted when the
+    * target exists — i.e. it is a leftover of a COMPLETED swap, never
+    * the sole surviving copy. */
   private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
                        staging: org.apache.hadoop.fs.Path,
                        target: org.apache.hadoop.fs.Path): Unit = {
+    recoverHalfSwap(fs, target) // defense in depth — callers already ran it
     val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
-    fs.delete(old, true) // leftover from a prior crashed swap
+    fs.delete(old, true) // leftover from a prior completed-then-crashed swap
     if (fs.exists(target))
       require(fs.rename(target, old), s"rename $target -> $old failed")
     require(fs.rename(staging, target), s"rename $staging -> $target failed")
@@ -154,6 +172,7 @@ object Sinks {
     require(targetFileBytes >= 1)
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverHalfSwap(fs, target) // a prior crashed swap must not read as an empty layer
     val bytes = fs.getContentSummary(target).getLength
     val numFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
@@ -192,6 +211,10 @@ object Sinks {
         val target = new org.apache.hadoop.fs.Path(path)
         val staging = new org.apache.hadoop.fs.Path(path + "__staging")
         val fs = target.getFileSystem(hconf)
+        // MUST precede the exists/read below: after a crash between
+        // swapInto's renames the layer lives under __old, and merging
+        // against a missing target would lose it (ADVICE r8, medium).
+        recoverHalfSwap(fs, target)
         val updates = batch.dropDuplicates(keys)
         val merged =
           if (fs.exists(target))

@@ -182,6 +182,44 @@ class SourcesSpec extends SparkSpec {
       (1L to 2000L).map(i => (i, s"row $i")).toSet)
   }
 
+  test("streamingUpsertSink recovers a crash-mid-swap layer: __old restored, nothing lost") {
+    // Simulates dying between swapInto's two renames: the live layer
+    // sits under __old, the target is ABSENT, and a stale __staging
+    // dir is left behind. The restarted sink must restore the layer
+    // before merging (ADVICE r8: without recovery the re-run treats
+    // the micro-batch alone as the merged layer and then DELETES the
+    // recovery copy), and the swap must clean up both aside dirs.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("upsert_crash").toString
+    val layer = s"$dir/layer"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    def sink() = Sinks.streamingUpsertSink(
+      input.toDF().toDF("doc_id", "text"), layer, s"$dir/ckpt", Seq("doc_id"))
+    val q1 = sink().start()
+    try { input.addData((1L, "a"), (2L, "b")); q1.processAllAvailable() } finally q1.stop()
+    // crash simulation: half-swapped state + stale staging leftovers
+    val fsDir = new java.io.File(layer)
+    assert(fsDir.renameTo(new java.io.File(layer + "__old")))
+    Seq((99L, "stale")).toDF("doc_id", "text").write.parquet(layer + "__staging")
+    val q2 = sink().start()
+    try { input.addData((2L, "B2"), (3L, "c")); q2.processAllAvailable() } finally q2.stop()
+    val out = spark.read.parquet(layer).as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a"), (2L, "B2"), (3L, "c"))) // batch-1 rows survived the crash
+    assert(!new java.io.File(layer + "__old").exists(), "__old cleaned up after a full swap")
+    assert(!new java.io.File(layer + "__staging").exists(), "staging consumed by the swap")
+  }
+
+  test("Sinks.compact recovers a crash-mid-swap layer instead of compacting nothing") {
+    val dir = Files.createTempDirectory("compact_crash").toString + "/layer"
+    (1L to 100L).map(i => (i, s"row $i")).toDF("id", "v").repartition(4).write.parquet(dir)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__old")))
+    val n = Sinks.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n === 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ===
+      (1L to 100L).map(i => (i, s"row $i")).toSet)
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
   test("Sinks.mergeUpsert replaces same-key rows, appends new keys, keeps the rest") {
     val existing = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("doc_id", "text", "n_chars")
