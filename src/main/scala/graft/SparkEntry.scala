@@ -28,6 +28,12 @@ object SparkEntry {
     "content_category", "topic_category", "word_count", "sentence_count",
     "has_substantial_content")
 
+  /** [[Search.Analyzer.english]]'s stopword set as a DuckDB list
+    * literal — derived from the Scala set, so the oracle can never
+    * drift from the engine. */
+  private val enStopSql: String = Search.Analyzer.english.stopwords.toSeq.sorted
+    .map(w => s"'$w'").mkString("[", ",", "]")
+
   private[graft] val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- Medallion ETL core (SURVEY §2 #1-5) ----
@@ -298,6 +304,42 @@ object SparkEntry {
              |      * (n_docs / GREATEST(df_0, 1.0))
              |    + CAST(CAST(len(regexp_extract_all(substr(text, 1, 80), '\bmerge\b')) AS BIGINT) * 3
              |       + CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS DOUBLE)
+             |      * (n_docs / GREATEST(df_1, 1.0)) AS score
+             |  FROM documents, stats) t
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- Analyzed search (ES analyzer parity: lowercase + stopwords) ----
+    ("ranked_search_analyzed",
+      // mixed-case query term: the analyzer lowercases both sides, so
+      // hits differ from ranked_search wherever the corpus capitalizes
+      (s: SparkSession, d: String) => Search.rankedSearch(docs(s, d), "Window",
+        analyzer = Some(Search.Analyzer.english)),
+      Some("""SELECT doc_id, lang, score FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(substr(lower(text), 1, 80), '\bwindow\b')) AS BIGINT) * 3
+             |      + CAST(len(regexp_extract_all(lower(text), '\bwindow\b')) AS BIGINT) AS score
+             |  FROM documents) t
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    ("ranked_search_multi_analyzed",
+      // "the" is a stopword: the analyzed query collapses to
+      // (window, merge) — the oracle scores ONLY those two terms, so a
+      // regression that stops dropping stopwords hash-mismatches
+      (s: SparkSession, d: String) =>
+        Search.multiTermSearch(docs(s, d), Seq("Window", "the", "merge"),
+          analyzer = Some(Search.Analyzer.english)),
+      Some("""WITH stats AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    CAST(SUM(CASE WHEN lower(text) LIKE '%window%' THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             |    CAST(SUM(CASE WHEN lower(text) LIKE '%merge%' THEN 1 ELSE 0 END) AS DOUBLE) AS df_1
+             |  FROM documents)
+             |SELECT doc_id, lang, score FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(CAST(len(regexp_extract_all(substr(lower(text), 1, 80), '\bwindow\b')) AS BIGINT) * 3
+             |       + CAST(len(regexp_extract_all(lower(text), '\bwindow\b')) AS BIGINT) AS DOUBLE)
+             |      * (n_docs / GREATEST(df_0, 1.0))
+             |    + CAST(CAST(len(regexp_extract_all(substr(lower(text), 1, 80), '\bmerge\b')) AS BIGINT) * 3
+             |       + CAST(len(regexp_extract_all(lower(text), '\bmerge\b')) AS BIGINT) AS DOUBLE)
              |      * (n_docs / GREATEST(df_1, 1.0)) AS score
              |  FROM documents, stats) t
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
@@ -849,6 +891,40 @@ object SparkEntry {
              |    ORDER BY score DESC, term) AS rank
              |  FROM scored) WHERE rank <= 5""".stripMargin)),
 
+    ("topic_terms_analyzed",
+      // same tf-idf over the ANALYZED token stream (Search.Analyzer
+      // shared with the scorers) — corpus stats and search agree on
+      // tokenization; stopwords can no longer crowd the top-k
+      (s: SparkSession, d: String) =>
+        Corpus.topicTerms(docs(s, d), k = 5, analyzer = Some(Search.Analyzer.english)),
+      Some(s"""WITH terms AS (
+              |  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+              |    t -> NOT list_contains($enStopSql, t))) AS term FROM documents),
+              |tf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+              |sf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+              |scored AS (
+              |  SELECT source, term, tf, df,
+              |    CAST(tf AS DOUBLE) * (CAST(n_sources AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+              |  FROM tf JOIN sf USING (term), n)
+              |SELECT source, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              |    ORDER BY score DESC, term) AS rank
+              |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    ("bigram_counts_analyzed",
+      // bigrams over the stopword-filtered stream: pairs form across
+      // removed tokens (the filtered stream's adjacency, not the raw
+      // text's) — the boilerplate signal stopword noise was burying
+      (s: SparkSession, d: String) =>
+        Corpus.bigramCounts(docs(s, d), topN = 100, analyzer = Some(Search.Analyzer.english)),
+      Some(s"""WITH toks AS (SELECT list_filter(string_split(lower(text), ' '),
+              |    t -> NOT list_contains($enStopSql, t)) AS t FROM documents),
+              |idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              |        FROM toks WHERE len(t) > 1)
+              |SELECT t[i] || ' ' || t[i+1] AS gram, COUNT(*) AS n
+              |FROM idx GROUP BY 1 ORDER BY n DESC, gram LIMIT 100""".stripMargin)),
+
     ("entity_pair_lift",
       // PMI sans log (monotone, cross-engine-exact): pair doc count x N
       // over the product of single doc counts, pairs >= 2 docs
@@ -949,6 +1025,57 @@ object SparkEntry {
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(docs(s, d)),
       Some(s"WITH $ngramPairsCtes SELECT doc_id_1, doc_id_2, jaccard FROM pairs")),
+
+    ("minhash_recall",
+      // the banded-LSH recall contract as oracle-checkable integers:
+      // the EXACT J>=0.8 pair count comes from data (the capped-universe
+      // Jaccard CTE), and banding at the registered parameters finds
+      // every one of them with zero sub-0.5 false candidates — a
+      // signature or banding regression changes `found`/`false_candidates`
+      // and hash-mismatches. (The pair set itself stays rows-only:
+      // est_jaccard is signature-dependent.)
+      (s: SparkSession, d: String) => Dedup.minhashRecallReport(docs(s, d)),
+      Some(s"""WITH $ngramPairsCtes,
+              |hi AS (SELECT * FROM pairs WHERE jaccard >= 0.8)
+              |SELECT (SELECT COUNT(*) FROM hi) AS exact_pairs,
+              |  (SELECT COUNT(*) FROM hi) AS found,
+              |  CAST(0 AS BIGINT) AS false_candidates""".stripMargin)),
+
+    ("simhash_precision",
+      // simhash's designed property (every Hamming<=3 hit is a true
+      // near-dup at J>=0.5) as an oracle row with a data-derived pair
+      // count; recall is deliberately not claimed
+      (s: SparkSession, d: String) => Dedup.simhashPrecisionReport(docs(s, d)),
+      Some(s"""WITH $ngramPairsCtes
+              |SELECT (SELECT COUNT(*) FROM pairs) AS exact_pairs,
+              |  CAST(0 AS BIGINT) AS pairs_outside_exact""".stripMargin)),
+
+    ("dedup_substring",
+      // substring-level dedup: content-defined chunk fingerprints catch
+      // a long passage copied between documents whose whole-document
+      // Jaccard is low (the contamination class shingle pairs miss);
+      // cut points and fingerprints are md5-derived, so the oracle
+      // replays the identical chunking
+      (s: SparkSession, d: String) => Dedup.substringDupPairs(docs(s, d)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM d),
+             |flg AS (SELECT doc_id, i, t[i] AS token,
+             |         CASE WHEN substr(md5(t[i]), 1, 2) < '20' THEN 1 ELSE 0 END AS b
+             |       FROM tok),
+             |cid AS (SELECT doc_id, i, token,
+             |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+             |       FROM flg),
+             |ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+             |         md5(string_agg(token, ' ' ORDER BY i)) AS h
+             |       FROM cid GROUP BY 1, 2),
+             |uch AS (SELECT doc_id, h, MAX(n_tokens) AS n_tokens FROM ch GROUP BY 1, 2),
+             |keep AS (SELECT h FROM uch GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100)
+             |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             |  COUNT(*) AS shared_chunks, CAST(SUM(a.n_tokens) AS BIGINT) AS shared_tokens
+             |FROM uch a JOIN keep k ON a.h = k.h
+             |JOIN uch b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING CAST(SUM(a.n_tokens) AS BIGINT) >= 16""".stripMargin)),
 
     ("threshold_sweep",
       // the dedup-threshold evidence: pair counts per 0.05 jaccard
@@ -1051,9 +1178,68 @@ object SparkEntry {
       (s: SparkSession, d: String) => Ann.lshTopK(Tables.embeddings(s, d)),
       None),
 
-    ("ann_ivf", // rows-only: cell membership depends on the probe set
+    ("ann_ivf",
+      // FULLY oracle-checked, rare for an ANN path: the untrained IVF
+      // quantizer is pure deterministic double arithmetic (centroids =
+      // vec_id < 64, argmin cell assignment, nprobe=4 probe, exact
+      // cosine re-rank) with no JVM hash anywhere, and the folds are
+      // sequential on both engines — so DuckDB reproduces the whole
+      // index bit-for-bit, including which cells each query probes
       (s: SparkSession, d: String) => Ann.ivfTopK(Tables.embeddings(s, d)),
-      None),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x)) AS nrm
+             |      FROM e),
+             |c AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 64),
+             |scored_cells AS (
+             |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      (list_reduce(list_transform(range(1, 65), i -> n.emb[i] * c.cemb[i]), (acc, x) -> acc + x)
+             |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+             |  FROM n CROSS JOIN c),
+             |asg AS (SELECT vec_id, emb, nrm, cell FROM scored_cells WHERE rn = 1),
+             |qp AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, cell
+             |       FROM scored_cells WHERE vec_id < 5 AND rn <= 4),
+             |cand AS (
+             |  SELECT qp.query_id, a.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> qp.qemb[i] * a.emb[i]), (acc, x) -> acc + x)
+             |      / (qp.qnrm * a.nrm) AS cos
+             |  FROM asg a JOIN qp ON a.cell = qp.cell
+             |  WHERE a.vec_id <> qp.query_id),
+             |ranked AS (SELECT query_id, vec_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM cand)
+             |SELECT query_id, vec_id, cos AS cosine, rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
+    ("ann_lsh_recall",
+      // LSH at (tables=32, bits=4) reaches FULL recall of the exact
+      // top-3 on this corpus at every gate SF, so the oracle pins
+      // hits = exact_k with the exact-side count and k-th cosine
+      // derived from data — an SRP bucketing regression drops `hits`
+      // and hash-mismatches. The registered ann_lsh keeps the lean
+      // (4 tables, 8 bits) production parameters; this row documents
+      // the recall-vs-cost knob (8x the tables at 1/16 the buckets).
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.recallAtK(Ann.lshTopK(emb, tables = 32, numBits = 4),
+          Ann.bruteForceTopK(emb))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> qemb[i] * emb[i]), (acc, x) -> acc + x)
+             |    / (sqrt(list_reduce(list_transform(range(1, 65), i -> qemb[i] * qemb[i]), (acc, x) -> acc + x))
+             |     * sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x))) AS cos
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |ranked AS (SELECT query_id, vec_id, cos,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, COUNT(*) AS exact_k, COUNT(*) AS hits,
+             |  MIN(cos) AS kth_cosine
+             |FROM ranked WHERE rank <= 3 GROUP BY query_id""".stripMargin)),
 
     ("ann_ivf_trained", // rows-only: k-means means are layout-dependent
       (s: SparkSession, d: String) => Ann.ivfTopKTrained(Tables.embeddings(s, d)),

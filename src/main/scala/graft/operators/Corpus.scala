@@ -78,9 +78,14 @@ object Corpus {
     * count, and a TakeOrdered(topN) — the same shape as a word-count,
     * which is the canonical thing Spark does well. Deterministic
     * output: ties broken by the gram itself. */
-  def bigramCounts(documents: DataFrame, topN: Int = 100): DataFrame = {
+  def bigramCounts(documents: DataFrame, topN: Int = 100,
+                   analyzer: Option[Search.Analyzer] = None): DataFrame = {
     require(topN >= 1)
-    val t = split(lower(col("text")), " ")
+    // With an analyzer the stream is its stopword-filtered token list
+    // and bigrams form across the removed tokens (the filtered stream's
+    // ADJACENCY, not the raw text's) — so corpus stats agree with what
+    // analyzed search scores against.
+    val t = analyzer.map(_.tokens(col("text"))).getOrElse(split(lower(col("text")), " "))
     documents
       .select(t.as("t"))
       .filter(size(col("t")) > 1)
@@ -241,10 +246,13 @@ object Corpus {
     * VOCABULARY-sized rollups — the source-frequency aggregate, a
     * term-keyed rollup⋈rollup join, the 1-row source-count broadcast —
     * and the final top-k rides WindowGroupLimit at O(sources × k). */
-  def topicTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+  def topicTerms(documents: DataFrame, k: Int = 5,
+                 analyzer: Option[Search.Analyzer] = None): DataFrame = {
     require(k >= 1)
+    val toks = analyzer.map(_.tokens(col("text")))
+      .getOrElse(split(lower(col("text")), " "))
     val tf = documents
-      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .select(col("source"), explode(toks).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val sf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -307,7 +315,11 @@ object Corpus {
         pmod(col("doc_id"), lit(domains.toLong)).as("domain"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("bin", (col("tok_offset") / windowTokens).cast("long"))
+      // `div` = TRUE integer division, matching the oracle's `//`. The
+      // double-division-then-cast form was only exact while offsets
+      // stayed below 2^53 — at extreme corpus scale it could diverge
+      // from the documented contract for non-power-of-two windows.
+      .withColumn("bin", expr(s"tok_offset div $windowTokens"))
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("tok_offset"), col("bin"))
   }
 

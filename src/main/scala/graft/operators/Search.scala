@@ -18,6 +18,53 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Opt-in analyzer chain — the reference indexes BOTH title and
+    * content through `indonesian_analyzer` (lowercase filter +
+    * Indonesian stopword filter, `/root/reference/services/es.py:46-57`),
+    * so its search is case-insensitive and stopword-blind. graft's
+    * default (no analyzer) scores raw tokens — case-sensitive, which
+    * keeps `contains` pushdown-friendly; passing an analyzer reproduces
+    * the ES behavior: the text side is lowercased and query terms are
+    * lowercased with stopwords dropped. A query whose analyzed token
+    * stream is EMPTY matches nothing — exactly what ES returns when the
+    * analyzer eats every query token.
+    *
+    * One definition shared by every scorer AND the corpus-statistics
+    * operators ([[graft.operators.TextOps]] `topicTerms`/`bigramCounts`
+    * accept the same analyzer), so search and corpus stats agree on
+    * tokenization. */
+  final case class Analyzer(stopwords: Set[String]) {
+    /** Normalized text column every scorer matches against. */
+    def normalize(text: Column): Column = lower(text)
+    /** Analyzed query: lowercased, stopwords removed, order kept. */
+    def terms(ts: Seq[String]): Seq[String] =
+      ts.map(_.toLowerCase(java.util.Locale.ROOT)).filterNot(stopwords.contains)
+    /** Analyzed token stream of a text column — single-space split of
+      * the normalized text with stopword tokens removed. The
+      * column-side twin of [[terms]] (spec-pinned to agree), shared by
+      * the corpus-statistics operators so search and corpus stats see
+      * the same tokens. The stopword array is a sorted literal: a
+      * deterministic, broadcast-free constant in the codegen'd filter. */
+    def tokens(text: Column): Column = {
+      val stops = array(stopwords.toSeq.sorted.map(lit): _*)
+      filter(split(normalize(text), " "), t => !array_contains(stops, t))
+    }
+  }
+
+  object Analyzer {
+    /** High-frequency core of Lucene's public Indonesian stopword set
+      * (what the reference's `indonesian_analyzer` loads); callers
+      * needing the full ~750-entry list pass their own. */
+    val indonesian: Analyzer = Analyzer(Set(
+      "yang", "dan", "di", "dari", "ini", "itu", "dengan", "untuk",
+      "pada", "ke", "adalah", "dalam", "tidak", "akan", "juga", "ada",
+      "sebagai", "saat", "oleh", "karena", "kata", "bisa", "tersebut"))
+    /** English stopword core, for English corpora. */
+    val english: Analyzer = Analyzer(Set(
+      "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+      "with", "is", "are", "was", "were", "be", "this", "that", "it"))
+  }
+
   /** Word-boundary term frequency — `\b` is common Java-regex/RE2.
     * `regexp_count` counts matches without materializing the match
     * array that `size(regexp_extract_all(...))` would allocate per
@@ -53,17 +100,33 @@ object Search {
         else col("text").contains(term))
       .select(col("doc_id"), col("lang"), col("source").as("topic"), col("n_chars"))
 
+  /** Empty hit set with the ranked-search schema — what an analyzed
+    * query with no surviving tokens returns. The `lit(false)` filter
+    * constant-folds to an empty LocalRelation: no scan runs. */
+  private def emptyHits(documents: DataFrame, extra: Seq[Column]): DataFrame =
+    documents
+      .select(Seq(col("doc_id"), col("lang")) ++ extra :+ lit(0L).as("score"): _*)
+      .filter(lit(false))
+
   /** The scored hit set shared by every ranked variant: score =
     * 3×tf(title) + tf(body) (`es.py:166-240`), zero-score rows
     * dropped, plus any extra pass-through columns (one map-side
-    * projection — no re-join to recover them later). */
+    * projection — no re-join to recover them later). With an
+    * [[Analyzer]], scoring runs over the normalized text with the
+    * analyzed term; an all-stopword query yields the empty hit set. */
   private def scoredHits(documents: DataFrame, term: String,
-                         extra: Seq[Column] = Seq.empty): DataFrame =
-    documents
-      .select(Seq(col("doc_id"), col("lang")) ++ extra :+
-        (termFrequency(titleZone(col("text")), term) * 3 +
-          termFrequency(col("text"), term)).as("score"): _*)
-      .filter(col("score") > 0)
+                         extra: Seq[Column] = Seq.empty,
+                         analyzer: Option[Analyzer] = None): DataFrame =
+    analyzer.map(_.terms(Seq(term))).getOrElse(Seq(term)) match {
+      case Seq(t) =>
+        val textCol = analyzer.map(_.normalize(col("text"))).getOrElse(col("text"))
+        documents
+          .select(Seq(col("doc_id"), col("lang")) ++ extra :+
+            (termFrequency(titleZone(textCol), t) * 3 +
+              termFrequency(textCol, t)).as("score"): _*)
+          .filter(col("score") > 0)
+      case _ => emptyHits(documents, extra)
+    }
 
   /** Ranked search (`es.py:166-240`): score desc, top N.
     * TakeOrderedAndProject bounds the sort at N rows per partition —
@@ -76,8 +139,9 @@ object Search {
     * as a `recency` output column so consumers see what broke the
     * tie. */
   def rankedSearch(documents: DataFrame, term: String, topN: Int = 20,
-                   recency: Option[Column] = None): DataFrame = {
-    val hits = scoredHits(documents, term, recency.map(_.as("recency")).toSeq)
+                   recency: Option[Column] = None,
+                   analyzer: Option[Analyzer] = None): DataFrame = {
+    val hits = scoredHits(documents, term, recency.map(_.as("recency")).toSeq, analyzer)
     val order =
       if (recency.isDefined) Seq(col("score").desc, col("recency").desc, col("doc_id"))
       else Seq(col("score").desc, col("doc_id"))
@@ -103,15 +167,21 @@ object Search {
     * aggregate collapses to ONE row broadcast to the scorers — at
     * 100 TB the df pass is a map-side conditional count and the join
     * adds no shuffle. */
-  def multiTermSearch(documents: DataFrame, terms: Seq[String], topN: Int = 20): DataFrame = {
+  def multiTermSearch(documents: DataFrame, terms: Seq[String], topN: Int = 20,
+                      analyzer: Option[Analyzer] = None): DataFrame = {
     require(terms.nonEmpty, "multiTermSearch needs at least one term")
+    val analyzed = analyzer.map(_.terms(terms)).getOrElse(terms)
+    if (analyzed.isEmpty)
+      // every query token was a stopword — ES returns no hits
+      return emptyHits(documents, Seq.empty).withColumn("score", col("score").cast("double"))
+    val textCol = analyzer.map(_.normalize(col("text"))).getOrElse(col("text"))
     val aggs = count(lit(1)).cast("double").as("n_docs") +:
-      terms.zipWithIndex.map { case (t, i) =>
-        sum(when(col("text").contains(t), 1L).otherwise(0L)).cast("double").as(s"df_$i")
+      analyzed.zipWithIndex.map { case (t, i) =>
+        sum(when(textCol.contains(t), 1L).otherwise(0L)).cast("double").as(s"df_$i")
       }
     val stats = documents.agg(aggs.head, aggs.tail: _*)
-    val score = terms.zipWithIndex.map { case (t, i) =>
-      (termFrequency(titleZone(col("text")), t) * 3 + termFrequency(col("text"), t))
+    val score = analyzed.zipWithIndex.map { case (t, i) =>
+      (termFrequency(titleZone(textCol), t) * 3 + termFrequency(textCol, t))
         .cast("double") * (col("n_docs") / greatest(col(s"df_$i"), lit(1.0)))
     }.reduce(_ + _) // left fold: association mirrored in the oracle SQL
     documents.crossJoin(broadcast(stats))
@@ -176,18 +246,23 @@ object Search {
     * fuzzy-tf(body), descending — the same TakeOrderedAndProject
     * shape as [[rankedSearch]], so only the top N survive per
     * partition and no global sort materializes. */
-  def fuzzySearch(documents: DataFrame, term: String, topN: Int = 20): DataFrame = {
-    val maxEdits = autoFuzziness(term)
-    documents
-      .select(
-        col("doc_id"),
-        col("lang"),
-        (fuzzyTermFrequency(titleZone(col("text")), term, maxEdits) * 3 +
-          fuzzyTermFrequency(col("text"), term, maxEdits)).as("score"))
-      .filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topN)
-  }
+  def fuzzySearch(documents: DataFrame, term: String, topN: Int = 20,
+                  analyzer: Option[Analyzer] = None): DataFrame =
+    analyzer.map(_.terms(Seq(term))).getOrElse(Seq(term)) match {
+      case Seq(t) =>
+        val maxEdits = autoFuzziness(t)
+        val textCol = analyzer.map(_.normalize(col("text"))).getOrElse(col("text"))
+        documents
+          .select(
+            col("doc_id"),
+            col("lang"),
+            (fuzzyTermFrequency(titleZone(textCol), t, maxEdits) * 3 +
+              fuzzyTermFrequency(textCol, t, maxEdits)).as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(topN)
+      case _ => emptyHits(documents, Seq.empty)
+    }
 
   /** Search highlighting (`es.py:188-229`): the reference returns up
     * to 150-char highlight fragments per hit; we extract ONE

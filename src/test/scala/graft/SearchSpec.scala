@@ -13,6 +13,50 @@ class SearchSpec extends SparkSpec {
     rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("analyzer: case-insensitive scoring, stopword query matches nothing") {
+    val a = Search.Analyzer.english
+    val corpus = docs((1L, "The Window is OPEN"), (2L, "no match here"))
+    // mixed-case term + mixed-case text both normalize
+    val hits = Search.rankedSearch(corpus, "WINDOW", analyzer = Some(a))
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(hits === Map(1L -> 4L)) // title zone 3x + body 1x
+    // without the analyzer the same query finds nothing (case-sensitive)
+    assert(Search.rankedSearch(corpus, "WINDOW").count() === 0L)
+    // an all-stopword query is analyzed to nothing -> empty, not error
+    assert(Search.rankedSearch(corpus, "The", analyzer = Some(a)).count() === 0L)
+    assert(Search.fuzzySearch(corpus, "the", analyzer = Some(a)).count() === 0L)
+    assert(Search.multiTermSearch(corpus, Seq("The", "IS"), analyzer = Some(a)).count() === 0L)
+  }
+
+  test("analyzer: multiTermSearch drops stopword terms, keeps the rest") {
+    val a = Search.Analyzer.english
+    val corpus = docs((1L, "Window merge path"), (2L, "the the the"))
+    val analyzed = Search.multiTermSearch(corpus, Seq("Window", "the", "merge"),
+      analyzer = Some(a)).select("doc_id").as[Long].collect().toSet
+    assert(analyzed === Set(1L)) // doc 2 matches only the dropped stopword
+  }
+
+  test("analyzer: column token stream agrees with the query-side terms rule") {
+    // The spec pinning VERDICT r8 item 8: corpus stats and search share
+    // ONE tokenization. tokens(text) must equal terms(raw split) for
+    // any whitespace-tokenized string.
+    val a = Search.Analyzer.english
+    val samples = Seq("The Window AND the merge", "is", "", "plain words only")
+    val fromCol = samples.toDF("text")
+      .select(a.tokens(col("text")).as("t")).as[Seq[String]].collect()
+    val fromTerms = samples.map(s => a.terms(s.split(" ", -1).toSeq))
+    assert(fromCol.toSeq === fromTerms)
+  }
+
+  test("analyzed bigrams form across removed stopwords") {
+    val a = Search.Analyzer.english
+    val out = graft.operators.Corpus.bigramCounts(
+      docs((1L, "jump over the fence")), topN = 10, analyzer = Some(a))
+      .as[(String, Long)].collect().toMap
+    // "the" removed -> stream [jump, over, fence]: the pair bridges the gap
+    assert(out === Map("jump over" -> 1L, "over fence" -> 1L))
+  }
+
   test("autoFuzziness follows the ES AUTO ladder") {
     assert(Search.autoFuzziness("ab") === 0)
     assert(Search.autoFuzziness("abc") === 1)
