@@ -259,13 +259,18 @@ object Ann {
   def quantize(emb: Column): Column =
     call_function("graft_quantize_int8", emb)
 
-  /** Portable declarative twin of [[quantize]] — three interpreted HOF
+  /** Portable declarative twin of [[quantize]] — interpreted HOF
     * passes where the native expression is one loop; kept for the
-    * bit-identity spec pin and engines without the extension. */
+    * bit-identity spec pin and engines without the extension. The
+    * explicit `exists(isnull)` guard makes the twin null-poison whole
+    * vectors exactly like the native expression (bare `transform`
+    * would instead keep null elements and quantize the rest, because
+    * `array_max` skips nulls — a silent contract divergence). */
   private[graft] def quantizeHof(emb: Column): Column = {
     val d = transform(emb, x => x.cast("double"))
     val maxabs = array_max(transform(d, x => abs(x)))
-    when(maxabs === 0.0, d)
+    when(exists(d, x => x.isNull), lit(null).cast("array<double>"))
+      .when(maxabs === 0.0, d)
       .otherwise(transform(d, x => floor(x * 127.0 / maxabs + 0.5)))
   }
 
@@ -297,6 +302,27 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos_q").as("cosine_q"), col("rank"))
   }
+
+  /** Recall@k report of an approximate top-k against the exact
+    * brute-force top-k: per query, the exact hit-set size, how many of
+    * those hits the approximate index returned, and the k-th exact
+    * cosine (the similarity boundary the index had to clear). This
+    * turns the ANN cross-validation contract into oracle-checkable
+    * integers: with parameters that reach full recall on a corpus, the
+    * oracle pins `hits = exact_k` from the DATA side, so a bucketing
+    * or probe regression drops `hits` and hash-mismatches.
+    *
+    * Scale shape: both inputs are O(queries × k) rows — the join and
+    * aggregate are negligible next to producing them; nothing
+    * corpus-sized is touched here. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("vec_id"), col("cosine"))
+      .join(approx.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("exact_k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        min(col("cosine")).as("kth_cosine"))
 
   /** Embedding-cosine near-dup pairs, blocked on a key (here the
     * `label` column — in production a coarse quantization cell): exact

@@ -202,6 +202,124 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
 
+  /** Banded-LSH recall/precision report against the EXACT
+    * capped-universe Jaccard pairs — the in-engine form of the
+    * cross-validation contract ([[minhashPairs]]'s banding at the
+    * registered parameters recovers EVERY exact pair with J ≥ `hi`,
+    * and admits NO candidate below J < `lo`). One row: the exact
+    * J ≥ hi pair count, how many of those minhash found, and minhash
+    * candidates outside the loose exact set. The exact side is
+    * SQL-expressible, so the oracle pins `found = exact_pairs` and
+    * `false_candidates = 0` with a DATA-derived pair count — a banding
+    * or signature regression breaks the hash match.
+    *
+    * Scale shape: the two pair generators it compares are the bounded
+    * posting-list chains already audited individually; the report adds
+    * two semi/anti joins on (id, id) pairs and three 1-row aggregates
+    * stitched by broadcast. */
+  def minhashRecallReport(documents: DataFrame, hi: Double = 0.8,
+                          lo: Double = 0.5): DataFrame = {
+    require(lo <= hi, s"need lo <= hi, got lo=$lo hi=$hi")
+    val keys = Seq("doc_id_1", "doc_id_2")
+    val exactLo = ngramJaccardPairs(documents, lo)
+    val exactHi = exactLo.filter(col("jaccard") >= hi).select(keys.map(col): _*)
+    val mh = minhashPairs(documents, threshold = 0.6).select(keys.map(col): _*)
+    exactHi.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(exactHi.join(mh, keys, "left_semi").agg(count(lit(1)).as("found")))
+      .crossJoin(mh.join(exactLo.select(keys.map(col): _*), keys, "left_anti")
+        .agg(count(lit(1)).as("false_candidates")))
+  }
+
+  /** SimHash precision report: every [[simhashPairs]] hit (Hamming ≤ 3
+    * over shingle fingerprints) must be a true near-dup in the exact
+    * J ≥ `lo` pair set — the subset contract the cross-validation spec
+    * pins, reported as oracle-checkable integers (`pairs_outside_exact
+    * = 0`, with the data-derived exact pair count alongside). Recall is
+    * deliberately NOT claimed: simhash trades recall for a 64-bit
+    * fingerprint; the designed property is that what it does flag is
+    * real. */
+  def simhashPrecisionReport(documents: DataFrame, lo: Double = 0.5): DataFrame = {
+    val keys = Seq("doc_id_1", "doc_id_2")
+    val exactLo = ngramJaccardPairs(documents, lo).select(keys.map(col): _*)
+    val sh = simhashPairs(documents).select(keys.map(col): _*)
+    exactLo.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(sh.join(exactLo, keys, "left_anti")
+        .agg(count(lit(1)).as("pairs_outside_exact")))
+  }
+
+  /** Content-defined chunks of the token stream: the stream is cut
+    * AFTER every token whose md5 prefix falls below `hexCut` (two hex
+    * chars; "20" = 32/256 → ~8-token average chunks). Cut points are a
+    * pure function of the LOCAL token, so an insertion anywhere else in
+    * the document leaves every other chunk boundary — and therefore
+    * every other chunk fingerprint — unchanged. That is the property
+    * fixed-stride chunking lacks and the reason CDC finds long shared
+    * substrings between documents whose overall Jaccard is low (the
+    * contamination class whole-document shingle similarity misses).
+    * md5 rather than a JVM hash so a SQL oracle reproduces the cuts.
+    *
+    * Scale shape: one corpus token explode, a PER-DOCUMENT running sum
+    * (window partitioned by doc_id — bounded by document length, never
+    * corpus-wide), and a per-(doc, chunk) aggregate. */
+  def cdcChunks(documents: DataFrame, hexCut: String = "20"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hexCut.length == 2 && hexCut.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"hexCut must be two lowercase hex chars, got '$hexCut'")
+    val toks = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val boundary = when(substring(md5(col("token")), 1, 2) < hexCut, 1L).otherwise(0L)
+    // chunk index = boundary tokens STRICTLY BEFORE this one (cut is
+    // "after the boundary token", so the boundary token closes its own
+    // chunk); first token has an empty frame -> coalesce to chunk 0
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_idx", coalesce(sum(boundary).over(before), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token"))).as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+
+  /** Substring-level duplicate pairs via [[cdcChunks]] fingerprints:
+    * documents sharing ≥ `minSharedTokens` tokens' worth of identical
+    * content-defined chunks. Catches a long passage copied between two
+    * otherwise-different documents — low whole-document Jaccard, so
+    * [[ngramJaccardPairs]] scores it below any sane threshold, but the
+    * passage's interior chunks fingerprint identically in both docs
+    * (only the chunks spanning the copy's seams differ).
+    *
+    * Same bounded posting-list shape as [[ngramJaccardPairs]] — chunk
+    * fingerprints with document frequency > `maxDocFreq` are boilerplate
+    * and collapse to NULL inside the hard-bounded collect, pairs are
+    * generated from the ≤ maxDocFreq-element lists map-side — one
+    * explode, one shuffle, never all-pairs. */
+  def substringDupPairs(documents: DataFrame, minSharedTokens: Long = 16L,
+                        maxDocFreq: Long = 100L): DataFrame = {
+    require(minSharedTokens >= 1 && maxDocFreq >= 1 && maxDocFreq <= Int.MaxValue)
+    graft.GraftExtensions.register(documents.sparkSession)
+    // one row per (chunk fingerprint, doc): a chunk repeated WITHIN a
+    // doc counts once toward any pair (same text -> same n_tokens)
+    val uchunks = cdcChunks(documents)
+      .groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"))
+    val postings = uchunks.groupBy(col("chunk_hash"))
+      .agg(call_function("graft_bounded_collect",
+        col("doc_id"), lit(maxDocFreq.toInt)).as("ds"),
+        max(col("n_tokens")).as("n_tokens")) // hash-equal => text-equal => same n_tokens
+      .filter(col("ds").isNotNull)
+      .select(sort_array(col("ds")).as("ds"), col("n_tokens"))
+    postings
+      .filter(size(col("ds")) >= 2)
+      .select(col("n_tokens"), explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("doc_id_1"), col("p.d2").as("doc_id_2"))
+      .agg(count(lit(1)).as("shared_chunks"), sum(col("n_tokens")).as("shared_tokens"))
+      .filter(col("shared_tokens") >= minSharedTokens)
+  }
+
   /** Similarity histogram over the near-dup pair graph: pair counts
     * per 0.05-wide jaccard bucket — the evidence for choosing the
     * dedup threshold (a bimodal histogram separates true near-dups
@@ -301,11 +419,24 @@ object Dedup {
     *     itself onto that minimum — stars flatten.
     * Edges stay canonically oriented (u > v) by construction, so no
     * orientation normalization job is needed between rounds.
-    * Convergence is detected from a 1-row (count, hash-sum) signature
-    * of the checkpointed edge list — two scalar aggregates, no
-    * edge-to-edge comparison join. `localCheckpoint` per round cuts
-    * lineage exactly as in [[clusterPairs]]. */
-  def clusterPairsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    * Convergence is screened with a 1-row (count, hash-sum) signature
+    * of the checkpointed edge list — two scalar aggregates per round —
+    * and then CONFIRMED with an exact `exceptAll` on the candidate
+    * final round only (signature equality alone could be a hash-sum
+    * collision, which would silently return wrong cluster ids; counts
+    * already match, so one except direction proves multiset equality).
+    * Exhausting `maxIters` without convergence throws rather than
+    * returning whatever labeling the last edge list implies.
+    * `localCheckpoint` per round cuts lineage exactly as in
+    * [[clusterPairs]]. */
+  def clusterPairsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame =
+    clusterPairsStarInstrumented(pairs, maxIters)._1
+
+  /** [[clusterPairsStar]] plus the number of rounds it ran — the
+    * O(log² n) convergence claim is a spec-pinned regression contract,
+    * not just a measured curve. */
+  private[graft] def clusterPairsStarInstrumented(pairs: DataFrame,
+                                                  maxIters: Int = 30): (DataFrame, Int) = {
     require(maxIters >= 1)
     val p = pairs.select(col("doc_id_1"), col("doc_id_2")).persist()
     try {
@@ -351,16 +482,23 @@ object Dedup {
           .distinct()
           .localCheckpoint()
         val nextSig = signature(rewired)
-        converged = nextSig == sig
+        // exact confirmation runs ONLY when the cheap signature already
+        // matches — once per query in the common case
+        converged = nextSig == sig && edges.exceptAll(rewired).isEmpty
         sig = nextSig
         edges = rewired
         iter += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"clusterPairsStar did not converge within $maxIters rounds — " +
+            "raise maxIters; returning a non-fixpoint labeling would be silently wrong")
       // converged edge list is a union of stars rooted at component
       // minima: children label from their edge, roots label themselves
-      edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      (edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
         .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id")),
+        iter)
     } finally p.unpersist()
   }
 

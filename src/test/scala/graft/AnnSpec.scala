@@ -88,6 +88,19 @@ class AnnSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("quantize null contract: a null element poisons the WHOLE vector, both paths") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq((0L, Seq[java.lang.Float](1.0f, null, 2.0f)),
+        (1L, Seq[java.lang.Float](1.0f, -2.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val native = df.select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    val hof = df.select(col("vec_id"), Ann.quantizeHof(col("embedding")).as("q"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(native(0L).isEmpty && hof(0L).isEmpty) // holes -> no meaningful scale
+    assert(native(1L) === hof(1L) && native(1L).nonEmpty)
+  }
+
   test("quantizedTopK agrees with exact brute force on separated vectors, drops zero vectors") {
     val df = embs((0L, e1, 0), (10L, e1close, 0), (11L, e2, 0), (12L, e3, 0),
       (13L, Seq(0f, 0f, 0f, 0f), 0))

@@ -91,9 +91,23 @@ class DedupSpec extends SparkSpec {
     val n = 120
     val pairs = (0 until n).map(i => (i.toLong, i + 1L, 0.9))
       .toDF("doc_id_1", "doc_id_2", "jaccard")
-    val out = Dedup.clusterPairsStar(pairs).as[(Long, Long)].collect().toMap
+    val (labels, rounds) = Dedup.clusterPairsStarInstrumented(pairs)
+    val out = labels.as[(Long, Long)].collect().toMap
     assert(out.size === n + 1)
     assert(out.values.forall(_ == 0L), "every chain node must label to the min id 0")
+    // the O(log^2 n) claim as a regression contract, not just a
+    // measured curve: ~7 folding rounds + the no-change confirmation
+    // round; 12 leaves slack without ever admitting linear behavior
+    assert(rounds <= 12, s"120-hop chain took $rounds star rounds — expected O(log^2 n)")
+  }
+
+  test("clusterPairsStar fails loudly when maxIters cannot reach the fixpoint") {
+    val pairs = (0 until 120).map(i => (i.toLong, i + 1L, 0.9))
+      .toDF("doc_id_1", "doc_id_2", "jaccard")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterPairsStar(pairs, maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("clusterPairsStar matches a union-find oracle on a random pair graph") {
@@ -200,5 +214,56 @@ class DedupSpec extends SparkSpec {
     val many = (1L to 5L).map(i => (i, "a b c"))
     val out = Dedup.ngramJaccardPairs(docs(many: _*), threshold = 0.1, maxDocFreq = 4L)
     assert(out.count() === 0L)
+  }
+
+  test("cdcChunks reassembles each document in chunk order") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val chunks = Dedup.cdcChunks(docs((1L, text)))
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(chunks.length > 1, "cut rule should fire at least once on 60 tokens")
+    assert(chunks.mkString(" ") === text)
+  }
+
+  test("substring dedup finds a copied passage that whole-doc Jaccard misses") {
+    // Two long documents sharing one 48-token passage behind DIFFERENT
+    // 60-token prefixes. Whole-document shingle Jaccard is ~0.28 — the
+    // ngram pair generator at its production threshold 0.5 sees
+    // nothing — but the passage's interior CDC chunks fingerprint
+    // identically in both docs (only the seam chunk differs: cut
+    // points are a function of the local token, so the different
+    // prefixes cannot shift them).
+    val passage = (1 to 48).map(i => s"s$i").mkString(" ")
+    val a = (1 to 60).map(i => s"a$i").mkString(" ") + " " + passage
+    val b = (1 to 60).map(i => s"b$i").mkString(" ") + " " + passage
+    val d = docs((1L, a), (2L, b))
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.5).count() === 0L)
+    val pairs = Dedup.substringDupPairs(d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.length === 1)
+    val (d1, d2, sharedChunks, sharedTokens) = pairs.head
+    assert((d1, d2) === (1L, 2L))
+    assert(sharedChunks >= 2L && sharedTokens >= 16L)
+    assert(sharedTokens <= 48L) // never more than the passage itself
+  }
+
+  test("substring dedup counts a within-doc repeated chunk once per pair") {
+    // doc 1 contains the passage TWICE; the shared fingerprint set is
+    // still the passage's chunks once — shared_tokens must not double
+    val passage = (1 to 24).map(i => s"p$i").mkString(" ")
+    val once = docs((1L, s"$passage $passage"), (2L, passage))
+    val twice = Dedup.substringDupPairs(once, minSharedTokens = 1L)
+      .select("shared_tokens").as[Long].collect()
+    val ref = Dedup.substringDupPairs(docs((1L, passage), (2L, passage)),
+      minSharedTokens = 1L).select("shared_tokens").as[Long].collect()
+    assert(twice.length === 1 && ref.length === 1)
+    // the repeat can only perturb seam chunks, never inflate the count
+    assert(twice.head <= ref.head + 1)
+  }
+
+  test("substring dedup df cap: a chunk shared by too many docs is boilerplate") {
+    val passage = (1 to 24).map(i => s"c$i").mkString(" ")
+    val many = (1L to 6L).map(i => (i, passage))
+    assert(Dedup.substringDupPairs(docs(many: _*), minSharedTokens = 1L,
+      maxDocFreq = 5L).count() === 0L)
   }
 }
