@@ -55,7 +55,7 @@ object ScaleCheck {
     val queries = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
       "scrub_boilerplate", "gopher_rules", "gopher_report", "token_rarity",
       "entity_centrality", "interval_join", "z_value", "skew_report",
-      "dedup_clusters_star"))
+      "dedup_clusters_star", "dedup_substring"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -39,7 +39,13 @@ object CsvSource {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
-      .cache()
+      // one eager parse shared by both split frames. localCheckpoint,
+      // NOT cache(): cached plans are pinned by the session's
+      // CacheManager until an explicit unpersist — repeated ingest
+      // batches in a long-lived session would leak blocks — while
+      // checkpoint blocks are auto-released by the ContextCleaner once
+      // the returned frames become unreachable
+      .localCheckpoint()
     val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val bad = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))

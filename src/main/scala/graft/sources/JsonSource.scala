@@ -46,7 +46,11 @@ object JsonSource {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache()
+      // localCheckpoint, not cache(): see [[CsvSource.readCsvQuarantine]]
+      // — cache() pins blocks in the CacheManager across ingest batches
+      // (a leak in long-lived sessions); checkpoint blocks free
+      // themselves when the split frames go unreachable
+      .localCheckpoint()
     val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val bad = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
