@@ -283,4 +283,31 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "Exchange") === 0, s"rules run at scan speed:\n$plan")
     assert(count(plan, "Scan parquet") === 1)
   }
+
+  test("dedup_substring: one scan, exactly three exchanges, per-doc window only") {
+    // The CDC pair chain's scale contract: ONE corpus scan; exchanges
+    // only for (a) the per-doc window, (b) the chunk-hash postings,
+    // (c) the final pair aggregate. The (doc_id, chunk_idx) chunk
+    // aggregate must REUSE the window's doc_id partitioning (hash on a
+    // key subset satisfies the clustered distribution) — a fourth
+    // exchange means that reuse regressed. The window must partition
+    // by doc_id, never run corpus-global.
+    val plan = finalPlan(SparkEntry.queries("dedup_substring")(spark, dir))
+    assert(count(plan, "Scan parquet") === 1, s"corpus must be scanned once:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") === 3,
+      s"expected exactly 3 exchanges (doc window, postings, pairs):\n$plan")
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"chunk window must be per-document:\n$plan")
+    assert(count(plan, "SortMergeJoin|BroadcastHashJoin") === 0,
+      s"pairs come from the bounded posting lists, not a join:\n$plan")
+  }
+
+  test("analyzed ranked search keeps the raw path's zero-shuffle scoring shape") {
+    val plan = finalPlan(SparkEntry.queries("ranked_search_analyzed")(spark, dir))
+    // lower() must fuse into the same scan-side projection the raw
+    // scorer uses: no exchange beyond the bounded top-N, no join
+    assert(count(plan, "Exchange hashpartitioning") === 0, s"scoring is map-side:\n$plan")
+    assert(count(plan, "TakeOrderedAndProject") === 1, s"top-N stays bounded:\n$plan")
+    assert(count(plan, "Scan parquet") === 1)
+  }
 }
