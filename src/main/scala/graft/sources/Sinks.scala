@@ -69,6 +69,74 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Catalog lifecycle for a bucketed table — the Spark analog of the
+    * reference's `setup_index` (`/root/reference/services/es.py:39-115`:
+    * create the index with mappings + shard settings before any
+    * document lands, and never silently mutate them after). Three
+    * outcomes, mirroring the ES rules:
+    *
+    *  - table absent → CREATE TABLE (empty, parquet, CLUSTERED BY the
+    *    bucket columns INTO n BUCKETS) so readers/writers bind to the
+    *    declared layout before data exists; returns `"created"`.
+    *  - table present, layout + schema match → `"unchanged"`.
+    *  - table present, schema GREW (new columns appended) → ALTER TABLE
+    *    ADD COLUMNS; returns `"evolved:+n"`. Additive evolution is the
+    *    only change parquet can absorb in place — old files read the
+    *    new columns as null, exactly like adding an ES field mapping.
+    *
+    * Everything else fails loudly: a bucket-count or bucket-column
+    * change is the ES change-the-shard-count case (every file's
+    * hash placement is wrong — requires a rewrite via
+    * [[writeBucketed]]), and a column type change or drop would make
+    * existing parquet files unreadable/ambiguous (requires a rewrite).
+    * Silent drift between what a producer expects and what the catalog
+    * holds is the failure mode this guard exists for. */
+  def ensureBucketedTable(spark: org.apache.spark.sql.SparkSession, table: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          bucketCols: Seq[String], buckets: Int = 64): String = {
+    require(bucketCols.nonEmpty && buckets >= 1, "need bucket columns and buckets >= 1")
+    require(bucketCols.forall(schema.fieldNames.contains),
+      s"bucket columns ${bucketCols.mkString(",")} must be in the schema")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    def colDdl(f: org.apache.spark.sql.types.StructField) = s"`${f.name}` ${f.dataType.sql}"
+    if (!catalog.tableExists(ident)) {
+      spark.sql(s"CREATE TABLE $table (${schema.fields.map(colDdl).mkString(", ")}) " +
+        s"USING PARQUET CLUSTERED BY (${bucketCols.mkString(", ")}) " +
+        s"SORTED BY (${bucketCols.mkString(", ")}) INTO $buckets BUCKETS")
+      "created"
+    } else {
+      val meta = catalog.getTableMetadata(ident)
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+        s"$table exists WITHOUT a bucket layout — rewrite it via writeBucketed"))
+      if (spec.numBuckets != buckets || spec.bucketColumnNames != bucketCols)
+        throw new IllegalStateException(
+          s"$table bucket layout is (${spec.bucketColumnNames.mkString(",")} into " +
+            s"${spec.numBuckets}) but (${bucketCols.mkString(",")} into $buckets) was " +
+            "requested — changing a bucket layout invalidates every file's hash " +
+            "placement; rewrite via writeBucketed")
+      val existing = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+      schema.fields.foreach { f =>
+        existing.get(f.name).filter(_ != f.dataType).foreach { t =>
+          throw new IllegalStateException(
+            s"$table.${f.name} is $t but ${f.dataType} was requested — type changes " +
+              "make existing parquet unreadable; rewrite the table")
+        }
+      }
+      val dropped = meta.schema.fieldNames.filterNot(schema.fieldNames.contains)
+      if (dropped.nonEmpty)
+        throw new IllegalStateException(
+          s"$table has columns ${dropped.mkString(",")} absent from the requested " +
+            "schema — dropping columns requires a rewrite, not DDL")
+      val added = schema.fields.filterNot(f => existing.contains(f.name))
+      if (added.isEmpty) "unchanged"
+      else {
+        spark.sql(s"ALTER TABLE $table ADD COLUMNS (${added.map(colDdl).mkString(", ")})")
+        s"evolved:+${added.length}"
+      }
+    }
+  }
+
   /** JDBC writer configured like the reference's batched PG loader:
     * rewriteBatchedStatements + explicit batch size. Returned
     * unexecuted (no database in this environment) — callers `.save()`. */

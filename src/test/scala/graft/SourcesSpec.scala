@@ -182,6 +182,43 @@ class SourcesSpec extends SparkSpec {
       (1L to 2000L).map(i => (i, s"row $i")).toSet)
   }
 
+  test("ensureBucketedTable: create, validate, evolve additively, reject layout drift") {
+    val schema = new StructType()
+      .add("doc_id", LongType).add("n_chars", LongType)
+    try {
+      assert(Sinks.ensureBucketedTable(spark, "graft_ddl_t", schema, Seq("doc_id"), 8)
+        === "created")
+      // re-ensure with the identical contract: a no-op, not an error
+      assert(Sinks.ensureBucketedTable(spark, "graft_ddl_t", schema, Seq("doc_id"), 8)
+        === "unchanged")
+      // the created layout is real: writes bind to it and rows land
+      Seq((1L, 10L)).toDF("doc_id", "n_chars")
+        .write.mode("append").insertInto("graft_ddl_t")
+      assert(spark.table("graft_ddl_t").count() === 1L)
+      // additive evolution: the one in-place change parquet absorbs
+      val grown = schema.add("lang", org.apache.spark.sql.types.StringType)
+      assert(Sinks.ensureBucketedTable(spark, "graft_ddl_t", grown, Seq("doc_id"), 8)
+        === "evolved:+1")
+      // old rows read the new column as null (the ES add-a-mapping analog)
+      assert(spark.table("graft_ddl_t").select("lang").head().isNullAt(0))
+      // shard-count analog: a different bucket layout must fail loudly
+      val e1 = intercept[IllegalStateException] {
+        Sinks.ensureBucketedTable(spark, "graft_ddl_t", grown, Seq("doc_id"), 16)
+      }
+      assert(e1.getMessage.contains("bucket layout"))
+      // type change and column drop both demand a rewrite
+      val retyped = new StructType()
+        .add("doc_id", LongType).add("n_chars", org.apache.spark.sql.types.IntegerType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+      assert(intercept[IllegalStateException] {
+        Sinks.ensureBucketedTable(spark, "graft_ddl_t", retyped, Seq("doc_id"), 8)
+      }.getMessage.contains("type changes"))
+      assert(intercept[IllegalStateException] {
+        Sinks.ensureBucketedTable(spark, "graft_ddl_t", schema, Seq("doc_id"), 8)
+      }.getMessage.contains("dropping columns"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+  }
+
   test("streamingUpsertSink recovers a crash-mid-swap layer: __old restored, nothing lost") {
     // Simulates dying between swapInto's two renames: the live layer
     // sits under __old, the target is ABSENT, and a stale __staging
