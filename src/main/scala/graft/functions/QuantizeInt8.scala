@@ -15,10 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the emit — the per-vector indexing cost of the quantized-ANN scan,
   * the same hot-path argument as [[SrpBuckets]].
   *
-  * NULL contract matches the HOF form: a null element poisons the
-  * whole result to NULL (transform would emit a null element, and a
-  * vector with holes has no meaningful scale); an all-zero vector
-  * quantizes to itself. */
+  * NULL contract: a null ELEMENT poisons the whole result to NULL (a
+  * vector with holes has no meaningful scale). The HOF twin
+  * ([[graft.operators.Ann.quantizeHof]]) reproduces this with an
+  * explicit `exists(isnull)` guard — spec-pinned on vectors with and
+  * without null elements. An all-zero vector quantizes to itself. */
 case class QuantizeInt8(child: Expression)
   extends UnaryExpression with CodegenFallback {
 

@@ -260,6 +260,23 @@ class DedupSpec extends SparkSpec {
     assert(twice.head <= ref.head + 1)
   }
 
+  test("substring pairs compose with clustering into an actual corpus dedup") {
+    // the full curation path for passage-level contamination: CDC
+    // pairs -> connected components -> keep each cluster's min-id
+    // representative. Three docs share the passage (transitively a
+    // single cluster); the unrelated doc is untouched.
+    val passage = (1 to 48).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, (1 to 60).map(i => s"a$i").mkString(" ") + " " + passage),
+      (2L, (1 to 60).map(i => s"b$i").mkString(" ") + " " + passage),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" ") + " " + passage),
+      (4L, (1 to 60).map(i => s"z$i").mkString(" ")))
+    val clusters = Dedup.clusterPairs(Dedup.substringDupPairs(d))
+    val kept = Dedup.applyClusters(d, clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("substring dedup df cap: a chunk shared by too many docs is boilerplate") {
     val passage = (1 to 24).map(i => s"c$i").mkString(" ")
     val many = (1L to 6L).map(i => (i, passage))
