@@ -36,6 +36,29 @@ object ScaleCheck {
       .parquet(s"$out/documents.parquet")
   }
 
+  /** Embeddings replicate with fresh vec_ids and a deterministic
+    * per-copy rotation of the vector (elements shifted by k positions)
+    * — copies are NOT identical vectors (identical copies would hand
+    * every ANN method a cosine-1.0 neighbor and measure luck, not
+    * work), but norms and pairwise-similarity distributions are
+    * preserved exactly. Query ids (vec_id < numQueries) stay in copy 0
+    * only, so the query count is constant while the corpus scales —
+    * the shape a growing deployment actually has. */
+  private def replicateEmbeddings(spark: SparkSession, base: String, out: String,
+                                  copies: Int): Unit = {
+    val e = spark.read.parquet(s"$base/embeddings.parquet")
+    val dfs = (0 until copies).map { k =>
+      if (k == 0) e
+      else e.select(
+        (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id"),
+        concat(slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+          slice(col("embedding"), lit(1), lit(k))).as("embedding"),
+        col("label"))
+    }
+    dfs.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+  }
+
   private def replicateEvents(spark: SparkSession, base: String, out: String,
                               copies: Int): Unit = {
     val e = spark.read.parquet(s"$base/events.parquet")
@@ -73,6 +96,8 @@ object ScaleCheck {
     replicateDocs(spark, base, bigDir, factor)
     replicateEvents(spark, base, oneDir, 1)
     replicateEvents(spark, base, bigDir, factor)
+    replicateEmbeddings(spark, base, oneDir, 1)
+    replicateEmbeddings(spark, base, bigDir, factor)
 
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
