@@ -72,15 +72,26 @@ object Bench {
     s"""{"metric":"total","value":${ms(timings.values.sum)},"unit":"sec","queries":$qs,"errors":${Json.obj(errors)},"sf":${Json.str(sfDir)}}"""
   }
 
-  /** Bounded stdout summary — `queries` is a COUNT, not a map, so the
-    * line stays ~200 chars no matter how large the registry grows and
-    * always fits the driver's 2000-char stdout tail window (minus ~75
-    * chars for sbt's trailing `[success]` line). BenchGuardSpec pins
-    * the rendered length at the live registry size. */
+  /** Bounded stdout summary — `queries` is a COUNT, not a map (the
+    * shape the round-8 verdict prescribed for this line), so it stays
+    * ~200 chars no matter how large the registry grows and always fits
+    * the driver's 2000-char stdout tail window (minus ~75 chars for
+    * sbt's trailing `[success]` line). The errors map is bounded too —
+    * at most 3 entries, each message clipped, the rest collapsed into
+    * a count — because 10 failing queries at 200 chars each would
+    * overflow the window just like the per-query map did (full error
+    * text lives in BENCH_DETAIL.json and stderr). BenchGuardSpec pins
+    * the rendered length at the live registry size AND under a
+    * mass-failure errors map. */
   private[graft] def renderSummary(timings: collection.Map[String, Double],
                                    errors: collection.Map[String, String],
-                                   sfDir: String): String =
-    s"""{"metric":"total","value":${ms(timings.values.sum)},"unit":"sec","queries":${timings.size},"errors":${Json.obj(errors)},"sf":${Json.str(sfDir)}}"""
+                                   sfDir: String): String = {
+    val shown = errors.take(3).map { case (k, v) => k -> v.take(80) }
+    val bounded =
+      if (errors.size <= 3) shown
+      else shown ++ Seq("_truncated" -> s"${errors.size - 3} more (see BENCH_DETAIL.json)")
+    s"""{"metric":"total","value":${ms(timings.values.sum)},"unit":"sec","queries":${timings.size},"errors":${Json.obj(bounded)},"sf":${Json.str(sfDir)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,10 +159,17 @@ object Bench {
     // goes to BENCH_DETAIL.json (committed per round — next round's
     // guardrail baseline) and stderr (visible in local runs).
     val detail = renderDetail(timings, errors, sfDir)
-    // A SPARK_GRAFT_ONLY-restricted run must not overwrite the committed
-    // full-registry baseline with a partial map.
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    // Two clobber guards on the committed baseline: a SPARK_GRAFT_ONLY
+    // run must not replace the full map with a partial one, and a
+    // local iteration at a DIFFERENT scale factor must not replace the
+    // sf0.1 baseline with small-SF numbers (which would silently
+    // disable the regression guardrail for the next driver run —
+    // baselineSf would never match again).
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    val sameSfAsExisting = !java.nio.file.Files.exists(detailPath) ||
+      baselineSf(java.nio.file.Files.readString(detailPath)).forall(_ == thisSf)
+    if (only.isEmpty && sameSfAsExisting)
+      java.nio.file.Files.writeString(detailPath, detail + "\n")
     System.err.println(detail)
     spark.stop()
     // The bounded summary is the LAST stdout write of the process, after

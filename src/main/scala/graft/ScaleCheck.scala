@@ -49,11 +49,19 @@ object ScaleCheck {
     val e = spark.read.parquet(s"$base/embeddings.parquet")
     val dfs = (0 until copies).map { k =>
       if (k == 0) e
-      else e.select(
-        (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id"),
-        concat(slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
-          slice(col("embedding"), lit(1), lit(k))).as("embedding"),
-        col("label"))
+      else {
+        // rotation amount 1..dims-1, derived per row so it can never be
+        // 0 mod dims (copy dims would otherwise be an identity rotation
+        // = the exact-duplicate artifact) nor exceed the vector length
+        // (slice with a negative length throws)
+        val d = size(col("embedding"))
+        val r = (lit(k - 1) % (d - 1)) + 1
+        e.select(
+          (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id"),
+          concat(slice(col("embedding"), r + 1, d - r),
+            slice(col("embedding"), lit(1), r)).as("embedding"),
+          col("label"))
+      }
     }
     dfs.reduce(_ unionByName _).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")

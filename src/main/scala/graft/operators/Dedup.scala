@@ -218,8 +218,15 @@ object Dedup {
     * two semi/anti joins on (id, id) pairs and three 1-row aggregates
     * stitched by broadcast. */
   def minhashRecallReport(documents: DataFrame, hi: Double = 0.8,
-                          lo: Double = 0.5): DataFrame = {
-    require(lo <= hi, s"need lo <= hi, got lo=$lo hi=$hi")
+                          lo: Double = 0.5,
+                          candidateThreshold: Double = 0.6): DataFrame = {
+    // candidateThreshold (the est_jaccard floor minhash candidates must
+    // clear) must sit INSIDE [lo, hi]: above hi it would drop true
+    // J >= hi pairs for reasons unrelated to banding and deflate
+    // `found`; below lo every extra candidate lands in
+    // `false_candidates` by construction
+    require(lo <= candidateThreshold && candidateThreshold <= hi,
+      s"need lo <= candidateThreshold <= hi, got lo=$lo ct=$candidateThreshold hi=$hi")
     val keys = Seq("doc_id_1", "doc_id_2")
     // ONE full-outer join over ONE exact chain carries all three
     // counters: exact-only rows (hit null) are misses/background,
@@ -228,7 +235,7 @@ object Dedup {
     // anti joins against hi/lo slices) re-ran the bounded posting
     // chain per counter — 2x the report's cost for the same integers.
     val exact = ngramJaccardPairs(documents, lo)
-    val mh = minhashPairs(documents, threshold = 0.6)
+    val mh = minhashPairs(documents, threshold = candidateThreshold)
       .select(keys.map(col) :+ lit(1).as("hit"): _*)
     exact.join(mh, keys, "full_outer")
       .agg(

@@ -210,8 +210,12 @@ object Search {
     * again TakeOrderedAndProject-bounded: page depth never changes the
     * cost of a page. */
   def rankedSearchAfter(documents: DataFrame, term: String, cursor: DataFrame,
-                        topN: Int = 20): DataFrame =
-    scoredHits(documents, term)
+                        topN: Int = 20,
+                        analyzer: Option[Analyzer] = None): DataFrame =
+    // the analyzer MUST match the one page 1 was scored with — keyset
+    // cursors compare scores, and scores from two different scoring
+    // functions would silently skip or duplicate hits across pages
+    scoredHits(documents, term, analyzer = analyzer)
       .crossJoin(broadcast(cursor))
       .filter(col("score") < col("cursor_score") ||
         (col("score") === col("cursor_score") && col("doc_id") > col("cursor_doc")))

@@ -44,7 +44,12 @@ object CsvSource {
       // CacheManager until an explicit unpersist — repeated ingest
       // batches in a long-lived session would leak blocks — while
       // checkpoint blocks are auto-released by the ContextCleaner once
-      // the returned frames become unreachable
+      // the returned frames become unreachable. Trade-off accepted for
+      // an ingest batch: checkpoint blocks are unreplicated and the
+      // lineage back to the files is cut, so losing an executor
+      // mid-batch means re-running readCsvQuarantine, not transparent
+      // recompute — the right failure mode for a bounded ingest step,
+      // the wrong one for a long-lived derived dataset.
       .localCheckpoint()
     val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val bad = raw.filter(col("_corrupt_record").isNotNull)

@@ -100,21 +100,27 @@ object Sinks {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val catalog = spark.sessionState.catalog
     def colDdl(f: org.apache.spark.sql.types.StructField) = s"`${f.name}` ${f.dataType.sql}"
+    val quotedCols = bucketCols.map(c => s"`$c`").mkString(", ")
     if (!catalog.tableExists(ident)) {
       spark.sql(s"CREATE TABLE $table (${schema.fields.map(colDdl).mkString(", ")}) " +
-        s"USING PARQUET CLUSTERED BY (${bucketCols.mkString(", ")}) " +
-        s"SORTED BY (${bucketCols.mkString(", ")}) INTO $buckets BUCKETS")
+        s"USING PARQUET CLUSTERED BY ($quotedCols) " +
+        s"SORTED BY ($quotedCols) INTO $buckets BUCKETS")
       "created"
     } else {
       val meta = catalog.getTableMetadata(ident)
       val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
         s"$table exists WITHOUT a bucket layout — rewrite it via writeBucketed"))
-      if (spec.numBuckets != buckets || spec.bucketColumnNames != bucketCols)
+      // sort spec is part of the declared layout too: [[writeBucketed]]
+      // sorts by the bucket columns and readers may rely on sorted
+      // buckets for merge behavior — silent sort drift is drift
+      if (spec.numBuckets != buckets || spec.bucketColumnNames != bucketCols ||
+          spec.sortColumnNames != bucketCols)
         throw new IllegalStateException(
-          s"$table bucket layout is (${spec.bucketColumnNames.mkString(",")} into " +
-            s"${spec.numBuckets}) but (${bucketCols.mkString(",")} into $buckets) was " +
-            "requested — changing a bucket layout invalidates every file's hash " +
-            "placement; rewrite via writeBucketed")
+          s"$table layout is (cluster ${spec.bucketColumnNames.mkString(",")}, " +
+            s"sort ${spec.sortColumnNames.mkString(",")}, into ${spec.numBuckets}) but " +
+            s"(cluster+sort ${bucketCols.mkString(",")} into $buckets) was requested — " +
+            "changing a bucket/sort layout invalidates the files' placement; " +
+            "rewrite via writeBucketed")
       val existing = meta.schema.fields.map(f => f.name -> f.dataType).toMap
       schema.fields.foreach { f =>
         existing.get(f.name).filter(_ != f.dataType).foreach { t =>

@@ -52,6 +52,17 @@ class BenchGuardSpec extends AnyFunSuite {
       """{"metric":"total","value":1.000,"unit":"sec","queries":1,"errors":{"b":"boom"},"sf":"/d/sf0.01"}""")
   }
 
+  test("summary stays bounded even under a MASS-failure errors map") {
+    // r7/r8 lost the headline to an overlong line; a run where dozens
+    // of queries throw must not reopen that hole through the errors
+    // map (full messages live in BENCH_DETAIL.json + stderr)
+    val errors = (1 to 40).map(i => s"query_with_a_long_name_$i" -> ("x" * 200)).toMap
+    val line = Bench.renderSummary(Map("a" -> 1.0), errors, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"summary ${line.length} chars under mass failure")
+    assert(line.contains("_truncated"))
+    assert(line.contains("37 more"))
+  }
+
   test("detail line round-trips through the baseline parser") {
     val detail = Bench.renderDetail(
       scala.collection.immutable.ListMap("q_a" -> 0.5, "q_b" -> 2.0), Map.empty, "/d/sf0.1")

@@ -205,7 +205,7 @@ class SourcesSpec extends SparkSpec {
       val e1 = intercept[IllegalStateException] {
         Sinks.ensureBucketedTable(spark, "graft_ddl_t", grown, Seq("doc_id"), 16)
       }
-      assert(e1.getMessage.contains("bucket layout"))
+      assert(e1.getMessage.contains("rewrite via writeBucketed"))
       // type change and column drop both demand a rewrite
       val retyped = new StructType()
         .add("doc_id", LongType).add("n_chars", org.apache.spark.sql.types.IntegerType)
