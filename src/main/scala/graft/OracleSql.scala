@@ -156,6 +156,26 @@ object OracleSql {
 
   def ngramPairsCtes: String = ngramPairsCtes(0.5)
 
+  /** Mirrors [[graft.operators.Dedup.cdcChunks]] (hexCut "20") as a
+    * CTE chain ending in `uch(doc_id, h, n_tokens)` — one row per
+    * (doc, DISTINCT chunk fingerprint), the per-doc-deduped form both
+    * `dedup_substring` and `decontam_substring` consume. ONE
+    * definition so the two oracles can never disagree on the chunking. */
+  def cdcChunksCtes: String =
+    """cdc_d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |cdc_tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM cdc_d),
+      |cdc_flg AS (SELECT doc_id, i, t[i] AS token,
+      |         CASE WHEN substr(md5(t[i]), 1, 2) < '20' THEN 1 ELSE 0 END AS b
+      |       FROM cdc_tok),
+      |cdc_cid AS (SELECT doc_id, i, token,
+      |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+      |       FROM cdc_flg),
+      |cdc_ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+      |         md5(string_agg(token, ' ' ORDER BY i)) AS h
+      |       FROM cdc_cid GROUP BY 1, 2),
+      |uch AS (SELECT doc_id, h, MAX(n_tokens) AS n_tokens FROM cdc_ch GROUP BY 1, 2)""".stripMargin
+
   /** Threshold-parameterized form — `thresholdSweep` replays the same
     * chain at a lower floor to see below the production cut. */
   def ngramPairsCtes(threshold: Double): String =

@@ -1057,25 +1057,28 @@ object SparkEntry {
       // cut points and fingerprints are md5-derived, so the oracle
       // replays the identical chunking
       (s: SparkSession, d: String) => Dedup.substringDupPairs(docs(s, d)),
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM d),
-             |flg AS (SELECT doc_id, i, t[i] AS token,
-             |         CASE WHEN substr(md5(t[i]), 1, 2) < '20' THEN 1 ELSE 0 END AS b
-             |       FROM tok),
-             |cid AS (SELECT doc_id, i, token,
-             |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-             |       FROM flg),
-             |ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
-             |         md5(string_agg(token, ' ' ORDER BY i)) AS h
-             |       FROM cid GROUP BY 1, 2),
-             |uch AS (SELECT doc_id, h, MAX(n_tokens) AS n_tokens FROM ch GROUP BY 1, 2),
-             |keep AS (SELECT h FROM uch GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100)
-             |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-             |  COUNT(*) AS shared_chunks, CAST(SUM(a.n_tokens) AS BIGINT) AS shared_tokens
-             |FROM uch a JOIN keep k ON a.h = k.h
-             |JOIN uch b ON a.h = b.h AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 HAVING CAST(SUM(a.n_tokens) AS BIGINT) >= 16""".stripMargin)),
+      Some(s"""WITH $cdcChunksCtes,
+              |keep AS (SELECT h FROM uch GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100)
+              |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+              |  COUNT(*) AS shared_chunks, CAST(SUM(a.n_tokens) AS BIGINT) AS shared_tokens
+              |FROM uch a JOIN keep k ON a.h = k.h
+              |JOIN uch b ON a.h = b.h AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING CAST(SUM(a.n_tokens) AS BIGINT) >= 16""".stripMargin)),
+
+    ("decontam_substring",
+      // passage-level decontamination: the CDC-chunk twin of
+      // decontam_overlap — fires on verbatim spans of ~chunk length
+      // (one fingerprint per ~8 tokens), where shingle overlap fires
+      // on any 3 shared tokens; same benchmark convention (every
+      // 100th doc stands in for the eval set)
+      (s: SparkSession, d: String) => TextOps.decontaminateSubstring(
+        docs(s, d), docs(s, d).filter(col("doc_id") % 100 === 0)),
+      Some(s"""WITH $cdcChunksCtes,
+              |bench AS (SELECT DISTINCT h FROM uch WHERE doc_id % 100 = 0)
+              |SELECT doc_id, COUNT(*) AS shared_chunks,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS shared_tokens
+              |FROM uch JOIN bench USING (h)
+              |GROUP BY 1 HAVING CAST(SUM(n_tokens) AS BIGINT) >= 8""".stripMargin)),
 
     ("threshold_sweep",
       // the dedup-threshold evidence: pair counts per 0.05 jaccard

@@ -279,6 +279,35 @@ object TextOps {
       .filter(col("overlap_shingles") >= minOverlap)
   }
 
+  /** Substring-level decontamination — the content-defined-chunk twin
+    * of [[decontaminate]]: a training doc is contaminated when it
+    * shares ≥ `minSharedTokens` tokens' worth of WHOLE chunks
+    * ([[Dedup.cdcChunks]]) with the benchmark. Shingle overlap fires
+    * on any 3 common tokens; chunk overlap fires on verbatim spans of
+    * ~chunk length, at one fingerprint per ~8 tokens instead of one
+    * per token — the production pattern runs both: shingles for
+    * short-span leakage, chunks for passage-level copies. Same scale
+    * shape as [[decontaminate]]: the benchmark's distinct fingerprints
+    * broadcast, the corpus side stays map-side until the per-doc
+    * aggregate. */
+  def decontaminateSubstring(corpus: DataFrame, benchmark: DataFrame,
+                             minSharedTokens: Long = 8L): DataFrame = {
+    require(minSharedTokens >= 1)
+    // one row per (doc, distinct chunk fingerprint) — a chunk repeated
+    // within a doc counts once, mirroring substringDupPairs
+    val corpusChunks = Dedup.cdcChunks(corpus)
+      .groupBy(col("doc_id"), col("chunk_hash"))
+      .agg(max(col("n_tokens")).as("n_tokens"))
+    val benchChunks = Dedup.cdcChunks(benchmark)
+      .select(col("chunk_hash")).distinct()
+    corpusChunks
+      .join(broadcast(benchChunks), Seq("chunk_hash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_chunks"),
+        sum(col("n_tokens")).as("shared_tokens"))
+      .filter(col("shared_tokens") >= minSharedTokens)
+  }
+
   /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", table A1) — the published heuristic battery most

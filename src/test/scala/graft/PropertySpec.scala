@@ -214,6 +214,43 @@ class PropertySpec extends SparkSpec {
     assert(out.filter(col("redacted").contains("0812-3456-7890")).count() === 0L)
   }
 
+  test("property: cdcChunks reassembles ANY whitespace-tokenized text; cuts are local") {
+    import graft.operators.Dedup
+    val words = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
+      .map(_.mkString(" ").take(400))
+    val texts = samples(words, 200).distinct
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // invariant 1: chunks partition the token stream — concatenating
+    // them in chunk order reproduces the document exactly
+    val back = Dedup.cdcChunks(docs)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x.getField("chunk_text"))).as("rebuilt"))
+    val orig = docs.select(col("doc_id"), col("text"))
+    assert(back.join(orig, "doc_id").filter(col("rebuilt") =!= col("text")).count() === 0L)
+    // invariant 2: cut decisions are per-token, so a doc and its copy
+    // behind ANY prefix share every chunk whose tokens sit strictly
+    // after the prefix's last boundary — verified as: the suffixed
+    // corpus finds every original doc as a substring-dup of its
+    // prefixed twin (docs long enough to clear the threshold)
+    val long = texts.zipWithIndex.filter(_._1.split(" ").length >= 60).take(20)
+    if (long.nonEmpty) {
+      val paired = (long.map { case (t, i) => (i.toLong, t) } ++
+        long.map { case (t, i) => (10000L + i, s"zz$i yy$i xx$i $t") })
+        .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val pairs = Dedup.substringDupPairs(paired, minSharedTokens = 8L)
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      long.foreach { case (_, i) =>
+        assert(pairs.contains((i.toLong, 10000L + i)),
+          s"doc $i must match its prefixed twin through CDC chunks")
+      }
+    }
+  }
+
   test("property: quality_score is always in [0, 1] and bands are consistent") {
     val texts = samples(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
       .map(_.mkString(" ").take(400)), 300)

@@ -63,8 +63,8 @@ class RegistrySpec extends SparkSpec {
     // item 3) + full-SQL IVF oracle
     "ann_lsh_recall", "minhash_recall", "simhash_precision",
     // round-9 substring-level dedup via content-defined chunking
-    // (VERDICT r8 item 4)
-    "dedup_substring")
+    // (VERDICT r8 item 4) + its decontamination twin
+    "dedup_substring", "decontam_substring")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -124,6 +124,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (3L, 1L)))
   }
 
+  test("decontaminateSubstring flags passage-level copies, ignores short-span overlap") {
+    val passage = (1 to 48).map(i => s"s$i").mkString(" ")
+    val corpus = docs(
+      // contaminated: carries the benchmark passage behind its own prefix
+      (1L, (1 to 60).map(i => s"a$i").mkString(" ") + " " + passage, "en", "s", 1L),
+      // shares only a 3-token span — shingle decontamination's
+      // territory, below any whole-chunk threshold here
+      (2L, "s1 s2 s3 " + (1 to 60).map(i => s"b$i").mkString(" "), "en", "s", 1L),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" "), "en", "s", 1L))
+    val bench = docs((100L, passage, "en", "s", 1L))
+    val flagged = TextOps.decontaminateSubstring(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(1L))
+    // the shingle layer DOES see doc 2's short span — the two operators
+    // cover different leakage granularities by design
+    assert(TextOps.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("docRepetition measures duplicate word/bigram fractions") {
     val df = docs(
       (1L, "a a a a", "en", "s", 7L),        // 4 words, 1 distinct; 3 bigrams, 1 distinct
