@@ -82,17 +82,27 @@ object Pipeline {
     * actually runs over raw documents, composed entirely from the
     * operators the registry verifies one by one:
     *
-    *   clean → quality gate → exact dedup → near-dup clustering →
-    *   keep-one-per-cluster → PII redaction → deterministic
-    *   train/holdout split → partitioned writes.
+    *   clean → quality gate → exact dedup → near-dup + substring-dup
+    *   clustering → keep-one-per-cluster → PII redaction →
+    *   deterministic train/holdout split → HOLDOUT DECONTAMINATION →
+    *   partitioned writes.
     *
     * Stage order is the scale order: the cheap row-local gates (clean,
     * quality) shrink the corpus before anything that shuffles; exact
-    * dedup (one hash shuffle) runs before the costlier near-dup pass;
+    * dedup (one hash shuffle) runs before the costlier pair passes;
     * PII redaction is a zero-shuffle projection so it rides the final
-    * write; the split adds a column, not a shuffle. Near-dup pair
-    * generation is the only super-linear stage and is bounded by the
-    * doc-frequency cap ([[graft.operators.Dedup.ngramJaccardPairs]]).
+    * write; the split adds a column, not a shuffle. The cluster stage
+    * unions BOTH pair generators — whole-document near-dups
+    * ([[graft.operators.Dedup.ngramJaccardPairs]]) and HEAVY
+    * passage-level copies ([[graft.operators.Dedup.substringDupPairs]]
+    * at a high 64-shared-token bar) — each bounded by its
+    * doc-frequency cap. The thresholds are deliberately ASYMMETRIC:
+    * clustering DELETES a document, so it demands substantial
+    * duplication; the post-split decontamination only protects the
+    * eval boundary, so it fires aggressively (8 shared tokens) — train
+    * docs sharing whole CDC chunks with the eval side are DROPPED from
+    * train (never from test). Light passage sharing inside train is
+    * tolerated; the same passage across the split is contamination.
     * The returned counts give per-stage survivor numbers — the
     * curation funnel every training-data run reports. */
   def runTrainingPrep(spark: SparkSession, sourceDir: String, outDir: String,
@@ -101,18 +111,36 @@ object Pipeline {
     val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     val exact = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
 
-    // near-dup clustering over the exact-deduped survivors; clusterPairs
-    // persists the pair projection internally for its fixpoint rounds
-    val clusters = Dedup.clusterPairs(Dedup.ngramJaccardPairs(
-      exact.select(col("doc_id"), col("content").as("text"))))
+    // near-dup + substring-dup clustering over the exact-deduped
+    // survivors — one connected-components pass over the UNION of both
+    // pair graphs, so a doc that is a near-dup of A and shares a
+    // passage with B lands in one cluster; clusterPairs persists the
+    // pair projection internally for its fixpoint rounds
+    val textOnly = exact.select(col("doc_id"), col("content").as("text"))
+    val pairCols = Seq("doc_id_1", "doc_id_2")
+    val clusters = Dedup.clusterPairs(
+      Dedup.ngramJaccardPairs(textOnly).select(pairCols.map(col): _*)
+        .unionByName(Dedup.substringDupPairs(textOnly, minSharedTokens = 64L)
+          .select(pairCols.map(col): _*)))
     val deduped = Dedup.applyClusters(exact, clusters)
 
     val prepared = deduped.withColumn("content", TextOps.redact(col("content")))
     val split = TextOps.hashSplit(prepared, col("doc_id"), testBuckets)
-    Sinks.writeParquet(split.filter(col("split") === "train").drop("split"),
+    val trainAll = split.filter(col("split") === "train").drop("split")
+    val test = split.filter(col("split") === "test").drop("split")
+    // holdout decontamination: passage leakage ACROSS the split that
+    // survived clustering (the copies sat in different clusters). The
+    // contaminated set is tiny by construction — localCheckpoint
+    // materializes the chain once for the count and the anti-join.
+    val contaminated = TextOps.decontaminateSubstring(
+        trainAll.select(col("doc_id"), col("content").as("text")),
+        test.select(col("doc_id"), col("content").as("text")))
+      .select(col("doc_id")).localCheckpoint()
+    val decontamN = contaminated.count()
+    Sinks.writeParquet(
+      trainAll.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
       s"$outDir/train", Seq("lang"))
-    Sinks.writeParquet(split.filter(col("split") === "test").drop("split"),
-      s"$outDir/test", Seq("lang"))
+    Sinks.writeParquet(test, s"$outDir/test", Seq("lang"))
 
     def written(path: String): Long =
       spark.read.schema(prepared.schema).parquet(path).count()
@@ -140,7 +168,8 @@ object Pipeline {
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
       "exact_deduped" -> exact.count(),
-      "near_deduped" -> (trainN + testN),
+      "near_deduped" -> (trainN + testN + decontamN),
+      "decontaminated" -> decontamN,
       "train" -> trainN,
       "test" -> testN,
       "train_bins" -> bins)

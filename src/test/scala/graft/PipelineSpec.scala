@@ -55,6 +55,7 @@ class PipelineSpec extends SparkSpec {
     assert(s1("quality") === 5L)        // doc 5 out
     assert(s1("exact_deduped") === 4L)  // doc 2 out
     assert(s1("near_deduped") === 3L)   // doc 3 out
+    assert(s1("decontaminated") === 0L) // survivors share no passages
     assert(s1("train") + s1("test") === s1("near_deduped"))
     // every train doc landed in a packing window; tiny corpus -> each
     // (domain, bin) distinct pair counted once
@@ -80,6 +81,41 @@ class PipelineSpec extends SparkSpec {
     val s2 = Pipeline.runTrainingPrep(spark, src,
       Files.createTempDirectory("graft_prep_out2").toString)
     assert(s2 === s1)
+  }
+
+  test("runTrainingPrep drops a train doc that leaks a passage into the holdout") {
+    import spark.implicits._
+    // find ids the deterministic md5 split sends to OPPOSITE sides, so
+    // the planted passage genuinely crosses the train/test boundary
+    val assign = graft.operators.TextOps
+      .hashSplit((1L to 200L).toDF("doc_id"), col("doc_id"), 410)
+      .as[(Long, String)].collect().toMap
+    val testId = assign.collectFirst { case (id, "test") => id }.get
+    val trainId = assign.collectFirst { case (id, "train") => id }.get
+    val src = Files.createTempDirectory("graft_prep_leak").toString
+    val out = Files.createTempDirectory("graft_prep_leak_out").toString
+    val passage = (1 to 48).map(i => s"leak$i").mkString(" ")
+    Seq(
+      // long distinct prefixes keep whole-doc Jaccard ~0.16 (no ngram
+      // pair) and the 48-token passage shares < 64 chunk tokens (below
+      // the pipeline's deliberately-high destructive-dedup bar), so
+      // BOTH docs reach the split — the residual class the aggressive
+      // (8-token) decontamination stage exists for
+      (trainId, (1 to 120).map(i => s"tr$i").mkString(" ") + " " + passage, "en"),
+      (testId, (1 to 120).map(i => s"te$i").mkString(" ") + " " + passage, "en"),
+      (150L, (1 to 40).map(i => s"clean$i").mkString(" "), "en"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$src/documents.parquet")
+    val s = Pipeline.runTrainingPrep(spark, src, out)
+    assert(s("near_deduped") === 3L, "the passage pair must NOT cluster (low Jaccard)")
+    assert(s("decontaminated") === 1L)
+    val trainIds = spark.read.parquet(s"$out/train")
+      .select("doc_id").as[Long].collect().toSet
+    val testIds = spark.read.parquet(s"$out/test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!trainIds.contains(trainId), "the leaking train doc must be dropped")
+    assert(testIds.contains(testId), "the eval side is never dropped")
   }
 
   test("bronze dedup keeps every null-text doc (content hash is per-doc for nulls)") {
