@@ -344,6 +344,19 @@ object SparkEntry {
              |  FROM documents, stats) t
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    ("search_highlight_analyzed",
+      // case-insensitive highlighting: the match runs over lower(text),
+      // the fragment is sliced from the ORIGINAL text (ES highlights
+      // the stored field) — byte positions transfer because ASCII case
+      // mapping preserves length
+      (s: SparkSession, d: String) => Search.searchHighlight(docs(s, d), "Window",
+        analyzer = Some(Search.Analyzer.english)),
+      Some("""SELECT doc_id, source AS topic,
+             |  substr(text, GREATEST(1, p - 60), p - GREATEST(1, p - 60) + 66) AS snippet
+             |FROM (SELECT doc_id, source, text,
+             |        strpos(lower(text), 'window') AS p FROM documents) t
+             |WHERE p > 0""".stripMargin)),
+
     ("split_balance",
       // does the unstratified md5 split actually preserve per-language
       // composition on THIS corpus — audit, not assumption

@@ -275,14 +275,27 @@ object Search {
     * semantics differ between regex engines, byte positions do not, so
     * any oracle agrees bytewise. The contains() pre-filter reaches the
     * scan as a pushed StringContains. */
-  def searchHighlight(documents: DataFrame, term: String, context: Int = 60): DataFrame = {
-    val pos = instr(col("text"), term)
-    val start = greatest(lit(1), pos - context)
-    documents
-      .filter(col("text").contains(term))
-      .select(col("doc_id"), col("source").as("topic"),
-        col("text").substr(start, pos - start + lit(term.length + context)).as("snippet"))
-  }
+  def searchHighlight(documents: DataFrame, term: String, context: Int = 60,
+                      analyzer: Option[Analyzer] = None): DataFrame =
+    analyzer.map(_.terms(Seq(term))).getOrElse(Seq(term)) match {
+      case Seq(t) =>
+        // With an analyzer, the MATCH runs over the normalized text but
+        // the fragment is sliced from the ORIGINAL — ES highlights the
+        // stored field, not the analyzed token stream. Positions from
+        // lower() transfer exactly because ASCII case mapping preserves
+        // byte length (the one Unicode exception class — locale-special
+        // mappings like İ — is outside this corpus's contract).
+        val hay = analyzer.map(_.normalize(col("text"))).getOrElse(col("text"))
+        val pos = instr(hay, t)
+        val start = greatest(lit(1), pos - context)
+        documents
+          .filter(hay.contains(t))
+          .select(col("doc_id"), col("source").as("topic"),
+            col("text").substr(start, pos - start + lit(t.length + context)).as("snippet"))
+      case _ =>
+        documents.select(col("doc_id"), col("source").as("topic"),
+          lit("").as("snippet")).filter(lit(false))
+    }
 
   /** Multi-fragment highlighting — the full ES highlight contract
     * (`es.py:188-229`): up to `numFragments` fragments, each `context`

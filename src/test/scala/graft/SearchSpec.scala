@@ -48,6 +48,19 @@ class SearchSpec extends SparkSpec {
     assert(fromCol.toSeq === fromTerms)
   }
 
+  test("analyzed highlight matches case-insensitively, snippets come from the raw text") {
+    val a = Search.Analyzer.english
+    val corpus = docs((1L, "prefix words here WINDOW more tail"), (2L, "no hit"))
+    val out = Search.searchHighlight(corpus, "Window", context = 6, analyzer = Some(a))
+      .select("doc_id", "snippet").as[(Long, String)].collect().toMap
+    // fragment preserves the ORIGINAL casing around the matched zone
+    assert(out === Map(1L -> " here WINDOW more "))
+    // all-stopword query: empty result, not an error
+    assert(Search.searchHighlight(corpus, "the", analyzer = Some(a)).count() === 0L)
+    // without the analyzer the mixed-case query misses
+    assert(Search.searchHighlight(corpus, "Window").count() === 0L)
+  }
+
   test("analyzed bigrams form across removed stopwords") {
     val a = Search.Analyzer.english
     val out = graft.operators.Corpus.bigramCounts(
