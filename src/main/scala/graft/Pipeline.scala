@@ -131,14 +131,19 @@ object Pipeline {
     // holdout decontamination: passage leakage ACROSS the split that
     // survived clustering (the copies sat in different clusters). The
     // contaminated set is tiny by construction — localCheckpoint
-    // materializes the chain once for the count and the anti-join.
+    // materializes the chain once for the count and the anti-join. No
+    // broadcast hint on either join: the test split is a constant
+    // FRACTION of the corpus (multi-TB at full scale), and even the
+    // contaminated set is only expected-tiny — AQE broadcasts when the
+    // runtime sizes allow and degrades to shuffled joins when not,
+    // instead of an OOM'd driver on a pathological corpus.
     val contaminated = TextOps.decontaminateSubstring(
         trainAll.select(col("doc_id"), col("content").as("text")),
         test.select(col("doc_id"), col("content").as("text")))
       .select(col("doc_id")).localCheckpoint()
     val decontamN = contaminated.count()
     Sinks.writeParquet(
-      trainAll.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
+      trainAll.join(contaminated, Seq("doc_id"), "left_anti"),
       s"$outDir/train", Seq("lang"))
     Sinks.writeParquet(test, s"$outDir/test", Seq("lang"))
 

@@ -286,10 +286,15 @@ object TextOps {
     * on any 3 common tokens; chunk overlap fires on verbatim spans of
     * ~chunk length, at one fingerprint per ~8 tokens instead of one
     * per token — the production pattern runs both: shingles for
-    * short-span leakage, chunks for passage-level copies. Same scale
-    * shape as [[decontaminate]]: the benchmark's distinct fingerprints
-    * broadcast, the corpus side stays map-side until the per-doc
-    * aggregate. */
+    * short-span leakage, chunks for passage-level copies.
+    *
+    * Unlike [[decontaminate]] (whose benchmark is an eval set, tiny by
+    * nature, and explicitly broadcast), this one deliberately does NOT
+    * hint the join: its benchmark can be a HOLDOUT SPLIT — 10% of a
+    * 100 TB corpus in [[graft.Pipeline.runTrainingPrep]] — where a
+    * forced broadcast would OOM the driver. AQE picks broadcast when
+    * the fingerprint set is actually small and a shuffled semi-join
+    * (linear, chunk_hash-keyed) when it is not. */
   def decontaminateSubstring(corpus: DataFrame, benchmark: DataFrame,
                              minSharedTokens: Long = 8L): DataFrame = {
     require(minSharedTokens >= 1)
@@ -301,7 +306,7 @@ object TextOps {
     val benchChunks = Dedup.cdcChunks(benchmark)
       .select(col("chunk_hash")).distinct()
     corpusChunks
-      .join(broadcast(benchChunks), Seq("chunk_hash"), "left_semi")
+      .join(benchChunks, Seq("chunk_hash"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_chunks"),
         sum(col("n_tokens")).as("shared_tokens"))
