@@ -308,6 +308,19 @@ object SparkEntry {
              |  FROM documents, stats) t
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    ("phrase_search",
+      // ES match_phrase parity falls out of the scoring design:
+      // termFrequency regex-quotes the WHOLE term, so a multi-word
+      // phrase matches only as a contiguous word-bounded sequence —
+      // same 3x-title scoring, same TakeOrdered shape, zero new code
+      (s: SparkSession, d: String) => Search.rankedSearch(docs(s, d), "the window"),
+      Some("""SELECT doc_id, lang, score FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(substr(text, 1, 80), '\bthe window\b')) AS BIGINT) * 3
+             |      + CAST(len(regexp_extract_all(text, '\bthe window\b')) AS BIGINT) AS score
+             |  FROM documents) t
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ---- Analyzed search (ES analyzer parity: lowercase + stopwords) ----
     ("ranked_search_analyzed",
       // mixed-case query term: the analyzer lowercases both sides, so

@@ -70,6 +70,18 @@ class SearchSpec extends SparkSpec {
     assert(out === Map("jump over" -> 1L, "over fence" -> 1L))
   }
 
+  test("phrase matching: contiguous word-bounded sequence only (match_phrase semantics)") {
+    val corpus = docs(
+      (1L, "open the window now"),       // exact phrase
+      (2L, "the window"),                 // exact phrase, whole text
+      (3L, "window the open"),            // reordered -> no match
+      (4L, "breathe windows open"),       // substring token -> no match
+      (5L, "the windowsill is white"))    // boundary: 'window' prefix of longer token
+    val hits = Search.rankedSearch(corpus, "the window")
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(1L, 2L))
+  }
+
   test("autoFuzziness follows the ES AUTO ladder") {
     assert(Search.autoFuzziness("ab") === 0)
     assert(Search.autoFuzziness("abc") === 1)
