@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   * (posting-list bounds bite harder as df distributions fill in).
   *
   * Usage: `sbt "runMain graft.ScaleCheck [baseSfDir] [factor] [q,q,...]"`
+  * Factor 100 on sf0.1 needs a bigger driver-as-executor heap than
+  * the 8g default — run with `SPARK_DRIVER_MEM=48g` (the 100-way
+  * union plans plus 32 concurrent local tasks over 75M-row explodes
+  * OOM an 8g JVM during the first heavy query).
   */
 object ScaleCheck {
 
