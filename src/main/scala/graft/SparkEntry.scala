@@ -1393,6 +1393,18 @@ object SparkEntry {
               |  ${sumFixedSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    ("sliding_counts",
+      // hopping windows: each event lands in length/slide = 4
+      // epoch-aligned windows — DuckDB expands via time_bucket minus
+      // k slides, Spark via window(ts, len, slide); same anchor
+      (s: SparkSession, d: String) => Streams.slidingCountsBatch(Tables.events(s, d)),
+      Some(s"""SELECT
+              |  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+              |  event_type, COUNT(*) AS events,
+              |  ${sumFixedSql("value")} AS sum_value
+              |FROM events, unnest(generate_series(0, 3)) AS t(k)
+              |GROUP BY 1, 2""".stripMargin)),
+
     ("sessionize_batch",
       (s: SparkSession, d: String) => Streams.sessionizeBatch(Tables.events(s, d)),
       Some("""WITH marked AS (

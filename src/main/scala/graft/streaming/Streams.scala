@@ -56,6 +56,41 @@ object Streams {
         col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("events"), col("sum_value"))
 
+  /** Sliding (hopping) windowed counts — the overlap variant of
+    * [[windowedCounts]]: a 1-hour window advancing every 15 minutes
+    * places each event in length/slide = 4 overlapping windows — the
+    * dashboard shape for "the last hour, refreshed every few minutes",
+    * with smooth trend edges instead of tumbling-boundary jumps.
+    * Per-key state grows by the overlap factor and stays
+    * watermark-bounded; windows are epoch-aligned on the slide, the
+    * same anchor DuckDB's `time_bucket` uses, so the batch twin
+    * oracle-checks. */
+  def slidingCounts(events: DataFrame,
+                    windowLength: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("events"), col("sum_value"))
+
+  /** Batch twin of [[slidingCounts]] — registered with a DuckDB oracle
+    * (each event expands to its length/slide overlapping windows). */
+  def slidingCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("events"), col("sum_value"))
+
   /** Streaming exact dedup — the unbounded twin of the reference's
     * `ON CONFLICT (link) DO NOTHING` bronze upsert
     * (`staging_pg.py:139-189`): keep the first occurrence of each key,

@@ -47,6 +47,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts places one event in length/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.slidingCounts(df, windowLength = "1 hour", slide = "15 minutes",
+      watermark = "5 minutes")
+      .writeStream.format("memory").queryName("slide_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(7), "click", 2.0)) // 10:07
+      q.processAllAvailable()
+      // far-future event closes all four of the first event's windows
+      input.addData((2L, Timestamp.valueOf("2024-01-01 14:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT window_start, events, sum_value FROM slide_out WHERE event_type = 'click'")
+        .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+      // epoch-aligned 15-min starts covering 10:07: 09:15..10:00
+      val starts = Seq("09:15:00", "09:30:00", "09:45:00", "10:00:00")
+        .map(s => Timestamp.valueOf(s"2024-01-01 $s"))
+      assert(out.toSeq === starts.map(s => (s, 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-window clicks, stream-stream") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
