@@ -125,7 +125,13 @@ object Pipeline {
     val deduped = Dedup.applyClusters(exact, clusters)
 
     val prepared = deduped.withColumn("content", TextOps.redact(col("content")))
+    // persist the split ONCE: four consumers fan out from here (the
+    // decontamination job reads both branches, then each side is
+    // written) — unpersisted, each would re-run the whole
+    // silver→dedup→cluster→redact prefix including its shuffles
     val split = TextOps.hashSplit(prepared, col("doc_id"), testBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val trainAll = split.filter(col("split") === "train").drop("split")
     val test = split.filter(col("split") === "test").drop("split")
     // holdout decontamination: passage leakage ACROSS the split that
@@ -178,5 +184,6 @@ object Pipeline {
       "train" -> trainN,
       "test" -> testN,
       "train_bins" -> bins)
+    } finally split.unpersist()
   }
 }

@@ -1100,10 +1100,11 @@ object SparkEntry {
       (s: SparkSession, d: String) => TextOps.decontaminateSubstring(
         docs(s, d), docs(s, d).filter(col("doc_id") % 100 === 0)),
       Some(s"""WITH $cdcChunksCtes,
+              |keep AS (SELECT h FROM uch GROUP BY h HAVING COUNT(*) <= 100),
               |bench AS (SELECT DISTINCT h FROM uch WHERE doc_id % 100 = 0)
               |SELECT doc_id, COUNT(*) AS shared_chunks,
               |  CAST(SUM(n_tokens) AS BIGINT) AS shared_tokens
-              |FROM uch JOIN bench USING (h)
+              |FROM uch JOIN keep USING (h) JOIN bench USING (h)
               |GROUP BY 1 HAVING CAST(SUM(n_tokens) AS BIGINT) >= 8""".stripMargin)),
 
     ("threshold_sweep",

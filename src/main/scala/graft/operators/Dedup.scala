@@ -313,16 +313,23 @@ object Dedup {
     * and collapse to NULL inside the hard-bounded collect, pairs are
     * generated from the ≤ maxDocFreq-element lists map-side — one
     * explode, one shuffle, never all-pairs. */
+  /** One row per (chunk fingerprint, doc): a chunk repeated WITHIN a
+    * doc counts once toward any pair or overlap report (same text →
+    * same n_tokens). The Scala-side twin of the oracle CTE `uch`
+    * ([[graft.OracleSql.cdcChunksCtes]]) — ONE definition shared by
+    * [[substringDupPairs]] and
+    * [[TextOps.decontaminateSubstring]], mirroring the SQL-side
+    * factoring, so the within-doc dedup rule cannot diverge. */
+  private[operators] def uniqueChunks(documents: DataFrame): DataFrame =
+    cdcChunks(documents)
+      .groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"))
+
   def substringDupPairs(documents: DataFrame, minSharedTokens: Long = 16L,
                         maxDocFreq: Long = 100L): DataFrame = {
     require(minSharedTokens >= 1 && maxDocFreq >= 1 && maxDocFreq <= Int.MaxValue)
     graft.GraftExtensions.register(documents.sparkSession)
-    // one row per (chunk fingerprint, doc): a chunk repeated WITHIN a
-    // doc counts once toward any pair (same text -> same n_tokens)
-    val uchunks = cdcChunks(documents)
-      .groupBy(col("chunk_hash"), col("doc_id"))
-      .agg(max(col("n_tokens")).as("n_tokens"))
-    val postings = uchunks.groupBy(col("chunk_hash"))
+    val postings = uniqueChunks(documents).groupBy(col("chunk_hash"))
       .agg(call_function("graft_bounded_collect",
         col("doc_id"), lit(maxDocFreq.toInt)).as("ds"),
         max(col("n_tokens")).as("n_tokens")) // hash-equal => text-equal => same n_tokens

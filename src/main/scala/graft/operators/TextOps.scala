@@ -296,17 +296,28 @@ object TextOps {
     * the fingerprint set is actually small and a shuffled semi-join
     * (linear, chunk_hash-keyed) when it is not. */
   def decontaminateSubstring(corpus: DataFrame, benchmark: DataFrame,
-                             minSharedTokens: Long = 8L): DataFrame = {
-    require(minSharedTokens >= 1)
-    // one row per (doc, distinct chunk fingerprint) — a chunk repeated
-    // within a doc counts once, mirroring substringDupPairs
-    val corpusChunks = Dedup.cdcChunks(corpus)
-      .groupBy(col("doc_id"), col("chunk_hash"))
-      .agg(max(col("n_tokens")).as("n_tokens"))
+                             minSharedTokens: Long = 8L,
+                             maxDocFreq: Long = 100L): DataFrame = {
+    require(minSharedTokens >= 1 && maxDocFreq >= 1 && maxDocFreq <= Int.MaxValue)
+    graft.GraftExtensions.register(corpus.sparkSession)
+    // BOILERPLATE BOUND, same rule as substringDupPairs: a chunk
+    // appearing in > maxDocFreq corpus docs is a stock phrase of the
+    // language, not contamination signal — on natural text a large
+    // holdout contains essentially every common chunk, so without the
+    // cap ordinary docs would accumulate >= minSharedTokens of
+    // boilerplate and be spuriously dropped from train. The cap rides
+    // the same hard-bounded collect (heavy chunks collapse to NULL in
+    // ONE aggregate — no df join).
+    val postings = Dedup.uniqueChunks(corpus).groupBy(col("chunk_hash"))
+      .agg(call_function("graft_bounded_collect",
+        col("doc_id"), lit(maxDocFreq.toInt)).as("ds"),
+        max(col("n_tokens")).as("n_tokens"))
+      .filter(col("ds").isNotNull)
     val benchChunks = Dedup.cdcChunks(benchmark)
       .select(col("chunk_hash")).distinct()
-    corpusChunks
+    postings
       .join(benchChunks, Seq("chunk_hash"), "left_semi")
+      .select(col("n_tokens"), explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_chunks"),
         sum(col("n_tokens")).as("shared_tokens"))

@@ -103,7 +103,9 @@ class PipelineSpec extends SparkSpec {
       // (8-token) decontamination stage exists for
       (trainId, (1 to 120).map(i => s"tr$i").mkString(" ") + " " + passage, "en"),
       (testId, (1 to 120).map(i => s"te$i").mkString(" ") + " " + passage, "en"),
-      (150L, (1 to 40).map(i => s"clean$i").mkString(" "), "en"))
+      // 999 sits outside the 1..200 id scan, so it can never collide
+      // with the chosen trainId/testId
+      (999L, (1 to 40).map(i => s"clean$i").mkString(" "), "en"))
       .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$src/documents.parquet")

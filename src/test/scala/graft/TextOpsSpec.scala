@@ -143,6 +143,22 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("decontaminateSubstring ignores boilerplate chunks past the df cap") {
+    // a stock phrase shared by MANY corpus docs carries no
+    // contamination signal even when the benchmark contains it too —
+    // without the cap, on natural language every ordinary doc would
+    // accumulate enough common chunks to be spuriously dropped
+    val stock = (1 to 48).map(i => s"boiler$i").mkString(" ")
+    val corpus = docs((1L to 6L).map(i =>
+      (i, s"own$i words$i " + stock, "en", "s", 1L)): _*)
+    val bench = docs((100L, stock, "en", "s", 1L))
+    assert(TextOps.decontaminateSubstring(corpus, bench, maxDocFreq = 5L).count() === 0L)
+    // below the cap the same sharing IS flagged
+    val small = docs((1L to 3L).map(i =>
+      (i, s"own$i words$i " + stock, "en", "s", 1L)): _*)
+    assert(TextOps.decontaminateSubstring(small, bench, maxDocFreq = 5L).count() === 3L)
+  }
+
   test("docRepetition measures duplicate word/bigram fractions") {
     val df = docs(
       (1L, "a a a a", "en", "s", 7L),        // 4 words, 1 distinct; 3 bigrams, 1 distinct
