@@ -1431,6 +1431,18 @@ object SparkEntry {
              |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS props_k
              |FROM events""".stripMargin)),
 
+    ("q_late_shipments",
+      // the EXISTS/semi-join fact-to-fact shape (TPC-H Q4): output
+      // bounded by orders, date predicate as a join residual
+      (s: SparkSession, d: String) => Relational.lateShipmentPriorities(
+        Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT o_orderpriority, COUNT(*) AS late_orders
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey
+             |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1""".stripMargin)),
+
     ("multimodal_meta", // rows-only: crc32/binary features not portable to the oracle
       (s: SparkSession, d: String) => Multimodal.metadata(Multimodal.binarize(docs(s, d))),
       None),

@@ -102,6 +102,30 @@ object Relational {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
 
+  /** Late-shipment order priorities (TPC-H Q4 shape): orders having AT
+    * LEAST ONE lineitem shipped more than `lagDays` after the order
+    * date, counted by priority — the EXISTS/semi-join form over two
+    * fact tables, the one canonical join shape the rest of the
+    * relational set doesn't exercise (inner SMJ, left-outer and anti
+    * all have rows; this is the semi WITH a residual).
+    *
+    * Scale shape: a fact-to-fact LEFT SEMI sort-merge on the order
+    * key — the probe side short-circuits on first match and emits at
+    * most one row per order, so the join output is bounded by orders,
+    * never by lineitems; the date comparison rides the join as a
+    * residual (it references both sides, so no single-side pushdown
+    * exists by construction). Neither side broadcasts — correct at
+    * 100 TB where both tables are fact-sized. */
+  def lateShipmentPriorities(orders: DataFrame, lineitem: DataFrame,
+                             lagDays: Int = 60): DataFrame =
+    orders.as("o")
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")).as("l"),
+        col("o.o_orderkey") === col("l.l_orderkey") &&
+          col("l.l_shipdate") > col("o.o_orderdate") + expr(s"INTERVAL $lagDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_orders"))
+
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */
   def orderPriorityStats(orders: DataFrame): DataFrame =

@@ -302,6 +302,17 @@ class PlanSpec extends SparkSpec {
       s"pairs come from the bounded posting lists, not a join:\n$plan")
   }
 
+  test("q_late_shipments: fact-to-fact LEFT SEMI, neither side broadcast") {
+    val plan = finalPlan(SparkEntry.queries("q_late_shipments")(spark, dir))
+    assert(plan.contains("LeftSemi"), s"must plan as a semi join:\n$plan")
+    // both sides are fact tables: a broadcast of either is the shape
+    // that melts at 100 TB (AQE may small-table-broadcast at sf0.001,
+    // so pin on the logical join type, not the physical strategy —
+    // what must NEVER appear is a cartesian/nested-loop fallback)
+    assert(count(plan, "CartesianProduct") === 0)
+    assert(count(plan, "Scan parquet") === 2)
+  }
+
   test("analyzed ranked search keeps the raw path's zero-shuffle scoring shape") {
     val plan = finalPlan(SparkEntry.queries("ranked_search_analyzed")(spark, dir))
     // lower() must fuse into the same scan-side projection the raw
