@@ -875,6 +875,25 @@ object SparkEntry {
              |  COUNT(*) AS docs_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
              |FROM kept GROUP BY 1""".stripMargin)),
 
+    ("domain_mix",
+      // the pretraining data-mixing table: actual vs target token
+      // share per source and the up/downsampling factor; weights are
+      // dyadic (0.5/0.25/0.25) so both engines hold them exactly
+      (s: SparkSession, d: String) => Corpus.domainMix(docs(s, d),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)),
+      Some("""WITH src AS (
+             |  SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM src),
+             |tgt(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25))
+             |SELECT s.source, s.tokens,
+             |  CAST(s.tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+             |  COALESCE(w, 0.0) AS target_share,
+             |  COALESCE(w, 0.0)
+             |    / (CAST(s.tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS sampling_factor
+             |FROM src s LEFT JOIN tgt USING (source), tot""".stripMargin)),
+
     ("scrub_boilerplate",
       // corpus-frequent bigrams (the token-stream analog of C4's
       // repeated-line removal) collapse to ONE broadcast array row;

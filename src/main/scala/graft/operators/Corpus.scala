@@ -323,6 +323,40 @@ object Corpus {
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("tok_offset"), col("bin"))
   }
 
+  /** Source-mix report against target weights — the data-mixing table
+    * every pretraining run publishes: per source, the actual token
+    * share vs the target weight and the sampling factor
+    * (target/actual) a mixer must apply to hit the target (>1 =
+    * upsample, <1 = downsample, 0 = drop). Callers pass NORMALIZED
+    * weights (summing to 1); sources absent from `targets` get weight
+    * 0 — listed, not silently dropped, because "what are we about to
+    * throw away" is half the point of the report.
+    *
+    * Determinism: shares and factors are single divisions of exact
+    * integer token sums by design (no double accumulation), so any
+    * engine reproduces the doubles bit-for-bit — the same argument as
+    * `lang_token_stats`. Scale shape: one combinable corpus aggregate;
+    * the total and the target table are source-count-sized broadcasts. */
+  def domainMix(documents: DataFrame, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF("source", "target_share")
+    val src = documents
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val total = src.agg(sum(col("tokens")).as("total_tokens"))
+    src.join(broadcast(tgt), Seq("source"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("tokens"),
+        (col("tokens").cast("double") / col("total_tokens").cast("double")).as("actual_share"),
+        coalesce(col("target_share"), lit(0.0)).as("target_share"),
+        (coalesce(col("target_share"), lit(0.0)) /
+          (col("tokens").cast("double") / col("total_tokens").cast("double")))
+          .as("sampling_factor"))
+  }
+
   /** One-row dataset card — the header block of every corpus release:
     * volume (docs, chars, whitespace tokens), diversity (distinct
     * langs/sources), and exact mean lengths. ONE combinable aggregate

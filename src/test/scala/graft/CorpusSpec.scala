@@ -245,4 +245,20 @@ class CorpusSpec extends SparkSpec {
     assert(Ner.entityPairLift(spark, df).isEmpty)
     assert(Ner.entityPairLift(spark, df, minPairDocs = 1L).count() === 1L)
   }
+
+  test("domainMix reports shares, targets and sampling factors; untargeted sources get 0") {
+    // tokens: a=6, b=3, c=1 -> total 10
+    val df = docs(
+      (1L, "one two three four five six", "en", "a"),
+      (2L, "seven eight nine", "en", "b"),
+      (3L, "ten", "en", "c"))
+    val out = Corpus.domainMix(df, Map("a" -> 0.5, "b" -> 0.5))
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out(0) === (("a", 6L, 0.6, 0.5, 0.5 / 0.6)))
+    assert(out(1) === (("b", 3L, 0.3, 0.5, 0.5 / 0.3)))
+    // source c is in the corpus but not the mix: listed with factor 0,
+    // never silently dropped from the report
+    assert(out(2) === (("c", 1L, 0.1, 0.0, 0.0)))
+  }
 }

@@ -60,7 +60,7 @@ class RegistrySpec extends SparkSpec {
     "ranked_search_analyzed", "ranked_search_multi_analyzed",
     "topic_terms_analyzed", "bigram_counts_analyzed",
     "search_highlight_analyzed", "phrase_search", "sliding_counts",
-    "q_late_shipments",
+    "q_late_shipments", "domain_mix",
     // round-9 oracle-checked recall/precision reports (VERDICT r8
     // item 3) + full-SQL IVF oracle
     "ann_lsh_recall", "minhash_recall", "simhash_precision",
