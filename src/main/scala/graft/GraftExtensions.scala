@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{BoundedCollect, CdcChunks, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -113,6 +113,13 @@ object GraftExtensions {
         case Seq(toks, grams) => ScrubTokens(toks, grams)
         case other => badSignature(
           "graft_scrub_tokens", "(tokens: array<string>, grams: array<string>)", other)
+      }),
+    ("graft_cdc_chunks",
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(cut: Int, _)) => CdcChunks(text, cut)
+        case Seq(_, other) => notLiteral("graft_cdc_chunks", "cutByte", other)
+        case other => badSignature("graft_cdc_chunks", "(text, cutByte: int literal)", other)
       }),
     ("graft_bounded_collect",
       new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),

@@ -276,13 +276,36 @@ object Dedup {
     * contamination class whole-document shingle similarity misses).
     * md5 rather than a JVM hash so a SQL oracle reproduces the cuts.
     *
-    * Scale shape: one corpus token explode, a PER-DOCUMENT running sum
-    * (window partitioned by doc_id — bounded by document length, never
-    * corpus-wide), and a per-(doc, chunk) aggregate. */
+    * Scale shape: complete chunks are built INSIDE the scan projection
+    * by the native one-pass [[graft.functions.CdcChunks]] and exploded
+    * — ZERO shuffle here; the first exchange of any chunk consumer is
+    * its own (chunk-hash-keyed) aggregate. The declarative twin below
+    * shuffles the corpus's entire token stream through a per-doc
+    * window first — the measured reason the native form exists. */
   def cdcChunks(documents: DataFrame, hexCut: String = "20"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    requireHexCut(hexCut)
+    graft.GraftExtensions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        posexplode(call_function("graft_cdc_chunks", col("text"),
+          lit(Integer.parseInt(hexCut, 16)))).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+
+  private def requireHexCut(hexCut: String): Unit =
     require(hexCut.length == 2 && hexCut.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       s"hexCut must be two lowercase hex chars, got '$hexCut'")
+
+  /** Portable declarative twin of [[cdcChunks]] — the explode +
+    * per-document window + re-assembly formulation, kept for the spec
+    * that pins the native expression row-identical (and for engines
+    * without the extension). */
+  private[graft] def cdcChunksDeclarative(documents: DataFrame,
+                                          hexCut: String = "20"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireHexCut(hexCut)
     val toks = documents
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
     val boundary = when(substring(md5(col("token")), 1, 2) < hexCut, 1L).otherwise(0L)
@@ -319,11 +342,23 @@ object Dedup {
     * ([[graft.OracleSql.cdcChunksCtes]]) — ONE definition shared by
     * [[substringDupPairs]] and
     * [[TextOps.decontaminateSubstring]], mirroring the SQL-side
-    * factoring, so the within-doc dedup rule cannot diverge. */
-  private[operators] def uniqueChunks(documents: DataFrame): DataFrame =
-    cdcChunks(documents)
-      .groupBy(col("chunk_hash"), col("doc_id"))
-      .agg(max(col("n_tokens")).as("n_tokens"))
+    * factoring, so the within-doc dedup rule cannot diverge.
+    *
+    * MAP-SIDE: all of a document's chunks sit in one native-expression
+    * array, so the within-doc dedup is `array_distinct` on that array
+    * (struct equality; identical chunk_text implies identical
+    * n_tokens) — no (chunk, doc)-keyed shuffle exists in the chain,
+    * and the first exchange of any consumer is its own chunk-hash
+    * aggregate. */
+  private[operators] def uniqueChunks(documents: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("graft_cdc_chunks", col("text"),
+          lit(Integer.parseInt("20", 16))))).as("c"))
+      .select(col("doc_id"), md5(col("c.chunk_text")).as("chunk_hash"),
+        col("c.n_tokens").as("n_tokens"))
+  }
 
   def substringDupPairs(documents: DataFrame, minSharedTokens: Long = 16L,
                         maxDocFreq: Long = 100L): DataFrame = {

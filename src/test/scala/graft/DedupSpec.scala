@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Near-duplicate detection (SURVEY §2 #27-29). */
 class DedupSpec extends SparkSpec {
@@ -214,6 +215,26 @@ class DedupSpec extends SparkSpec {
     val many = (1L to 5L).map(i => (i, "a b c"))
     val out = Dedup.ngramJaccardPairs(docs(many: _*), threshold = 0.1, maxDocFreq = 4L)
     assert(out.count() === 0L)
+  }
+
+  test("native graft_cdc_chunks is row-identical to the declarative window form") {
+    // crafted edge cases: empty text (one empty token), text ENDING on
+    // a boundary token (no trailing empty chunk), repeated tokens —
+    // plus the real sf0.001 corpus as the broad input
+    val crafted = docs(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")),
+      (2L, ""),
+      (3L, "solo"),
+      (4L, ("dup " * 40).trim))
+    for (d <- Seq(crafted, Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("s").as("source"), lit(1L).as("n_chars")))) {
+      val native = Dedup.cdcChunks(d)
+        .as[(Long, Long, Long, String, String)].collect().toSet
+      val decl = Dedup.cdcChunksDeclarative(d)
+        .as[(Long, Long, Long, String, String)].collect().toSet
+      assert(native === decl)
+    }
   }
 
   test("cdcChunks reassembles each document in chunk order") {

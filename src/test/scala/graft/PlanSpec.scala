@@ -284,20 +284,18 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "Scan parquet") === 1)
   }
 
-  test("dedup_substring: one scan, exactly three exchanges, per-doc window only") {
-    // The CDC pair chain's scale contract: ONE corpus scan; exchanges
-    // only for (a) the per-doc window, (b) the chunk-hash postings,
-    // (c) the final pair aggregate. The (doc_id, chunk_idx) chunk
-    // aggregate must REUSE the window's doc_id partitioning (hash on a
-    // key subset satisfies the clustered distribution) — a fourth
-    // exchange means that reuse regressed. The window must partition
-    // by doc_id, never run corpus-global.
+  test("dedup_substring: one scan, chunks map-side, exactly two exchanges") {
+    // The CDC pair chain's scale contract after the native one-pass
+    // chunker: complete chunks are built INSIDE the scan projection
+    // (no token explode, no per-doc window, no corpus-token shuffle),
+    // so the only exchanges are (a) the chunk-hash postings aggregate
+    // and (b) the final pair aggregate.
     val plan = finalPlan(SparkEntry.queries("dedup_substring")(spark, dir))
     assert(count(plan, "Scan parquet") === 1, s"corpus must be scanned once:\n$plan")
-    assert(count(plan, "Exchange hashpartitioning") === 3,
-      s"expected exactly 3 exchanges (doc window, postings, pairs):\n$plan")
-    assert(plan.contains("windowspecdefinition(doc_id"),
-      s"chunk window must be per-document:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") === 2,
+      s"expected exactly 2 exchanges (postings, pairs):\n$plan")
+    assert(count(plan, "Window") === 0, s"chunking must be map-side, not a window:\n$plan")
+    assert(plan.contains("graft_cdc_chunks"), s"native chunker must be in the plan:\n$plan")
     assert(count(plan, "SortMergeJoin|BroadcastHashJoin") === 0,
       s"pairs come from the bounded posting lists, not a join:\n$plan")
   }
