@@ -146,13 +146,21 @@ object OracleSql {
     * large-star/small-star): same pair graph, same output contract,
     * one oracle. */
   def clustersCcSql: String =
-    s"""WITH RECURSIVE $ngramPairsCtes,
+    s"""WITH RECURSIVE $clustersCcCtes
+       |SELECT doc_id, cluster_id FROM cl""".stripMargin
+
+  /** [[clustersCcSql]]'s chain as a CTE fragment ending in
+    * `cl(doc_id, cluster_id)` — shared with the canonical-selection
+    * oracle so the labeling and the keep decision can never disagree
+    * on what the components are. */
+  def clustersCcCtes: String =
+    s"""$ngramPairsCtes,
        |edges AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
        |          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
        |reach AS (SELECT a, b FROM edges
-       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-       |FROM reach GROUP BY a""".stripMargin
+       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |       FROM reach GROUP BY a)""".stripMargin
 
   def ngramPairsCtes: String = ngramPairsCtes(0.5)
 

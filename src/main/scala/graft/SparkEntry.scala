@@ -1149,6 +1149,25 @@ object SparkEntry {
         Dedup.clusterPairsStar(Dedup.ngramJaccardPairs(docs(s, d))),
       Some(clustersCcSql)),
 
+    ("dedup_canonical",
+      // the decision the cluster labels drive: which member of each
+      // near-dup cluster survives (longest, ties to min id) and how
+      // much token mass the keep decision preserves; oracle replays
+      // the same recursive-CC labeling plus a rank-1 window
+      (s: SparkSession, d: String) => Dedup.canonicalPerCluster(
+        docs(s, d), Dedup.clusterPairsStar(Dedup.ngramJaccardPairs(docs(s, d)))),
+      Some(s"""WITH RECURSIVE $clustersCcCtes,
+              |ctoks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              |          FROM documents),
+              |sel AS (SELECT cluster_id, doc_id, n_tokens,
+              |          ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+              |        FROM cl JOIN ctoks USING (doc_id))
+              |SELECT cluster_id, MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+              |  COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              |  MAX(n_tokens) AS kept_tokens
+              |FROM sel GROUP BY 1""".stripMargin)),
+
     ("dedup_embedding",
       (s: SparkSession, d: String) => Ann.embeddingDedupPairs(Tables.embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, label,

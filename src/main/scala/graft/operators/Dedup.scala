@@ -572,4 +572,34 @@ object Dedup {
       broadcast(clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
+
+  /** Quality-aware canonical selection: the decision the cluster
+    * labels exist to drive — which member of each near-dup cluster
+    * SURVIVES. [[applyClusters]] keeps the min-id member (an arbitrary
+    * but stable choice); curation pipelines keep the best copy
+    * instead, and "longest member" is the standard heuristic (the
+    * truncated mirror of a page loses to the full one). Ties go to
+    * the smallest doc_id so the pick is deterministic.
+    *
+    * Shape at 100 TB: the cluster table is pair-graph-sized, so it
+    * broadcasts into the corpus scan (map-side inner join — the
+    * corpus itself never shuffles and non-members die at the scan);
+    * the single shuffle is the member-sized groupBy. The whole pick
+    * is one `max_by` over a (n_tokens, -doc_id) ordering struct — no
+    * per-member window ranks ever materialize.
+    *
+    * Output: `cluster_id, canonical_doc_id, docs, total_tokens,
+    * kept_tokens` — the keep decision plus the token mass the cluster
+    * held and the mass that survives it. */
+  def canonicalPerCluster(documents: DataFrame, clusters: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_tokens"), (-col("doc_id")).as("tb"))).as("canonical_doc_id"),
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("kept_tokens"))
 }

@@ -141,6 +141,20 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 9L)) // 2 dropped: non-representative member
   }
 
+  test("canonicalPerCluster keeps the longest member, ties to the min id") {
+    val corpus = docs(
+      (1L, "a b"), (2L, "a b c d"),         // cluster 1: doc 2 longer
+      (3L, "x y z"), (4L, "x y q"),         // cluster 3: 3-token tie -> min id
+      (9L, "solo"))                         // unclustered: must not appear
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalPerCluster(corpus, clusters)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, 2L, 6L, 4L),  // canonical 2 (4 tokens), cluster held 6, keeps 4
+      (3L, 3L, 2L, 6L, 3L))) // tie at 3 tokens -> doc 3
+  }
+
   test("minhash pairs identical docs at est_jaccard 1.0 and skips unrelated") {
     val out = Dedup.minhashPairs(docs((1L, base), (2L, base), (3L, other)))
       .as[(Long, Long, Double)].collect()

@@ -55,6 +55,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("dedup_canonical: clusters broadcast into the scan; the only shuffle is member-sized") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val plan = finalPlan(graft.operators.Dedup.canonicalPerCluster(
+      Tables.documents(spark, dir), clusters))
+    assert(count(plan, "Scan parquet") === 1)
+    assert(count(plan, "BroadcastHashJoin") === 1) // corpus side stays in place
+    assert(!plan.contains("SortMergeJoin"))
+    // exactly one data shuffle: the cluster_id groupBy over members
+    assert(count(plan, "Exchange hashpartitioning") === 1)
+  }
+
   test("near-dup self-joins fingerprint the corpus ONCE at scale (SMJ → ReusedExchange)") {
     // The signature stage is map-only, so the scan-once property rests
     // on the sort-merge join's two identical band-key exchanges being

@@ -66,7 +66,9 @@ class RegistrySpec extends SparkSpec {
     "ann_lsh_recall", "minhash_recall", "simhash_precision",
     // round-9 substring-level dedup via content-defined chunking
     // (VERDICT r8 item 4) + its decontamination twin
-    "dedup_substring", "decontam_substring")
+    "dedup_substring", "decontam_substring",
+    // round-9 cluster keep decision: longest-member canonical pick
+    "dedup_canonical")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
