@@ -394,6 +394,25 @@ object SparkEntry {
               |  COUNT(DISTINCT lang) AS langs
               |FROM documents GROUP BY 1""".stripMargin)),
 
+    ("cluster_safe_split",
+      // leakage-free split: near-dup cluster members hash to the SAME
+      // split (by the cluster representative), unclustered docs land
+      // exactly where hash_split puts them; oracle replays the
+      // recursive-CC labeling + the identical md5 bucket rule
+      (s: SparkSession, d: String) => TextOps.clusterSafeSplitStats(
+        docs(s, d), Dedup.clusterPairsStar(Dedup.ngramJaccardPairs(docs(s, d)))),
+      Some(s"""WITH RECURSIVE $clustersCcCtes,
+              |csj AS (SELECT d.doc_id, cl.cluster_id
+              |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+              |csp AS (SELECT doc_id, cluster_id,
+              |          CASE WHEN substr(md5(CAST(COALESCE(cluster_id, doc_id) AS VARCHAR)), 1, 3) < '19a'
+              |               THEN 'test' ELSE 'train' END AS split
+              |        FROM csj)
+              |SELECT split, COUNT(*) AS docs,
+              |  COUNT(cluster_id) AS clustered_docs,
+              |  COUNT(DISTINCT cluster_id) AS clusters
+              |FROM csp GROUP BY 1""".stripMargin)),
+
     ("fuzzy_search",
       (s: SparkSession, d: String) => Search.fuzzySearch(docs(s, d), "windo"),
       Some("""SELECT doc_id, lang, score FROM (
@@ -893,6 +912,36 @@ object SparkEntry {
              |  COALESCE(w, 0.0)
              |    / (CAST(s.tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS sampling_factor
              |FROM src s LEFT JOIN tgt USING (source), tot""".stripMargin)),
+
+    ("apply_mix",
+      // the mixing table made real: one row per (doc, epoch) — whole
+      // epochs from floor(factor), the fractional epoch a stable
+      // md5-chosen subsample; same dyadic targets as domain_mix, and
+      // the oracle replays factor arithmetic and bucket rule verbatim
+      (s: SparkSession, d: String) => Corpus.applyMix(docs(s, d),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)),
+      Some("""WITH src AS (
+             |  SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM src),
+             |tgt(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+             |f AS (SELECT s.source,
+             |        COALESCE(w, 0.0)
+             |          / (CAST(s.tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS sf
+             |      FROM src s LEFT JOIN tgt USING (source), tot),
+             |d AS (SELECT doc_id, dd.source,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, sf
+             |      FROM documents dd JOIN f ON dd.source = f.source),
+             |c AS (SELECT doc_id, source, n_tokens,
+             |        CAST(floor(sf) AS BIGINT) +
+             |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 3)
+             |                < printf('%03x', CAST(floor((sf - floor(sf)) * 4096) AS INT))
+             |             THEN 1 ELSE 0 END AS copies
+             |      FROM d)
+             |SELECT doc_id, source, n_tokens,
+             |  unnest(generate_series(0, copies - 1)) AS epoch
+             |FROM c WHERE copies > 0""".stripMargin)),
 
     ("scrub_boilerplate",
       // corpus-frequent bigrams (the token-stream analog of C4's

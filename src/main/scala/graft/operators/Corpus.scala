@@ -357,6 +357,40 @@ object Corpus {
           .as("sampling_factor"))
   }
 
+  /** Materialize [[domainMix]]'s plan into the actual training corpus:
+    * each source's docs appear `floor(f)` times (whole epochs of an
+    * up-sampled domain) plus once more for a deterministic md5-chosen
+    * `frac(f)` fraction of docs — the doc-level realization of the
+    * mixing table, one output row per (doc, epoch). The fractional
+    * epoch is a stable subsample (md5 of doc_id + a salt decorrelating
+    * it from [[graft.operators.TextOps.hashSplit]]'s buckets), so
+    * re-runs and engines agree doc-for-doc; sources with no target
+    * share get factor 0 and drop out entirely.
+    *
+    * Shape at 100 TB: the factor table is source-cardinality — an
+    * aggregate broadcast back onto the scan — and replication is a
+    * per-row `sequence` explode, so the corpus never shuffles and
+    * nothing non-deterministic (rand, monotonically_increasing_id)
+    * appears anywhere. */
+  def applyMix(documents: DataFrame, targets: Map[String, Double]): DataFrame = {
+    val factors = domainMix(documents, targets)
+      .select(col("source"), col("sampling_factor"))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(factors), Seq("source"))
+      .withColumn("copies",
+        floor(col("sampling_factor")).cast("long") +
+          when(substring(md5(concat(col("doc_id").cast("string"), lit("#mix"))), 1, 3)
+            < format_string("%03x",
+                floor((col("sampling_factor") - floor(col("sampling_factor"))) * 4096)
+                  .cast("int")),
+            1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("epoch"))
+  }
+
   /** One-row dataset card — the header block of every corpus release:
     * volume (docs, chars, whitespace tokens), diversity (distinct
     * langs/sources), and exact mean lengths. ONE combinable aggregate

@@ -259,6 +259,39 @@ object TextOps {
       .select(col("split"), col("lang"), col("docs"), col("split_docs"), col("share"))
   }
 
+  /** Leakage-free split: a doc's split is decided by its near-dup
+    * CLUSTER, not by itself. Under a plain [[hashSplit]] two near-
+    * duplicates can straddle train/test, and the held-out copy then
+    * measures memorization of its twin rather than generalization —
+    * the classic split-leakage failure near-dup detection exists to
+    * prevent. Hashing `coalesce(cluster_id, doc_id)` puts every
+    * member of a component in the SAME split, and leaves unclustered
+    * docs (the overwhelming majority) exactly where [[hashSplit]]
+    * would put them. The cluster table is pair-graph-sized, so it
+    * rides a broadcast left join: the split is still a map-side
+    * projection over the corpus scan — zero corpus shuffle. */
+  def clusterSafeSplit(documents: DataFrame, clusters: DataFrame,
+                       testBuckets: Int = 410): DataFrame =
+    hashSplit(
+      documents.join(
+        broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"), "left"),
+      coalesce(col("cluster_id"), col("doc_id")), testBuckets)
+
+  /** Per-split sanity view over [[clusterSafeSplit]] — sizes plus how
+    * many clustered docs / distinct clusters each split absorbed (the
+    * pair of columns a leakage audit reads: a cluster id appearing
+    * under two splits is the failure this operator exists to rule
+    * out, and the spec pins that it cannot). */
+  def clusterSafeSplitStats(documents: DataFrame, clusters: DataFrame,
+                            testBuckets: Int = 410): DataFrame =
+    clusterSafeSplit(documents, clusters, testBuckets)
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("docs"),
+        count(col("cluster_id")).as("clustered_docs"),
+        countDistinct(col("cluster_id")).as("clusters"))
+
   /** Train/test decontamination: flag corpus docs sharing >= `minOverlap`
     * distinct k-gram shingles with a benchmark set (the standard
     * n-gram-overlap decontamination of LLM training corpora).

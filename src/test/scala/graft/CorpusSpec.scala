@@ -261,4 +261,32 @@ class CorpusSpec extends SparkSpec {
     // never silently dropped from the report
     assert(out(2) === (("c", 1L, 0.1, 0.0, 0.0)))
   }
+
+  test("applyMix: whole epochs for every doc, stable fractional epoch, untargeted dropped") {
+    val df = docs(
+      ((1L to 50L).map(i => (i, "a a a a a a", "en", "a")) ++
+        (101L to 150L).map(i => (i, "b b b b b b", "en", "b")) ++
+        Seq((201L, "c c c c c c", "en", "c"))): _*)
+    // tokens: a=300, b=300, c=6, total 606 -> factor(a)=factor(b)=1.01
+    val mix = Map("a" -> 0.5, "b" -> 0.5)
+    val out = Corpus.applyMix(df, mix)
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(!byDoc.contains(201L)) // untargeted source dropped entirely
+    // factor 1.01: every targeted doc keeps epoch 0, epochs are dense
+    assert((1L to 50L).forall(i => byDoc(i).headOption.contains(0L)))
+    assert((101L to 150L).forall(i => byDoc(i).headOption.contains(0L)))
+    assert(byDoc.values.forall(es => es === (0L until es.size.toLong)))
+    // deterministic doc-for-doc on a re-run
+    val again = Corpus.applyMix(df, mix)
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+    assert(out.toSet === again.toSet)
+    // downsampling: factor 0.505 keeps a stable strict subset at epoch 0
+    val down = Corpus.applyMix(df, Map("a" -> 0.25, "b" -> 0.75))
+      .filter(col("source") === "a")
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+    assert(down.forall(_._2 === 0L))
+    assert(down.length > 0 && down.length < 50)
+    assert(down.map(_._1).toSet.subsetOf((1L to 50L).toSet))
+  }
 }

@@ -67,8 +67,9 @@ class RegistrySpec extends SparkSpec {
     // round-9 substring-level dedup via content-defined chunking
     // (VERDICT r8 item 4) + its decontamination twin
     "dedup_substring", "decontam_substring",
-    // round-9 cluster keep decision: longest-member canonical pick
-    "dedup_canonical")
+    // round-9 cluster keep decision + leakage-free splitting + the
+    // materialized mixing plan
+    "dedup_canonical", "cluster_safe_split", "apply_mix")
 
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

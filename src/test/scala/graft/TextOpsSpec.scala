@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextOps
+import org.apache.spark.sql.functions.col
 
 /** Training-data text operators (SURVEY §2 #26, #33-36). */
 class TextOpsSpec extends SparkSpec {
@@ -191,5 +192,34 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-12)
     }
     assert(rows.map(_._3).sum === 200L)
+  }
+
+  test("clusterSafeSplit keeps every cluster member in one split, others where hashSplit puts them") {
+    val df = docs((1L to 200L).map(i => (i, s"doc $i", "en", "s", 6L)): _*)
+    // three clusters whose members' OWN hashes straddle splits somewhere
+    // in 200 ids; representatives 1, 50, 120
+    val clusters = Seq(
+      (1L, 1L), (7L, 1L), (13L, 1L),
+      (50L, 50L), (51L, 50L),
+      (120L, 120L), (121L, 120L), (122L, 120L))
+      .toDF("doc_id", "cluster_id")
+    val out = TextOps.clusterSafeSplit(df, clusters)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val plain = TextOps.hashSplit(df, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // cluster members all share their representative's plain split
+    assert(Seq(1L, 7L, 13L).map(out).distinct === Seq(plain(1L)))
+    assert(Seq(50L, 51L).map(out).distinct === Seq(plain(50L)))
+    assert(Seq(120L, 121L, 122L).map(out).distinct === Seq(plain(120L)))
+    // unclustered docs are untouched
+    val members = Set(1L, 7L, 13L, 50L, 51L, 120L, 121L, 122L)
+    (1L to 200L).filterNot(members).foreach(i => assert(out(i) === plain(i)))
+    // and the stats view ties out: clusters never straddle splits
+    val stats = TextOps.clusterSafeSplitStats(df, clusters)
+      .select("split", "docs", "clustered_docs", "clusters")
+      .as[(String, Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum === 200L)
+    assert(stats.map(_._3).sum === 8L)
+    assert(stats.map(_._4).sum === 3L) // each cluster counted in ONE split
   }
 }
