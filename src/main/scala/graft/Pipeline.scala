@@ -83,7 +83,7 @@ object Pipeline {
     * operators the registry verifies one by one:
     *
     *   clean → quality gate → exact dedup → near-dup + substring-dup
-    *   clustering → keep-one-per-cluster → PII redaction →
+    *   clustering → keep-the-longest-per-cluster → PII redaction →
     *   deterministic train/holdout split → HOLDOUT DECONTAMINATION →
     *   partitioned writes.
     *
@@ -122,7 +122,12 @@ object Pipeline {
       Dedup.ngramJaccardPairs(textOnly).select(pairCols.map(col): _*)
         .unionByName(Dedup.substringDupPairs(textOnly, minSharedTokens = 64L)
           .select(pairCols.map(col): _*)))
-    val deduped = Dedup.applyClusters(exact, clusters)
+    // keep policy: the LONGEST member of each cluster survives (the
+    // truncated mirror loses to the full copy), not the arbitrary
+    // min-id member — lengths measured on the cleaned content the
+    // clusters were built from
+    val deduped = Dedup.applyCanonical(exact, clusters,
+      Dedup.canonicalPerCluster(textOnly, clusters))
 
     val prepared = deduped.withColumn("content", TextOps.redact(col("content")))
     // persist the split ONCE: four consumers fan out from here (the

@@ -602,4 +602,22 @@ object Dedup {
         count(lit(1)).as("docs"),
         sum(col("n_tokens")).as("total_tokens"),
         max(col("n_tokens")).as("kept_tokens"))
+
+  /** [[applyClusters]] with [[canonicalPerCluster]]'s keep policy:
+    * drop every cluster member EXCEPT the canonical one (longest, not
+    * min-id). Takes the canonical table explicitly so the caller
+    * controls which frame the lengths came from (e.g. a cleaned
+    * `content` projection rather than raw `text`). Same 100 TB shape
+    * as [[applyClusters]]: the drop list is pair-graph-sized and
+    * broadcasts into a map-side anti-join — the corpus never
+    * shuffles. */
+  def applyCanonical(documents: DataFrame, clusters: DataFrame,
+                     canonical: DataFrame): DataFrame =
+    documents.join(
+      broadcast(clusters
+        .join(canonical.select(col("cluster_id"), col("canonical_doc_id")),
+          Seq("cluster_id"))
+        .filter(col("doc_id") =!= col("canonical_doc_id"))
+        .select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
 }

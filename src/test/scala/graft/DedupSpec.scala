@@ -155,6 +155,15 @@ class DedupSpec extends SparkSpec {
       (3L, 3L, 2L, 6L, 3L))) // tie at 3 tokens -> doc 3
   }
 
+  test("applyCanonical keeps the longest member per cluster, not the min id") {
+    val corpus = docs((1L, "a b"), (2L, "a b c d"), (3L, other), (9L, "solo"))
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val canon = Dedup.canonicalPerCluster(corpus, clusters)
+    val kept = Dedup.applyCanonical(corpus, clusters, canon)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 9L)) // applyClusters would keep 1L instead of 2L
+  }
+
   test("minhash pairs identical docs at est_jaccard 1.0 and skips unrelated") {
     val out = Dedup.minhashPairs(docs((1L, base), (2L, base), (3L, other)))
       .as[(Long, Long, Double)].collect()
