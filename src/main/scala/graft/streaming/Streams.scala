@@ -107,6 +107,74 @@ object Streams {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(key)
 
+  case class NearDupHit(doc_id: Long, matched_doc_id: Long, band: Int)
+
+  /** Near-duplicate guard AT INGEST — the streaming face of the batch
+    * MinHash+LSH path ([[graft.operators.Dedup.minhashPairs]]): the
+    * signature is the SAME map-only native expression, band keys are
+    * the SAME xxhash64 over signature slices, and "candidate" means
+    * the same thing (any band collision). What changes is the join:
+    * an unbounded stream cannot self-join its whole history, so each
+    * (band, band_hash) bucket carries ONE long of state — the first
+    * doc_id that ever landed there — and every later arrival emits a
+    * hit against it. That makes the guard keep-first, exactly like
+    * [[dedupStream]]: the first copy passes clean, replays and
+    * near-rewrites get flagged as they arrive.
+    *
+    * State is bounded two ways: one long per bucket (never a member
+    * list — a viral boilerplate bucket cannot grow it), and
+    * event-time timeout expires buckets the watermark has passed, so
+    * the store tracks only buckets active inside the horizon — the
+    * property that keeps it small on an unbounded 100 TB/day stream.
+    * Like the batch LSH path, hits are CANDIDATES: confirm-or-drop
+    * (exact Jaccard on the pair) is a downstream batch join over the
+    * flagged ids. A doc near-dup of one inside the horizon is caught;
+    * one whose twin expired falls through to the periodic batch sweep
+    * — the same watermark trade [[dedupStream]] documents. */
+  def nearDupStream(rawDocuments: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+                    watermark: String = "10 minutes"): Dataset[NearDupHit] = {
+    import rawDocuments.sparkSession.implicits._
+    graft.GraftExtensions.register(rawDocuments.sparkSession)
+    val sigs = rawDocuments
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingles", col("text"), lit(3)),
+          lit(bands * rowsPerBand)).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))): _*)
+    }
+    sigs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+      .as[(Long, Timestamp, Int, Long)]
+      .groupByKey { case (_, _, band, h) => (band, h) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: (Int, Long), rows: Iterator[(Long, Timestamp, Int, Long)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order: earliest (ts, doc_id)
+            // becomes the bucket owner if the bucket is fresh
+            val docs = rows.map { case (id, t, _, _) => (t.getTime, id) }.toArray.sorted
+            val out = Seq.newBuilder[NearDupHit]
+            var owner = state.getOption
+            docs.foreach { case (_, id) =>
+              owner match {
+                case Some(first) => if (id != first) out += NearDupHit(id, first, key._1)
+                case None => owner = Some(id)
+              }
+            }
+            owner.foreach(state.update)
+            // bucket lives until the watermark passes its newest
+            // arrival plus one horizon
+            state.setTimeoutTimestamp(docs.last._1, watermark)
+            out.result().iterator
+          }
+        })
+  }
+
   /** Micro-batch bronze ingest — the reference's consumer loop
     * (`pipeline/consumer_pipeline.py`) lands each poll as a PG upsert;
     * the file-native equivalent is append-only bronze plus exact dedup

@@ -137,6 +137,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream flags a near-rewrite against the first copy, leaves unrelated docs clean") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.nearDupStream(df, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), base))
+      q.processAllAvailable()
+      // a later micro-batch: a near-rewrite of doc 1 and an unrelated doc
+      input.addData((2L, ts(2), near), (3L, ts(3), other))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT doc_id, matched_doc_id FROM neardup_out")
+        .as[(Long, Long)].collect().toSet
+      assert(hits === Set((2L, 1L))) // flagged against the FIRST copy; 3 is clean
+      // same candidate contract as the batch path: the flagged pair is
+      // exactly what batch MinHash banding finds on the same corpus
+      val batch = graft.operators.Dedup.minhashPairs(
+        Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text"))
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      assert(batch === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("nearDupStream expires a bucket past the watermark; the twin falls to the batch sweep") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.nearDupStream(df, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("neardup_wm_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), base))
+      q.processAllAvailable()
+      // push the watermark far past ts(0) + 5 min: doc 1's buckets expire
+      input.addData((9L, ts(59), (1 to 40).map(i => s"mover$i").mkString(" ")))
+      q.processAllAvailable()
+      // an exact replay arrives after expiry: NOT caught in-stream
+      input.addData((2L, Timestamp.valueOf("2024-01-01 11:30:00"), base))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT doc_id FROM neardup_wm_out").as[Long].collect()
+      assert(hits.isEmpty) // the documented trade: it falls to the batch pass
+    } finally q.stop()
+  }
+
   test("streamingUpsertSink: later micro-batches replace same-key rows in the layer") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
