@@ -71,6 +71,10 @@ class RegistrySpec extends SparkSpec {
     // materialized mixing plan
     "dedup_canonical", "cluster_safe_split", "apply_mix")
 
+  test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every SURVEY §2 query key is registered") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"unregistered SURVEY keys: $missing")
