@@ -52,6 +52,7 @@ object PlanDump {
       "dedup_substring" -> "CDC chunks: per-DOC window over the token explode, bounded-collect postings, map-side pair explode",
       "dedup_canonical" -> "cluster keep decision: pair-graph-sized cluster table broadcast into the corpus scan; one member-sized groupBy, the whole pick a single max_by struct",
       "apply_mix" -> "materialized mixing plan: source-cardinality factor aggregate broadcast back onto the scan, per-row sequence explode — zero corpus shuffle",
+      "substring_pair_confirm" -> "confirm-or-drop: candidate pairs broadcast into two shingle-carrying corpus scans, Jaccard a map-side array_intersect/union — corpus scanned twice, shuffled never",
       "ann_lsh_recall" -> "recall report: two O(queries x k) inputs joined + aggregated; corpus touched only by the two top-k producers",
       "ranked_search_analyzed" -> "analyzer chain: lower() fused into the same scan-side scoring projection as the raw path",
       "decontam_substring" -> "chunk-overlap decontamination: df cap fused into the bounded collect; unhinted semi-join (AQE broadcasts small benchmarks, shuffles corpus-scale holdouts)",

@@ -1159,6 +1159,36 @@ object SparkEntry {
               |JOIN uch b ON a.h = b.h AND a.doc_id < b.doc_id
               |GROUP BY 1, 2 HAVING CAST(SUM(a.n_tokens) AS BIGINT) >= 16""".stripMargin)),
 
+    ("substring_pair_confirm",
+      // the confirm-or-drop step closing the approximate-dedup loop:
+      // every passage-sharing pair (CDC chunks) re-scored with its
+      // TRUE whole-document Jaccard (threshold 0 keeps the whole
+      // distribution — the report separating "shared passage inside
+      // otherwise-different docs" from actual near-dups)
+      (s: SparkSession, d: String) => Dedup.confirmPairs(
+        docs(s, d), Dedup.substringDupPairs(docs(s, d)), threshold = 0.0),
+      Some(s"""WITH $cdcChunksCtes,
+              |keep AS (SELECT h FROM uch GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100),
+              |cand AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+              |         FROM uch a JOIN keep k ON a.h = k.h
+              |         JOIN uch b ON a.h = b.h AND a.doc_id < b.doc_id
+              |         GROUP BY 1, 2 HAVING CAST(SUM(a.n_tokens) AS BIGINT) >= 16),
+              |ctok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |csh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              |        FROM ctok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+              |csz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+              |ccom AS (SELECT c.doc_id_1, c.doc_id_2, COUNT(*) AS common
+              |         FROM cand c JOIN csh a ON a.doc_id = c.doc_id_1
+              |         JOIN csh b ON b.doc_id = c.doc_id_2 AND a.shingle = b.shingle
+              |         GROUP BY 1, 2)
+              |SELECT c.doc_id_1, c.doc_id_2,
+              |  CAST(COALESCE(m.common, 0) AS DOUBLE)
+              |    / (s1.n + s2.n - COALESCE(m.common, 0)) AS jaccard
+              |FROM cand c
+              |LEFT JOIN ccom m ON c.doc_id_1 = m.doc_id_1 AND c.doc_id_2 = m.doc_id_2
+              |JOIN csz s1 ON c.doc_id_1 = s1.doc_id
+              |JOIN csz s2 ON c.doc_id_2 = s2.doc_id""".stripMargin)),
+
     ("decontam_substring",
       // passage-level decontamination: the CDC-chunk twin of
       // decontam_overlap — fires on verbatim spans of ~chunk length

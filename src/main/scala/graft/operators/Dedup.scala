@@ -611,6 +611,38 @@ object Dedup {
     * as [[applyClusters]]: the drop list is pair-graph-sized and
     * broadcasts into a map-side anti-join — the corpus never
     * shuffles. */
+  /** Exact-Jaccard confirmation for an EXPLICIT candidate pair list —
+    * the confirm-or-drop step every approximate path hands its
+    * candidates to: batch MinHash/SimHash banding, the streaming guard
+    * ([[graft.streaming.Streams.nearDupStream]]), or pairs from an
+    * external system. Unlike [[ngramJaccardPairs]] this computes the
+    * TRUE whole-document Jaccard (no doc-frequency cap — the cap
+    * exists to bound pair GENERATION, and here the pairs are given).
+    *
+    * Shape at 100 TB: the candidate list is output-sized, so it
+    * broadcasts into the corpus scan twice (each side's distinct
+    * shingle set rides the scan projection as one native-expression
+    * array — no explode); the Jaccard is a map-side
+    * `array_intersect`/`array_union`. The corpus is scanned twice and
+    * shuffled never — the right trade, since a shuffle would move
+    * shingle-carrying rows of the WHOLE corpus to confirm a
+    * candidate-sized set. */
+  def confirmPairs(documents: DataFrame, candidates: DataFrame,
+                   threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
+    val sh = documents.select(col("doc_id"),
+      call_function("graft_shingles", col("text"), lit(k)).as("sh"))
+    val pairs = candidates.select(col("doc_id_1"), col("doc_id_2"))
+    val left = sh.join(broadcast(pairs), col("doc_id") === col("doc_id_1"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("sh").as("sh1"))
+    sh.join(broadcast(left), col("doc_id") === col("doc_id_2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh"))).cast("double") /
+          size(array_union(col("sh1"), col("sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+  }
+
   def applyCanonical(documents: DataFrame, clusters: DataFrame,
                      canonical: DataFrame): DataFrame =
     documents.join(

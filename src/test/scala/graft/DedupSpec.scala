@@ -155,6 +155,18 @@ class DedupSpec extends SparkSpec {
       (3L, 3L, 2L, 6L, 3L))) // tie at 3 tokens -> doc 3
   }
 
+  test("confirmPairs computes exact whole-document Jaccard for an explicit candidate list") {
+    val corpus = docs((1L, base), (2L, near), (3L, other))
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("doc_id_1", "doc_id_2")
+    // base/near differ at token 40 of 40: 37 of 38 shingles shared -> 37/39
+    val out = Dedup.confirmPairs(corpus, cand)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 37.0 / 39.0))) // (1,3) unrelated -> dropped
+    val all = Dedup.confirmPairs(corpus, cand, threshold = 0.0)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(all.toSeq === Seq((1L, 2L, 37.0 / 39.0), (1L, 3L, 0.0)))
+  }
+
   test("applyCanonical keeps the longest member per cluster, not the min id") {
     val corpus = docs((1L, "a b"), (2L, "a b c d"), (3L, other), (9L, "solo"))
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")

@@ -68,8 +68,9 @@ class RegistrySpec extends SparkSpec {
     // (VERDICT r8 item 4) + its decontamination twin
     "dedup_substring", "decontam_substring",
     // round-9 cluster keep decision + leakage-free splitting + the
-    // materialized mixing plan
-    "dedup_canonical", "cluster_safe_split", "apply_mix")
+    // materialized mixing plan + the candidate-confirmation step
+    "dedup_canonical", "cluster_safe_split", "apply_mix",
+    "substring_pair_confirm")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
