@@ -56,7 +56,11 @@ object PlanDump {
       "ann_lsh_recall" -> "recall report: two O(queries x k) inputs joined + aggregated; corpus touched only by the two top-k producers",
       "ranked_search_analyzed" -> "analyzer chain: lower() fused into the same scan-side scoring projection as the raw path",
       "decontam_substring" -> "chunk-overlap decontamination: df cap fused into the bounded collect; unhinted semi-join (AQE broadcasts small benchmarks, shuffles corpus-scale holdouts)",
-      "sliding_counts" -> "hopping windows: one scan, the window explode and combinable agg both inside the exchange")
+      "sliding_counts" -> "hopping windows: one scan, the window explode and combinable agg both inside the exchange",
+      "q_region_revenue" -> "TPC-H Q5 snowflake: constant dims broadcast, date filter pushed into orders, three declarative fact joins with the local-supplier residual on the last",
+      "dedup_semantic" -> "SemDeDup: native argmin cell assignment against a 1-row broadcast centroid aggregate, within-cell equi-join pairing",
+      "vocab_coverage" -> "vocabulary coverage: term-bounded frequency agg, TakeOrdered top-N broadcast back onto the token stream",
+      "importance_favored" -> "DSIR importance: 4096-row feature table, favored set broadcast into the second pass; only doc-keyed re-aggregate shuffles")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

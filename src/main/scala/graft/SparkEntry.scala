@@ -1596,7 +1596,86 @@ object SparkEntry {
               |  COUNT(*) AS order_count,
               |  ${avgFixedSql("o_totalprice")} AS avg_price
               |FROM orders WHERE o_orderstatus <> 'F'
-              |GROUP BY o_orderpriority""".stripMargin))
+              |GROUP BY o_orderpriority""".stripMargin)),
+
+    ("q_region_revenue",
+      // the multi-way snowflake shape (TPC-H Q5): constant dims
+      // broadcast, three fact-sized joins left declarative, the
+      // local-supplier predicate a residual on the last join
+      (s: SparkSession, d: String) => Relational.regionRevenue(
+        Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1""".stripMargin)),
+
+    ("dedup_semantic",
+      // SemDeDup with the SAME deterministic IVF quantizer as
+      // ann_ivf: the oracle replays cell choice AND within-cell
+      // cosine bit-for-bit — no labels, no JVM hash anywhere
+      (s: SparkSession, d: String) => Ann.semanticDedupPairs(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x)) AS nrm
+             |      FROM e),
+             |c AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 64),
+             |scored_cells AS (
+             |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      (list_reduce(list_transform(range(1, 65), i -> n.emb[i] * c.cemb[i]), (acc, x) -> acc + x)
+             |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+             |  FROM n CROSS JOIN c),
+             |asg AS (SELECT vec_id, emb, nrm, cell FROM scored_cells WHERE rn = 1)
+             |SELECT vec_id_1, vec_id_2, cell, cos AS cosine FROM (
+             |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,
+             |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)
+             |      / (a.nrm * b.nrm) AS cos
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+             |WHERE cos >= 0.35""".stripMargin)),
+
+    ("vocab_coverage",
+      // top-N vocabulary with a deterministic (cnt DESC, term)
+      // boundary; per-source OOV rate — exact BIGINTs, one division
+      (s: SparkSession, d: String) => Corpus.vocabCoverage(docs(s, d)),
+      Some("""WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             |              FROM documents),
+             |freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+             |vocab AS (SELECT term FROM freq ORDER BY cnt DESC, term LIMIT 512)
+             |SELECT source, COUNT(*) AS tokens,
+             |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+             |  COUNT(DISTINCT CASE WHEN v.term IS NULL THEN t.term END) AS oov_terms,
+             |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+             |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+             |GROUP BY source""".stripMargin)),
+
+    ("importance_favored",
+      // DSIR-shaped importance: 4096 md5 feature buckets, favored =
+      // exact integer cross-multiplication (no float log-ratio), so
+      // both engines agree bucket-for-bucket
+      (s: SparkSession, d: String) => Corpus.importanceFavored(docs(s, d)),
+      Some("""WITH t0 AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term
+             |            FROM documents),
+             |toks AS (SELECT doc_id, source, substr(md5(term), 1, 3) AS f FROM t0),
+             |b AS (SELECT f, COUNT(*) AS cr,
+             |        CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+             |      FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM b),
+             |fav AS (SELECT f FROM b, tot WHERE ct * tr > cr * tt)
+             |SELECT doc_id, source, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN fav.f IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS favored_tokens,
+             |  CAST(SUM(CASE WHEN fav.f IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS favored_rate
+             |FROM toks LEFT JOIN fav ON toks.f = fav.f
+             |GROUP BY doc_id, source""".stripMargin))
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -345,6 +345,37 @@ object Ann {
         col("a.label").as("label"), col("cos").as("cosine"))
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023: cluster the
+    * embeddings coarsely, then pair exactly ONLY within a cluster):
+    * the blocking key is the nearest cell of the SAME deterministic
+    * IVF coarse quantizer [[ivfTopK]] uses — so unlike
+    * [[embeddingDedupPairs]] (which trusts a given label column) this
+    * needs no labels and the block sizes are bounded by the quantizer
+    * fan-out, not by whatever a free-form label happens to contain.
+    *
+    * Scale shape: cell assignment is a map-side argmin against a
+    * constant-size broadcast centroid row ([[nearestCells]]); the
+    * pair join shuffles on cell id and the work is Σ |cell|² — the
+    * documented SemDeDup trade, tuned by `numCentroids` (more cells →
+    * smaller blocks → less pairing work, lower recall across cell
+    * boundaries). Because the quantizer is pure deterministic double
+    * arithmetic with no JVM hash anywhere, the ENTIRE path — cell
+    * choice included — replays bit-for-bit in the SQL oracle, which
+    * almost no semantic-dedup implementation can claim. */
+  def semanticDedupPairs(embeddings: DataFrame, numCentroids: Int = 64,
+                         threshold: Double = 0.35): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cells = nearestCells(e, ivfCentroids(e, numCentroids), "emb", "nrm", keep = 1)
+    cells.as("a")
+      .join(cells.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
+        col("a.cell").as("cell"), col("cos").as("cosine"))
+  }
+
   /** Embedding-table sanity report — the check an embedding pipeline
     * runs before anything consumes the vectors: per dimensionality
     * (ragged tables show up as extra rows), vector count, norm range,

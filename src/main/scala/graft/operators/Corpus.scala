@@ -476,4 +476,83 @@ object Corpus {
       .select(col("bucket"), col("bucket_lo"), col("docs"),
         col("min_chars"), col("max_chars"))
   }
+
+  /** Tokenizer-vocabulary coverage: build the top-`vocabSize` token
+    * vocabulary by corpus frequency (ties broken lexicographically so
+    * the boundary is deterministic on every engine), then report each
+    * source's out-of-vocabulary rate — the go/no-go check before
+    * committing a fixed vocabulary: a source whose OOV rate is an
+    * outlier will tokenize into garbage (every OOV token becomes
+    * <unk> or a byte-fallback explosion).
+    *
+    * Two passes over the corpus by NATURE, not by accident: the
+    * vocabulary is a global order statistic of pass one, and no
+    * single-pass formulation exists without approximating it. The
+    * frequency table is term-domain-bounded (map-side combine does
+    * the heavy lifting), the top-N is a TakeOrdered over that
+    * bounded table, and pass two joins the N-row vocabulary back as
+    * a BROADCAST — the corpus-side lookup is map-side, so the only
+    * corpus-scale shuffle in the whole report is the final
+    * source-keyed aggregate over source-cardinality groups.
+    * Counts are exact BIGINTs; the rate is one exact-over-exact
+    * division at the end. */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 512): DataFrame = {
+    require(vocabSize >= 1)
+    val toks = documents.select(col("source"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        countDistinct(when(col("in_vocab").isNull, col("term"))).as("oov_terms"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("tokens").cast("double"))
+  }
+
+  /** DSIR-shaped importance report (Xie et al. 2023: hashed n-gram
+    * features, importance = how much a document's features look like
+    * a target domain rather than the raw corpus). Features are
+    * 4096-bucket hashed unigrams — 3 hex chars of the token's md5,
+    * the same engine-portable bucket rule as [[TextOps.hashSplit]] —
+    * and a bucket is "target-favored" when its share of the target
+    * source's tokens exceeds its share of the whole corpus's. That
+    * comparison is kept EXACT: cnt_t·total_raw > cnt_r·total_target
+    * is integer cross-multiplication (no p(f) doubles, whose
+    * parallel-sum order would diverge across engines), so unlike
+    * DSIR's float log-ratio the scores replay bit-for-bit in SQL.
+    * Per document: its token count, how many of its tokens land in
+    * favored buckets, and the favored rate — the monotone ranking
+    * signal DSIR thresholds on (the log-ratio's magnitude is gone,
+    * its sign per feature is preserved).
+    *
+    * Scale shape: the feature table is 4096 rows no matter the
+    * corpus (one map-side-combined aggregate builds it; target and
+    * raw counts in the SAME pass via a conditional sum), the totals
+    * ride a 1-row broadcast, and the favored set broadcasts back
+    * into a second corpus pass whose only shuffle is the per-doc
+    * re-aggregate. Same two-pass-by-nature argument as
+    * [[vocabCoverage]]: "favored" is a global property of pass one. */
+  def importanceFavored(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      explode(split(lower(col("text")), " ")).as("term"))
+      .select(col("doc_id"), col("source"), substring(md5(col("term")), 1, 3).as("f"))
+    val buckets = toks.groupBy(col("f")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"))
+    val totals = buckets.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val favored = buckets.crossJoin(broadcast(totals))
+      .filter(col("ct") * col("tr") > col("cr") * col("tt"))
+      .select(col("f"), lit(1L).as("fav"))
+    toks.join(broadcast(favored), Seq("f"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("fav"), lit(0L))).as("favored_tokens"))
+      .withColumn("favored_rate",
+        col("favored_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -126,6 +126,57 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("late_orders"))
 
+  /** Local-supplier revenue by nation (TPC-H Q5 shape): the full
+    * snowflake traversal — region→nation prune two fact-sized
+    * dimensions (customer, supplier), two fact-to-fact joins chain
+    * through orders and lineitem, and the "local" predicate
+    * (customer and supplier in the SAME nation) rides the last join
+    * as a residual because it references columns from both chains.
+    * This is the one shape the relational set lacked: a MULTI-WAY
+    * join where the planner must sequence broadcasts, shuffles and a
+    * residual in one plan.
+    *
+    * Scale shape: nation⋈region is constant-size (25×5 rows) and
+    * explicitly broadcast into the customer and supplier scans, so
+    * the region prune happens map-side at any scale. customer,
+    * orders, lineitem and supplier are all fact-sized at 100 TB, so
+    * NONE of them is force-broadcast — the three big joins stay
+    * declarative shuffle joins (AQE may still broadcast a
+    * post-filter side that turns out small at a given SF, which is
+    * exactly the runtime re-plan we want). The year filter is pushed
+    * into the orders scan, the region filters reach the customer and
+    * supplier scans through the broadcast joins, and revenue
+    * accumulates exactly as decimal(30,4) — the same cross-engine
+    * determinism as [[pricingSummary]]. */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    regionName: String = "ASIA",
+                    dateLo: String = "1996-01-01", dateHi: String = "1997-01-01"): DataFrame = {
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = supplier
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    orders
+      .filter(col("o_orderdate") >= lit(dateLo) && col("o_orderdate") < lit(dateHi))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(supp,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,4)")).cast("double").as("revenue"))
+  }
+
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */
   def orderPriorityStats(orders: DataFrame): DataFrame =

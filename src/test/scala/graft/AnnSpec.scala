@@ -240,4 +240,19 @@ class AnnSpec extends SparkSpec {
     // 1-2 same label & cos ~0.99; 1-3 identical but different label; 1-4 orthogonal
     assert(out.toSeq === Seq((1L, 2L)))
   }
+
+  test("semanticDedupPairs blocks on the deterministic IVF cell, no labels needed") {
+    // numCentroids=2 -> centroids are vec 0 (x-axis) and vec 1 (y-axis)
+    val out = Ann.semanticDedupPairs(embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 9),      // centroid/cell 0
+      (1L, Seq(0f, 1f, 0f, 0f), 9),      // centroid/cell 1
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 9),  // -> cell 0
+      (3L, Seq(0.8f, 0.2f, 0f, 0f), 9),  // -> cell 0
+      (4L, Seq(0.1f, 0.9f, 0f, 0f), 9)), // -> cell 1
+      numCentroids = 2, threshold = 0.9)
+      .select("vec_id_1", "vec_id_2", "cell").as[(Long, Long, Long)].collect().toSet
+    // within cell 0: (0,2) cos .994, (0,3) cos .970, (2,3) cos .991;
+    // within cell 1: (1,4) cos .994; cross-cell pairs never scored
+    assert(out === Set((0L, 2L, 0L), (0L, 3L, 0L), (2L, 3L, 0L), (1L, 4L, 1L)))
+  }
 }

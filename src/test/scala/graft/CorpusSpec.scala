@@ -289,4 +289,35 @@ class CorpusSpec extends SparkSpec {
     assert(down.length > 0 && down.length < 50)
     assert(down.map(_._1).toSet.subsetOf((1L to 50L).toSet))
   }
+
+  test("vocabCoverage: hand-computed OOV rates and the deterministic tie-break") {
+    val df = docs(
+      (1L, "a a b", "en", "s1"),   // tokens a,a,b
+      (2L, "a c", "en", "s2"))     // tokens a,c
+    // corpus freq: a=3, b=1, c=1; vocabSize=1 -> vocab = {a}
+    val one = Corpus.vocabCoverage(df, vocabSize = 1)
+      .select("source", "tokens", "oov_tokens", "oov_terms", "oov_rate")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(one("s1") === (("s1", 3L, 1L, 1L, 1.0 / 3.0)))
+    assert(one("s2") === (("s2", 2L, 1L, 1L, 0.5)))
+    // vocabSize=2: b and c tie at cnt=1 -> lexicographic keeps "b"
+    val two = Corpus.vocabCoverage(df, vocabSize = 2)
+      .select("source", "oov_tokens").as[(String, Long)].collect().toMap
+    assert(two === Map("s1" -> 0L, "s2" -> 1L))
+  }
+
+  test("importanceFavored: exact cross-multiplication picks the target-favored buckets") {
+    // md5 3-hex prefixes of x,y,z are distinct (9dd, 415, fba), so
+    // each token is its own feature bucket in this corpus
+    val df = docs(
+      (1L, "x x y", "en", "src0"),     // the target domain
+      (2L, "x z z z", "en", "src1"))
+    // totals: raw=7, target=3. bucket x: ct=2,cr=3 -> 2*7>3*3 favored;
+    // y: 1*7>1*3 favored; z: 0>3*3 not favored
+    val out = Corpus.importanceFavored(df, targetSource = "src0")
+      .select("doc_id", "n_tokens", "favored_tokens", "favored_rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 3L, 1.0)))
+    assert(out(2L) === ((2L, 4L, 1L, 0.25)))
+  }
 }

@@ -331,4 +331,28 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "TakeOrderedAndProject") === 1, s"top-N stays bounded:\n$plan")
     assert(count(plan, "Scan parquet") === 1)
   }
+
+  test("q_region_revenue: year filter pushed into the orders scan, constant dims broadcast") {
+    val plan = finalPlan(SparkEntry.queries("q_region_revenue")(spark, dir))
+    // the year window must reach the orders scan as PushedFilters —
+    // at 100 TB this is the partition-prune that makes Q5 feasible
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$plan")
+    // nation⋈region ride explicit broadcasts; the three fact joins
+    // stay declarative (AQE may broadcast a post-filter side at tiny
+    // sf — only a cartesian fallback is pinned-impossible)
+    assert(count(plan, "BroadcastHashJoin") >= 2, s"dims must broadcast:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
+  test("dedup_semantic: map-side cell assignment, pair join keyed on cell") {
+    val plan = finalPlan(SparkEntry.queries("dedup_semantic")(spark, dir))
+    // the quantizer is the native one-pass argmin against a 1-row
+    // broadcast centroid aggregate — never a per-centroid row blowup
+    assert(count(plan, "graft_ivf_argmin") >= 1, s"native argmin missing:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0,
+      s"within-cell pairing must be an equi-join on cell:\n$plan")
+    // centroids travel as ONE aggregated broadcast row per side
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 2, s"centroid row fanout:\n$plan")
+  }
 }

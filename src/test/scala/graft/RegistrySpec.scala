@@ -70,7 +70,11 @@ class RegistrySpec extends SparkSpec {
     // round-9 cluster keep decision + leakage-free splitting + the
     // materialized mixing plan + the candidate-confirmation step
     "dedup_canonical", "cluster_safe_split", "apply_mix",
-    "substring_pair_confirm")
+    "substring_pair_confirm",
+    // round-9 widening: the Q5 snowflake shape, IVF-cell SemDeDup,
+    // tokenizer-vocabulary coverage, DSIR-shaped importance
+    "q_region_revenue", "dedup_semantic", "vocab_coverage",
+    "importance_favored")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
