@@ -1598,6 +1598,22 @@ object SparkEntry {
               |FROM orders WHERE o_orderstatus <> 'F'
               |GROUP BY o_orderpriority""".stripMargin)),
 
+    ("q_promo_revenue",
+      // Q14 as a monthly trend: the partkey fact-to-part join (the
+      // only query touching `part`), exact decimal revenue in both
+      // arms, share = exact-over-exact double division
+      (s: SparkSession, d: String) => Relational.promoRevenueByMonth(
+        Tables.lineitem(s, d), Tables.part(s, d)),
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
+             |           ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) AS promo_revenue,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue,
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
+             |           ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS promo_share
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1""".stripMargin)),
+
     ("q_region_revenue",
       // the multi-way snowflake shape (TPC-H Q5): constant dims
       // broadcast, three fact-sized joins left declarative, the
@@ -1640,6 +1656,41 @@ object SparkEntry {
              |      / (a.nrm * b.nrm) AS cos
              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
              |WHERE cos >= 0.35""".stripMargin)),
+
+    ("semantic_clusters",
+      // the SemDeDup loop closed: IVF-cell cosine pairs -> star-CC
+      // component labels; oracle = the SAME deterministic quantizer
+      // replay + the recursive-CC pattern the text clusters pin
+      (s: SparkSession, d: String) => Dedup.clusterPairsStar(
+        Ann.semanticDedupPairs(Tables.embeddings(s, d))
+          .select(col("vec_id_1").as("doc_id_1"), col("vec_id_2").as("doc_id_2")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id")),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x)) AS nrm
+             |      FROM e),
+             |c AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 64),
+             |scored_cells AS (
+             |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      (list_reduce(list_transform(range(1, 65), i -> n.emb[i] * c.cemb[i]), (acc, x) -> acc + x)
+             |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+             |  FROM n CROSS JOIN c),
+             |asg AS (SELECT vec_id, emb, nrm, cell FROM scored_cells WHERE rn = 1),
+             |pairs AS (SELECT v1, v2 FROM (
+             |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+             |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)
+             |      / (a.nrm * b.nrm) AS cos
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+             |  WHERE cos >= 0.35),
+             |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+             |          UNION SELECT v2, v1 FROM pairs),
+             |reach AS (SELECT a, b FROM edges
+             |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |cl AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+             |       FROM reach GROUP BY a)
+             |SELECT vec_id, cluster_id FROM cl""".stripMargin)),
 
     ("vocab_coverage",
       // top-N vocabulary with a deterministic (cnt DESC, term)

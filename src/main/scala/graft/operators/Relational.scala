@@ -177,6 +177,38 @@ object Relational {
         .cast("decimal(30,4)")).cast("double").as("revenue"))
   }
 
+  /** Monthly promo-revenue share (TPC-H Q14 shape, as a trend): what
+    * fraction of each month's revenue came from promotional parts —
+    * the last relational join shape missing from the set, and the
+    * only query touching the `part` table: a fact-to-part join keyed
+    * on partkey where BOTH sides scale with the corpus (part is ~30×
+    * smaller than lineitem but grows with SF — NOT broadcastable at
+    * 100 TB, so the join stays declarative; AQE may broadcast at a
+    * tiny SF, a cluster run plans the co-keyed shuffle join, and a
+    * deployment that cares buckets both tables on partkey via
+    * [[graft.sources.Sinks.writeBucketed]] for a zero-Exchange plan).
+    *
+    * Both revenue sums accumulate exactly as decimal(30,4) (the
+    * conditional arm sums a literal 0 decimal, never a null — SUM
+    * skipping nulls would be fine, but an all-null month yielding
+    * NULL vs 0 across engines is exactly the kind of boundary this
+    * repo pins shut); the share divides the two exact doubles. The
+    * month key is a bounded domain, so the aggregate is map-side
+    * combinable and the result always fits the driver. */
+  def promoRevenueByMonth(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"), col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,4)").as("rev"))
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(30,4)"))).cast("double").as("promo_revenue"),
+        sum(col("rev")).cast("double").as("total_revenue"))
+      .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
+
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */
   def orderPriorityStats(orders: DataFrame): DataFrame =

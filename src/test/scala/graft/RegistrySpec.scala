@@ -74,7 +74,7 @@ class RegistrySpec extends SparkSpec {
     // round-9 widening: the Q5 snowflake shape, IVF-cell SemDeDup,
     // tokenizer-vocabulary coverage, DSIR-shaped importance
     "q_region_revenue", "dedup_semantic", "vocab_coverage",
-    "importance_favored")
+    "importance_favored", "q_promo_revenue", "semantic_clusters")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
