@@ -60,7 +60,10 @@ object PlanDump {
       "q_region_revenue" -> "TPC-H Q5 snowflake: constant dims broadcast, date filter pushed into orders, three declarative fact joins with the local-supplier residual on the last",
       "dedup_semantic" -> "SemDeDup: native argmin cell assignment against a 1-row broadcast centroid aggregate, within-cell equi-join pairing",
       "vocab_coverage" -> "vocabulary coverage: term-bounded frequency agg, TakeOrdered top-N broadcast back onto the token stream",
-      "importance_favored" -> "DSIR importance: 4096-row feature table, favored set broadcast into the second pass; only doc-keyed re-aggregate shuffles")
+      "importance_favored" -> "DSIR importance: 4096-row feature table, favored set broadcast into the second pass; only doc-keyed re-aggregate shuffles",
+      "q_big_orders" -> "TPC-H Q18: combinable orderkey fact aggregate, HAVING survivors joined back declaratively (AQE broadcasts when small), TakeOrderedAndProject",
+      "decontam_semantic" -> "cross-set SemDeDup blocking: cell-keyed train x holdout join, per-vector max-of-struct aggregate — no corpus window",
+      "bpe_pair_stats" -> "BPE merge candidates: substr pair explode on the vocab-bounded word rollup, map-side combine, TakeOrdered(topN)")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

@@ -1726,7 +1726,66 @@ object SparkEntry {
              |  CAST(SUM(CASE WHEN fav.f IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
              |    / CAST(COUNT(*) AS DOUBLE) AS favored_rate
              |FROM toks LEFT JOIN fav ON toks.f = fav.f
-             |GROUP BY doc_id, source""".stripMargin))
+             |GROUP BY doc_id, source""".stripMargin)),
+
+    ("q_big_orders",
+      // TPC-H Q18: the aggregate-then-join-back shape — the HAVING
+      // survivors of a fact self-aggregate feed a join against the
+      // fact's parent; survivor side left to AQE, never forced
+      (s: SparkSession, d: String) => Relational.bigQuantityOrders(
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d)),
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(30,2))) AS qty
+             |  FROM lineitem GROUP BY 1
+             |  HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 250)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(qty AS DOUBLE) AS total_qty
+             |FROM big JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    ("decontam_semantic",
+      // the semantic arm of decontam_overlap: train vectors whose
+      // cosine to any md5-holdout vector reaches the bar, blocked on
+      // the same deterministic IVF cells as dedup_semantic — the
+      // oracle replays split, cell choice and cosines bit-for-bit
+      (s: SparkSession, d: String) => Ann.semanticDecontam(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x)) AS nrm
+             |      FROM e),
+             |c AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 64),
+             |scored_cells AS (
+             |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      (list_reduce(list_transform(range(1, 65), i -> n.emb[i] * c.cemb[i]), (acc, x) -> acc + x)
+             |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+             |  FROM n CROSS JOIN c),
+             |asg AS (SELECT vec_id, emb, nrm, cell FROM scored_cells WHERE rn = 1),
+             |h AS (SELECT * FROM asg WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '0ccd'),
+             |tr AS (SELECT * FROM asg WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) >= '0ccd'),
+             |m AS (SELECT tr.vec_id AS vec_id, h.vec_id AS h_id,
+             |        list_reduce(list_transform(range(1, 65), i -> tr.emb[i] * h.emb[i]), (acc, x) -> acc + x)
+             |          / (tr.nrm * h.nrm) AS cos
+             |      FROM tr JOIN h ON tr.cell = h.cell),
+             |f AS (SELECT * FROM m WHERE cos >= 0.35)
+             |SELECT vec_id, h_id AS holdout_id, cos AS cosine, matches FROM (
+             |  SELECT vec_id, h_id, cos,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, h_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY vec_id) AS matches
+             |  FROM f) t WHERE rn = 1""".stripMargin)),
+
+    ("bpe_pair_stats",
+      // the BPE trainer's inner-loop statistic: adjacent-pair counts
+      // weighted by word frequency, extracted from the vocab-bounded
+      // distinct-word rollup — never from raw corpus rows
+      (s: SparkSession, d: String) => Corpus.bpePairStats(docs(s, d)),
+      Some("""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+             |f AS (SELECT word, COUNT(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY 1),
+             |idx AS (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i FROM f)
+             |SELECT substr(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS occurrences
+             |FROM idx GROUP BY 1 ORDER BY occurrences DESC, pair LIMIT 100""".stripMargin))
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

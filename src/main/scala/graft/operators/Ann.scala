@@ -376,6 +376,56 @@ object Ann {
         col("a.cell").as("cell"), col("cos").as("cosine"))
   }
 
+  /** Embedding-space decontamination — [[graft.operators.TextOps]]'
+    * n-gram `decontam_overlap` catches verbatim eval leakage, but a
+    * paraphrased or re-translated eval document shares no n-grams
+    * with its source; its EMBEDDING still sits next to it. This is
+    * the semantic arm of the same guard: flag every train vector
+    * whose cosine to ANY holdout vector reaches `threshold`, blocked
+    * on the deterministic IVF cells of [[ivfTopK]]'s quantizer (the
+    * SemDeDup blocking of [[semanticDedupPairs]], applied CROSS-SET:
+    * train×holdout inside a cell, never train×train).
+    *
+    * The holdout membership rule is the engine-portable md5 bucket of
+    * [[graft.operators.TextOps.hashSplit]] (4 hex chars, ~`holdoutHex`
+    * /0x10000 of vectors), so the split is stable under re-runs and
+    * corpus growth and the SQL oracle replays it verbatim. Per
+    * flagged train vector: its nearest offending holdout vector
+    * (ties to the lower id), that cosine, and how many holdout
+    * vectors it collides with — the evidence row a curation run
+    * attaches to each dropped document.
+    *
+    * Scale shape: cell assignment is the map-side broadcast argmin
+    * ([[nearestCells]]); the only corpus-scale shuffle is the
+    * cell-keyed join, whose probe side is the ~5% holdout slice; work
+    * is Σ |cell_train|·|cell_holdout| — bounded by the quantizer
+    * fan-out like SemDeDup, never all-pairs. The per-vector argmax is
+    * a single max-of-struct aggregate (no window over the corpus). */
+  def semanticDecontam(embeddings: DataFrame, numCentroids: Int = 64,
+                       threshold: Double = 0.35,
+                       holdoutHex: String = "0ccd"): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cells = nearestCells(e, ivfCentroids(e, numCentroids), "emb", "nrm", keep = 1)
+      .withColumn("is_holdout",
+        substring(md5(col("vec_id").cast("string")), 1, 4) < holdoutHex)
+    val train = cells.filter(!col("is_holdout"))
+    val holdout = cells.filter(col("is_holdout"))
+      .select(col("vec_id").as("h_id"), col("emb").as("h_emb"),
+        col("nrm").as("h_nrm"), col("cell"))
+    train.join(holdout, Seq("cell"))
+      .withColumn("cos", dot(col("emb"), col("h_emb")) / (col("nrm") * col("h_nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id"), col("h_id"), col("cos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos"), (-col("h_id")).as("neg"), col("h_id"))).as("best"),
+        count(lit(1)).as("matches"))
+      .select(col("vec_id"), col("best.h_id").as("holdout_id"),
+        col("best.cos").as("cosine"), col("matches"))
+  }
+
   /** Embedding-table sanity report — the check an embedding pipeline
     * runs before anything consumes the vectors: per dimensionality
     * (ragged tables show up as extra rows), vector count, norm range,

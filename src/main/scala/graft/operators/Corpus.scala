@@ -513,6 +513,40 @@ object Corpus {
         col("oov_tokens").cast("double") / col("tokens").cast("double"))
   }
 
+  /** BPE merge-candidate statistics — the counting step of the
+    * byte-pair-encoding trainer's inner loop (Sennrich et al. 2016):
+    * for every adjacent symbol pair inside a word, how many times it
+    * occurs in the corpus, weighted by word frequency. The top row is
+    * the pair the first merge iteration would fuse; the table is the
+    * evidence a tokenizer-training run keeps per iteration. Character
+    * level here (iteration 0 — later iterations would rerun on the
+    * merged symbol stream); positions count individually, so "aaa"
+    * contributes "aa" twice per occurrence, exactly the trainer's
+    * statistic.
+    *
+    * Scale shape: pair extraction runs on the DISTINCT-WORD rollup
+    * (vocabulary-bounded — Heaps' law, not corpus-linear), never on
+    * raw corpus rows: one corpus-scale word count with map-side
+    * combine, then a vocab-sized explode into `substr(word, i, 2)`
+    * slices, a pair-domain-bounded combinable sum, and a
+    * TakeOrdered(topN) with the (count desc, pair) tiebreak. Every
+    * number is an exact BIGINT. */
+  def bpePairStats(documents: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN >= 1)
+    val words = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** DSIR-shaped importance report (Xie et al. 2023: hashed n-gram
     * features, importance = how much a document's features look like
     * a target domain rather than the raw corpus). Features are

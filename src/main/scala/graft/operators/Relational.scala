@@ -209,6 +209,44 @@ object Relational {
         sum(col("rev")).cast("double").as("total_revenue"))
       .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
 
+  /** Large-quantity orders (TPC-H Q18 shape): orders whose lineitems
+    * sum past a quantity threshold, reported with the customer who
+    * placed them — the AGGREGATE-THEN-JOIN-BACK shape the rest of the
+    * relational set doesn't exercise: the fact table is aggregated
+    * FIRST and the HAVING survivors feed back into a join against the
+    * fact's parent. (Q3/Q4/Q5 all join raw facts and aggregate last;
+    * here the aggregate IS the filter.)
+    *
+    * Scale shape: the lineitem aggregate is one orderkey-keyed
+    * shuffle with map-side combine (sum is combinable), and the
+    * HAVING output is a tiny, threshold-controlled fraction of orders
+    * — so the join back into `orders` is declarative and AQE
+    * broadcasts the survivor side at runtime when it measures small
+    * (NOT forced: the qualifying set grows with the corpus, and at
+    * 100 TB a low threshold could make it fact-sized). The customer
+    * join stays declarative for the same reason, and the final top-N
+    * rides TakeOrderedAndProject with the orderkey tiebreak. Quantity
+    * accumulates exactly as decimal(30,2) — integer-valued doubles
+    * sum exactly, but the decimal form keeps the guarantee when
+    * quantities gain real decimals ([[graft.functions.Exact]]). */
+  def bigQuantityOrders(orders: DataFrame, lineitem: DataFrame,
+                        customer: DataFrame, minQty: Int = 250,
+                        n: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(30,2)")).as("qty"))
+      .filter(col("qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(n)
+  }
+
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */
   def orderPriorityStats(orders: DataFrame): DataFrame =

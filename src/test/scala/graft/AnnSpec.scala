@@ -255,4 +255,25 @@ class AnnSpec extends SparkSpec {
     // within cell 1: (1,4) cos .994; cross-cell pairs never scored
     assert(out === Set((0L, 2L, 0L), (0L, 3L, 0L), (2L, 3L, 0L), (1L, 4L, 1L)))
   }
+
+  test("semanticDecontam flags train vectors near a holdout, best match ties to lower id") {
+    // md5 prefixes: "6"->1679, "7"->8f14, "9"->45c4 (< a000 -> holdout);
+    // "0"->cfcd, "1"->c4ca, "2"->c81e, "3"->eccb (train).
+    // numCentroids=2 -> centroids vec 0 (x-axis) and vec 1 (y-axis).
+    val out = Ann.semanticDecontam(embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 9),      // train, cell 0
+      (1L, Seq(0f, 1f, 0f, 0f), 9),      // train, cell 1
+      (2L, Seq(0.95f, 0.05f, 0f, 0f), 9), // train, cell 0
+      (3L, Seq(0f, 0f, 1f, 0f), 9),      // train, cell 0 (tie -> lower), orthogonal to all
+      (6L, Seq(0.9f, 0.1f, 0f, 0f), 9),  // holdout, cell 0
+      (7L, Seq(0.8f, 0.2f, 0f, 0f), 9),  // holdout, cell 0
+      (9L, Seq(0.1f, 0.9f, 0f, 0f), 9)), // holdout, cell 1
+      numCentroids = 2, threshold = 0.5, holdoutHex = "a000")
+      .select("vec_id", "holdout_id", "matches")
+      .as[(Long, Long, Long)].collect().toSet
+    // vec 0 hits holdouts 6 (cos .994) and 7 (.970) -> best 6, 2 matches;
+    // vec 2 hits 6 (.998) and 7 (.982); vec 1 hits 9 (.994); vec 3 is
+    // orthogonal to every holdout in its cell -> clean, absent
+    assert(out === Set((0L, 6L, 2L), (2L, 6L, 2L), (1L, 9L, 1L)))
+  }
 }

@@ -320,4 +320,15 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) === ((1L, 3L, 3L, 1.0)))
     assert(out(2L) === ((2L, 4L, 1L, 0.25)))
   }
+
+  test("bpePairStats: position-weighted pair counts off the word rollup, 1-char words out") {
+    val df = docs(
+      (1L, "aaa bc x", "en", "s1"),  // aaa -> aa twice per occurrence
+      (2L, "bc bc", "en", "s1"))
+    val out = Corpus.bpePairStats(df)
+      .as[(String, Long)].collect().toSeq
+    // word freqs: aaa=1, bc=3 ("x" dropped, length 1); pairs:
+    // bc occurs 3x, aa occurs at 2 positions x 1 occurrence = 2
+    assert(out === Seq(("bc", 3L), ("aa", 2L)))
+  }
 }

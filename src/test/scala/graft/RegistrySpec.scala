@@ -74,7 +74,11 @@ class RegistrySpec extends SparkSpec {
     // round-9 widening: the Q5 snowflake shape, IVF-cell SemDeDup,
     // tokenizer-vocabulary coverage, DSIR-shaped importance
     "q_region_revenue", "dedup_semantic", "vocab_coverage",
-    "importance_favored", "q_promo_revenue", "semantic_clusters")
+    "importance_favored", "q_promo_revenue", "semantic_clusters",
+    // round-9 closing widening: the Q18 aggregate-then-join-back
+    // shape, cross-set semantic decontamination, the BPE trainer's
+    // merge-candidate statistic
+    "q_big_orders", "decontam_semantic", "bpe_pair_stats")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -25,4 +25,30 @@ class RelationalSpec extends SparkSpec {
     assert(out("1996-01") === (("1996-01", 100.0, 125.0, 0.8)))
     assert(out("1996-02") === (("1996-02", 0.0, 40.0, 0.0)))
   }
+
+  test("bigQuantityOrders: HAVING bar is strict, top-N orders by price with key tiebreak") {
+    val lineitem = Seq(
+      // order 1: sums to exactly the bar -> excluded (strict >)
+      (1L, 100.0), (1L, 150.0),
+      // order 2: past the bar
+      (2L, 200.0), (2L, 60.0),
+      // order 3: past the bar, same totalprice as order 2
+      (3L, 300.0),
+      // order 4: below
+      (4L, 10.0))
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq(
+      (1L, 7L, "1996-01-01", 500.0), (2L, 8L, "1996-02-01", 400.0),
+      (3L, 8L, "1996-03-01", 400.0), (4L, 9L, "1996-04-01", 900.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val customer = Seq((7L, "c7"), (8L, "c8"), (9L, "c9"))
+      .toDF("c_custkey", "c_name")
+    val out = Relational.bigQuantityOrders(orders, lineitem, customer)
+      .select("o_orderkey", "c_name", "total_qty")
+      .as[(Long, String, Double)].collect()
+    // orders 1 (== bar) and 4 (below) are out; 2 and 3 tie on price,
+    // orderkey breaks the tie
+    assert(out.toSeq === Seq((2L, "c8", 260.0), (3L, "c8", 300.0)))
+  }
 }
