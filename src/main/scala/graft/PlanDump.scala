@@ -63,7 +63,8 @@ object PlanDump {
       "importance_favored" -> "DSIR importance: 4096-row feature table, favored set broadcast into the second pass; only doc-keyed re-aggregate shuffles",
       "q_big_orders" -> "TPC-H Q18: combinable orderkey fact aggregate, HAVING survivors joined back declaratively (AQE broadcasts when small), TakeOrderedAndProject",
       "decontam_semantic" -> "cross-set SemDeDup blocking: cell-keyed train x holdout join, per-vector max-of-struct aggregate — no corpus window",
-      "bpe_pair_stats" -> "BPE merge candidates: substr pair explode on the vocab-bounded word rollup, map-side combine, TakeOrdered(topN)")
+      "bpe_pair_stats" -> "BPE merge candidates: substr pair explode on the vocab-bounded word rollup, map-side combine, TakeOrdered(topN)",
+      "ann_ivf_quantized" -> "IVF-SQ8: full-precision argmin cells against the 1-row broadcast centroids, int8 exact-integer dots inside probed cells only")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

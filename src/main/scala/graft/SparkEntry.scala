@@ -1785,7 +1785,45 @@ object SparkEntry {
              |f AS (SELECT word, COUNT(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY 1),
              |idx AS (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i FROM f)
              |SELECT substr(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS occurrences
-             |FROM idx GROUP BY 1 ORDER BY occurrences DESC, pair LIMIT 100""".stripMargin))
+             |FROM idx GROUP BY 1 ORDER BY occurrences DESC, pair LIMIT 100""".stripMargin)),
+
+    ("ann_ivf_quantized",
+      // IVF cells x int8 scan (the FAISS IVF-SQ8 shape): both stages
+      // are deterministic arithmetic, so the composed index replays
+      // bit-for-bit — full-precision argmin cells, floor-quantized
+      // values, exact integer dots
+      (s: SparkSession, d: String) => Ann.ivfQuantizedTopK(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x)) AS nrm
+             |      FROM e),
+             |c AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 64),
+             |scored_cells AS (
+             |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      (list_reduce(list_transform(range(1, 65), i -> n.emb[i] * c.cemb[i]), (acc, x) -> acc + x)
+             |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+             |  FROM n CROSS JOIN c),
+             |qz AS (SELECT vec_id, cell, rn,
+             |        CASE WHEN ma = 0 THEN emb ELSE list_transform(emb, x -> floor(x * 127.0 / ma + 0.5)) END AS q
+             |       FROM (SELECT vec_id, emb, cell, rn,
+             |               list_max(list_transform(emb, x -> abs(x))) AS ma
+             |             FROM scored_cells) t),
+             |qn AS (SELECT vec_id, cell, rn, q,
+             |        list_reduce(list_transform(range(1, 65), i -> q[i] * q[i]), (acc, x) -> acc + x) AS nq
+             |       FROM qz),
+             |corpus AS (SELECT vec_id, cell, q, nq FROM qn WHERE rn = 1 AND nq > 0),
+             |probes AS (SELECT vec_id AS query_id, cell, q AS qq, nq AS qnq
+             |           FROM qn WHERE vec_id < 5 AND rn <= 4 AND nq > 0),
+             |cand AS (SELECT p.query_id, a.vec_id,
+             |    list_reduce(list_transform(range(1, 65), i -> p.qq[i] * a.q[i]), (acc, x) -> acc + x)
+             |      / (sqrt(p.qnq) * sqrt(a.nq)) AS cos_q
+             |  FROM corpus a JOIN probes p ON a.cell = p.cell
+             |  WHERE a.vec_id <> p.query_id),
+             |ranked AS (SELECT query_id, vec_id, cos_q,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id) AS rank FROM cand)
+             |SELECT query_id, vec_id, cos_q AS cosine_q, rank FROM ranked WHERE rank <= 3""".stripMargin))
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

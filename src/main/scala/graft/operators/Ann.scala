@@ -303,6 +303,55 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos_q").as("cosine_q"), col("rank"))
   }
 
+  /** IVF cells × int8 scan — [[ivfTopK]]'s probe structure with
+    * [[quantizedTopK]]'s integer scoring: the composition production
+    * ANN systems actually deploy (FAISS IVF-SQ8 shape: a coarse
+    * quantizer bounds WHICH vectors are scored, scalar quantization
+    * bounds what each score COSTS — at 100 TB the first keeps the
+    * probe off most of the corpus, the second keeps the probed slice
+    * in page cache at 4-8× density). Cell assignment runs at full
+    * precision (the cheap side — one argmin per vector at build time)
+    * and the per-candidate work is the exact integer dot.
+    *
+    * Both stages are deterministic arithmetic — double argmin cells,
+    * floor-quantized values, integer-valued dots — so the ENTIRE
+    * composed index replays bit-for-bit in the SQL oracle, like its
+    * two parents and unlike virtually any deployed IVF-SQ8. Zero-norm
+    * quantized vectors are excluded from scoring (undefined cosine),
+    * matching [[quantizedTopK]]. */
+  def ivfQuantizedTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
+                       numCentroids: Int = 64, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val centroids = ivfCentroids(e, numCentroids)
+    val cells = nearestCells(e, centroids, "emb", "nrm", keep = 1)
+      .withColumn("q", quantize(col("emb")))
+      .withColumn("nq", dot(col("q"), col("q")))
+      .filter(col("nq") > 0.0)
+      .select(col("vec_id"), col("cell"), col("q"), col("nq"))
+    val probes = nearestCells(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm")),
+      centroids, "qemb", "qnrm", keep = nprobe)
+      .withColumn("qq", quantize(col("qemb")))
+      .withColumn("qnq", dot(col("qq"), col("qq")))
+      .filter(col("qnq") > 0.0)
+      .select(col("query_id"), col("cell"), col("qq"), col("qnq"))
+    cells.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // narrow before the dedup aggregate, same reasoning as ivfTopK
+      .withColumn("cos_q", dot(col("qq"), col("q")) / (sqrt(col("qnq")) * sqrt(col("nq"))))
+      .select(col("query_id"), col("vec_id"), col("cos_q"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_q").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_q").as("cosine_q"), col("rank"))
+  }
+
   /** Recall@k report of an approximate top-k against the exact
     * brute-force top-k: per query, the exact hit-set size, how many of
     * those hits the approximate index returned, and the k-th exact

@@ -256,6 +256,24 @@ class AnnSpec extends SparkSpec {
     assert(out === Set((0L, 2L, 0L), (0L, 3L, 0L), (2L, 3L, 0L), (1L, 4L, 1L)))
   }
 
+  test("ivfQuantizedTopK: cell probing bounds candidates, quantized dots score them exactly") {
+    // numCentroids=2 -> centroids vec 0 (x-axis) and vec 1 (y-axis)
+    val out = Ann.ivfQuantizedTopK(embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 9),       // query+centroid, cell 0
+      (1L, Seq(0f, 1f, 0f, 0f), 9),       // query+centroid, cell 1
+      (2L, Seq(0.5f, 0f, 0f, 0f), 9),     // cell 0; quantizes to (127,0,0,0)
+      (3L, Seq(0f, 0f, 0f, 0f), 9),       // zero vector -> excluded from scoring
+      (4L, Seq(0f, 0.5f, 0.5f, 0f), 9)),  // cell 1; quantizes to (0,127,127,0)
+      numQueries = 2, k = 2, numCentroids = 2, nprobe = 1)
+      .select("query_id", "vec_id", "cosine_q", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // query 0 probes only cell 0: candidate 2 at quantized cos 1.0
+    // (both quantize to (127,0,0,0)); query 1 probes cell 1:
+    // candidate 4 at 16129/(sqrt(16129)*sqrt(32258)) = 1/sqrt(2)
+    val c14 = 16129.0 / (math.sqrt(16129.0) * math.sqrt(32258.0))
+    assert(out === Set((0L, 2L, 1.0, 1L), (1L, 4L, c14, 1L)))
+  }
+
   test("semanticDecontam flags train vectors near a holdout, best match ties to lower id") {
     // md5 prefixes: "6"->1679, "7"->8f14, "9"->45c4 (< a000 -> holdout);
     // "0"->cfcd, "1"->c4ca, "2"->c81e, "3"->eccb (train).

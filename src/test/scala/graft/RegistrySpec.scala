@@ -78,7 +78,10 @@ class RegistrySpec extends SparkSpec {
     // round-9 closing widening: the Q18 aggregate-then-join-back
     // shape, cross-set semantic decontamination, the BPE trainer's
     // merge-candidate statistic
-    "q_big_orders", "decontam_semantic", "bpe_pair_stats")
+    "q_big_orders", "decontam_semantic", "bpe_pair_stats",
+    // round-9 closing: the composed IVF-cells x int8-scan index
+    // (FAISS IVF-SQ8 shape), still exact-arithmetic end to end
+    "ann_ivf_quantized")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
