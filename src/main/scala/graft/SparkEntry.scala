@@ -1406,6 +1406,18 @@ object SparkEntry {
       (s: SparkSession, d: String) => TextOps.gopherRules(docs(s, d)),
       Some(gopherRulesSql)),
 
+    ("gopher_filter",
+      // the filter twin of gopher_rules (and the batch contract of
+      // Streams.qualityGateStream): survivors pass through with input
+      // columns intact; oracle reuses the SAME rule SQL so gate and
+      // report cannot disagree
+      (s: SparkSession, d: String) => TextOps.gopherFilter(docs(s, d))
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Some(s"""WITH g AS ($gopherRulesSql)
+              |SELECT d.doc_id, d.source, d.n_chars
+              |FROM documents d JOIN g ON d.doc_id = g.doc_id
+              |WHERE g.gopher_pass""".stripMargin)),
+
     ("gopher_report",
       // which rule kills which source — the drop/downweight/fix-the-
       // extractor decision view; rules projection fuses into the agg

@@ -384,6 +384,35 @@ object TextOps {
     * n_chars - (n_words - 1). */
   def gopherRules(documents: DataFrame,
                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val g = gopherCols(minWords, maxWords)
+    documents.select(
+      col("doc_id"),
+      col("source"),
+      g.nWords.as("n_words"),
+      g.mwl.as("mean_word_len"),
+      g.symbolRatio.as("symbol_ratio"),
+      g.alphaRatio.as("alpha_ratio"),
+      g.stopHits.as("stop_hits"),
+      g.passWords.as("pass_words"),
+      g.passMwl.as("pass_mwl"),
+      g.passSymbol.as("pass_symbol"),
+      g.passAlpha.as("pass_alpha"),
+      g.passStops.as("pass_stops"),
+      g.passAll.as("gopher_pass"))
+  }
+
+  /** The rule expressions behind [[gopherRules]], shared with
+    * [[gopherFilter]] so the report and the gate can never disagree
+    * on what "pass" means. */
+  private final case class GopherColumns(nWords: Column, mwl: Column,
+                                         symbolRatio: Column, alphaRatio: Column,
+                                         stopHits: Column, passWords: Column,
+                                         passMwl: Column, passSymbol: Column,
+                                         passAlpha: Column, passStops: Column) {
+    def passAll: Column = passWords && passMwl && passSymbol && passAlpha && passStops
+  }
+
+  private def gopherCols(minWords: Long, maxWords: Long): GopherColumns = {
     val toks = split(col("text"), " ")
     val nWords = size(toks).cast("long")
     val mwl = (col("n_chars") - (nWords - lit(1L))).cast("double") / nWords.cast("double")
@@ -394,27 +423,24 @@ object TextOps {
     val stopHits = GopherStops.map(w =>
       when(col("text").rlike(s"\\b$w\\b"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val passWords = nWords >= minWords && nWords <= maxWords
-    val passMwl = mwl >= 3.0 && mwl <= 10.0
-    val passSymbol = symbolRatio < 0.1
-    val passAlpha = alphaRatio > 0.8
-    val passStops = stopHits >= 2L
-    documents.select(
-      col("doc_id"),
-      col("source"),
-      nWords.as("n_words"),
-      mwl.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"),
-      alphaRatio.as("alpha_ratio"),
-      stopHits.as("stop_hits"),
-      passWords.as("pass_words"),
-      passMwl.as("pass_mwl"),
-      passSymbol.as("pass_symbol"),
-      passAlpha.as("pass_alpha"),
-      passStops.as("pass_stops"),
-      (passWords && passMwl && passSymbol && passAlpha && passStops)
-        .as("gopher_pass"))
+    GopherColumns(nWords, mwl, symbolRatio, alphaRatio, stopHits,
+      passWords = nWords >= minWords && nWords <= maxWords,
+      passMwl = mwl >= 3.0 && mwl <= 10.0,
+      passSymbol = symbolRatio < 0.1,
+      passAlpha = alphaRatio > 0.8,
+      passStops = stopHits >= 2L)
   }
+
+  /** The FILTER twin of [[gopherRules]]: documents that pass the full
+    * battery flow through with every input column intact, the rest
+    * drop — the shape an ingest pipeline actually applies (the report
+    * is for deciding thresholds; this enforces them). A stateless,
+    * shuffle-free projection+filter, so the identical transform runs
+    * on an unbounded frame
+    * ([[graft.streaming.Streams.qualityGateStream]]). */
+  def gopherFilter(documents: DataFrame,
+                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    documents.filter(gopherCols(minWords, maxWords).passAll)
 
   /** Per-source curation report over [[gopherRules]]: how much of each
     * source survives the battery, and WHICH rule kills it — the

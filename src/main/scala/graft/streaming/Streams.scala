@@ -27,6 +27,17 @@ object Streams {
   def cleanStream(rawDocuments: DataFrame): DataFrame =
     Cleaning.silver(rawDocuments)
 
+  /** Continuous quality gate: the Gopher battery enforced at ingest —
+    * documents failing any rule never land. Stateless like
+    * [[cleanStream]] (one shuffle-free projection+filter), so the
+    * SAME transform runs bounded or unbounded; the batch form is the
+    * oracle-checked `gopher_filter` registry row and the stream≡batch
+    * equivalence is spec-pinned. Dropping at ingest is the 100 TB
+    * move: a document that fails a stateless rule costs its scan once
+    * here versus every downstream pass if filtered later. */
+  def qualityGateStream(rawDocuments: DataFrame): DataFrame =
+    graft.operators.TextOps.gopherFilter(rawDocuments)
+
   /** Watermarked tumbling-window counts over the event stream — the
     * micro-batch "stats every 30 s" loop of the reference, expressed
     * as a proper event-time window (late data handled by the

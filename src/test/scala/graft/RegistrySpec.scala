@@ -81,7 +81,10 @@ class RegistrySpec extends SparkSpec {
     "q_big_orders", "decontam_semantic", "bpe_pair_stats",
     // round-9 closing: the composed IVF-cells x int8-scan index
     // (FAISS IVF-SQ8 shape), still exact-arithmetic end to end
-    "ann_ivf_quantized")
+    "ann_ivf_quantized",
+    // round-9 closing: the Gopher gate (filter twin of gopher_rules,
+    // batch contract of Streams.qualityGateStream)
+    "gopher_filter")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -29,6 +29,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityGateStream drops failing docs at ingest, same verdicts as the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Streams.qualityGateStream(df).writeStream
+      .format("memory").queryName("gate_out").outputMode("append").start()
+    // 50 words, mwl ~4, all-alpha, two stop hits -> passes; "tiny text" fails
+    val good = (Seq("the", "data", "of", "pipeline") ++ Seq.fill(46)("word")).mkString(" ")
+    try {
+      input.addData(
+        (1L, good, "en", "s1", good.length.toLong),
+        (2L, "tiny text", "en", "s1", 9L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM gate_out").as[Long].collect()
+      assert(out.toSeq === Seq(1L))
+      // stream verdicts == batch verdicts on the same frame
+      val batch = graft.operators.TextOps.gopherFilter(
+        Seq((1L, good, "en", "s1", good.length.toLong),
+          (2L, "tiny text", "en", "s1", 9L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .select("doc_id").as[Long].collect()
+      assert(batch.toSeq === out.toSeq)
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates tumbling event-time windows under a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]

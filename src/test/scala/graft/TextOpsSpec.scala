@@ -222,4 +222,19 @@ class TextOpsSpec extends SparkSpec {
     assert(stats.map(_._3).sum === 8L)
     assert(stats.map(_._4).sum === 3L) // each cluster counted in ONE split
   }
+
+  test("gopherFilter keeps exactly gopherRules' pass set with input columns intact") {
+    // 50 words, mwl ~4, all-alpha, two stopword hits -> passes every rule
+    val good = (Seq("the", "data", "of", "pipeline") ++ Seq.fill(46)("word")).mkString(" ")
+    val df = docs(
+      (1L, good, "en", "s1", (good.length).toLong),
+      (2L, "tiny text", "en", "s1", 9L)) // 2 words -> fails the word-count rule
+    val kept = TextOps.gopherFilter(df)
+    assert(kept.columns.toSeq === df.columns.toSeq)
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    // the gate and the report agree doc-for-doc
+    val verdicts = TextOps.gopherRules(df).select("doc_id", "gopher_pass")
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts === Map(1L -> true, 2L -> false))
+  }
 }
