@@ -64,7 +64,13 @@ object PlanDump {
       "q_big_orders" -> "TPC-H Q18: combinable orderkey fact aggregate, HAVING survivors joined back declaratively (AQE broadcasts when small), TakeOrderedAndProject",
       "decontam_semantic" -> "cross-set SemDeDup blocking: cell-keyed train x holdout join, per-vector max-of-struct aggregate — no corpus window",
       "bpe_pair_stats" -> "BPE merge candidates: substr pair explode on the vocab-bounded word rollup, map-side combine, TakeOrdered(topN)",
-      "ann_ivf_quantized" -> "IVF-SQ8: full-precision argmin cells against the 1-row broadcast centroids, int8 exact-integer dots inside probed cells only")
+      "ann_ivf_quantized" -> "IVF-SQ8: full-precision argmin cells against the 1-row broadcast centroids, int8 exact-integer dots inside probed cells only",
+      "q_forecast_revenue" -> "TPC-H Q6: every predicate in PushedFilters, 4-column pruned scan, one combinable global aggregate — the scan-efficiency yardstick",
+      "q_returned_items" -> "TPC-H Q10: both fact filters pushed, per-customer rollup BEFORE the dim join, broadcast nation, TakeOrderedAndProject top-20",
+      "q_top_supplier" -> "TPC-H Q15: rollup and its max on one reused exchange (scan-once), max as a 1-row broadcast equi-join — no global window",
+      "q_small_qty_revenue" -> "TPC-H Q17: per-part correlated average as a keyed window over the brand slice; exact integer cross-multiplied threshold",
+      "q_disc_revenue" -> "TPC-H Q19: hand-derived single-side prefilters pushed to both scans, OR-of-ANDs evaluated as the join residual",
+      "q_idle_customers" -> "TPC-H Q22: positive-average as a 1-row broadcast, LEFT ANTI against orders, exact cross-multiplied above-average test")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

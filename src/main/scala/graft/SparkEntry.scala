@@ -1756,6 +1756,125 @@ object SparkEntry {
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    ("q_forecast_revenue",
+      // TPC-H Q6: the pure-pushdown calibration query — every
+      // predicate reaches the scan, one exact global aggregate
+      (s: SparkSession, d: String) => Relational.forecastRevenue(Tables.lineitem(s, d)),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    ("q_volume_shipping",
+      // TPC-H Q7: two broadcast-pruned dim chains, opposite-nation
+      // residual on the final join, bounded (nation,nation,year) out
+      (s: SparkSession, d: String) => Relational.volumeShipping(
+        Tables.supplier(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d)),
+      Some("""SELECT supp_nation, cust_nation, l_year, CAST(SUM(rev) AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS INT) AS l_year,
+             |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS rev
+             |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |    AND c_custkey = o_custkey
+             |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+             |    AND n1.n_name IN ('NATION_1', 'NATION_2')
+             |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |    AND n1.n_name <> n2.n_name
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01') t
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    ("q_returned_items",
+      // TPC-H Q10: both fact scans carry their own filter, customer
+      // dim joined AFTER the rollup, broadcast nation, keyed top-N
+      (s: SparkSession, d: String) => Relational.returnedItemsTop(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.nation(s, d)),
+      Some("""SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+             |  SELECT c_custkey, c_name, c_acctbal, n_name,
+             |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+             |  FROM customer, orders, lineitem, nation
+             |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1996-04-01'
+             |    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             |  GROUP BY 1, 2, 3, 4) t
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    ("q_top_supplier",
+      // TPC-H Q15: the aggregate-vs-its-own-max — the max travels as
+      // a 1-row broadcast, equality is exact decimal so ties are real
+      (s: SparkSession, d: String) => Relational.topSupplier(
+        Tables.supplier(s, d), Tables.lineitem(s, d)),
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    ("q_small_qty_revenue",
+      // TPC-H Q17: correlated per-part average as a window over the
+      // brand-restricted join; the 0.2*avg threshold is exact
+      // integer cross-multiplication (5*qty*cnt < sum), so no float
+      // boundary exists between engines
+      (s: SparkSession, d: String) => Relational.smallQtyYearlyRevenue(
+        Tables.lineitem(s, d), Tables.part(s, d)),
+      Some("""WITH li AS (
+             |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#12'),
+             |w AS (SELECT qty, l_extendedprice,
+             |        SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty_sum,
+             |        COUNT(*) OVER (PARTITION BY l_partkey) AS part_cnt
+             |      FROM li)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM w WHERE qty * 5 * part_cnt < part_qty_sum""".stripMargin)),
+
+    ("q_disc_revenue",
+      // TPC-H Q19: OR-of-ANDs — the implied single-side prefilters
+      // are stated explicitly so they reach both scans; the full
+      // disjunction rides the join as a residual
+      (s: SparkSession, d: String) => Relational.discountedRevenue(
+        Tables.lineitem(s, d), Tables.part(s, d)),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |        AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |        AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    ("q_idle_customers",
+      // TPC-H Q22 shape: scalar-subquery average as a 1-row
+      // broadcast + left-anti against orders; above-average test is
+      // exact cross-multiplication (bal*cnt > sum) in decimal
+      (s: SparkSession, d: String) => Relational.idleCustomers(
+        Tables.customer(s, d), Tables.orders(s, d)),
+      Some(s"""WITH pos AS (
+              |  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum,
+              |    COUNT(*) AS bal_cnt
+              |  FROM customer WHERE c_acctbal > 0),
+              |idle AS (
+              |  SELECT c.c_mktsegment, c.c_acctbal
+              |  FROM customer c, pos
+              |  WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * bal_cnt > bal_sum
+              |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+              |SELECT c_mktsegment, COUNT(*) AS numcust,
+              |  ${sumFixedSql("c_acctbal")} AS totacctbal
+              |FROM idle GROUP BY 1""".stripMargin)),
+
     ("decontam_semantic",
       // the semantic arm of decontam_overlap: train vectors whose
       // cosine to any md5-holdout vector reaches the bar, blocked on

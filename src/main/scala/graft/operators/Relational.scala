@@ -247,6 +247,225 @@ object Relational {
       .limit(n)
   }
 
+  /** Revenue-change forecast (TPC-H Q6 shape): the PURE-PUSHDOWN
+    * query — every predicate (date range, discount band, quantity
+    * cap) references only scan columns, so the whole WHERE clause
+    * reaches the parquet reader as PushedFilters and the plan is one
+    * 4-column pruned scan feeding a single map-side-combinable
+    * global aggregate. No joins, no wide shuffle, one row out: at
+    * 100 TB this query's cost is exactly the I/O the row-group
+    * statistics can't skip, which is the point — it is the
+    * calibration query for scan efficiency. Revenue accumulates
+    * exactly as decimal(30,4) ([[graft.functions.Exact]]). */
+  def forecastRevenue(lineitem: DataFrame,
+                      dateLo: String = "1996-01-01", dateHi: String = "1997-01-01",
+                      discLo: Double = 0.05, discHi: Double = 0.07,
+                      maxQty: Int = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(dateLo) && col("l_shipdate") < lit(dateHi) &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(30,4)"))
+        .cast("double").as("revenue"))
+
+  /** Bilateral shipping volume (TPC-H Q7 shape): revenue flowing
+    * between two specific nations, by direction and ship year. The
+    * shape this adds to the set: TWO independent broadcast prunes of
+    * fact-sized dimensions (supplier by nation A∪B, customer by
+    * nation A∪B) feeding a fact-to-fact chain, with the
+    * "opposite nations" predicate a residual on the final join
+    * (it references both pruned chains, so no single-side pushdown
+    * exists). nation is constant-size and broadcast; supplier,
+    * customer, orders, lineitem all scale with the corpus and stay
+    * declarative — at a small SF, AQE broadcasts the post-filter
+    * supplier side at runtime; at 100 TB it plans the co-keyed
+    * shuffle. The year comes off the ship date (bounded group
+    * domain) and revenue accumulates exactly as decimal(30,4). */
+  def volumeShipping(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, nation: DataFrame,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2",
+                     dateLo: String = "1996-01-01", dateHi: String = "1998-01-01"): DataFrame = {
+    val nations = nation.filter(col("n_name") === nationA || col("n_name") === nationB)
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(dateLo) && col("l_shipdate") < lit(dateHi))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,4)").as("rev"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  /** Returned-item losses (TPC-H Q10 shape): the customers behind the
+    * most returned revenue in one quarter. Adds the SELECTIVE-FACT
+    * top-k shape: both fact scans carry their own filter (order date
+    * window on orders, `l_returnflag = 'R'` on lineitem — both reach
+    * PushedFilters), the surviving slices join on the order key, roll
+    * up per customer, and only then touch the customer dim — so the
+    * dim join processes |qualifying customers| rows, not |orders|.
+    * nation is constant-size and broadcast; the final top-N rides
+    * TakeOrderedAndProject with a key tiebreak. Revenue accumulates
+    * exactly as decimal(30,4). */
+  def returnedItemsTop(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       nation: DataFrame, dateLo: String = "1996-01-01",
+                       dateHi: String = "1996-04-01", n: Int = 20): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(dateLo) && col("o_orderdate") < lit(dateHi))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,4)").as("rev")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(n)
+
+  /** Top supplier(s) by period revenue (TPC-H Q15 shape): the
+    * AGGREGATE-VS-ITS-OWN-MAX query. The per-supplier rollup is one
+    * suppkey-keyed shuffle off a date-pruned scan; its maximum then
+    * has to confront every rollup row. The 100 TB move is the 1-ROW
+    * BROADCAST: aggregate the max into a single row and broadcast-
+    * cross it into the rollup (same pattern as the repo's stats
+    * cursors and k-means centroids) — NOT a global window
+    * (`max().over()` with no partition drags every rollup row
+    * through one task) and NOT a self-join on the max value.
+    * Revenue accumulates exactly as decimal(30,4), so the equality
+    * against the max is exact-on-exact — no float-boundary flakes;
+    * ties all surface deterministically. */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  dateLo: String = "1996-01-01", dateHi: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      // the explicit suppkey null-filter matters for SCAN-ONCE: the
+      // supplier equi-join injects isnotnull(l_suppkey) into the
+      // rollup branch only, making the two aggregate subtrees (rollup
+      // and its max) canonically different — with it stated on the
+      // shared base, both branches sit on IDENTICAL shuffle subtrees
+      // and exchange reuse fingerprints the fact table once
+      // (spec-pinned under the at-scale no-broadcast shape)
+      .filter(col("l_shipdate") >= lit(dateLo) && col("l_shipdate") < lit(dateHi) &&
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,4)")).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): average yearly
+    * revenue lost if orders below 20% of a part's average quantity
+    * were no longer taken, for one brand. The shape: a CORRELATED
+    * per-key average — each lineitem compares against the mean of its
+    * OWN part — expressed as a window over the brand-restricted join
+    * (the brand filter lands first, so the partkey-partitioned window
+    * sees ~1/|brands| of the fact, not all of it; a per-key window
+    * IS a keyed shuffle, the safe kind). The threshold comparison is
+    * EXACT cross-multiplication: `qty < 0.2 * avg(qty)` rewritten as
+    * `5 * qty * count < sum` over integer-valued quantities summed as
+    * longs — no float division anywhere near the boundary, so Spark
+    * and any oracle agree row-for-row. Revenue accumulates exactly
+    * as decimal(30,4); the /7.0 yearly scaling is one division. */
+  def smallQtyYearlyRevenue(lineitem: DataFrame, part: DataFrame,
+                            brand: String = "Brand#12"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      .join(part.filter(col("p_brand") === brand).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("part_qty_sum", sum(col("qty")).over(w))
+      .withColumn("part_cnt", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("part_cnt") < col("part_qty_sum"))
+      .agg((sum(col("l_extendedprice").cast("decimal(30,4)")).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  /** Discounted-revenue audit (TPC-H Q19 shape): revenue from three
+    * disjoint brand/size/quantity bands — the OR-OF-ANDS predicate.
+    * What the shape exercises: the disjunction references both sides
+    * (brand+size from part, quantity from lineitem), so no branch
+    * pushes down whole; instead the per-side IMPLIED prefilters
+    * (`p_size BETWEEN 1 AND 15`, `l_quantity BETWEEN 1 AND 30`, the
+    * brand IN-list) are stated explicitly so they reach both scans as
+    * PushedFilters, and the full disjunction evaluates as the join
+    * residual on the survivors — the classic "derive the weaker
+    * single-table predicate" rewrite done by hand because no planner
+    * derives it from an OR. Both sides scale with the corpus; the
+    * join stays declarative on partkey. Revenue exact as
+    * decimal(30,4), one row out. */
+  def discountedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,4)").as("rev"))
+    val pt = part
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(pt, col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size") <= 5 &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size") <= 10 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#34" && col("p_size") <= 15 &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30)))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  /** Idle high-balance customers (TPC-H Q22 shape, keyed on market
+    * segment since this schema carries no phone country code):
+    * customers whose balance beats the positive-balance average but
+    * who never ordered. Two canonical shapes in one plan: a SCALAR
+    * subquery (the global average travels as a 1-row broadcast cross
+    * join, like [[topSupplier]]'s max) and a fact-sized LEFT ANTI
+    * join against orders (the semi-join's missing sibling in this
+    * set — output bounded by customers, probe short-circuits). The
+    * above-average test is EXACT cross-multiplication:
+    * `bal > sum/cnt` rewritten `bal*cnt > sum` over decimal(30,4) —
+    * the float-division boundary never exists, so no customer
+    * flickers in or out between engines. The final per-segment
+    * rollup is bounded-domain, map-side combinable. */
+  def idleCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val pos = customer.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(30,4)")).as("bal_sum"),
+        count(lit(1)).as("bal_cnt"))
+    customer
+      .crossJoin(broadcast(pos))
+      .filter(col("c_acctbal").cast("decimal(12,2)") * col("bal_cnt") > col("bal_sum"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sumFixed(col("c_acctbal")).as("totacctbal"))
+  }
+
   /** Order-priority distribution with a status filter — the
     * "statistics by status" pattern (`staging_pg.py:331-344`). */
   def orderPriorityStats(orders: DataFrame): DataFrame =

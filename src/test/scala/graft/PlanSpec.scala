@@ -12,7 +12,21 @@ class PlanSpec extends SparkSpec {
 
   private def finalPlan(df: DataFrame): String = {
     df.collect() // materialize so AQE reaches its final plan
+    // default maxMetadataStringLength=100 truncates PushedFilters
+    // mid-token — widen it so filter assertions see the full list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** The pre-AQE physical plan. For pins on STATIC properties
+    * (pushdown, join strategy choice, window keying): at sf0.001 a
+    * selective filter can leave zero rows and AQE then collapses
+    * whole subtrees to EmptyRelation — the scans (and their
+    * PushedFilters) vanish from the final plan even though the
+    * at-scale plan has them. */
+  private def initialPlan(df: DataFrame): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    df.queryExecution.sparkPlan.toString
   }
 
   private def count(plan: String, token: String): Int =
@@ -354,5 +368,88 @@ class PlanSpec extends SparkSpec {
       s"within-cell pairing must be an equi-join on cell:\n$plan")
     // centroids travel as ONE aggregated broadcast row per side
     assert(count(plan, "BroadcastNestedLoopJoin") <= 2, s"centroid row fanout:\n$plan")
+  }
+
+  test("q_forecast_revenue: EVERY predicate reaches the scan; one scan, one row out") {
+    val plan = finalPlan(SparkEntry.queries("q_forecast_revenue")(spark, dir))
+    // the whole WHERE is scan-column-only — all five bounds must
+    // land in PushedFilters (this query IS the pushdown yardstick)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"date lo not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_shipdate"), s"date hi not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"), s"disc lo not pushed:\n$plan")
+    assert(plan.contains("LessThanOrEqual(l_discount,0.07)"), s"disc hi not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_quantity,24.0)"), s"qty cap not pushed:\n$plan")
+    assert(count(plan, "Scan parquet") === 1)
+    // no joins, no keyed shuffle — just the global-agg single exchange
+    assert(count(plan, "Exchange hashpartitioning") === 0, s"no keyed shuffle exists:\n$plan")
+  }
+
+  test("q_disc_revenue: the OR's implied prefilters reach BOTH scans") {
+    val plan = initialPlan(SparkEntry.queries("q_disc_revenue")(spark, dir))
+    // lineitem side: the derived quantity envelope
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)"), s"qty lo not pushed:\n$plan")
+    assert(plan.contains("LessThanOrEqual(l_quantity,30.0)"), s"qty hi not pushed:\n$plan")
+    // part side: the brand IN-list and size envelope
+    assert(plan.contains("In(p_brand"), s"brand list not pushed:\n$plan")
+    assert(plan.contains("LessThanOrEqual(p_size,15)"), s"size hi not pushed:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
+  test("q_top_supplier: no global window; 1-row max broadcast; fact fingerprinted ONCE") {
+    val init = initialPlan(SparkEntry.queries("q_top_supplier")(spark, dir))
+    // an unpartitioned max().over() would drag the whole rollup
+    // through one task — the plan must carry no Window at all
+    assert(!init.contains("Window"), s"global window leaked in:\n$init")
+    // Catalyst rewrites crossJoin(1-row max)+filter into a broadcast
+    // equi-join on the revenue value — either broadcast form is the
+    // pinned property (the max side is one row)
+    assert(count(init, "BroadcastNestedLoopJoin") + count(init, "Cross, BuildRight") === 1,
+      s"1-row max must broadcast:\n$init")
+    assert(init.contains("GreaterThanOrEqual(l_shipdate"), s"period not pushed:\n$init")
+    // at-scale shape (no small-table broadcast): the rollup and its
+    // max sit on canonically identical shuffle subtrees, so exchange
+    // reuse scans the date-pruned fact once, not twice
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = finalPlan(SparkEntry.queries("q_top_supplier")(spark, dir))
+      assert(count(plan, "Scan parquet.*lineitem") === 1,
+        s"fact must be scanned once via exchange reuse:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("q_returned_items: both fact filters pushed; dim join after the rollup; bounded top-N") {
+    val plan = finalPlan(SparkEntry.queries("q_returned_items")(spark, dir))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), s"date window not pushed:\n$plan")
+    assert(count(plan, "TakeOrderedAndProject") === 1, s"top-N must stay bounded:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
+  test("q_small_qty_revenue: the correlated average is a PER-PART window over the brand slice") {
+    val plan = finalPlan(SparkEntry.queries("q_small_qty_revenue")(spark, dir))
+    // brand filter reaches the part scan, so the window's keyed
+    // shuffle sees the brand slice, not the whole fact
+    assert(plan.contains("EqualTo(p_brand,Brand#12)"), s"brand not pushed:\n$plan")
+    // the window must be partitioned on the part key — an
+    // unpartitioned window here would single-task the fact
+    assert(plan.contains("windowspecdefinition(l_partkey"), s"window not keyed:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
+  test("q_idle_customers: 1-row average broadcast + anti-join, no semi/inner fallback") {
+    val plan = initialPlan(SparkEntry.queries("q_idle_customers")(spark, dir))
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1, s"1-row avg broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"), s"anti-join lost:\n$plan")
+    // the positive-balance prefilter feeds the average's scan
+    assert(plan.contains("GreaterThan(c_acctbal,0.0)"), s"positive filter not pushed:\n$plan")
+  }
+
+  test("q_volume_shipping: nation broadcast into both dim prunes, no cartesian") {
+    val plan = initialPlan(SparkEntry.queries("q_volume_shipping")(spark, dir))
+    assert(count(plan, "BroadcastHashJoin") >= 2, s"nation prunes must broadcast:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"ship window not pushed:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
   }
 }

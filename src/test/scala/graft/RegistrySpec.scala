@@ -84,7 +84,15 @@ class RegistrySpec extends SparkSpec {
     "ann_ivf_quantized",
     // round-9 closing: the Gopher gate (filter twin of gopher_rules,
     // batch contract of Streams.qualityGateStream)
-    "gopher_filter")
+    "gopher_filter",
+    // round-9 TPC-H tail: the plan shapes the relational set still
+    // lacked — pure pushdown (Q6), bilateral broadcast prune (Q7),
+    // selective-fact top-k (Q10), aggregate-vs-own-max (Q15),
+    // correlated per-key average (Q17), OR-of-ANDs residual (Q19),
+    // scalar subquery + anti-join (Q22)
+    "q_forecast_revenue", "q_volume_shipping", "q_returned_items",
+    "q_top_supplier", "q_small_qty_revenue", "q_disc_revenue",
+    "q_idle_customers")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
