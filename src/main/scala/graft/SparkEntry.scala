@@ -308,6 +308,37 @@ object SparkEntry {
              |  FROM documents, stats) t
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    ("ranked_search_bm25",
+      (s: SparkSession, d: String) =>
+        Search.bm25Search(docs(s, d), Seq("window", "merge")),
+      // BM25 saturation + length normalization with the linear idf;
+      // every float step mirrored association-for-association. k1
+      // (1.2) is CAST AS DOUBLE in the oracle: DuckDB parses bare
+      // 1.2 as DECIMAL and (1.2 + 1) in decimal rounds differently
+      // from the double sum Spark computes
+      Some("""WITH stats AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+             |      / COUNT(*) AS avgdl,
+             |    CAST(SUM(CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             |    CAST(SUM(CASE WHEN text LIKE '%merge%' THEN 1 ELSE 0 END) AS DOUBLE) AS df_1
+             |  FROM documents)
+             |SELECT doc_id, lang, score FROM (
+             |  SELECT doc_id, lang,
+             |    (n_docs / GREATEST(df_0, 1.0)) * (tf0 * (CAST(1.2 AS DOUBLE) + 1.0))
+             |      / (tf0 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / avgdl)))
+             |    + (n_docs / GREATEST(df_1, 1.0)) * (tf1 * (CAST(1.2 AS DOUBLE) + 1.0))
+             |      / (tf1 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / avgdl))) AS score
+             |  FROM (
+             |    SELECT doc_id, lang,
+             |      CAST(CAST(len(regexp_extract_all(substr(text, 1, 80), '\bwindow\b')) AS BIGINT) * 3
+             |        + CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS DOUBLE) AS tf0,
+             |      CAST(CAST(len(regexp_extract_all(substr(text, 1, 80), '\bmerge\b')) AS BIGINT) * 3
+             |        + CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS DOUBLE) AS tf1,
+             |      CAST(CAST(len(string_split(text, ' ')) AS BIGINT) AS DOUBLE) AS dl
+             |    FROM documents) d, stats) t
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     ("phrase_search",
       // ES match_phrase parity falls out of the scoring design:
       // termFrequency regex-quotes the WHOLE term, so a multi-word
@@ -609,6 +640,21 @@ object SparkEntry {
              |  CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
              |  GREATEST(CAST(SUM(n_tokens) AS BIGINT) - 2048, 0) AS overflow_tokens
              |FROM a GROUP BY 1, 2""".stripMargin)),
+
+    ("shuffle_shards",
+      // deterministic global shuffle + shard assignment: md5 key,
+      // 60-bit prefix mod N shard, per-shard dense rank — the read
+      // order a trainer consumes, reproducible on any engine
+      (s: SparkSession, d: String) => Corpus.shuffleShards(docs(s, d)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 's0') AS shuffle_key,
+             |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 15)) AS BIGINT)
+             |      % 8 AS INT) AS shard
+             |  FROM documents)
+             |SELECT doc_id, shuffle_key, shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT)
+             |    AS shard_pos
+             |FROM t""".stripMargin)),
 
     ("token_rarity",
       // unigram rarity profile: exact integer df sums, one division

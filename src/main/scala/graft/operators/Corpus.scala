@@ -323,6 +323,37 @@ object Corpus {
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("tok_offset"), col("bin"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the LAST step
+    * of every pretraining data pipeline: training must read the
+    * corpus in a random-but-REPRODUCIBLE order, split across N shard
+    * files. The shuffle key is md5(doc_id‖salt) (the same
+    * engine-portable rule as `hash_split`): changing the salt
+    * reshuffles, re-running doesn't. `shard` is the key's 60-bit
+    * integer prefix mod N (uniform by md5), `shard_pos` the dense
+    * 1-based rank within the shard under (key, doc_id) order — the
+    * exact read order a trainer consumes.
+    *
+    * Scale shape: ONE keyed shuffle (partition by shard) and a
+    * per-shard sort — tasks = numShards, each bounded by corpus/N,
+    * which is the same sizing rule as the shard WRITE this feeds
+    * (pick N so a shard fits a task; 100 TB at N=65536 is ~1.6 GB a
+    * shard). No global order statistic exists anywhere: a single
+    * total-order ROW_NUMBER would serialize the corpus through one
+    * reducer — the per-shard rank plus the shard id IS the global
+    * shuffle, at full parallelism. */
+  def shuffleShards(documents: DataFrame, numShards: Int = 8,
+                    salt: String = "s0"): DataFrame = {
+    require(numShards >= 1)
+    val key = md5(concat(col("doc_id").cast("string"), lit(salt)))
+    // 15 hex chars = 60 bits: inside BIGINT range for both engines
+    val h = conv(substring(key, 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+    documents
+      .select(col("doc_id"), key.as("shuffle_key"),
+        pmod(h, lit(numShards.toLong)).cast("int").as("shard"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Source-mix report against target weights — the data-mixing table
     * every pretraining run publishes: per source, the actual token
     * share vs the target weight and the sampling factor

@@ -191,6 +191,62 @@ object Search {
       .limit(topN)
   }
 
+  /** BM25-shaped ranked search — the saturation + length
+    * normalization ES actually runs (`es.py:166-240` relies on
+    * Lucene's BM25 default), which [[multiTermSearch]]'s raw
+    * tf×idf lacks: there a doc repeating the term 100× scores 100×,
+    * here the 101st mention is nearly free (tf saturates toward
+    * k1+1), and long documents stop winning just by having more
+    * words (tf is discounted by dl/avgdl). Two deliberate
+    * departures from textbook BM25, both for cross-engine
+    * determinism: the idf stays LINEAR (N/df — same rarity
+    * ordering; `ln` has no bit-identity guarantee across libms,
+    * see [[multiTermSearch]]) and every float step (ratio,
+    * multiply, divide, left-fold add) is IEEE exact-rounded with
+    * the association mirrored in the oracle SQL, so the scores —
+    * not just the ranking — replay bit-for-bit.
+    *
+    * score(doc) = Σ_t idf_t × (tf_t×(k1+1)) / (tf_t + k1×(1−b + b×dl/avgdl))
+    * with tf_t = 3×tf_title + tf_body (the title boost folded into
+    * the saturating tf, BM25F-style), dl = whitespace token count,
+    * avgdl from an exact long sum with ONE final division.
+    *
+    * Scale shape: identical to [[multiTermSearch]] — corpus
+    * statistics (n_docs, avgdl, df_t) collapse to ONE row broadcast
+    * into the scoring scan, the top-N rides TakeOrderedAndProject;
+    * no shuffle ever touches the corpus. */
+  def bm25Search(documents: DataFrame, terms: Seq[String], topN: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 analyzer: Option[Analyzer] = None): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val analyzed = analyzer.map(_.terms(terms)).getOrElse(terms)
+    if (analyzed.isEmpty)
+      return emptyHits(documents, Seq.empty).withColumn("score", col("score").cast("double"))
+    val textCol = analyzer.map(_.normalize(col("text"))).getOrElse(col("text"))
+    val dl = size(split(textCol, " ")).cast("long")
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      (sum(dl).cast("double") / count(lit(1))).as("avgdl") +:
+      analyzed.zipWithIndex.map { case (t, i) =>
+        sum(when(textCol.contains(t), 1L).otherwise(0L)).cast("double").as(s"df_$i")
+      }
+    val stats = documents.agg(aggs.head, aggs.tail: _*)
+    // k1+1 and 1-b are COMPUTED (lit(k1)+lit(1)), not pre-folded in
+    // Scala: the oracle writes (1.2 + 1) so both engines derive the
+    // same double the same way
+    val norm = lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dl.cast("double") / col("avgdl")))
+    val score = analyzed.zipWithIndex.map { case (t, i) =>
+      val tf = (termFrequency(titleZone(textCol), t) * 3 + termFrequency(textCol, t))
+        .cast("double")
+      (col("n_docs") / greatest(col(s"df_$i"), lit(1.0))) * (tf * (lit(k1) + lit(1.0))) /
+        (tf + norm)
+    }.reduce(_ + _) // left fold: association mirrored in the oracle SQL
+    documents.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Keyset cursor for the next page: the LAST row of the given page
     * under the ranked order (score desc, doc_id asc) — i.e. the
     * minimum by that order. One row; callers broadcast it. */

@@ -229,6 +229,28 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Materialize a [[graft.operators.Corpus.shuffleShards]]
+    * assignment as the shard layout a trainer reads: one directory
+    * per shard (`shard=K/`), rows inside each shard's files stored in
+    * `shard_pos` order — so a reader streaming shard K front-to-back
+    * consumes exactly the deterministic shuffle order, no sort at
+    * read time. `repartition(N, shard)` aligns tasks with shards and
+    * `sortWithinPartitions` makes the file order the read order;
+    * parquet preserves row order within and across a task's files.
+    * Same sizing rule as the assignment: pick numShards so a shard
+    * fits a task (100 TB / 65536 ≈ 1.6 GB). */
+  def writeShards(assigned: DataFrame, path: String, numShards: Int,
+                  codec: String = "zstd"): Unit = {
+    require(numShards >= 1)
+    assigned
+      .repartition(numShards, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "shard_pos")
+      .write.mode("overwrite")
+      .option("compression", codec)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Small-files compaction — the OPTIMIZE of a plain-parquet lake.
     * Streaming sinks and incremental batch appends accrete files far
     * below the ~128 MB a scan wants (every file costs a task, a

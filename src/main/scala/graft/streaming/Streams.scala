@@ -38,6 +38,31 @@ object Streams {
   def qualityGateStream(rawDocuments: DataFrame): DataFrame =
     graft.operators.TextOps.gopherFilter(rawDocuments)
 
+  /** The WHOLE medallion chain as one continuous query: raw →
+    * silver ([[cleanStream]]) → gold (`Enrichment.gold`) — the
+    * reference runs this as two separate batch jobs against staging
+    * tables (`process_silver_to_gold.sql`); here both layers are
+    * stateless projections, so they FUSE into a single unbounded
+    * transform (one codegen stage per micro-batch, no intermediate
+    * table, no second scan). Batch twins `silver_clean` and
+    * `gold_enrich` are both oracle-checked; the stream≡batch
+    * equivalence is spec-pinned on the composed chain. */
+  def goldStream(rawDocuments: DataFrame): DataFrame =
+    graft.operators.Enrichment.gold(cleanStream(rawDocuments))
+
+  /** Continuous NER mentions: the STREAM-STATIC join — the unbounded
+    * document stream joins the dimension-sized gazetteer, the one
+    * join shape Structured Streaming runs statelessly (the static
+    * side broadcasts into every micro-batch; no watermark, no state
+    * store, nothing grows). The batch twin's registry row
+    * (`ner_extract`) is oracle-checked; only the per-doc aggregate
+    * step stays batch-side (an unbounded groupBy would need a
+    * watermark column the corpus lacks — mentions ARE the append
+    * stream). */
+  def nerStream(spark: org.apache.spark.sql.SparkSession,
+                rawDocuments: DataFrame, dictionary: DataFrame): DataFrame =
+    graft.operators.Ner.mentions(spark, rawDocuments, dictionary)
+
   /** Watermarked tumbling-window counts over the event stream — the
     * micro-batch "stats every 30 s" loop of the reference, expressed
     * as a proper event-time window (late data handled by the

@@ -331,4 +331,30 @@ class CorpusSpec extends SparkSpec {
     // bc occurs 3x, aa occurs at 2 positions x 1 occurrence = 2
     assert(out === Seq(("bc", 3L), ("aa", 2L)))
   }
+
+  test("shuffleShards: reproducible, dense per-shard ranks, salt reshuffles, layout-invariant") {
+    val df = docs((1L to 200L).map(i => (i, s"doc $i", "en", "s")): _*)
+    val out = Corpus.shuffleShards(df, numShards = 4)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect()
+    // every doc lands exactly once, shards in range
+    assert(out.length === 200 && out.map(_._1).distinct.length === 200)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    // ranks are dense 1..n within each shard
+    out.groupBy(_._2).values.foreach { shard =>
+      assert(shard.map(_._3).sorted.toSeq === (1L to shard.length).toSeq)
+    }
+    // re-run bit-identical; different salt produces a different order
+    val again = Corpus.shuffleShards(df, numShards = 4)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val salted = Corpus.shuffleShards(df, numShards = 4, salt = "s1")
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Long)].collect()
+    assert(salted.sortBy(_._1).toSeq !== out.sortBy(_._1).toSeq)
+    // input partitioning must not change the assignment (the cluster
+    // layout is not part of the contract)
+    val repart = Corpus.shuffleShards(df.repartition(7), numShards = 4)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Long)].collect()
+    assert(repart.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }

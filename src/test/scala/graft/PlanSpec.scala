@@ -446,6 +446,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(c_acctbal,0.0)"), s"positive filter not pushed:\n$plan")
   }
 
+  test("ranked_search_bm25: stats ride ONE broadcast row, corpus never shuffles, bounded top-N") {
+    val plan = finalPlan(SparkEntry.queries("ranked_search_bm25")(spark, dir))
+    // same shape contract as ranked_search_multi: the corpus-stats
+    // aggregate collapses to one broadcast row, scoring is map-side
+    assert(count(plan, "Exchange hashpartitioning") === 0,
+      s"scoring must not shuffle the corpus:\n$plan")
+    assert(count(plan, "TakeOrderedAndProject") === 1, s"top-N stays bounded:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1, s"stats ride one broadcast row:\n$plan")
+  }
+
+  test("shuffle_shards: exactly one keyed exchange (by shard), no global sort") {
+    val plan = finalPlan(SparkEntry.queries("shuffle_shards")(spark, dir))
+    // the whole shuffle is ONE shard-keyed exchange + per-shard sort;
+    // a global ROW_NUMBER would show as an extra single-partition
+    // exchange with an unpartitioned window
+    assert(count(plan, "Exchange hashpartitioning") === 1, s"one keyed exchange:\n$plan")
+    assert(count(plan, "Exchange SinglePartition") === 0,
+      s"no corpus-wide single-partition funnel:\n$plan")
+    assert(plan.contains("windowspecdefinition(shard"), s"rank must be per-shard:\n$plan")
+  }
+
   test("q_volume_shipping: nation broadcast into both dim prunes, no cartesian") {
     val plan = initialPlan(SparkEntry.queries("q_volume_shipping")(spark, dir))
     assert(count(plan, "BroadcastHashJoin") >= 2, s"nation prunes must broadcast:\n$plan")

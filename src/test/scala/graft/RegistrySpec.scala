@@ -92,7 +92,13 @@ class RegistrySpec extends SparkSpec {
     // scalar subquery + anti-join (Q22)
     "q_forecast_revenue", "q_volume_shipping", "q_returned_items",
     "q_top_supplier", "q_small_qty_revenue", "q_disc_revenue",
-    "q_idle_customers")
+    "q_idle_customers",
+    // round-9 closing: BM25-shaped ranking (saturating tf + length
+    // normalization, linear idf for bit-identity)
+    "ranked_search_bm25",
+    // round-9 closing: the training pipeline's last mile — the
+    // deterministic global shuffle + shard assignment
+    "shuffle_shards")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

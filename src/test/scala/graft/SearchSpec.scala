@@ -160,6 +160,34 @@ class SearchSpec extends SparkSpec {
     assert(one === plain)
   }
 
+  test("bm25Search: tf saturates and length normalization demotes the long document") {
+    // linear tf×idf would rank doc 2 (term ×20) 20× above doc 1
+    // (term ×1); BM25's saturation caps the gap near k1+1 = 2.2×
+    val spam = ("term " * 20).trim
+    val d1 = docs((1L, "term plus seven more filler words here"),
+      (2L, spam + " " + ("filler " * 13).trim))
+    val out1 = Search.bm25Search(d1, Seq("term"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(out1(2L) > out1(1L)) // more mentions still rank higher...
+    assert(out1(2L) / out1(1L) < 2.5, // ...but nowhere near 20x
+      s"saturation must cap the spam gap: ${out1(2L) / out1(1L)}")
+    // equal tf, different length: the shorter document wins (its
+    // mention is a larger fraction of the text)
+    val d2 = docs((1L, "term four words total here"),
+      (2L, "term " + ("filler " * 40).trim))
+    val out2 = Search.bm25Search(d2, Seq("term"))
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(out2.map(_._1).toSeq === Seq(1L, 2L),
+      "equal-tf shorter doc must outrank the longer one")
+    // idf still orders terms by rarity, like multiTermSearch
+    val d3 = docs(
+      (1L, "common talk"), (2L, "common talk"), (3L, "common talk"),
+      (10L, "rare only"))
+    val out3 = Search.bm25Search(d3, Seq("common", "rare"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(out3(10L) > out3(1L), "rarity weighting is load-bearing")
+  }
+
   test("recency tiebreak reorders score ties and is load-bearing") {
     // three docs, identical score ("term" once in the title zone):
     // default order is doc_id asc; recency desc must reverse it

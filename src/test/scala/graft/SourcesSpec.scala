@@ -305,4 +305,24 @@ class SourcesSpec extends SparkSpec {
     // n_frames = 64 % 16 + 1 = 1 -> frame 0 only
     assert(out.select("frame_idx").as[Int].collect().toSeq === Seq(0))
   }
+
+  test("Sinks.writeShards lays out one dir per shard with rows in shuffle order") {
+    val dir = Files.createTempDirectory("shards").toString + "/corpus"
+    val docs = (1L to 300L).map(i => (i, s"doc $i", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val assigned = graft.operators.Corpus.shuffleShards(docs, numShards = 4)
+    Sinks.writeShards(assigned, dir, numShards = 4)
+    // every shard is its own partition directory
+    val shards = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shards.toSeq === Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // a reader streaming one shard front-to-back sees shard_pos order
+    // (single task wrote a tiny shard -> one file, order preserved)
+    val read = spark.read.parquet(s"$dir/shard=2")
+      .select("shard_pos").as[Long].collect().toSeq
+    assert(read === read.sorted && read.head === 1L)
+    assert(read.toSet === (1L to read.length).toSet)
+    // nothing lost across the layout
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count() === 300L)
+  }
 }

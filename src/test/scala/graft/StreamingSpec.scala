@@ -29,6 +29,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("goldStream runs the fused silver->gold chain continuously, same rows as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Streams.goldStream(df).writeStream
+      .format("memory").queryName("gold_out").outputMode("append").start()
+    val long = "Jakarta, CNN Indonesia -- " +
+      "A story. With sentences. " + ("word " * 20).trim
+    val rows = Seq(
+      (1L, long, "id", "news", long.length.toLong),
+      (2L, "too short", "id", "news", 9L)) // fails gold's >50 gate
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT doc_id, content_length, word_count, sentence_count FROM gold_out")
+        .as[(Long, Long, Long, Long)].collect()
+      val batch = graft.operators.Enrichment.gold(
+        graft.operators.Cleaning.silver(
+          rows.toDF("doc_id", "text", "lang", "source", "n_chars")))
+        .select("doc_id", "content_length", "word_count", "sentence_count")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(out.toSeq === batch.toSeq)
+      assert(out.map(_._1).toSeq === Seq(1L)) // the short doc never lands
+    } finally q.stop()
+  }
+
+  test("nerStream joins the unbounded stream to the static gazetteer per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val dict = Seq(("jakarta", "location", 0.9), ("pertamina", "org", 0.8))
+      .toDF("word", "entity_type", "confidence")
+    val q = Streams.nerStream(spark, df, dict).writeStream
+      .format("memory").queryName("ner_out").outputMode("append").start()
+    try {
+      input.addData((1L, "pertamina opens in jakarta"), (2L, "nothing here"))
+      q.processAllAvailable()
+      val batchRows = Seq((1L, "pertamina opens in jakarta"), (2L, "nothing here"))
+        .toDF("doc_id", "text")
+      val batch = graft.operators.Ner.mentions(spark, batchRows, dict)
+        .select("doc_id", "word", "entity_type")
+        .as[(Long, String, String)].collect().toSet
+      val out = spark.sql("SELECT doc_id, word, entity_type FROM ner_out")
+        .as[(Long, String, String)].collect().toSet
+      assert(out === batch)
+      assert(out === Set((1L, "pertamina", "org"), (1L, "jakarta", "location")))
+      // a second micro-batch joins the SAME static side again
+      input.addData((3L, "jakarta again"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM ner_out").as[Long].head() === 3L)
+    } finally q.stop()
+  }
+
   test("qualityGateStream drops failing docs at ingest, same verdicts as the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, String, Long)]
