@@ -180,6 +180,18 @@ object Pipeline {
     val bins = spark.read.parquet(s"$outDir/train_packing")
       .select(col("domain"), col("bin")).distinct().count()
 
+    // last mile: the deterministic global shuffle, materialized as
+    // shard=K/ directories in read order (Corpus.shuffleShards +
+    // Sinks.writeShards) — the layout a trainer streams directly;
+    // re-running the pipeline reproduces byte-identical shard order
+    val numShards = 8
+    Sinks.writeShards(
+      operators.Corpus.shuffleShards(
+        spark.read.schema(prepared.schema).parquet(s"$outDir/train"), numShards),
+      s"$outDir/train_shards", numShards)
+    val shardN = spark.read.parquet(s"$outDir/train_shards")
+      .select(col("shard")).distinct().count()
+
     Map(
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
@@ -188,7 +200,8 @@ object Pipeline {
       "decontaminated" -> decontamN,
       "train" -> trainN,
       "test" -> testN,
-      "train_bins" -> bins)
+      "train_bins" -> bins,
+      "train_shards" -> shardN)
     } finally split.unpersist()
   }
 }

@@ -1337,6 +1337,31 @@ object SparkEntry {
              |SELECT query_id, vec_id, cos AS cosine, rank
              |FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    ("embedding_covariance",
+      // int8 second moments: exact integer products in decimal, the
+      // covariance ONE mirrored double expression — the whole index-
+      // tuning table replays bit-for-bit
+      (s: SparkSession, d: String) => Ann.quantizedMoments(Tables.embeddings(s, d)),
+      Some("""WITH e0 AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |m AS (SELECT vec_id, emb,
+             |        list_max(list_transform(emb, x -> abs(x))) AS ma FROM e0),
+             |qz AS (SELECT vec_id,
+             |        CASE WHEN ma = 0 THEN emb
+             |             ELSE list_transform(emb, x -> floor(x * 127.0 / ma + 0.5)) END AS q
+             |      FROM m),
+             |px AS (SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+             |         q[CAST(i AS INT)] AS x, q[CAST(j AS INT)] AS y
+             |       FROM qz, UNNEST(range(1, 65)) AS t1(i), UNNEST(range(1, 65)) AS t2(j)
+             |       WHERE j >= i)
+             |SELECT dim_i, dim_j, COUNT(*) AS n,
+             |  CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE) AS sum_xy,
+             |  (CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE)
+             |    - CAST(SUM(CAST(x AS DECIMAL(25,0))) AS DOUBLE)
+             |      * CAST(SUM(CAST(y AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS cov
+             |FROM px GROUP BY 1, 2""".stripMargin)),
+
     ("ann_quantized",
       // int8 quantization is exact floor arithmetic and quantized dots
       // are integer-valued doubles ≤ 127²·64 — the whole quantized ANN

@@ -303,6 +303,47 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cos_q").as("cosine_q"), col("rank"))
   }
 
+  /** Second-moment table of the int8-quantized embeddings — the
+    * statistics that TUNE a quantized index: per dimension pair
+    * (i ≤ j), the exact product sum and the covariance. Off-diagonal
+    * covariance structure tells you whether scalar (per-dimension)
+    * quantization is leaving accuracy on the table (correlated dims
+    * → a rotation/PCA before SQ would decorrelate); the diagonal is
+    * the per-dimension energy a re-scaling would equalize. Runs on
+    * the QUANTIZED values deliberately: these are the integers the
+    * index actually stores, and integer arithmetic makes every
+    * moment exact — products ≤ 127² sum in decimal(30,0), so the
+    * whole table (and the covariance derived from it with one
+    * mirrored double expression) replays bit-for-bit in SQL.
+    *
+    * Scale shape: the dims² explode inflates rows 4096× BUT the
+    * aggregate is map-side combinable into a constant dims²/2 = 2080
+    * groups — the shuffle carries 2080 rows per map partition no
+    * matter the corpus, and the result always fits the driver. The
+    * explode never leaves the partial-aggregation pipeline, which is
+    * the same bound the bigram/BPE statistics ride. */
+  def quantizedMoments(embeddings: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    embeddings
+      .select(quantize(col("embedding")).as("q"))
+      .select(posexplode(col("q")).as(Seq("i0", "x")), col("q"))
+      .select(col("i0"), col("x"), posexplode(col("q")).as(Seq("j0", "y")))
+      .filter(col("j0") >= col("i0"))
+      // 1-based dims: matches SQL list indexing, so the oracle needs
+      // no off-by-one shim
+      .groupBy((col("i0") + 1).as("dim_i"), (col("j0") + 1).as("dim_j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("x") * col("y")).cast("decimal(30,0)")).as("sxy"),
+        sum(col("x").cast("decimal(25,0)")).as("sx"),
+        sum(col("y").cast("decimal(25,0)")).as("sy"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        col("sxy").cast("double").as("sum_xy"),
+        ((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n")) / col("n"))
+          .as("cov"))
+  }
+
   /** IVF cells × int8 scan — [[ivfTopK]]'s probe structure with
     * [[quantizedTopK]]'s integer scoring: the composition production
     * ANN systems actually deploy (FAISS IVF-SQ8 shape: a coarse

@@ -294,4 +294,22 @@ class AnnSpec extends SparkSpec {
     // orthogonal to every holdout in its cell -> clean, absent
     assert(out === Set((0L, 6L, 2L), (2L, 6L, 2L), (1L, 9L, 1L)))
   }
+
+  test("quantizedMoments: exact int8 second moments and covariance, upper triangle only") {
+    // q(v1)=[127,64] (ma=2: 1*127/2+.5 floors to 64), q(v2)=[0,0],
+    // q(v3)=[127,-127]
+    val df = embs((1L, Seq(2f, 1f), 0), (2L, Seq(0f, 0f), 0), (3L, Seq(1f, -1f), 0))
+    val out = Ann.quantizedMoments(df)
+      .select("dim_i", "dim_j", "n", "sum_xy", "cov")
+      .as[(Int, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet === Set((1, 1), (1, 2), (2, 2))) // i <= j only
+    assert(out((1, 1))._4 === 127.0 * 127 + 0 + 127.0 * 127)
+    assert(out((1, 2))._4 === 127.0 * 64 + 0 + 127.0 * -127)
+    assert(out((2, 2))._4 === 64.0 * 64 + 0 + 127.0 * 127)
+    assert(out.values.forall(_._3 === 3L))
+    // covariance via the same double association the operator uses
+    assert(out((1, 2))._5 === (-8001.0 - 254.0 * (-63.0) / 3) / 3)
+    assert(out((1, 1))._5 === (32258.0 - 254.0 * 254.0 / 3) / 3)
+  }
 }

@@ -61,6 +61,16 @@ class PipelineSpec extends SparkSpec {
     // (domain, bin) distinct pair counted once
     assert(s1("train_bins") >= 1L && s1("train_bins") <= s1("train"))
     assert(spark.read.parquet(s"$out/train_packing").count() === s1("train"))
+    // the shard layout holds every train doc exactly once, in the
+    // deterministic shuffle order (dense per-shard positions)
+    val shards = spark.read.parquet(s"$out/train_shards")
+    assert(shards.count() === s1("train"))
+    assert(s1("train_shards") >= 1L && s1("train_shards") <= 8L)
+    val positions = shards.select("shard", "shard_pos")
+      .as[(Int, Long)].collect().groupBy(_._1)
+    positions.values.foreach { ps =>
+      assert(ps.map(_._2).sorted.toSeq === (1L to ps.length).toSeq)
+    }
 
     val written = spark.read.parquet(s"$out/train")
       .unionByName(spark.read.parquet(s"$out/test"))

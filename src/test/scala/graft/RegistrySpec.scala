@@ -98,7 +98,10 @@ class RegistrySpec extends SparkSpec {
     "ranked_search_bm25",
     // round-9 closing: the training pipeline's last mile — the
     // deterministic global shuffle + shard assignment
-    "shuffle_shards")
+    "shuffle_shards",
+    // round-9 closing: int8 second moments — the quantized-index
+    // tuning table, exact to the last bit
+    "embedding_covariance")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
