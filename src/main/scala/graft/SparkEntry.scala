@@ -1251,6 +1251,35 @@ object SparkEntry {
               |FROM uch JOIN keep USING (h) JOIN bench USING (h)
               |GROUP BY 1 HAVING CAST(SUM(n_tokens) AS BIGINT) >= 8""".stripMargin)),
 
+    ("decontam_report",
+      // both text arms in one per-doc verdict: the oracle reuses the
+      // SAME chunk CTE chain and shingle rules as the single-arm rows,
+      // so the report can never disagree with its parts
+      (s: SparkSession, d: String) => TextOps.decontamReport(
+        docs(s, d), docs(s, d).filter(col("doc_id") % 100 === 0)),
+      Some(s"""WITH $cdcChunksCtes,
+              |keep AS (SELECT h FROM uch GROUP BY h HAVING COUNT(*) <= 100),
+              |cbench AS (SELECT DISTINCT h FROM uch WHERE doc_id % 100 = 0),
+              |sub AS (SELECT doc_id, COUNT(*) AS shared_chunks,
+              |          CAST(SUM(n_tokens) AS BIGINT) AS shared_tokens
+              |        FROM uch JOIN keep USING (h) JOIN cbench USING (h)
+              |        GROUP BY 1 HAVING CAST(SUM(n_tokens) AS BIGINT) >= 8),
+              |stok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |ssh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              |        FROM stok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+              |sbench AS (SELECT DISTINCT shingle FROM ssh WHERE doc_id % 100 = 0),
+              |ovl AS (SELECT doc_id, COUNT(*) AS overlap_shingles
+              |        FROM ssh JOIN sbench USING (shingle)
+              |        GROUP BY 1 HAVING COUNT(*) >= 1)
+              |SELECT COALESCE(o.doc_id, s.doc_id) AS doc_id,
+              |  COALESCE(o.overlap_shingles, 0) AS overlap_shingles,
+              |  COALESCE(s.shared_chunks, 0) AS shared_chunks,
+              |  COALESCE(s.shared_tokens, 0) AS shared_tokens,
+              |  CASE WHEN o.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN 'both'
+              |       WHEN o.doc_id IS NOT NULL THEN 'ngram'
+              |       ELSE 'substring' END AS flagged_by
+              |FROM ovl o FULL OUTER JOIN sub s ON o.doc_id = s.doc_id""".stripMargin)),
+
     ("threshold_sweep",
       // the dedup-threshold evidence: pair counts per 0.05 jaccard
       // bucket, generated at floor 0.2 to see below the production cut

@@ -357,6 +357,33 @@ object TextOps {
       .filter(col("shared_tokens") >= minSharedTokens)
   }
 
+  /** The combined contamination view — [[decontaminate]] (short-span
+    * shingle leakage) and [[decontaminateSubstring]] (verbatim
+    * passage copies) full-outer-joined into ONE per-doc verdict
+    * table: evidence from both arms side by side plus which arm(s)
+    * fired. This is the table a curation run actually consults — the
+    * arms catch DIFFERENT contamination (3 shared tokens vs whole
+    * chunks; a paraphrase trips shingles but not chunks, a quoted
+    * passage in fresh prose trips chunks at high weight), and acting
+    * on either alone means re-deriving the other later over the full
+    * corpus. Scale shape: both inputs are contaminated-doc-sized (each
+    * already bounded by its arm), so the full-outer join is tiny; the
+    * corpus-scale work happens once inside each arm, unchanged. */
+  def decontamReport(corpus: DataFrame, benchmark: DataFrame,
+                     minOverlap: Long = 1L, minSharedTokens: Long = 8L,
+                     maxDocFreq: Long = 100L): DataFrame = {
+    val o = decontaminate(corpus, benchmark, minOverlap)
+    val s = decontaminateSubstring(corpus, benchmark, minSharedTokens, maxDocFreq)
+    o.join(s, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("overlap_shingles"), lit(0L)).as("overlap_shingles"),
+        coalesce(col("shared_chunks"), lit(0L)).as("shared_chunks"),
+        coalesce(col("shared_tokens"), lit(0L)).as("shared_tokens"),
+        when(col("overlap_shingles").isNotNull && col("shared_chunks").isNotNull, "both")
+          .when(col("overlap_shingles").isNotNull, "ngram")
+          .otherwise("substring").as("flagged_by"))
+  }
+
   /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", table A1) — the published heuristic battery most

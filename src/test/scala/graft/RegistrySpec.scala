@@ -101,7 +101,10 @@ class RegistrySpec extends SparkSpec {
     "shuffle_shards",
     // round-9 closing: int8 second moments — the quantized-index
     // tuning table, exact to the last bit
-    "embedding_covariance")
+    "embedding_covariance",
+    // round-9 closing: both text decontamination arms in one per-doc
+    // verdict table
+    "decontam_report")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

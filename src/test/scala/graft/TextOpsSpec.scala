@@ -223,6 +223,29 @@ class TextOpsSpec extends SparkSpec {
     assert(stats.map(_._4).sum === 3L) // each cluster counted in ONE split
   }
 
+  test("decontamReport merges both arms: identical copy -> both, short span -> ngram only") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val spanOnly = ((1 to 20).map(i => s"zed$i") ++ Seq("tok5", "tok6", "tok7") ++
+      (21 to 40).map(i => s"zed$i")).mkString(" ")
+    val clean = (1 to 40).map(i => s"oth$i").mkString(" ")
+    val corpus = docs(
+      (1L, base, "en", "s1", base.length.toLong),        // identical to the bench doc
+      (3L, spanOnly, "en", "s1", spanOnly.length.toLong), // shares ONE 3-token shingle
+      (2L, clean, "en", "s1", clean.length.toLong))
+    val bench = docs((100L, base, "en", "s1", base.length.toLong))
+    val out = TextOps.decontamReport(corpus, bench)
+      .select("doc_id", "flagged_by").as[(Long, String)].collect().toMap
+    // doc 1 trips shingles AND whole chunks; doc 3 only the shingle
+    // arm (its chunks extend into different surrounding tokens, so no
+    // chunk hash matches); doc 2 is clean and absent
+    assert(out === Map(1L -> "both", 3L -> "ngram"))
+    val full = TextOps.decontamReport(corpus, bench)
+      .filter(col("doc_id") === 3L)
+      .select("overlap_shingles", "shared_chunks", "shared_tokens")
+      .as[(Long, Long, Long)].head()
+    assert(full === ((1L, 0L, 0L))) // zero-filled evidence for the silent arm
+  }
+
   test("gopherFilter keeps exactly gopherRules' pass set with input columns intact") {
     // 50 words, mwl ~4, all-alpha, two stopword hits -> passes every rule
     val good = (Seq("the", "data", "of", "pipeline") ++ Seq.fill(46)("word")).mkString(" ")
