@@ -1385,10 +1385,10 @@ object SparkEntry {
              |       FROM qz, UNNEST(range(1, 65)) AS t1(i), UNNEST(range(1, 65)) AS t2(j)
              |       WHERE j >= i)
              |SELECT dim_i, dim_j, COUNT(*) AS n,
-             |  CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE) AS sum_xy,
-             |  (CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE)
-             |    - CAST(SUM(CAST(x AS DECIMAL(25,0))) AS DOUBLE)
-             |      * CAST(SUM(CAST(y AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS cov
+             |  CAST(SUM(CAST(x * y AS BIGINT)) AS DOUBLE) AS sum_xy,
+             |  (CAST(SUM(CAST(x * y AS BIGINT)) AS DOUBLE)
+             |    - CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE)
+             |      * CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*)) / COUNT(*) AS cov
              |FROM px GROUP BY 1, 2""".stripMargin)),
 
     ("ann_quantized",
