@@ -70,7 +70,11 @@ object PlanDump {
       "q_top_supplier" -> "TPC-H Q15: rollup and its max on one reused exchange (scan-once), max as a 1-row broadcast equi-join — no global window",
       "q_small_qty_revenue" -> "TPC-H Q17: per-part correlated average as a keyed window over the brand slice; exact integer cross-multiplied threshold",
       "q_disc_revenue" -> "TPC-H Q19: hand-derived single-side prefilters pushed to both scans, OR-of-ANDs evaluated as the join residual",
-      "q_idle_customers" -> "TPC-H Q22: positive-average as a 1-row broadcast, LEFT ANTI against orders, exact cross-multiplied above-average test")
+      "q_idle_customers" -> "TPC-H Q22: positive-average as a 1-row broadcast, LEFT ANTI against orders, exact cross-multiplied above-average test",
+      "ranked_search_bm25" -> "BM25 shape: corpus stats (n_docs, avgdl, df) as ONE broadcast row, saturated scoring map-side, TakeOrderedAndProject",
+      "shuffle_shards" -> "deterministic shuffle: one shard-keyed exchange, per-shard rank window, no single-partition funnel",
+      "embedding_covariance" -> "int8 moments: upper-triangle slice explode, long sums combined map-side into 2080 constant groups",
+      "decontam_report" -> "combined contamination verdict: both arms' bounded outputs full-outer-joined; corpus work stays inside the arms")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"
