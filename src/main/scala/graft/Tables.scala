@@ -44,13 +44,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader has no timestamp type for — read it as a
-    * raw long (nanos since epoch) and convert via integer division to
-    * micros (lossless here: the generator emits micro-aligned nanos;
-    * sub-micro precision, if it ever appeared, would truncate).
-    * `timestamp_ntz` matches the file's naive timestamps (and the
-    * DuckDB oracle's TIMESTAMP).
+  /** `events.parquet` has shipped `ts` under two physical types across
+    * generator versions: parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader can only surface as a raw long (nanos since
+    * epoch) via the `nanosAsLong` conf — and plain TIMESTAMP(MICROS),
+    * which reads as a timestamp directly. Resolve the schema with
+    * `nanosAsLong` enabled, then normalize on whatever type came back,
+    * so either file layout yields the same `timestamp_ntz` column
+    * (naive timestamps, matching the DuckDB oracle's TIMESTAMP).
+    *
+    * The nanos→micros integer division is lossless here: the generator
+    * emits micro-aligned nanos; sub-micro precision, if it ever
+    * appeared, would truncate.
     *
     * `nanosAsLong` is a session-wide SQL conf (Spark exposes no
     * per-read option for it), so it is saved and restored around the
@@ -63,8 +68,13 @@ object Tables {
     val saved = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      load(spark, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val df = load(spark, dir, "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ =>
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } finally {
       saved match {
         case Some(v) => spark.conf.set(key, v)
