@@ -205,6 +205,98 @@ object OracleSql {
       |    JOIN sizes s2 ON com.doc_id_2 = s2.doc_id) t
       |  WHERE jaccard >= $threshold)""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.Ann.kmeansCentroids]] with
+    * `deterministic = true`: the seed is the first-`k` vec_ids
+    * (exactly [[graft.operators.Ann.ivfCentroids]]), then `iters`
+    * unrolled assign/re-center rounds. Bit-stability rests on three
+    * shared conventions, all proven by the green `ann_ivf` row:
+    * float→double widening is exact, every dot/norm folds dims
+    * left-to-right, and the re-center mean folds cell members in
+    * ascending `vec_id` order on BOTH engines (`list(x ORDER BY
+    * vec_id)` here, sorted-collect `aggregate` there). Empty cells
+    * keep their previous centroid via the same LEFT JOIN + COALESCE.
+    * Ends at relation `cents$iters(cell, cemb, cnrm)`. */
+  def kmeansCentroidsCtes(k: Int = 64, iters: Int = 3, dims: Int = 64): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    val seed =
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |     FROM embeddings),
+         |n AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM e),
+         |cents0 AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < $k)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""asg$i AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT n.vec_id, n.emb, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (${dot("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+         |    FROM n CROSS JOIN cents$i c) WHERE rn = 1),
+         |mean$i AS (
+         |  SELECT cell, p.pos AS pos,
+         |    list_reduce(list(emb[p.pos] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m
+         |  FROM asg$i CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS pos) p
+         |  GROUP BY cell, p.pos),
+         |newc$i AS (SELECT cell, list(m ORDER BY pos) AS cemb FROM mean$i GROUP BY cell),
+         |cents${i + 1} AS (
+         |  SELECT p.cell, COALESCE(nc.cemb, p.cemb) AS cemb,
+         |    CASE WHEN nc.cemb IS NULL THEN p.cnrm
+         |         ELSE sqrt(${dot("nc.cemb", "nc.cemb")}) END AS cnrm
+         |  FROM cents$i p LEFT JOIN newc$i nc ON p.cell = nc.cell)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  /** Mirrors [[graft.operators.Ann.ivfTopKTrained]] (deterministic
+    * training) end-to-end: replayed Lloyd's centroids, argmin cell
+    * assignment, nprobe query probe, exact cosine re-rank — the same
+    * shape as the green `ann_ivf` oracle with `cents0` swapped for
+    * the trained `cents$iters`. */
+  def kmeansQuerySql(k: Int = 64, iters: Int = 3, numQueries: Int = 5,
+                     nprobe: Int = 4, topK: Int = 3, dims: Int = 64): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims)},
+       |scored AS (
+       |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      (${dot("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM n CROSS JOIN cents$iters c),
+       |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, cell
+       |       FROM scored WHERE vec_id < $numQueries AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT qp.query_id, a.vec_id,
+       |    ${dot("qp.qemb", "a.emb")} / (qp.qnrm * a.nrm) AS cos
+       |  FROM fasg a JOIN qp ON a.cell = qp.cell
+       |  WHERE a.vec_id <> qp.query_id),
+       |ranked AS (SELECT query_id, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM cand)
+       |SELECT query_id, vec_id, cos AS cosine, rank FROM ranked WHERE rank <= $topK""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Ann.semanticDedupPairs]] with a TRAINED
+    * deterministic quantizer (`trainIters` Lloyd rounds): the replayed
+    * [[kmeansCentroidsCtes]] training loop, then the same within-cell
+    * pairing as the green `dedup_semantic` oracle against
+    * `cents$iters` instead of the seed. */
+  def semanticPairsTrainedSql(k: Int = 64, iters: Int = 3,
+                              threshold: Double = 0.35, dims: Int = 64): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims)},
+       |scored AS (
+       |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      (${dot("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM n CROSS JOIN cents$iters c),
+       |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1)
+       |SELECT vec_id_1, vec_id_2, cell, cos AS cosine FROM (
+       |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,
+       |    ${dot("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos
+       |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.Enrichment.gold]] as a CTE chain
     * (silver → gold). Use as `WITH $goldCtes SELECT ... FROM gold`. */
   def goldCtes: String =

@@ -1488,9 +1488,16 @@ object SparkEntry {
              |  MIN(cos) AS kth_cosine
              |FROM ranked WHERE rank <= 3 GROUP BY query_id""".stripMargin)),
 
-    ("ann_ivf_trained", // rows-only: k-means means are layout-dependent
-      (s: SparkSession, d: String) => Ann.ivfTopKTrained(Tables.embeddings(s, d)),
-      None),
+    ("ann_ivf_trained",
+      // FULL oracle (graduated round 11 from rows-only): with the
+      // deterministic re-center mode — cell members folded in
+      // ascending vec_id order — Lloyd's iterations are pure replayable
+      // double arithmetic like the rest of the IVF path, so DuckDB
+      // reruns the whole 3-round training loop bit-for-bit
+      // (OracleSql.kmeansQuerySql unrolls the iterations as CTEs)
+      (s: SparkSession, d: String) =>
+        Ann.ivfTopKTrained(Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.kmeansQuerySql())),
 
     ("token_count",
       (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
@@ -1672,6 +1679,30 @@ object SparkEntry {
              |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
              |GROUP BY 1""".stripMargin)),
 
+    ("q_waiting_orders",
+      // the semi-AND-anti correlated self-join shape (TPC-H Q21),
+      // REWRITTEN: one lineitem⋈orders scan + per-order lateness
+      // profile instead of the textbook triple lineitem scan; the
+      // oracle runs the LITERAL correlated EXISTS/NOT EXISTS form,
+      // so the hash match proves the rewrite at every gate run
+      (s: SparkSession, d: String) => Relational.waitingOrders(
+        Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.nation(s, d)),
+      Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM supplier, lineitem l1, orders, nation
+             |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND o3.o_orderkey = l3.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+             |  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
+
     ("multimodal_meta", // rows-only: crc32/binary features not portable to the oracle
       (s: SparkSession, d: String) => Multimodal.metadata(Multimodal.binarize(docs(s, d))),
       None),
@@ -1803,6 +1834,17 @@ object SparkEntry {
              |cl AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
              |       FROM reach GROUP BY a)
              |SELECT vec_id, cluster_id FROM cl""".stripMargin)),
+
+    ("dedup_semantic_trained",
+      // SemDeDup with the LLOYD'S-REFINED quantizer (round 11): same
+      // pairing cost model as dedup_semantic, better-centered cells.
+      // Deterministic training makes the WHOLE path — 3 k-means
+      // rounds, cell choice, within-cell cosine — replay bit-for-bit
+      // in DuckDB (OracleSql.semanticPairsTrainedSql); a spec pins
+      // the trained cells' recall >= untrained at equal fan-out
+      (s: SparkSession, d: String) => Ann.semanticDedupPairs(
+        Tables.embeddings(s, d), trainIters = 3, deterministic = true),
+      Some(OracleSql.semanticPairsTrainedSql())),
 
     ("vocab_coverage",
       // top-N vocabulary with a deterministic (cnt DESC, term)

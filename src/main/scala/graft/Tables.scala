@@ -72,8 +72,15 @@ object Tables {
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        case _ =>
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
           df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other =>
+          // A drifted ts type (string/date/int32) silently cast would
+          // yield nulls three queries later; fail at the scan instead.
+          throw new IllegalStateException(
+            s"events.ts at $dir has unexpected type $other; " +
+              "expected parquet TIMESTAMP(NANOS) (long), TIMESTAMP(MICROS), or timestamp_ntz")
       }
     } finally {
       saved match {

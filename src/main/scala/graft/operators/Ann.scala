@@ -121,19 +121,33 @@ object Ann {
     * fixpoint is driver-coordinated with `localCheckpoint` cutting
     * per-round lineage, exactly like [[Dedup.clusterPairs]]; a FIXED
     * iteration count keeps runs reproducible (vs convergence-epsilon
-    * on floats). Kept rows-only: per-dimension double sums depend on
-    * partition order, so means are not bit-stable across layouts —
-    * the contract is recall, pinned by spec, not bytes. */
-  private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    * on floats).
+    *
+    * `deterministic = false` (production): per-dimension partial sums
+    * are map-side combinable — the shuffle carries k × dims rows, but
+    * double addition is partition-order-dependent, so means are not
+    * bit-stable across layouts. `deterministic = true` (the
+    * oracle-checked registry path): each (cell, dim) folds its
+    * members in ascending `vec_id` order (sorted collect + sequential
+    * `aggregate`), which any engine can replay bit-for-bit — the
+    * shuffle carries the exploded values instead of partials, the
+    * price of byte-level reproducibility. A spec pins both modes to
+    * the same top-k at gate SF. */
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
+                                     deterministic: Boolean = false): DataFrame = {
     require(iters >= 0)
     var cents = ivfCentroids(e, k).localCheckpoint()
     var it = 0
     while (it < iters) {
       val assigned = nearestCells(e, cents, "emb", "nrm", keep = 1)
-      val means = assigned
-        .select(col("cell"), posexplode(asDouble(col("emb"))).as(Seq("pos", "x")))
+      val sums = assigned
+        .select(col("cell"), col("vec_id"), posexplode(asDouble(col("emb"))).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+      val means = (if (deterministic)
+        sums.agg(aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          lit(0.0), (acc, p) => acc + p.getField("x")).as("sx"), count(lit(1)).as("c"))
+      else
+        sums.agg(sum(col("x")).as("sx"), count(lit(1)).as("c")))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"),
           (col("sx") / col("c")).as("m")))).as("pm"))
@@ -155,15 +169,18 @@ object Ann {
   }
 
   /** [[ivfTopK]] with a TRAINED coarse quantizer: same query path,
-    * centroids refined by [[kmeansCentroids]] first. */
+    * centroids refined by [[kmeansCentroids]] first. The registry
+    * runs `deterministic = true` so the DuckDB oracle can replay the
+    * whole training loop bit-for-bit
+    * ([[graft.OracleSql.kmeansQuerySql]]). */
   def ivfTopKTrained(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
                      numCentroids: Int = 64, nprobe: Int = 4,
-                     trainIters: Int = 3): DataFrame = {
+                     trainIters: Int = 3, deterministic: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val centroids = kmeansCentroids(e, numCentroids, trainIters)
+    val centroids = kmeansCentroids(e, numCentroids, trainIters, deterministic)
     val cells = nearestCells(e, centroids, "emb", "nrm", keep = 1)
     val q = nearestCells(
       e.filter(col("vec_id") < numQueries)
@@ -463,13 +480,24 @@ object Ann {
     * boundaries). Because the quantizer is pure deterministic double
     * arithmetic with no JVM hash anywhere, the ENTIRE path — cell
     * choice included — replays bit-for-bit in the SQL oracle, which
-    * almost no semantic-dedup implementation can claim. */
+    * almost no semantic-dedup implementation can claim.
+    *
+    * `trainIters > 0` swaps the seed quantizer for Lloyd's-refined
+    * centroids ([[kmeansCentroids]]): better-centered cells put true
+    * neighbors in the SAME cell more often, so fewer near-dup pairs
+    * are missed at the same fan-out — training time buys recall
+    * without touching the pairing cost model. With `deterministic`
+    * the trained path stays fully oracle-replayable. */
   def semanticDedupPairs(embeddings: DataFrame, numCentroids: Int = 64,
-                         threshold: Double = 0.35): DataFrame = {
+                         threshold: Double = 0.35, trainIters: Int = 0,
+                         deterministic: Boolean = false): DataFrame = {
     graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val cells = nearestCells(e, ivfCentroids(e, numCentroids), "emb", "nrm", keep = 1)
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(e, numCentroids, trainIters, deterministic)
+      else ivfCentroids(e, numCentroids)
+    val cells = nearestCells(e, centroids, "emb", "nrm", keep = 1)
     cells.as("a")
       .join(cells.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))

@@ -475,4 +475,61 @@ object Relational {
       .agg(
         count(lit(1)).as("order_count"),
         avgFixed(col("o_totalprice")).as("avg_price"))
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape): late lines
+    * of finished multi-supplier orders where NO other supplier on the
+    * same order was also late — the canonical semi-AND-anti pair
+    * correlated against the same fact self-join, the one join shape
+    * the relational set still lacked. Lateness is `l_shipdate >
+    * o_orderdate + lagDays` (this schema's lateness rule, shared with
+    * [[lateShipmentPriorities]]).
+    *
+    * The textbook plan scans lineitem THREE times (l1, the EXISTS
+    * side, the NOT-EXISTS side) and at best reuses one self-join
+    * exchange. This implementation REWRITES the correlated pair into
+    * one per-order lateness profile: scan lineitem⋈orders ONCE,
+    * aggregate per (order, supplier) then per order — "some other
+    * supplier exists" = distinct-supplier count ≥ 2, "no other
+    * supplier late" = exactly one supplier with late lines, and the
+    * sole late supplier's late-line count is the Q21 COUNT(*)
+    * contribution. Zero lineitem self-joins, zero extra exchanges —
+    * strictly better than a reused one at 100 TB, and the DuckDB
+    * oracle runs the LITERAL correlated EXISTS/NOT-EXISTS form, so
+    * the hash match proves the rewrite every gate run. PlanSpec pins
+    * the single lineitem scan.
+    *
+    * Scale shape: the only corpus-scale shuffles are the orderkey
+    * join and the (order, supplier) aggregate (map-side combinable;
+    * same key, so one exchange feeds both); supplier⋈nation is a
+    * constant-size broadcast applied AFTER the sole-late decision
+    * (the anti side must see suppliers of every nation). */
+  def waitingOrders(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                    nation: DataFrame, nationName: String = "NATION_9",
+                    lagDays: Int = 60, topN: Int = 10): DataFrame = {
+    val perSupp = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lagDays DAYS"),
+        lit(1))).as("late_lines"))
+    val soleLate = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("late_lines") > 0, lit(1))).as("n_late_supp"),
+        max(when(col("late_lines") > 0,
+          struct(col("l_suppkey"), col("late_lines")))).as("sole"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("sole.l_suppkey").as("l_suppkey"), col("sole.late_lines").as("late_lines"))
+    val dim = supplier.join(nation,
+      col("s_nationkey") === col("n_nationkey") && col("n_name") === nationName)
+      .select(col("s_suppkey"), col("s_name"))
+    soleLate
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topN)
+  }
 }

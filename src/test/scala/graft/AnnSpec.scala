@@ -157,6 +157,40 @@ class AnnSpec extends SparkSpec {
       s"query 0's nearest must come from cluster A, got ${top.toSeq}")
   }
 
+  test("deterministic kmeans mode returns the same trained top-k as the combinable mode") {
+    // The ann_ivf_trained registry row runs deterministic=true (vec_id-
+    // ordered member folds, DuckDB-replayable); production keeps the
+    // map-side-combinable partial sums. The means differ only in
+    // double rounding, so the trained top-k must agree on real data.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(det: Boolean) =
+      Ann.ivfTopKTrained(emb, deterministic = det)
+        .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+        .collect().toSet
+    assert(run(det = true) === run(det = false))
+  }
+
+  test("trained semantic blocking recalls at least as many true pairs as the untrained seed") {
+    // the point of paying for Lloyd's rounds: better-centered cells
+    // co-locate true neighbors more often at the SAME fan-out.
+    // Ground truth = all-pairs cosine >= threshold (fine at spec SF).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = emb.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", Ann.norm(col("emb")))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Ann.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    def found(iters: Int) =
+      Ann.semanticDedupPairs(emb, trainIters = iters, deterministic = true)
+        .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    val (untrained, trained) = (found(0), found(3))
+    assert(trained.subsetOf(truth) && untrained.subsetOf(truth),
+      "blocked pairs are exact cosine matches, so both must be subsets of truth")
+    assert((trained & truth).size >= (untrained & truth).size,
+      s"trained recall ${(trained & truth).size} < untrained ${(untrained & truth).size}")
+  }
+
   test("native graft_dot yields NULL for ragged arrays and null elements, like the HOF form") {
     GraftExtensions.register(spark)
     val df = Seq(

@@ -473,4 +473,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"ship window not pushed:\n$plan")
     assert(count(plan, "CartesianProduct") === 0)
   }
+
+  test("q_waiting_orders: lineitem scanned ONCE (no Q21 self-join), status pushed, dim broadcast") {
+    val plan = initialPlan(SparkEntry.queries("q_waiting_orders")(spark, dir))
+    // the whole point of the rewrite: the textbook plan reads lineitem
+    // three times (l1 + EXISTS + NOT EXISTS); the profile rewrite reads
+    // it exactly once and self-joins nothing
+    assert(count(plan, "Scan parquet [^\n]*lineitem") === 1,
+      s"lineitem must be scanned exactly once:\n$plan")
+    assert(plan.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 1, s"supplier⋈nation dim must broadcast:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
 }

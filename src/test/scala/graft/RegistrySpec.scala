@@ -104,7 +104,13 @@ class RegistrySpec extends SparkSpec {
     "embedding_covariance",
     // round-9 closing: both text decontamination arms in one per-doc
     // verdict table
-    "decontam_report")
+    "decontam_report",
+    // round-11: SemDeDup with the Lloyd's-refined quantizer
+    // (deterministic training, full DuckDB training-loop replay)
+    "dedup_semantic_trained",
+    // round-11: the TPC-H Q21 semi+anti correlated self-join shape,
+    // rewritten to a single-scan per-order lateness profile
+    "q_waiting_orders")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -122,11 +128,13 @@ class RegistrySpec extends SparkSpec {
 
   test("every oracle belongs to a registered query; rows-only set is the known one") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
-    // round 9 shrank this set: ann_ivf gained a full SQL oracle, and
-    // the remaining hash-dependent members are cross-checked by the
-    // oracle-checked ann_lsh_recall / minhash_recall / simhash_precision
+    // round 9 shrank this set (ann_ivf gained a full SQL oracle);
+    // round 11 graduated ann_ivf_trained too (deterministic Lloyd's
+    // replayed as unrolled DuckDB CTEs). The remaining hash-dependent
+    // members are cross-checked by the oracle-checked
+    // ann_lsh_recall / minhash_recall / simhash_precision
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("dedup_minhash", "dedup_simhash", "ann_lsh",
-      "ann_ivf_trained", "multimodal_meta"))
+      "multimodal_meta"))
   }
 }

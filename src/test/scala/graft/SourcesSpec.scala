@@ -36,6 +36,86 @@ class SourcesSpec extends SparkSpec {
     assert(ev.select(max(col("ts"))).head().get(0) != null) // ts really materializes
   }
 
+  /** Writes an `events.parquet` whose `ts` is physically INT64
+    * TIMESTAMP(NANOS, isAdjustedToUTC=false) — the layout the original
+    * data generator shipped, which Spark's writer cannot produce
+    * (`outputTimestampType` stops at MICROS). Built with the bundled
+    * parquet-java example writer so the nanos branch of Tables.events
+    * stays exercised even though all current driver fixtures are
+    * MICROS (the round-10 regression class: the branch going dead). */
+  private def writeNanosEvents(file: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, INT64}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new org.apache.hadoop.fs.Path(file), conf))
+      .withConf(conf).withType(schema).build()
+    val factory = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, tsNanos, uid, etype, v, props) =>
+      val g = factory.newGroup()
+      g.add("event_id", id); g.add("ts", tsNanos); g.add("user_id", uid)
+      g.add("event_type", etype); g.add("value", v); g.add("props", props)
+      writer.write(g)
+    }
+    writer.close()
+  }
+
+  test("Tables.events normalizes TIMESTAMP(NANOS) and TIMESTAMP(MICROS) layouts identically") {
+    import java.time.LocalDateTime
+    // micro-aligned instants (the generator's contract; `ts div 1000` is lossless)
+    val instants = Seq(
+      LocalDateTime.of(2024, 3, 1, 12, 34, 56, 789012000),
+      LocalDateTime.of(2024, 3, 2, 0, 0, 0, 0))
+    def epochMicros(t: LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val rows = instants.zipWithIndex.map { case (t, i) =>
+      (i.toLong, epochMicros(t) * 1000L, 10L + i, "click", 1.0, "{}")
+    }
+    val nanosDir = Files.createTempDirectory("graft_ev_nanos").toString
+    writeNanosEvents(s"$nanosDir/events.parquet", rows)
+
+    val microsDir = Files.createTempDirectory("graft_ev_micros").toString
+    instants.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, 10L + i, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$microsDir/events.parquet")
+
+    def tsValues(dir: String): Seq[LocalDateTime] = {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampNTZType)
+      ev.orderBy("event_id").select("ts").collect()
+        .map(_.getAs[LocalDateTime](0)).toSeq
+    }
+    assert(tsValues(nanosDir) === instants, "nanos layout must decode to the generator instants")
+    assert(tsValues(microsDir) === instants, "micros layout must decode to the generator instants")
+    assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Tables.events must leave the session conf as it found it")
+  }
+
+  test("Tables.events fails fast on a drifted ts type instead of coercing to nulls") {
+    val dir = Files.createTempDirectory("graft_ev_drift").toString
+    Seq((1L, "2024-03-01", 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("unexpected type"))
+    assert(e.getMessage.contains("StringType"))
+  }
+
   test("expireOlderThan keeps the cutoff row itself and everything after") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
