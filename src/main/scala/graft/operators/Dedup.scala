@@ -63,16 +63,28 @@ object Dedup {
           call_function("graft_shingles", col("text"), lit(k)), lit(numHashes)).as("sig"))
   }
 
+  /** Banded MinHash postings — one row per (doc, band) carrying the
+    * full signature: the LSH index entries. ONE definition consumed by
+    * the batch self-join ([[minhashPairs]]), the persisted cross-run
+    * index ([[writeBandPostings]]) and the incremental delta join
+    * ([[incrementalMinhashCandidates]]), so the banding can never
+    * drift between the full and incremental paths. */
+  def bandPostings(documents: DataFrame,
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(documents, bands * rowsPerBand)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))): _*)
+    }
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+  }
+
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand
     * = signature length), bucket-join on (band, hash-of-rows), then
     * estimate Jaccard as the fraction of agreeing signature positions
     * and keep pairs above the threshold. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(documents, bands * rowsPerBand)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))): _*)
-    }
     // The signature stage is map-only, so scan-dedup across the two
     // self-join sides is regime-dependent and AQE picks correctly: at
     // corpus scale the join is a sort-merge whose two band-key
@@ -80,14 +92,70 @@ object Dedup {
     // signatures ONCE (spec-pinned with broadcast disabled); on small
     // inputs AQE broadcasts one side and re-computing the cheap scan
     // beats forcing a shuffle of sig-carrying banded rows.
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val banded = bandPostings(documents, bands, rowsPerBand)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_id_1"), col("r.doc_id").as("doc_id_2"),
         col("l.sig").as("sig1"), col("r.sig").as("sig2"))
+      .dropDuplicates("doc_id_1", "doc_id_2")
+    val agree = size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+    candidates
+      .withColumn("est_jaccard", agree.cast("double") / (bands * rowsPerBand))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
+  }
+
+  /** Persist the accepted corpus's [[bandPostings]] as a bucketed
+    * catalog table keyed on the LSH join key — the cross-run index
+    * [[incrementalMinhashCandidates]] probes. Bucketing on
+    * (band, band_hash) means a later delta join consumes the files'
+    * clustering directly: the 100 TB corpus side is NEVER re-signed
+    * and never re-shuffled; only the day's delta moves. */
+  def writeBandPostings(documents: DataFrame, table: String,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        buckets: Int = 64): Unit =
+    graft.sources.Sinks.writeBucketed(
+      bandPostings(documents, bands, rowsPerBand), table,
+      Seq("band", "band_hash"), buckets)
+
+  /** Incremental near-dup detection across ingests: compute signatures
+    * for the NEW documents only and probe the persisted corpus index
+    * ([[writeBandPostings]]) — the production path for a daily ingest,
+    * where re-running [[minhashPairs]] over corpus+delta would re-sign
+    * and re-shuffle 100 TB to discover pairs that can only involve
+    * delta docs. Emits every candidate pair touching the delta:
+    * corpus×delta (the bucketed probe — zero corpus-side exchange,
+    * spec-pinned) plus delta×delta (the self-join, delta-sized).
+    * Contract: `newDocs` doc_ids are disjoint from the corpus ids in
+    * `postings` (enforce upstream with [[exactDuplicates]] /
+    * [[graft.streaming.Streams.dedupStream]]).
+    *
+    * Union-then-estimate (not estimate-per-arm) so the output is
+    * definitionally the same rows [[minhashPairs]] on the grown corpus
+    * would emit for those pairs — pinned by spec: prior full-run pairs
+    * ∪ incremental pairs == full recompute on corpus+delta. */
+  def incrementalMinhashCandidates(newDocs: DataFrame, postings: DataFrame,
+                                   threshold: Double = 0.5,
+                                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val newBanded = bandPostings(newDocs, bands, rowsPerBand)
+    val orderedSigs = Seq(
+      when(col("l.doc_id") < col("r.doc_id"), col("l.sig")).otherwise(col("r.sig")).as("sig1"),
+      when(col("l.doc_id") < col("r.doc_id"), col("r.sig")).otherwise(col("l.sig")).as("sig2"))
+    val corpusDelta = postings.as("l")
+      .join(newBanded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(Seq(least(col("l.doc_id"), col("r.doc_id")).as("doc_id_1"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_id_2")) ++ orderedSigs: _*)
+    val deltaDelta = newBanded.as("l")
+      .join(newBanded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(Seq(col("l.doc_id").as("doc_id_1"), col("r.doc_id").as("doc_id_2")) ++
+        orderedSigs: _*)
+    val candidates = corpusDelta.unionByName(deltaDelta)
       .dropDuplicates("doc_id_1", "doc_id_2")
     val agree = size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
     candidates

@@ -189,6 +189,47 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._3 > 0.5)
   }
 
+  test("incremental minhash over a persisted postings index == full recompute on the grown corpus") {
+    // Day 0: half the real corpus is accepted and its band postings
+    // persisted bucketed on the LSH key. Day 1: the other half lands as
+    // a delta. Incremental = day-0 full pairs ∪ delta-probe pairs; it
+    // must equal minhashPairs over the whole grown corpus — nothing
+    // found twice, nothing missed across the corpus/delta boundary.
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val delta = all.filter(col("doc_id") % 2 === 1)
+    Dedup.writeBandPostings(corpus, "graft_test_postings", buckets = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val incremental = pairs(Dedup.minhashPairs(corpus)) ++
+      pairs(Dedup.incrementalMinhashCandidates(delta, spark.table("graft_test_postings")))
+    val full = pairs(Dedup.minhashPairs(all))
+    assert(incremental === full)
+    // the scale contract: the persisted corpus side of the probe join
+    // consumes the bucket layout — no Exchange anywhere above the
+    // index scan (only the delta side may shuffle)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val plan = Dedup.incrementalMinhashCandidates(delta, spark.table("graft_test_postings"))
+        .queryExecution.sparkPlan
+      def scansIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.find {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(_.toString.contains("graft_test_postings"))
+          case _ => false
+        }.isDefined
+      assert(scansIndex(plan), s"index scan missing:\n$plan")
+      val shuffledIndex = plan.collect {
+        case e: ShuffleExchangeExec if scansIndex(e) => e
+      }
+      assert(shuffledIndex.isEmpty,
+        s"the bucketed index side must reach its join without shuffling:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs not paired") {
     val out = Dedup.simhashPairs(docs((1L, base), (2L, base), (3L, other)))
       .as[(Long, Long, Int)].collect()
