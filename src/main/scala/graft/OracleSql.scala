@@ -297,6 +297,34 @@ object OracleSql {
        |WHERE cos >= $threshold""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Ann.semanticDecontam]] with a TRAINED
+    * deterministic quantizer: replayed training, then the green
+    * `decontam_semantic` oracle's cross-set (train×holdout) logic
+    * against `cents$iters`. */
+  def semanticDecontamTrainedSql(k: Int = 64, iters: Int = 3, threshold: Double = 0.35,
+                                 holdoutHex: String = "0ccd", dims: Int = 64): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims)},
+       |scored AS (
+       |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      (${dot("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM n CROSS JOIN cents$iters c),
+       |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1),
+       |h AS (SELECT * FROM fasg WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '$holdoutHex'),
+       |tr AS (SELECT * FROM fasg WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) >= '$holdoutHex'),
+       |m AS (SELECT tr.vec_id AS vec_id, h.vec_id AS h_id,
+       |        ${dot("tr.emb", "h.emb")} / (tr.nrm * h.nrm) AS cos
+       |      FROM tr JOIN h ON tr.cell = h.cell),
+       |f AS (SELECT * FROM m WHERE cos >= $threshold)
+       |SELECT vec_id, h_id AS holdout_id, cos AS cosine, matches FROM (
+       |  SELECT vec_id, h_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, h_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY vec_id) AS matches
+       |  FROM f) t WHERE rn = 1""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.Enrichment.gold]] as a CTE chain
     * (silver → gold). Use as `WITH $goldCtes SELECT ... FROM gold`. */
   def goldCtes: String =

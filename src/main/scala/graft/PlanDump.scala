@@ -74,7 +74,10 @@ object PlanDump {
       "ranked_search_bm25" -> "BM25 shape: corpus stats (n_docs, avgdl, df) as ONE broadcast row, saturated scoring map-side, TakeOrderedAndProject",
       "shuffle_shards" -> "deterministic shuffle: one shard-keyed exchange, per-shard rank window, no single-partition funnel",
       "embedding_covariance" -> "int8 moments: upper-triangle slice explode, long sums combined map-side into 2080 constant groups",
-      "decontam_report" -> "combined contamination verdict: both arms' bounded outputs full-outer-joined; corpus work stays inside the arms")
+      "decontam_report" -> "combined contamination verdict: both arms' bounded outputs full-outer-joined; corpus work stays inside the arms",
+      "q_waiting_orders" -> "TPC-H Q21 rewritten: ONE lineitem scan feeds the per-order lateness profile (the semi+anti pair as two stacked aggregates); supplier x nation broadcast after the sole-late decision",
+      "ann_ivf_trained" -> "trained IVF: each Lloyd round is a broadcast argmin + combinable (cell,dim) re-center; the query path identical to ann_ivf against the refined 1-row centroid broadcast",
+      "dedup_semantic_trained" -> "trained SemDeDup: Lloyd's-refined centroids slot into the same broadcast-argmin cell assignment + within-cell equi-join pairing as dedup_semantic")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

@@ -2049,6 +2049,14 @@ object SparkEntry {
              |    COUNT(*) OVER (PARTITION BY vec_id) AS matches
              |  FROM f) t WHERE rn = 1""".stripMargin)),
 
+    ("decontam_semantic_trained",
+      // the decontamination arm on the SAME Lloyd's-refined cells as
+      // dedup_semantic_trained — both semantic consumers share one
+      // trained quantizer; oracle replays training + split + cosines
+      (s: SparkSession, d: String) => Ann.semanticDecontam(
+        Tables.embeddings(s, d), trainIters = 3, deterministic = true),
+      Some(OracleSql.semanticDecontamTrainedSql())),
+
     ("bpe_pair_stats",
       // the BPE trainer's inner-loop statistic: adjacent-pair counts
       // weighted by word frequency, extracted from the vocab-bounded

@@ -533,11 +533,16 @@ object Ann {
     * a single max-of-struct aggregate (no window over the corpus). */
   def semanticDecontam(embeddings: DataFrame, numCentroids: Int = 64,
                        threshold: Double = 0.35,
-                       holdoutHex: String = "0ccd"): DataFrame = {
+                       holdoutHex: String = "0ccd",
+                       trainIters: Int = 0,
+                       deterministic: Boolean = false): DataFrame = {
     graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val cells = nearestCells(e, ivfCentroids(e, numCentroids), "emb", "nrm", keep = 1)
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(e, numCentroids, trainIters, deterministic)
+      else ivfCentroids(e, numCentroids)
+    val cells = nearestCells(e, centroids, "emb", "nrm", keep = 1)
       .withColumn("is_holdout",
         substring(md5(col("vec_id").cast("string")), 1, 4) < holdoutHex)
     val train = cells.filter(!col("is_holdout"))

@@ -105,9 +105,10 @@ class RegistrySpec extends SparkSpec {
     // round-9 closing: both text decontamination arms in one per-doc
     // verdict table
     "decontam_report",
-    // round-11: SemDeDup with the Lloyd's-refined quantizer
-    // (deterministic training, full DuckDB training-loop replay)
-    "dedup_semantic_trained",
+    // round-11: SemDeDup + decontamination on the Lloyd's-refined
+    // quantizer (deterministic training, full DuckDB training-loop
+    // replay)
+    "dedup_semantic_trained", "decontam_semantic_trained",
     // round-11: the TPC-H Q21 semi+anti correlated self-join shape,
     // rewritten to a single-scan per-order lateness profile
     "q_waiting_orders")
