@@ -105,8 +105,15 @@ object Pipeline {
     * tolerated; the same passage across the split is contamination.
     * The returned counts give per-stage survivor numbers — the
     * curation funnel every training-data run reports. */
+  /** `postingsTable`: when set, the run also persists the accepted
+    * (deduped) corpus's banded MinHash postings as a bucketed catalog
+    * table ([[operators.Dedup.writeBandPostings]]) — the cross-run
+    * index the NEXT ingest probes with
+    * [[operators.Dedup.incrementalMinhashCandidates]] instead of
+    * re-signing and re-shuffling the whole corpus. */
   def runTrainingPrep(spark: SparkSession, sourceDir: String, outDir: String,
-                      testBuckets: Int = 410): Summary = {
+                      testBuckets: Int = 410,
+                      postingsTable: Option[String] = None): Summary = {
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
     val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     val exact = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
@@ -128,6 +135,14 @@ object Pipeline {
     // clusters were built from
     val deduped = Dedup.applyCanonical(exact, clusters,
       Dedup.canonicalPerCluster(textOnly, clusters))
+
+    // cross-run LSH index: postings over the text the NEXT run's
+    // near-dup candidates will be judged against (cleaned, pre-redact
+    // — the same column this run's own pair graphs read)
+    postingsTable.foreach { t =>
+      Dedup.writeBandPostings(
+        deduped.select(col("doc_id"), col("content").as("text")), t)
+    }
 
     val prepared = deduped.withColumn("content", TextOps.redact(col("content")))
     // persist the split ONCE: four consumers fan out from here (the

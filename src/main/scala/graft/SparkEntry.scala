@@ -921,6 +921,37 @@ object SparkEntry {
              |  MIN(CASE WHEN cum*20 >= n*19 THEN v END) AS p95
              |FROM cum GROUP BY n""".stripMargin)),
 
+    ("sketch_distinct_audit",
+      // the HLL++ error contract as a gate row (ann_lsh_recall
+      // pattern): exact side oracle-replayed, sketch pinned by a
+      // within-tolerance boolean — the validation run that licenses
+      // the map-side-combinable sketch at 100 TB
+      (s: SparkSession, d: String) => Corpus.sketchDistinctAudit(docs(s, d)),
+      Some("""SELECT source,
+             |  COUNT(DISTINCT term) AS exact_terms, TRUE AS hll_ok
+             |FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             |      FROM documents)
+             |GROUP BY source""".stripMargin)),
+
+    ("sketch_quantile_audit",
+      // percentile_approx's Greenwald-Khanna rank guarantee checked
+      // EXACTLY (integer cross-multiplied bounds); approx values not
+      // emitted (GK merge is partition-order dependent) — the
+      // contract boolean holds for any valid merge order
+      (s: SparkSession, d: String) => Corpus.sketchQuantileAudit(docs(s, d)),
+      Some("""WITH counts AS (SELECT source, n_chars AS v, COUNT(*) AS c
+             |                FROM documents GROUP BY 1, 2),
+             |cum AS (SELECT source, v,
+             |          SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             |          CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+             |        FROM counts)
+             |SELECT source, n AS n_docs,
+             |  MIN(CASE WHEN cum*2 >= n*1 THEN v END) AS p50,
+             |  MIN(CASE WHEN cum*10 >= n*9 THEN v END) AS p90,
+             |  MIN(CASE WHEN cum*100 >= n*99 THEN v END) AS p99,
+             |  TRUE AS approx_ok
+             |FROM cum GROUP BY source, n""".stripMargin)),
+
     ("char_budget_sample",
       // per-source keep fraction = budget/total in 65536ths (exact DIV),
       // applied as the md5-prefix rule; under-budget sources keep all

@@ -133,6 +133,88 @@ object Corpus {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Distinct-cardinality sketch audit — the contract row that makes
+    * "swap exact distinct for HLL++ at 100 TB" a VERIFIED trade: per
+    * source, the exact distinct term count (what the oracle replays)
+    * next to a boolean asserting Spark's HLL++ estimate
+    * (`approx_count_distinct`, map-side-combinable, constant memory)
+    * landed within `tol` of it. The sketch value itself is
+    * deliberately NOT emitted — HLL registers are engine-specific —
+    * but the sketch is deterministic for a given input set (register
+    * maxima are order- and partitioning-independent), so the boolean
+    * is stable, and a Spark upgrade that degrades the sketch's error
+    * hash-mismatches the gate. At corpus scale the EXACT side is the
+    * expensive one (term-keyed shuffle); this row is the validation
+    * run that licenses the cheap sketch everywhere else. */
+  def sketchDistinctAudit(documents: DataFrame, rsd: Double = 0.02,
+                          tol: Double = 0.05): DataFrame =
+    documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("exact_terms"),
+        approx_count_distinct(col("term"), rsd).as("hll"))
+      .select(col("source"), col("exact_terms"),
+        (abs(col("hll") - col("exact_terms")).cast("double")
+          <= col("exact_terms").cast("double") * tol).as("hll_ok"))
+
+  /** Quantile sketch audit — [[sketchDistinctAudit]]'s twin for
+    * `percentile_approx`: per source, exact type-1 p50/p90/p99 of
+    * `n_chars` (integer cross-multiplication, oracle-replayable) next
+    * to a boolean asserting every sketch probe satisfies the
+    * Greenwald-Khanna RANK guarantee `rank(a) ∈ [(p − 1/acc)·n,
+    * (p + 1/acc)·n]`, checked exactly: `le` (rows ≤ a) and `lt`
+    * (rows < a) against integer cross-multiplied bounds — no doubles
+    * at the boundary. The approx VALUES are not emitted (GK merge is
+    * partition-order dependent); the contract boolean holds for ANY
+    * valid merge order, so the row is deterministic. Overflow bound:
+    * `n·den·acc` must fit a long — fine to ~9e11 rows at den=100,
+    * acc=10000; shrink `accuracy` for bigger corpora.
+    *
+    * Scale shape: the exact side is the bounded distinct-value rollup
+    * of [[exactPercentiles]] partitioned by source; the sketch is one
+    * combinable aggregate; the rank check joins 3 probe rows per
+    * source against the rollup. */
+  def sketchQuantileAudit(documents: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val probesDef = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+    val counts = documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("v"))
+    val whole = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts.select(col("source"), col("v"),
+      sum(col("c")).over(bySrc).as("cum"),
+      sum(col("c")).over(whole).cast("long").as("n"))
+    val exactAggs = probesDef.map { case (name, num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col("v"))).as(name)
+    }
+    val exact = cum.groupBy(col("source"), col("n"))
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    val fractions = array(probesDef.map { case (_, num, den) =>
+      lit(num.toDouble / den)
+    }: _*)
+    val sketch = documents.groupBy(col("source"))
+      .agg(percentile_approx(col("n_chars"), fractions, lit(accuracy)).as("q"))
+      .select(col("source"), posexplode(col("q")).as(Seq("pi", "a")))
+    val bounds = probesDef.zipWithIndex.map { case ((_, num, den), i) => (i, num, den) }
+      .map { case (i, num, den) =>
+        (col("pi") === i,
+          col("le") * den * accuracy >= col("n") * (num * accuracy - den),
+          col("lt") * den * accuracy <= col("n") * (num * accuracy + den))
+      }
+    val okExpr = bounds.map { case (isP, lo, hi) => isP && lo && hi }
+      .reduce(_ || _)
+    val ranks = sketch.join(cum, Seq("source"))
+      .groupBy(col("source"), col("pi"), col("a"), col("n"))
+      .agg(coalesce(max(when(col("v") <= col("a"), col("cum"))), lit(0L)).as("le"),
+        coalesce(max(when(col("v") < col("a"), col("cum"))), lit(0L)).as("lt"))
+      .select(col("source"), okExpr.as("ok"))
+      .groupBy(col("source"))
+      .agg(expr("bool_and(ok)").as("approx_ok"))
+    exact.join(ranks, Seq("source"))
+      .select(col("source"), col("n").as("n_docs"),
+        col("p50"), col("p90"), col("p99"), col("approx_ok"))
+  }
+
   /** Budget-proportional corpus mixing: deterministically downsample
     * each source so its kept characters land near `budgetChars` — the
     * dataset-composition primitive ("X% web, Y% code, cap every

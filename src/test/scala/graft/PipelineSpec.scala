@@ -93,6 +93,30 @@ class PipelineSpec extends SparkSpec {
     assert(s2 === s1)
   }
 
+  test("runTrainingPrep persists the cross-run postings index a later delta can probe") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_prep_idx").toString
+    val out = Files.createTempDirectory("graft_prep_idx_out").toString
+    val filler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq((1L, filler, "en"), (6L, (1 to 40).map(i => s"other$i").mkString(" "), "id"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$src/documents.parquet")
+    Pipeline.runTrainingPrep(spark, src, out,
+      postingsTable = Some("graft_prep_postings"))
+    val idx = spark.table("graft_prep_postings")
+    assert(idx.columns.toSet === Set("doc_id", "sig", "band", "band_hash"))
+    assert(idx.select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 6L))
+    // tomorrow's delta: a near-dup of accepted doc 1 — the probe must
+    // flag it against the index without touching doc 6's postings
+    val delta = Seq((10L, ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" "),
+        "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hits = graft.operators.Dedup
+      .incrementalMinhashCandidates(delta, idx)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(hits === Set((1L, 10L)))
+  }
+
   test("runTrainingPrep drops a train doc that leaks a passage into the holdout") {
     import spark.implicits._
     // find ids the deterministic md5 split sends to OPPOSITE sides, so

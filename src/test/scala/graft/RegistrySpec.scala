@@ -111,7 +111,10 @@ class RegistrySpec extends SparkSpec {
     "dedup_semantic_trained", "decontam_semantic_trained",
     // round-11: the TPC-H Q21 semi+anti correlated self-join shape,
     // rewritten to a single-scan per-order lateness profile
-    "q_waiting_orders")
+    "q_waiting_orders",
+    // round-11: sketch error contracts as gate rows — exact side
+    // oracle-replayed, HLL++/GK sketches pinned by in-engine bounds
+    "sketch_distinct_audit", "sketch_quantile_audit")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

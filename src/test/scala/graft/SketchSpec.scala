@@ -32,6 +32,29 @@ class SketchSpec extends SparkSpec {
     assert(relErr < 0.05, s"HLL++ rel error $relErr vs rsd 0.02 (approx=$approx exact=$exact)")
   }
 
+  test("sketch audits hold their contracts on real data and catch a broken tolerance") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = Corpus.sketchDistinctAudit(docs).collect()
+    assert(d.nonEmpty && d.forall(_.getAs[Boolean]("hll_ok")),
+      "HLL++ must land within tolerance on every source")
+    val q = Corpus.sketchQuantileAudit(docs).collect()
+    assert(q.nonEmpty && q.forall(_.getAs[Boolean]("approx_ok")),
+      "every GK probe must satisfy its rank guarantee")
+    // the boolean is a live check, not a constant: at a cardinality
+    // past HLL++'s exact sparse mode the estimate is inexact (pinned
+    // by the assume, deterministic for a given Spark build), so an
+    // impossible tolerance must flip it
+    val big = (1L to 60000L).map(i => (i, s"t$i", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bigExact, bigHll) = big
+      .agg(countDistinct(col("text")), approx_count_distinct(col("text"), rsd = 0.02))
+      .as[(Long, Long)].head()
+    assume(bigExact != bigHll, "sparse-exact regime; liveness probe needs more cardinality")
+    val broken = Corpus.sketchDistinctAudit(big, tol = 0.0).collect()
+    assert(broken.exists(!_.getAs[Boolean]("hll_ok")),
+      "tol=0 must fail on an inexact estimate, or the audit asserts nothing")
+  }
+
   test("approx_percentile brackets the exact type-1 quantiles on a zipf head") {
     val exact = Corpus.exactPercentiles(skewed, col("v"))
       .select("p25", "p50", "p75", "p95")
