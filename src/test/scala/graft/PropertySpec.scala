@@ -47,6 +47,28 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("property: incremental minhash == full recompute under ANY corpus/delta split") {
+    // generalizes the fixed even/odd DedupSpec case: for several
+    // md5-derived corpus/delta partitions of the real sf0.001 corpus,
+    // (pairs within corpus) ∪ (incremental probe of delta) must equal
+    // the full recompute — no pair lost or duplicated across the
+    // boundary, wherever the boundary falls
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = graft.operators.Dedup.minhashPairs(all)
+      .as[(Long, Long, Double)].collect().toSet
+    Seq("4", "8", "c").foreach { boundary => // ~25/50/75% splits
+      val inCorpus = substring(md5(col("doc_id").cast("string")), 1, 1) < boundary
+      val corpus = all.filter(inCorpus)
+      val delta = all.filter(!inCorpus)
+      val got = graft.operators.Dedup.minhashPairs(corpus)
+        .as[(Long, Long, Double)].collect().toSet ++
+        graft.operators.Dedup.incrementalMinhashCandidates(
+          delta, graft.operators.Dedup.bandPostings(corpus))
+          .as[(Long, Long, Double)].collect().toSet
+      assert(got === full, s"split at md5 prefix $boundary diverged")
+    }
+  }
+
   test("property: native clean_content equals the regexp_replace Column chain") {
     GraftExtensions.register(spark)
     val texts = samples(messyText, 300)
