@@ -1866,6 +1866,34 @@ object SparkEntry {
              |       FROM reach GROUP BY a)
              |SELECT vec_id, cluster_id FROM cl""".stripMargin)),
 
+    ("dedup_semantic_scaled",
+      // the fan-out knob exercised: k = max(16, ceil(sqrt(N))) holds
+      // pair work at N^1.5 instead of N^2/k-fixed; the oracle derives
+      // the SAME k from a scalar subquery, so cell choice and pairs
+      // replay bit-for-bit at any corpus size
+      (s: SparkSession, d: String) =>
+        Ann.semanticDedupPairsScaled(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x)) AS nrm
+             |      FROM e),
+             |kk AS (SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k FROM e),
+             |c AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n, kk WHERE vec_id < kk.k),
+             |scored_cells AS (
+             |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      (list_reduce(list_transform(range(1, 65), i -> n.emb[i] * c.cemb[i]), (acc, x) -> acc + x)
+             |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+             |  FROM n CROSS JOIN c),
+             |asg AS (SELECT vec_id, emb, nrm, cell FROM scored_cells WHERE rn = 1)
+             |SELECT vec_id_1, vec_id_2, cell, cos AS cosine FROM (
+             |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,
+             |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)
+             |      / (a.nrm * b.nrm) AS cos
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+             |WHERE cos >= 0.35""".stripMargin)),
+
     ("dedup_semantic_trained",
       // SemDeDup with the LLOYD'S-REFINED quantizer (round 11): same
       // pairing cost model as dedup_semantic, better-centered cells.

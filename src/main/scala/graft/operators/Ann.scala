@@ -506,6 +506,26 @@ object Ann {
         col("a.cell").as("cell"), col("cos").as("cosine"))
   }
 
+  /** [[semanticDedupPairs]] with the fan-out SCALED to the corpus:
+    * `k = max(minCentroids, ceil(sqrt(N)))` — the classic balanced
+    * IVF choice. At fixed k the within-cell pair work grows as
+    * N²/k (each cell's population scales with N); at k = √N both the
+    * assignment cost (N·k dots) and the pair cost (≈ N²/k) grow as
+    * N^1.5 — the measured 100× ScaleCheck gap between
+    * `dedup_semantic` (fixed 64) and this. The derivation is one
+    * metadata-cheap count action, replayed in the oracle as a scalar
+    * subquery, so the scaled path stays bit-replayable end-to-end.
+    * Beyond ~1e9 vectors the √N centroid broadcast itself gets big
+    * (≈ 32k vectors/GB at 64 dims); that regime wants the trained
+    * hierarchical quantizer ([[kmeansCentroids]] over a sampled seed)
+    * — the knob composes, the plan shape is unchanged. */
+  def semanticDedupPairsScaled(embeddings: DataFrame, threshold: Double = 0.35,
+                               minCentroids: Int = 16): DataFrame = {
+    val n = embeddings.count()
+    val k = math.max(minCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    semanticDedupPairs(embeddings, numCentroids = k, threshold = threshold)
+  }
+
   /** Embedding-space decontamination — [[graft.operators.TextOps]]'
     * n-gram `decontam_overlap` catches verbatim eval leakage, but a
     * paraphrased or re-translated eval document shares no n-grams

@@ -114,7 +114,10 @@ class RegistrySpec extends SparkSpec {
     "q_waiting_orders",
     // round-11: sketch error contracts as gate rows — exact side
     // oracle-replayed, HLL++/GK sketches pinned by in-engine bounds
-    "sketch_distinct_audit", "sketch_quantile_audit")
+    "sketch_distinct_audit", "sketch_quantile_audit",
+    // round-11: the SemDeDup fan-out knob as a registered path —
+    // k = ceil(sqrt(N)) holds pair work at N^1.5
+    "dedup_semantic_scaled")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
