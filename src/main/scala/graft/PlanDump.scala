@@ -80,7 +80,8 @@ object PlanDump {
       "dedup_semantic_trained" -> "trained SemDeDup: Lloyd's-refined centroids slot into the same broadcast-argmin cell assignment + within-cell equi-join pairing as dedup_semantic",
       "sketch_distinct_audit" -> "HLL++ contract row: exact distinct (expand-based) and the sketch in ONE source-keyed aggregate pass over the token explode",
       "sketch_quantile_audit" -> "GK contract row: bounded per-source value rollup + 3 probe rows joined back; the corpus contributes one combinable count pass",
-      "dedup_semantic_scaled" -> "SemDeDup with k = ceil(sqrt(N)) fan-out: same broadcast-argmin + within-cell pairing shape as dedup_semantic — only the centroid count scales")
+      "dedup_semantic_scaled" -> "SemDeDup with k = ceil(sqrt(N)) fan-out: same broadcast-argmin + within-cell pairing shape as dedup_semantic — only the centroid count scales",
+      "dedup_semantic_capped" -> "viral-cell guard: cell sizes ride a k-row broadcast, vec_id%nsub subcell lands in the join key — pair work per cell linear in its population")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

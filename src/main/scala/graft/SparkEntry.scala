@@ -1894,6 +1894,38 @@ object SparkEntry {
              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
              |WHERE cos >= 0.35""".stripMargin)),
 
+    ("dedup_semantic_capped",
+      // the viral-cell guard registered at cap=16 so subdivision
+      // actually triggers at gate SFs (avg cell ~31): pair work per
+      // cell bounded LINEAR in its population; vec_id%nsub subcells
+      // and exact-integer ceil replay bit-for-bit in the oracle
+      (s: SparkSession, d: String) =>
+        Ann.semanticDedupPairsCapped(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]), (acc, x) -> acc + x)) AS nrm
+             |      FROM e),
+             |c AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 64),
+             |scored_cells AS (
+             |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |      (list_reduce(list_transform(range(1, 65), i -> n.emb[i] * c.cemb[i]), (acc, x) -> acc + x)
+             |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+             |  FROM n CROSS JOIN c),
+             |asg AS (SELECT vec_id, emb, nrm, cell FROM scored_cells WHERE rn = 1),
+             |siz AS (SELECT cell, COUNT(*) AS csz FROM asg GROUP BY cell),
+             |sub AS (SELECT a.vec_id, a.emb, a.nrm, a.cell,
+             |          a.vec_id % ((s.csz + 15) // 16) AS subcell
+             |        FROM asg a JOIN siz s ON a.cell = s.cell)
+             |SELECT vec_id_1, vec_id_2, cell, cos AS cosine FROM (
+             |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,
+             |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)
+             |      / (a.nrm * b.nrm) AS cos
+             |  FROM sub a JOIN sub b
+             |    ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id) t
+             |WHERE cos >= 0.35""".stripMargin)),
+
     ("dedup_semantic_trained",
       // SemDeDup with the LLOYD'S-REFINED quantizer (round 11): same
       // pairing cost model as dedup_semantic, better-centered cells.

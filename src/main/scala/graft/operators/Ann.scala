@@ -506,6 +506,41 @@ object Ann {
         col("a.cell").as("cell"), col("cos").as("cosine"))
   }
 
+  /** [[semanticDedupPairs]] with a HARD CAP on cell population — the
+    * viral-cell guard: one dense cluster (boilerplate embeddings, a
+    * template family) otherwise concentrates the corpus in one cell
+    * and its \|cell\|² pair term dominates the job. Cells above `cap`
+    * subdivide deterministically into `ceil(|cell|/cap)` subcells by
+    * `vec_id % nsub` (exact integers — both engines replay it), and
+    * pairs generate within (cell, subcell): worst-case pair work per
+    * original cell is ≈ \|cell\|·cap/2 — LINEAR in the viral cell's
+    * population, not quadratic. Cross-subcell pairs inside a
+    * subdivided cell are deliberately not generated — the same
+    * recall-for-boundedness trade as the posting-list df cap
+    * ([[graft.functions.BoundedCollect]]), and exactly the cells
+    * where near-everything pairs with near-everything anyway (the
+    * canonical-keep stage needs ONE surviving representative, not
+    * every edge). Cell sizes ride a k-row broadcast. */
+  def semanticDedupPairsCapped(embeddings: DataFrame, numCentroids: Int = 64,
+                               threshold: Double = 0.35, cap: Int = 16): DataFrame = {
+    require(cap >= 1)
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cells = nearestCells(e, ivfCentroids(e, numCentroids), "emb", "nrm", keep = 1)
+    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val sub = cells.join(broadcast(sizes), Seq("cell"))
+      .withColumn("subcell", col("vec_id") % expr(s"(csz + $cap - 1) div $cap"))
+    sub.as("a")
+      .join(sub.as("b"),
+        col("a.cell") === col("b.cell") && col("a.subcell") === col("b.subcell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
+        col("a.cell").as("cell"), col("cos").as("cosine"))
+  }
+
   /** [[semanticDedupPairs]] with the fan-out SCALED to the corpus:
     * `k = max(minCentroids, ceil(sqrt(N)))` — the classic balanced
     * IVF choice. At fixed k the within-cell pair work grows as

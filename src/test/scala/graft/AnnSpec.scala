@@ -170,6 +170,25 @@ class AnnSpec extends SparkSpec {
     assert(run(det = true) === run(det = false))
   }
 
+  test("capped semantic blocking bounds a viral cell's pair work, pairs stay a subset") {
+    // 200 near-identical vectors all land in one cell: uncapped pairs
+    // ~ C(200,2); cap=20 subdivides into 10 subcells of ~20 -> pair
+    // count collapses ~10x, and every capped pair is an uncapped pair
+    val viral = (0 until 200).map { i =>
+      (i.toLong, Seq(1f, 1e-4f * i, 0f, 0f), 0)
+    }
+    val df = embs(viral: _*)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(Ann.semanticDedupPairs(df, numCentroids = 1, threshold = 0.0))
+    val capped = pairs(Ann.semanticDedupPairsCapped(df, numCentroids = 1,
+      threshold = 0.0, cap = 20))
+    assert(uncapped.size === 199 * 200 / 2)
+    assert(capped.subsetOf(uncapped))
+    // 10 subcells of 20 -> 10 * C(20,2) = 1900 pairs, a 10.5x cut
+    assert(capped.size === 10 * (19 * 20 / 2))
+  }
+
   test("trained semantic blocking recalls at least as many true pairs as the untrained seed") {
     // the point of paying for Lloyd's rounds: better-centered cells
     // co-locate true neighbors more often at the SAME fan-out.

@@ -117,7 +117,10 @@ class RegistrySpec extends SparkSpec {
     "sketch_distinct_audit", "sketch_quantile_audit",
     // round-11: the SemDeDup fan-out knob as a registered path —
     // k = ceil(sqrt(N)) holds pair work at N^1.5
-    "dedup_semantic_scaled")
+    "dedup_semantic_scaled",
+    // round-11: the viral-cell guard — subdivided cells bound pair
+    // work linear in a dense cluster's population
+    "dedup_semantic_capped")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
