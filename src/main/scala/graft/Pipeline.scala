@@ -105,6 +105,94 @@ object Pipeline {
     * tolerated; the same passage across the split is contamination.
     * The returned counts give per-stage survivor numbers — the
     * curation funnel every training-data run reports. */
+  /** Bootstrap the cross-run dedup state from an ACCEPTED corpus —
+    * the two bucketed probe tables [[runIncremental]] consumes: the
+    * banded MinHash postings index (near-dup, keyed on the LSH join
+    * key) and the exact content-hash set (exact-dup, keyed on the
+    * hash). Call once from the initial full prep; every incremental
+    * run appends to both. `corpus` carries (doc_id, text). */
+  def bootstrapIncremental(corpus: org.apache.spark.sql.DataFrame,
+                           postingsTable: String, hashTable: String): Unit = {
+    Dedup.writeBandPostings(corpus, postingsTable)
+    Sinks.writeBucketed(
+      corpus.select(md5(col("text")).as("content_md5")).distinct(),
+      hashTable, Seq("content_md5"))
+  }
+
+  /** The DAILY ingest against a standing corpus — the production path
+    * the full [[runTrainingPrep]] is too expensive for: the corpus is
+    * never re-read, re-signed or re-shuffled; only the delta moves.
+    *
+    * Stages, with corpus-wins keep-first semantics throughout
+    * (matching [[streaming.Streams.dedupStream]]'s contract at the
+    * batch grain):
+    *  1. clean + quality-gate the delta ([[operators.Cleaning.silver]]);
+    *  2. exact dedup WITHIN the delta (keep-first on content hash),
+    *     then VS the corpus — an anti-join against the bucketed hash
+    *     set, which reads shuffle-free on its join key;
+    *  3. near-dup VS corpus and WITHIN delta in one
+    *     [[operators.Dedup.incrementalMinhashCandidates]] probe: a
+    *     delta doc paired with any corpus doc drops (the corpus copy
+    *     already won); delta-delta pairs cluster
+    *     ([[operators.Dedup.clusterPairs]]) and the LONGEST member
+    *     survives ([[operators.Dedup.applyCanonical]] — same keep
+    *     policy as the full prep);
+    *  4. the accepted delta lands in `outDir/accepted` and BOTH probe
+    *     tables grow by exactly the accepted docs
+    *     ([[sources.Sinks.appendBucketed]] keeps the bucket layout, so
+    *     tomorrow's probe still joins shuffle-free).
+    *
+    * Pair provenance (which side of a candidate pair is the corpus)
+    * is decided against the BROADCAST delta id set — never by joining
+    * the corpus-sized postings ids. */
+  def runIncremental(spark: SparkSession, sourceDir: String, outDir: String,
+                     postingsTable: String, hashTable: String): Summary = {
+    val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
+    val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+    val exactWithin = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
+    val exactNew = exactWithin.join(spark.table(hashTable),
+      md5(col("content")) === col("content_md5"), "left_anti")
+      .localCheckpoint() // three consumers below; the probe must not re-run the scan chain
+    val text = exactNew.select(col("doc_id"), col("content").as("text"))
+
+    val deltaIds = text.select(col("doc_id"))
+    val pairs = Dedup.incrementalMinhashCandidates(text, spark.table(postingsTable))
+      .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_1"),
+        lit(true).as("in1"))), Seq("doc_id_1"), "left")
+      .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_2"),
+        lit(true).as("in2"))), Seq("doc_id_2"), "left")
+      .localCheckpoint() // consumed twice (corpus hits + delta clusters)
+    // exactly one side in the delta -> the delta side lost to the corpus
+    val corpusHits = pairs.filter(col("in1").isNull =!= col("in2").isNull)
+      .select(when(col("in1").isNotNull, col("doc_id_1"))
+        .otherwise(col("doc_id_2")).as("doc_id")).distinct()
+    val survivors = exactNew.join(corpusHits, Seq("doc_id"), "left_anti")
+    val ddPairs = pairs.filter(col("in1").isNotNull && col("in2").isNotNull)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val clusters = Dedup.clusterPairs(ddPairs)
+    val accepted = Dedup.applyCanonical(survivors, clusters,
+      Dedup.canonicalPerCluster(
+        survivors.select(col("doc_id"), col("content").as("text")), clusters))
+      .localCheckpoint() // written once, then indexed twice below
+
+    Sinks.writeParquet(accepted, s"$outDir/accepted", Seq("lang"))
+    val acceptedText = accepted.select(col("doc_id"), col("content").as("text"))
+    Sinks.appendBucketed(Dedup.bandPostings(acceptedText), postingsTable,
+      Seq("band", "band_hash"))
+    Sinks.appendBucketed(
+      acceptedText.select(md5(col("text")).as("content_md5")).distinct(),
+      hashTable, Seq("content_md5"))
+
+    val acceptedN = accepted.count()
+    Map(
+      "input" -> Tables.documents(spark, sourceDir).count(),
+      "quality" -> quality.count(),
+      "exact_within" -> exactWithin.count(),
+      "exact_new" -> exactNew.count(),
+      "neardup_vs_corpus_dropped" -> corpusHits.count(),
+      "accepted" -> acceptedN)
+  }
+
   /** `postingsTable`: when set, the run also persists the accepted
     * (deduped) corpus's banded MinHash postings as a bucketed catalog
     * table ([[operators.Dedup.writeBandPostings]]) — the cross-run

@@ -69,6 +69,20 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append to a bucketed table, keeping the declared layout: new
+    * files hash into the SAME bucket scheme, so readers still join
+    * shuffle-free after every append — the daily-increment write for
+    * a [[writeBucketed]] index. The bucket spec must match the
+    * existing table's (Spark validates; a mismatch is the
+    * [[ensureBucketedTable]] change-the-shard-count error). */
+  def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                     buckets: Int = 64): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Catalog lifecycle for a bucketed table — the Spark analog of the
     * reference's `setup_index` (`/root/reference/services/es.py:39-115`:
     * create the index with mappings + shard settings before any

@@ -93,6 +93,53 @@ class PipelineSpec extends SparkSpec {
     assert(s2 === s1)
   }
 
+  test("runIncremental: corpus wins at both dedup grains, only the delta moves, the index grows") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    // day 0: the accepted corpus bootstraps both probe tables
+    Pipeline.bootstrapIncremental(
+      Seq((1L, filler), (6L, other)).toDF("doc_id", "text"),
+      "graft_inc_post", "graft_inc_hash")
+
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_inc_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val day1 = writeDelta(
+      (10L, ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")), // near-dup of corpus 1
+      (11L, other),                                                     // exact dup of corpus 6
+      (12L, fresh),                                                     // fresh
+      (13L, fresh + " extra"),                                          // near-dup of 12, LONGER
+      (14L, "too short"))                                               // quality gate
+    val out1 = Files.createTempDirectory("graft_inc_out1").toString
+    val s1 = Pipeline.runIncremental(spark, day1, out1, "graft_inc_post", "graft_inc_hash")
+    assert(s1("input") === 5L)
+    assert(s1("quality") === 4L)              // 14 out
+    assert(s1("exact_within") === 4L)         // no within-delta exact dups
+    assert(s1("exact_new") === 3L)            // 11 lost to the corpus hash set
+    assert(s1("neardup_vs_corpus_dropped") === 1L) // 10 lost to corpus 1
+    assert(s1("accepted") === 1L)             // 12 vs 13 cluster -> longest (13) survives
+    val acc1 = spark.read.parquet(s"$out1/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(acc1 === Set(13L))
+    assert(spark.table("graft_inc_post").select("doc_id").distinct()
+      .as[Long].collect().toSet === Set(1L, 6L, 13L))
+
+    // day 2: a near-dup of day 1's ACCEPTED doc must now lose to the
+    // corpus — proof the append actually extended the index
+    val day2 = writeDelta(
+      (20L, fresh + " changed"))              // near-dup of accepted 13
+    val out2 = Files.createTempDirectory("graft_inc_out2").toString
+    val s2 = Pipeline.runIncremental(spark, day2, out2, "graft_inc_post", "graft_inc_hash")
+    assert(s2("neardup_vs_corpus_dropped") === 1L)
+    assert(s2("accepted") === 0L)
+  }
+
   test("runTrainingPrep persists the cross-run postings index a later delta can probe") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_prep_idx").toString
