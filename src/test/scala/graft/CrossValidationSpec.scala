@@ -52,4 +52,15 @@ class CrossValidationSpec extends SparkSpec {
     assert(rank1(Ann.lshTopK(corpus, numQueries = 5, k = 1)) === expected)
     assert(rank1(Ann.ivfTopK(corpus, numQueries = 5, k = 1)) === expected)
   }
+
+  test("capped semantic pairs are a refinement of uncapped on the real corpus") {
+    // the subcell split can only REMOVE pairs (same cell AND same
+    // subcell implies same cell) — on real embeddings, not just the
+    // synthetic viral cell the AnnSpec case uses
+    val emb = Tables.embeddings(spark, dir)
+    val uncapped = pairs(Ann.semanticDedupPairs(emb))
+    val capped = pairs(Ann.semanticDedupPairsCapped(emb, cap = 8))
+    assert(capped.nonEmpty && capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size, "cap=8 must actually subdivide at this SF")
+  }
 }
