@@ -216,9 +216,25 @@ object OracleSql {
     * vec_id)` here, sorted-collect `aggregate` there). Empty cells
     * keep their previous centroid via the same LEFT JOIN + COALESCE.
     * Ends at relation `cents$iters(cell, cemb, cnrm)`. */
+  /** The ONE rendering of graft's sequential-fold dot product —
+    * every trained-quantizer oracle builds on this single definition
+    * so the fold convention can never drift between them. */
+  private def dotExpr(dims: Int)(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  /** `scored` + `fasg` CTEs assigning every vector its nearest
+    * TRAINED cell (append after [[kmeansCentroidsCtes]]) — shared by
+    * every trained-quantizer consumer for the same no-drift reason. */
+  private def trainedAssignmentCtes(iters: Int, dims: Int): String =
+    s"""scored AS (
+       |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      (${dotExpr(dims)("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM n CROSS JOIN cents$iters c),
+       |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1)""".stripMargin
+
   def kmeansCentroidsCtes(k: Int = 64, iters: Int = 3, dims: Int = 64): String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    val dot = dotExpr(dims) _
     val seed =
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |     FROM embeddings),
@@ -253,15 +269,9 @@ object OracleSql {
     * the trained `cents$iters`. */
   def kmeansQuerySql(k: Int = 64, iters: Int = 3, numQueries: Int = 5,
                      nprobe: Int = 4, topK: Int = 3, dims: Int = 64): String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    val dot = dotExpr(dims) _
     s"""WITH ${kmeansCentroidsCtes(k, iters, dims)},
-       |scored AS (
-       |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-       |      (${dot("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
-       |  FROM n CROSS JOIN cents$iters c),
-       |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1),
+       |${trainedAssignmentCtes(iters, dims)},
        |qp AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, cell
        |       FROM scored WHERE vec_id < $numQueries AND rn <= $nprobe),
        |cand AS (
@@ -281,15 +291,9 @@ object OracleSql {
     * `cents$iters` instead of the seed. */
   def semanticPairsTrainedSql(k: Int = 64, iters: Int = 3,
                               threshold: Double = 0.35, dims: Int = 64): String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    val dot = dotExpr(dims) _
     s"""WITH ${kmeansCentroidsCtes(k, iters, dims)},
-       |scored AS (
-       |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-       |      (${dot("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
-       |  FROM n CROSS JOIN cents$iters c),
-       |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1)
+       |${trainedAssignmentCtes(iters, dims)}
        |SELECT vec_id_1, vec_id_2, cell, cos AS cosine FROM (
        |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,
        |    ${dot("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos
@@ -303,15 +307,9 @@ object OracleSql {
     * against `cents$iters`. */
   def semanticDecontamTrainedSql(k: Int = 64, iters: Int = 3, threshold: Double = 0.35,
                                  holdoutHex: String = "0ccd", dims: Int = 64): String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    val dot = dotExpr(dims) _
     s"""WITH ${kmeansCentroidsCtes(k, iters, dims)},
-       |scored AS (
-       |  SELECT n.vec_id, n.emb, n.nrm, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-       |      (${dot("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
-       |  FROM n CROSS JOIN cents$iters c),
-       |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1),
+       |${trainedAssignmentCtes(iters, dims)},
        |h AS (SELECT * FROM fasg WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '$holdoutHex'),
        |tr AS (SELECT * FROM fasg WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) >= '$holdoutHex'),
        |m AS (SELECT tr.vec_id AS vec_id, h.vec_id AS h_id,

@@ -137,19 +137,41 @@ object Pipeline {
     *     ([[operators.Dedup.clusterPairs]]) and the LONGEST member
     *     survives ([[operators.Dedup.applyCanonical]] — same keep
     *     policy as the full prep);
-    *  4. the accepted delta lands in `outDir/accepted` and BOTH probe
-    *     tables grow by exactly the accepted docs
+    *  4. docs sharing a CDC passage with the optional `holdout` set
+    *     drop ([[operators.TextOps.decontaminateSubstring]] — the same
+    *     eval guard the full prep applies across its split; pass the
+    *     standing holdout so daily ingest cannot leak eval passages);
+    *  5. the accepted delta lands in `outDir/accepted` REDACTED
+    *     ([[operators.TextOps.redact]], matching [[runTrainingPrep]] —
+    *     the written corpus is always post-redact while both indexes
+    *     stay pre-redact, the content the pair graphs read), and BOTH
+    *     probe tables grow by exactly the accepted docs
     *     ([[sources.Sinks.appendBucketed]] keeps the bucket layout, so
     *     tomorrow's probe still joins shuffle-free).
+    *
+    * A delta doc RE-DELIVERING an id the corpus already holds is
+    * dropped and counted (`id_collision_dropped`) — accepting it
+    * would write a second, conflicting set of postings and hashes for
+    * that id (the probe join even suppresses corpus-vs-same-id pairs,
+    * so an edited re-delivery would otherwise slip through as fresh).
+    * The check is one column scan of the postings table against the
+    * broadcast delta id set; updates-in-place are an upsert
+    * ([[sources.Sinks.mergeUpsert]]) plus index rebuild, not an
+    * ingest.
     *
     * Pair provenance (which side of a candidate pair is the corpus)
     * is decided against the BROADCAST delta id set — never by joining
     * the corpus-sized postings ids. */
   def runIncremental(spark: SparkSession, sourceDir: String, outDir: String,
-                     postingsTable: String, hashTable: String): Summary = {
+                     postingsTable: String, hashTable: String,
+                     holdout: Option[org.apache.spark.sql.DataFrame] = None): Summary = {
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
     val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
-    val exactWithin = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
+    val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
+      .join(broadcast(quality.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val idSafe = quality.join(broadcast(corpusIds), Seq("doc_id"), "left_anti")
+    val exactWithin = Cleaning.dedupKeepFirst(idSafe, md5(col("content")), col("doc_id"))
     val exactNew = exactWithin.join(spark.table(hashTable),
       md5(col("content")) === col("content_md5"), "left_anti")
       .localCheckpoint() // three consumers below; the probe must not re-run the scan chain
@@ -170,12 +192,21 @@ object Pipeline {
     val ddPairs = pairs.filter(col("in1").isNotNull && col("in2").isNotNull)
       .select(col("doc_id_1"), col("doc_id_2"))
     val clusters = Dedup.clusterPairs(ddPairs)
-    val accepted = Dedup.applyCanonical(survivors, clusters,
+    val deduped = Dedup.applyCanonical(survivors, clusters,
       Dedup.canonicalPerCluster(
         survivors.select(col("doc_id"), col("content").as("text")), clusters))
+    val contaminated = holdout.map { h =>
+      TextOps.decontaminateSubstring(
+        deduped.select(col("doc_id"), col("content").as("text")), h)
+        .select(col("doc_id")).localCheckpoint()
+    }
+    val accepted = contaminated
+      .fold(deduped)(c => deduped.join(c, Seq("doc_id"), "left_anti"))
       .localCheckpoint() // written once, then indexed twice below
 
-    Sinks.writeParquet(accepted, s"$outDir/accepted", Seq("lang"))
+    Sinks.writeParquet(
+      accepted.withColumn("content", TextOps.redact(col("content"))),
+      s"$outDir/accepted", Seq("lang"))
     val acceptedText = accepted.select(col("doc_id"), col("content").as("text"))
     Sinks.appendBucketed(Dedup.bandPostings(acceptedText), postingsTable,
       Seq("band", "band_hash"))
@@ -187,21 +218,27 @@ object Pipeline {
     Map(
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
+      "id_collision_dropped" -> corpusIds.count(),
       "exact_within" -> exactWithin.count(),
       "exact_new" -> exactNew.count(),
       "neardup_vs_corpus_dropped" -> corpusHits.count(),
+      "decontaminated" -> contaminated.map(_.count()).getOrElse(0L),
       "accepted" -> acceptedN)
   }
 
-  /** `postingsTable`: when set, the run also persists the accepted
-    * (deduped) corpus's banded MinHash postings as a bucketed catalog
-    * table ([[operators.Dedup.writeBandPostings]]) — the cross-run
-    * index the NEXT ingest probes with
-    * [[operators.Dedup.incrementalMinhashCandidates]] instead of
-    * re-signing and re-shuffling the whole corpus. */
+  /** `postingsTable` / `hashTable`: when set, the run also persists
+    * the cross-run dedup state [[runIncremental]] probes — the banded
+    * MinHash postings index and the exact content-hash set, BOTH over
+    * the PRE-redact cleaned content (the text this run's own pair
+    * graphs read; bootstrapping hashes from the written — redacted —
+    * splits would mismatch every doc redaction touched, and exact
+    * duplicates of those docs would be re-accepted daily). Pass both
+    * for a consistent bootstrap; [[bootstrapIncremental]] covers the
+    * corpus-already-in-hand case. */
   def runTrainingPrep(spark: SparkSession, sourceDir: String, outDir: String,
                       testBuckets: Int = 410,
-                      postingsTable: Option[String] = None): Summary = {
+                      postingsTable: Option[String] = None,
+                      hashTable: Option[String] = None): Summary = {
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
     val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     val exact = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
@@ -224,12 +261,17 @@ object Pipeline {
     val deduped = Dedup.applyCanonical(exact, clusters,
       Dedup.canonicalPerCluster(textOnly, clusters))
 
-    // cross-run LSH index: postings over the text the NEXT run's
-    // near-dup candidates will be judged against (cleaned, pre-redact
-    // — the same column this run's own pair graphs read)
+    // cross-run dedup state: postings + hashes over the text the NEXT
+    // run's candidates will be judged against (cleaned, pre-redact —
+    // the same column this run's own pair graphs read)
     postingsTable.foreach { t =>
       Dedup.writeBandPostings(
         deduped.select(col("doc_id"), col("content").as("text")), t)
+    }
+    hashTable.foreach { t =>
+      Sinks.writeBucketed(
+        deduped.select(md5(col("content")).as("content_md5")).distinct(),
+        t, Seq("content_md5"))
     }
 
     val prepared = deduped.withColumn("content", TextOps.redact(col("content")))

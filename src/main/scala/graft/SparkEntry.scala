@@ -1897,8 +1897,8 @@ object SparkEntry {
     ("dedup_semantic_capped",
       // the viral-cell guard registered at cap=16 so subdivision
       // actually triggers at gate SFs (avg cell ~31): pair work per
-      // cell bounded LINEAR in its population; vec_id%nsub subcells
-      // and exact-integer ceil replay bit-for-bit in the oracle
+      // cell bounded LINEAR in its population; rank-within-cell
+      // subcells (balanced for ANY id distribution) replay bit-for-bit
       (s: SparkSession, d: String) =>
         Ann.semanticDedupPairsCapped(Tables.embeddings(s, d)),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -1914,10 +1914,9 @@ object SparkEntry {
              |        / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
              |  FROM n CROSS JOIN c),
              |asg AS (SELECT vec_id, emb, nrm, cell FROM scored_cells WHERE rn = 1),
-             |siz AS (SELECT cell, COUNT(*) AS csz FROM asg GROUP BY cell),
-             |sub AS (SELECT a.vec_id, a.emb, a.nrm, a.cell,
-             |          a.vec_id % ((s.csz + 15) // 16) AS subcell
-             |        FROM asg a JOIN siz s ON a.cell = s.cell)
+             |sub AS (SELECT vec_id, emb, nrm, cell,
+             |          (ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1) // 16 AS subcell
+             |        FROM asg)
              |SELECT vec_id_1, vec_id_2, cell, cos AS cosine FROM (
              |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,
              |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)

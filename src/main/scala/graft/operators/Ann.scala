@@ -509,18 +509,23 @@ object Ann {
   /** [[semanticDedupPairs]] with a HARD CAP on cell population — the
     * viral-cell guard: one dense cluster (boilerplate embeddings, a
     * template family) otherwise concentrates the corpus in one cell
-    * and its \|cell\|² pair term dominates the job. Cells above `cap`
-    * subdivide deterministically into `ceil(|cell|/cap)` subcells by
-    * `vec_id % nsub` (exact integers — both engines replay it), and
-    * pairs generate within (cell, subcell): worst-case pair work per
-    * original cell is ≈ \|cell\|·cap/2 — LINEAR in the viral cell's
-    * population, not quadratic. Cross-subcell pairs inside a
-    * subdivided cell are deliberately not generated — the same
-    * recall-for-boundedness trade as the posting-list df cap
-    * ([[graft.functions.BoundedCollect]]), and exactly the cells
-    * where near-everything pairs with near-everything anyway (the
-    * canonical-keep stage needs ONE surviving representative, not
-    * every edge). Cell sizes ride a k-row broadcast. */
+    * and its \|cell\|² pair term dominates the job. Members subdivide
+    * by rank-within-cell: subcell = (row_number over (cell, vec_id) −
+    * 1) div cap, so every subcell holds EXACTLY `cap` members (last
+    * one partial) for ANY id distribution, and worst-case pair work
+    * per cell is ≈ \|cell\|·cap/2 — LINEAR in the viral cell's
+    * population, not quadratic. (An id-modulo split looks balanced on
+    * contiguous ids but collapses to one subcell when ids arrive
+    * strided or sparse — post-dedup gaps, sharded allocators — which
+    * is precisely the production shape.) The rank window rides the
+    * same cell-keyed shuffle the pair join needs anyway, and both
+    * engines replay ROW_NUMBER over (cell, vec_id) bit-for-bit.
+    * Cross-subcell pairs inside a subdivided cell are deliberately
+    * not generated — the same recall-for-boundedness trade as the
+    * posting-list df cap ([[graft.functions.BoundedCollect]]), and
+    * exactly the cells where near-everything pairs with
+    * near-everything anyway (the canonical-keep stage needs ONE
+    * surviving representative, not every edge). */
   def semanticDedupPairsCapped(embeddings: DataFrame, numCentroids: Int = 64,
                                threshold: Double = 0.35, cap: Int = 16): DataFrame = {
     require(cap >= 1)
@@ -528,9 +533,8 @@ object Ann {
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val cells = nearestCells(e, ivfCentroids(e, numCentroids), "emb", "nrm", keep = 1)
-    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
-    val sub = cells.join(broadcast(sizes), Seq("cell"))
-      .withColumn("subcell", col("vec_id") % expr(s"(csz + $cap - 1) div $cap"))
+    val sub = cells.withColumn("subcell",
+      expr(s"(row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1) div $cap"))
     sub.as("a")
       .join(sub.as("b"),
         col("a.cell") === col("b.cell") && col("a.subcell") === col("b.subcell") &&

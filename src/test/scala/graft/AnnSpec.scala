@@ -172,10 +172,12 @@ class AnnSpec extends SparkSpec {
 
   test("capped semantic blocking bounds a viral cell's pair work, pairs stay a subset") {
     // 200 near-identical vectors all land in one cell: uncapped pairs
-    // ~ C(200,2); cap=20 subdivides into 10 subcells of ~20 -> pair
-    // count collapses ~10x, and every capped pair is an uncapped pair
+    // ~ C(200,2); cap=20 subdivides into 10 subcells of exactly 20 ->
+    // pair count collapses ~10x, every capped pair an uncapped pair.
+    // Ids are STRIDED (x100) — the distribution an id-modulo split
+    // collapses on; rank-within-cell must stay balanced regardless
     val viral = (0 until 200).map { i =>
-      (i.toLong, Seq(1f, 1e-4f * i, 0f, 0f), 0)
+      (i * 100L, Seq(1f, 1e-4f * i, 0f, 0f), 0)
     }
     val df = embs(viral: _*)
     def pairs(d: org.apache.spark.sql.DataFrame) =

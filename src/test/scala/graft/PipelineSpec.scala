@@ -114,19 +114,23 @@ class PipelineSpec extends SparkSpec {
       (10L, ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")), // near-dup of corpus 1
       (11L, other),                                                     // exact dup of corpus 6
       (12L, fresh),                                                     // fresh
-      (13L, fresh + " extra"),                                          // near-dup of 12, LONGER
+      (13L, fresh + " extra reach admin@example.com"),                  // near-dup of 12, LONGER, carries PII
       (14L, "too short"))                                               // quality gate
     val out1 = Files.createTempDirectory("graft_inc_out1").toString
     val s1 = Pipeline.runIncremental(spark, day1, out1, "graft_inc_post", "graft_inc_hash")
     assert(s1("input") === 5L)
     assert(s1("quality") === 4L)              // 14 out
+    assert(s1("id_collision_dropped") === 0L)
     assert(s1("exact_within") === 4L)         // no within-delta exact dups
     assert(s1("exact_new") === 3L)            // 11 lost to the corpus hash set
     assert(s1("neardup_vs_corpus_dropped") === 1L) // 10 lost to corpus 1
     assert(s1("accepted") === 1L)             // 12 vs 13 cluster -> longest (13) survives
     val acc1 = spark.read.parquet(s"$out1/accepted")
-      .select("doc_id").as[Long].collect().toSet
-    assert(acc1 === Set(13L))
+    assert(acc1.select("doc_id").as[Long].collect().toSet === Set(13L))
+    // the WRITTEN corpus is redacted like the full prep's; the probe
+    // indexes keep the pre-redact content the pair graphs read
+    val written13 = acc1.select("content").as[String].head()
+    assert(written13.contains("<EMAIL>") && !written13.contains("admin@example.com"))
     assert(spark.table("graft_inc_post").select("doc_id").distinct()
       .as[Long].collect().toSet === Set(1L, 6L, 13L))
 
@@ -138,6 +142,32 @@ class PipelineSpec extends SparkSpec {
     val s2 = Pipeline.runIncremental(spark, day2, out2, "graft_inc_post", "graft_inc_hash")
     assert(s2("neardup_vs_corpus_dropped") === 1L)
     assert(s2("accepted") === 0L)
+
+    // day 3: re-delivering an id the corpus already holds (with edited
+    // text) must drop at the id-collision guard — accepting it would
+    // write a second, conflicting set of postings/hashes for id 13
+    val day3 = writeDelta(
+      (13L, (1 to 40).map(i => s"edit$i").mkString(" ")))
+    val out3 = Files.createTempDirectory("graft_inc_out3").toString
+    val s3 = Pipeline.runIncremental(spark, day3, out3, "graft_inc_post", "graft_inc_hash")
+    assert(s3("id_collision_dropped") === 1L)
+    assert(s3("accepted") === 0L)
+
+    // day 4: a doc leaking a holdout passage drops at the decontam
+    // stage when the standing holdout is supplied (the full prep's
+    // eval guard, enforced at the daily grain)
+    val passage = (1 to 48).map(i => s"leak$i").mkString(" ")
+    val day4 = writeDelta(
+      (41L, (1 to 120).map(i => s"dd$i").mkString(" ") + " " + passage),
+      (42L, (1 to 40).map(i => s"clean$i").mkString(" ")))
+    val out4 = Files.createTempDirectory("graft_inc_out4").toString
+    val s4 = Pipeline.runIncremental(spark, day4, out4, "graft_inc_post", "graft_inc_hash",
+      holdout = Some(Seq((9000L, (1 to 120).map(i => s"hh$i").mkString(" ") + " " + passage))
+        .toDF("doc_id", "text")))
+    assert(s4("decontaminated") === 1L)
+    assert(s4("accepted") === 1L)
+    assert(spark.read.parquet(s"$out4/accepted")
+      .select("doc_id").as[Long].collect().toSet === Set(42L))
   }
 
   test("runTrainingPrep persists the cross-run postings index a later delta can probe") {
@@ -150,10 +180,16 @@ class PipelineSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$src/documents.parquet")
     Pipeline.runTrainingPrep(spark, src, out,
-      postingsTable = Some("graft_prep_postings"))
+      postingsTable = Some("graft_prep_postings"),
+      hashTable = Some("graft_prep_hashes"))
     val idx = spark.table("graft_prep_postings")
     assert(idx.columns.toSet === Set("doc_id", "sig", "band", "band_hash"))
     assert(idx.select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 6L))
+    // the hash set is over PRE-redact cleaned content — the same text
+    // the pair graphs read — so exact re-deliveries match day after day
+    assert(spark.table("graft_prep_hashes").as[String].collect().toSet
+      === Set(filler, (1 to 40).map(i => s"other$i").mkString(" "))
+        .map(t => org.apache.commons.codec.digest.DigestUtils.md5Hex(t)))
     // tomorrow's delta: a near-dup of accepted doc 1 — the probe must
     // flag it against the index without touching doc 6's postings
     val delta = Seq((10L, ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" "),
