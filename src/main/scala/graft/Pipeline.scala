@@ -112,11 +112,13 @@ object Pipeline {
     * hash). Call once from the initial full prep; every incremental
     * run appends to both. `corpus` carries (doc_id, text). */
   def bootstrapIncremental(corpus: org.apache.spark.sql.DataFrame,
-                           postingsTable: String, hashTable: String): Unit = {
+                           postingsTable: String, hashTable: String,
+                           chunkTable: Option[String] = None): Unit = {
     Dedup.writeBandPostings(corpus, postingsTable)
     Sinks.writeBucketed(
       corpus.select(md5(col("text")).as("content_md5")).distinct(),
       hashTable, Seq("content_md5"))
+    chunkTable.foreach(t => Dedup.writeChunkPostings(corpus, t))
   }
 
   /** The DAILY ingest against a standing corpus — the production path
@@ -164,7 +166,8 @@ object Pipeline {
     * the corpus-sized postings ids. */
   def runIncremental(spark: SparkSession, sourceDir: String, outDir: String,
                      postingsTable: String, hashTable: String,
-                     holdout: Option[org.apache.spark.sql.DataFrame] = None): Summary = {
+                     holdout: Option[org.apache.spark.sql.DataFrame] = None,
+                     chunkTable: Option[String] = None): Summary = {
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
     val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
@@ -188,10 +191,27 @@ object Pipeline {
     val corpusHits = pairs.filter(col("in1").isNull =!= col("in2").isNull)
       .select(when(col("in1").isNotNull, col("doc_id_1"))
         .otherwise(col("doc_id_2")).as("doc_id")).distinct()
-    val survivors = exactNew.join(corpusHits, Seq("doc_id"), "left_anti")
+    // substring arm (optional): a passage copy sits below whole-doc
+    // MinHash Jaccard but its interior CDC chunks hash identically —
+    // probe the chunk index with the SAME destructive bar as the full
+    // prep's substringDupPairs pass, corpus wins
+    val substrHits = chunkTable.map { t =>
+      Dedup.incrementalSubstringMatches(text, spark.table(t), minSharedTokens = 64L)
+        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
+    }
+    val survivors = substrHits.foldLeft(
+      exactNew.join(corpusHits, Seq("doc_id"), "left_anti"))(
+      (df, s) => df.join(s, Seq("doc_id"), "left_anti"))
+    // within-delta clusters: the LSH probe's delta-delta pairs, plus
+    // the delta's own substring pairs when the chunk arm is on (the
+    // full prep unions both graphs the same way)
     val ddPairs = pairs.filter(col("in1").isNotNull && col("in2").isNotNull)
       .select(col("doc_id_1"), col("doc_id_2"))
-    val clusters = Dedup.clusterPairs(ddPairs)
+    val allDdPairs = if (chunkTable.isDefined)
+      ddPairs.unionByName(Dedup.substringDupPairs(text, minSharedTokens = 64L)
+        .select(col("doc_id_1"), col("doc_id_2")))
+    else ddPairs
+    val clusters = Dedup.clusterPairs(allDdPairs)
     val deduped = Dedup.applyCanonical(survivors, clusters,
       Dedup.canonicalPerCluster(
         survivors.select(col("doc_id"), col("content").as("text")), clusters))
@@ -213,6 +233,8 @@ object Pipeline {
     Sinks.appendBucketed(
       acceptedText.select(md5(col("text")).as("content_md5")).distinct(),
       hashTable, Seq("content_md5"))
+    chunkTable.foreach(t =>
+      Sinks.appendBucketed(Dedup.chunkPostings(acceptedText), t, Seq("chunk_hash")))
 
     val acceptedN = accepted.count()
     Map(
@@ -222,6 +244,7 @@ object Pipeline {
       "exact_within" -> exactWithin.count(),
       "exact_new" -> exactNew.count(),
       "neardup_vs_corpus_dropped" -> corpusHits.count(),
+      "substring_vs_corpus_dropped" -> substrHits.map(_.count()).getOrElse(0L),
       "decontaminated" -> contaminated.map(_.count()).getOrElse(0L),
       "accepted" -> acceptedN)
   }
@@ -238,7 +261,8 @@ object Pipeline {
   def runTrainingPrep(spark: SparkSession, sourceDir: String, outDir: String,
                       testBuckets: Int = 410,
                       postingsTable: Option[String] = None,
-                      hashTable: Option[String] = None): Summary = {
+                      hashTable: Option[String] = None,
+                      chunkTable: Option[String] = None): Summary = {
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
     val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     val exact = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
@@ -272,6 +296,10 @@ object Pipeline {
       Sinks.writeBucketed(
         deduped.select(md5(col("content")).as("content_md5")).distinct(),
         t, Seq("content_md5"))
+    }
+    chunkTable.foreach { t =>
+      Dedup.writeChunkPostings(
+        deduped.select(col("doc_id"), col("content").as("text")), t)
     }
 
     val prepared = deduped.withColumn("content", TextOps.redact(col("content")))

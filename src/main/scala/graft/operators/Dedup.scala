@@ -428,6 +428,52 @@ object Dedup {
         col("c.n_tokens").as("n_tokens"))
   }
 
+  /** Persist the accepted corpus's per-doc-distinct CDC chunk
+    * fingerprints as a bucketed catalog table keyed on `chunk_hash` —
+    * the SUBSTRING arm of the cross-run dedup index, next to
+    * [[writeBandPostings]]'s whole-doc arm: a passage copy sits far
+    * below whole-doc MinHash Jaccard, but its interior CDC chunks
+    * hash identically, so the chunk probe catches exactly what the
+    * banded probe structurally cannot. Boilerplate chunks (df >
+    * `maxDocFreq` in the written corpus) are excluded at write time —
+    * the same cap [[substringDupPairs]] applies, enforced here with a
+    * chunk-keyed window that rides the bucketed write's own shuffle.
+    * Appends don't re-check the global df (a chunk's df can creep
+    * over the cap across many appends); a periodic rewrite through
+    * this method restores the invariant. */
+  def writeChunkPostings(documents: DataFrame, table: String,
+                         maxDocFreq: Long = 100L, buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = uniqueChunks(documents)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+      .filter(col("df") <= maxDocFreq).drop("df")
+    graft.sources.Sinks.writeBucketed(capped, table, Seq("chunk_hash"), buckets)
+  }
+
+  /** Chunk rows of a delta, shaped for appending to a
+    * [[writeChunkPostings]] table. */
+  def chunkPostings(documents: DataFrame): DataFrame = uniqueChunks(documents)
+
+  /** Incremental substring-dup probe: delta docs sharing ≥
+    * `minSharedTokens` of CDC-chunk content with the CORPUS, via the
+    * persisted [[writeChunkPostings]] index — one row per
+    * (delta doc, corpus doc) match with the shared evidence. The join
+    * key is `chunk_hash`, the index's bucket key, so the corpus side
+    * joins without an exchange; only the delta's chunks shuffle. */
+  def incrementalSubstringMatches(newDocs: DataFrame, chunkPostings: DataFrame,
+                                  minSharedTokens: Long = 16L): DataFrame = {
+    require(minSharedTokens >= 1)
+    val delta = uniqueChunks(newDocs)
+      .select(col("doc_id").as("delta_doc"), col("chunk_hash"), col("n_tokens"))
+    chunkPostings
+      .select(col("doc_id").as("corpus_doc"), col("chunk_hash"))
+      .join(delta, Seq("chunk_hash"))
+      .filter(col("corpus_doc") =!= col("delta_doc"))
+      .groupBy(col("delta_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("shared_chunks"), sum(col("n_tokens")).as("shared_tokens"))
+      .filter(col("shared_tokens") >= minSharedTokens)
+  }
+
   def substringDupPairs(documents: DataFrame, minSharedTokens: Long = 16L,
                         maxDocFreq: Long = 100L): DataFrame = {
     require(minSharedTokens >= 1 && maxDocFreq >= 1 && maxDocFreq <= Int.MaxValue)

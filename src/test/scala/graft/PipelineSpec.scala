@@ -170,6 +170,47 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(42L))
   }
 
+  test("runIncremental chunk arm: a passage copy below whole-doc Jaccard drops vs the corpus") {
+    import spark.implicits._
+    val passage = (1 to 160).map(i => s"pass$i").mkString(" ")
+    val corpusDoc = (1 to 200).map(i => s"corp$i").mkString(" ") + " " + passage
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusDoc)).toDF("doc_id", "text"),
+      "graft_chk_post", "graft_chk_hash", chunkTable = Some("graft_chk_chunks"))
+
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_chk_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // the leak: a long distinct prefix keeps whole-doc Jaccard far
+    // below the MinHash bar, so the banded probe CANNOT see it — only
+    // the chunk index can
+    val cleanDoc = (1 to 120).map(i => s"clean$i").mkString(" ")
+    val day = writeDelta(
+      (50L, (1 to 200).map(i => s"dd$i").mkString(" ") + " " + passage),
+      (51L, cleanDoc))
+    val out = Files.createTempDirectory("graft_chk_out").toString
+    val s = Pipeline.runIncremental(spark, day, out, "graft_chk_post", "graft_chk_hash",
+      chunkTable = Some("graft_chk_chunks"))
+    assert(s("neardup_vs_corpus_dropped") === 0L, "banded probe must be blind to the passage")
+    assert(s("substring_vs_corpus_dropped") === 1L)
+    assert(s("accepted") === 1L)
+    assert(spark.read.parquet(s"$out/accepted")
+      .select("doc_id").as[Long].collect().toSet === Set(51L))
+    // the chunk index grew by the accepted doc — a later passage copy
+    // OF THE ACCEPTED DOC must now drop too
+    val day2 = writeDelta(
+      (60L, (1 to 200).map(i => s"ee$i").mkString(" ") + " " + cleanDoc))
+    val out2 = Files.createTempDirectory("graft_chk_out2").toString
+    val s2 = Pipeline.runIncremental(spark, day2, out2, "graft_chk_post", "graft_chk_hash",
+      chunkTable = Some("graft_chk_chunks"))
+    assert(s2("substring_vs_corpus_dropped") === 1L)
+    assert(s2("accepted") === 0L)
+  }
+
   test("runTrainingPrep persists the cross-run postings index a later delta can probe") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_prep_idx").toString
