@@ -454,6 +454,23 @@ object Dedup {
     * [[writeChunkPostings]] table. */
   def chunkPostings(documents: DataFrame): DataFrame = uniqueChunks(documents)
 
+  /** Restore the df-cap invariant on a [[writeChunkPostings]] table
+    * whose appends let some chunk's doc-frequency creep over the cap
+    * (a chunk that became boilerplate AFTER indexing): re-read, drop
+    * over-cap hashes, rewrite in place — the index-side compaction
+    * that needs NO corpus scan. `localCheckpoint` materializes the
+    * filtered rows first so the overwrite never reads the table it is
+    * replacing. Run it on the maintenance cadence, not per ingest. */
+  def recapChunkPostings(spark: org.apache.spark.sql.SparkSession, table: String,
+                         maxDocFreq: Long = 100L, buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = spark.table(table)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+      .filter(col("df") <= maxDocFreq).drop("df")
+      .localCheckpoint()
+    graft.sources.Sinks.writeBucketed(capped, table, Seq("chunk_hash"), buckets)
+  }
+
   /** Incremental substring-dup probe: delta docs sharing ≥
     * `minSharedTokens` of CDC-chunk content with the CORPUS, via the
     * persisted [[writeChunkPostings]] index — one row per

@@ -230,6 +230,31 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("recapChunkPostings drops a chunk whose df crept over the cap across appends") {
+    val boiler = (1 to 40).map(i => s"bp$i").mkString(" ")
+    def uniq(id: Long) = (1 to 40).map(i => s"u${id}x$i").mkString(" ")
+    // bootstrap: 2 docs share the boilerplate passage (df 2, under cap 3)
+    Dedup.writeChunkPostings(
+      docs((1L, uniq(1) + " " + boiler), (2L, uniq(2) + " " + boiler)),
+      "graft_recap_chunks", maxDocFreq = 3L, buckets = 2)
+    val before = spark.table("graft_recap_chunks")
+    assert(before.groupBy("chunk_hash").count().filter(col("count") >= 2).count() >= 1,
+      "the shared passage must produce shared chunk hashes")
+    // two appends push the shared chunks' df to 4 — over the cap the
+    // write enforced, exactly the drift the doc warns about
+    Seq(3L, 4L).foreach { id =>
+      graft.sources.Sinks.appendBucketed(
+        Dedup.chunkPostings(docs((id, uniq(id) + " " + boiler))),
+        "graft_recap_chunks", Seq("chunk_hash"), buckets = 2)
+    }
+    Dedup.recapChunkPostings(spark, "graft_recap_chunks", maxDocFreq = 3L, buckets = 2)
+    val after = spark.table("graft_recap_chunks")
+      .groupBy("chunk_hash").count()
+    assert(after.filter(col("count") > 3).count() === 0L,
+      "no chunk may exceed the cap after the recap")
+    assert(after.count() > 0, "per-doc unique chunks must survive")
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs not paired") {
     val out = Dedup.simhashPairs(docs((1L, base), (2L, base), (3L, other)))
       .as[(Long, Long, Int)].collect()
