@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CdcChunks, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{BoundedCollect, CdcChunks, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -81,6 +81,13 @@ object GraftExtensions {
         case Seq(sh, Literal(n: Int, _)) => MinHashSig(sh, n)
         case Seq(_, other) => notLiteral("graft_minhash_sig", "n", other)
         case other => badSignature("graft_minhash_sig", "(shingles: array<string>, n: int literal)", other)
+      }),
+    ("graft_minhash_sig_md5",
+      new ExpressionInfo(classOf[MinHashSigMd5].getName, "graft_minhash_sig_md5"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh, Literal(n: Int, _)) => MinHashSigMd5(sh, n)
+        case Seq(_, other) => notLiteral("graft_minhash_sig_md5", "n", other)
+        case other => badSignature("graft_minhash_sig_md5", "(shingles: array<string>, n: int literal)", other)
       }),
     ("graft_simhash_sig",
       new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash_sig"),

@@ -138,6 +138,50 @@ object OracleSql {
        |FROM m""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Dedup.minhashPairs]] (64 permutations,
+    * 16 bands x 4 rows, threshold 0.5) as a CTE chain ending in
+    * `mh_est(doc_id_1, doc_id_2, est_jaccard)` — a bit-for-bit replay
+    * of the md5-Kirsch-Mitzenmacher signature family
+    * ([[graft.functions.MinHashSigMd5]]):
+    *  - `mh_hv` parses each shingle's md5 HEX into its two 64-bit
+    *    halves as HUGEINTs (digit-weighted sum; 16^k = 2^(4k) is an
+    *    exact double, so `power` is lossless),
+    *  - `mh_pm` is the per-(doc, permutation) signature element:
+    *    MIN over shingles of `h1 + i*(h2 odd) mod 2^64` — the same
+    *    winner the engine's unsigned-Long min picks,
+    *  - banding is value-equality on all 4 rows of a band (`i // 4`),
+    *    which is exactly what the engine's band_hash bucket equality
+    *    encodes (xxhash64 there is only a bucketing key).
+    * Validated against an independent python/hashlib reference. */
+  def minhashPairsCtes: String =
+    """mh_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |mh_sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |          FROM mh_tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+      |mh_hx AS (SELECT DISTINCT shingle FROM mh_sh),
+      |mh_md AS (SELECT shingle, md5(shingle) AS m FROM mh_hx),
+      |mh_hv AS (SELECT shingle,
+      |            SUM(CASE WHEN p <= 16 THEN CAST(strpos('0123456789abcdef', substr(m, p, 1)) - 1 AS HUGEINT)
+      |                  * CAST(power(2, 4 * (16 - p)) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS h1,
+      |            SUM(CASE WHEN p > 16 THEN CAST(strpos('0123456789abcdef', substr(m, p, 1)) - 1 AS HUGEINT)
+      |                  * CAST(power(2, 4 * (32 - p)) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS h2
+      |          FROM mh_md, UNNEST(range(1, 33)) AS t(p) GROUP BY 1),
+      |mh_pm AS (SELECT s.doc_id, i,
+      |            MIN((h1 + i * (h2 + CASE WHEN h2 % 2 = 0 THEN 1 ELSE 0 END))
+      |                % CAST(power(2, 64) AS HUGEINT)) AS v
+      |          FROM mh_sh s JOIN mh_hv h USING (shingle), UNNEST(range(0, 64)) AS t(i)
+      |          GROUP BY 1, 2),
+      |mh_bd AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      |          FROM mh_pm a JOIN mh_pm b ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id, a.i // 4
+      |          HAVING COUNT(*) = 4),
+      |mh_cand AS (SELECT DISTINCT doc_id_1, doc_id_2 FROM mh_bd),
+      |mh_est AS (SELECT c.doc_id_1, c.doc_id_2,
+      |             CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+      |           FROM mh_cand c
+      |           JOIN mh_pm a ON a.doc_id = c.doc_id_1
+      |           JOIN mh_pm b ON b.doc_id = c.doc_id_2 AND b.i = a.i
+      |           GROUP BY 1, 2)""".stripMargin
+
   /** True transitive closure over the ngram-Jaccard pair graph via a
     * (linear) recursive CTE — every node's cluster is the least id it
     * can reach. The shared oracle for BOTH connected-component

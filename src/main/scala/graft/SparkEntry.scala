@@ -1185,9 +1185,16 @@ object SparkEntry {
              |FROM scored""".stripMargin)),
 
     // ---- Near-dup / similarity (SURVEY §2 #27-32) ----
-    ("dedup_minhash", // rows-only: banded-LSH estimate, not SQL-expressible
+    ("dedup_minhash",
+      // full oracle since the md5-KM family switch: the signature, the
+      // banding, and the estimate all replay in plain SQL (HUGEINT
+      // mod-2^64 arithmetic over md5 hex digits — see
+      // OracleSql.minhashPairsCtes); `minhash_recall` remains the
+      // semantic recall contract on top
       (s: SparkSession, d: String) => Dedup.minhashPairs(docs(s, d)),
-      None),
+      Some(s"""WITH $minhashPairsCtes
+              |SELECT doc_id_1, doc_id_2, est_jaccard FROM mh_est
+              |WHERE est_jaccard >= 0.5""".stripMargin)),
 
     ("dedup_simhash", // rows-only: bit-vote fingerprint, not SQL-expressible
       (s: SparkSession, d: String) => Dedup.simhashPairs(docs(s, d)),

@@ -88,6 +88,86 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Portable scalar MinHash signature:
+  * `graft_minhash_sig_md5(shingles, n)` — the ENGINE-NEUTRAL
+  * permutation family the registered dedup path rides
+  * ([[graft.operators.Dedup.minhashSignatures]]), chosen so a plain-SQL
+  * engine can replay the signature bit-for-bit and oracle-check the
+  * whole MinHash pipeline (the same portability move `hash_split` made
+  * with md5 prefixes and `ann_ivf_trained` made for k-means):
+  *
+  *  - per shingle, ONE md5 digest; its 16 bytes split big-endian into
+  *    two 64-bit halves `h1`, `h2` — exactly the integers a SQL engine
+  *    gets from the md5 HEX string's two 16-char halves,
+  *  - permutation i is Kirsch-Mitzenmacher double hashing
+  *    `p_i = h1 + i * (h2 | 1)  (mod 2^64)` (`h2 | 1` keeps the stride
+  *    odd, i.e. a bijection mod 2^64) — one digest plus n wrapping
+  *    adds per shingle, NOT n digests,
+  *  - the signature element is the UNSIGNED minimum of `p_i` over the
+  *    shingle set, stored as the same-bits signed long (consumers only
+  *    ever compare elements for equality, and an oracle minimizing in
+  *    the non-negative mod-2^64 domain picks the same winner).
+  *
+  * The xxhash64-family [[MinHashSig]]/[[MinHashAgg]] pair stays as the
+  * fastest engine-native variant; this one trades ~one md5 per shingle
+  * for end-to-end replayability (at 100 TB the signature stage is
+  * still map-only and digest cost is per-shingle, not per-permutation).
+  */
+case class MinHashSigMd5(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1 && numHashes <= 1024)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SigHash.checkStringArray(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(-1L) // all ones == unsigned max
+    val md = MinHashSigMd5.digests.get()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(e).getBytes)
+        var h1 = 0L
+        var h2 = 0L
+        var b = 0
+        while (b < 8) {
+          h1 = (h1 << 8) | (d(b) & 0xffL)
+          h2 = (h2 << 8) | (d(b + 8) & 0xffL)
+          b += 1
+        }
+        val step = h2 | 1L
+        var p = h1 // p_i = h1 + i*step, accumulated by wrapping adds
+        var i = 0
+        while (i < numHashes) {
+          if (java.lang.Long.compareUnsigned(p, sig(i)) < 0) sig(i) = p
+          p += step
+          i += 1
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigMd5 =
+    copy(child = newChild)
+}
+
+object MinHashSigMd5 {
+  /** MessageDigest is stateful and not thread-safe; one per thread
+    * (expression instances can be shared across local-mode tasks). */
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Scalar 64-bit SimHash fingerprint: `graft_simhash_sig(shingles)` ==
   * `graft_simhash(xxhash64(shingle))` aggregated over the exploded
   * shingles (for non-empty shingle sets). */

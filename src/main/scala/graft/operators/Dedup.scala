@@ -44,12 +44,18 @@ object Dedup {
   }
 
   /** 64-permutation MinHash signatures as a MAP-ONLY scalar expression
-    * ([[graft.functions.MinHashSig]]): the fingerprint is a pure
+    * ([[graft.functions.MinHashSigMd5]]): the fingerprint is a pure
     * function of the document's own shingle set, so it is computed in
     * place during the scan — no shingle explode, no groupBy shuffle.
-    * Bit-for-bit the same signature as the `graft_minhash` aggregate
-    * over exploded shingles (spec-pinned); empty-shingle docs are
-    * filtered to match the explode path, which drops them. */
+    * The permutation family is the md5-derived Kirsch-Mitzenmacher
+    * double hash (one digest per shingle, n wrapping adds), which a
+    * plain-SQL engine replays bit-for-bit — `dedup_minhash` is
+    * oracle-checked end to end on it (the xxhash64 family survives as
+    * `graft_minhash_sig`/`graft_minhash` for engine-native use).
+    * Empty-shingle docs are filtered to match the explode path, which
+    * drops them. NOTE: band-postings indexes persisted under the
+    * pre-r12 xxhash64 family are invalidated by the family switch —
+    * rebuild via [[writeBandPostings]] before incremental probing. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64, k: Int = 3): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
     documents
@@ -59,7 +65,7 @@ object Dedup {
       // Catalyst and build the full shingle set twice per row.
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"),
-        call_function("graft_minhash_sig",
+        call_function("graft_minhash_sig_md5",
           call_function("graft_shingles", col("text"), lit(k)), lit(numHashes)).as("sig"))
   }
 

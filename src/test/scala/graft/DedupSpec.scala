@@ -287,7 +287,10 @@ class DedupSpec extends SparkSpec {
     val aggMin = tok.groupBy(col("doc_id"))
       .agg(call_function("graft_minhash", xxhash64(col("shingle")), lit(64)).as("sig"))
       .orderBy("doc_id").as[(Long, Seq[Long])].collect()
-    val scalarMin = Dedup.minhashSignatures(d)
+    val scalarMin = d.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingles", col("text"), lit(3)), lit(64)).as("sig"))
       .orderBy("doc_id").as[(Long, Seq[Long])].collect()
     assert(scalarMin.toSeq === aggMin.toSeq)
     val aggSim = tok.groupBy(col("doc_id"))
@@ -296,6 +299,38 @@ class DedupSpec extends SparkSpec {
     val scalarSim = Dedup.simhashFingerprints(d)
       .orderBy("doc_id").as[(Long, Long)].collect()
     assert(scalarSim.toSeq === aggSim.toSeq)
+  }
+
+  test("md5-KM minhash signature matches an independent BigInt/hex reference") {
+    // The registered family must be replayable from the md5 HEX string
+    // alone (that is what the DuckDB oracle does): an independent
+    // formulation — hex halves as BigInts, explicit mod-2^64, SIGNED
+    // BigInt comparison in the non-negative domain — must land on the
+    // same bits as the engine's wrapping-Long unsigned-min loop.
+    val M = BigInt(1) << 64
+    def refSig(text: String, n: Int = 64, k: Int = 3): Seq[Long] = {
+      val w = text.split(" ")
+      val shingles =
+        if (w.length < k) Seq.empty
+        else (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" ")).distinct
+      val sig = Array.fill(n)(M - 1)
+      for (s <- shingles) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h1 = BigInt(hex.substring(0, 16), 16)
+        val step = BigInt(hex.substring(16, 32), 16) | 1
+        for (i <- 0 until n) {
+          val p = (h1 + i * step) % M
+          if (p < sig(i)) sig(i) = p
+        }
+      }
+      sig.toSeq.map(_.toLong) // same-bits signed representation
+    }
+    val d = docs((1L, base), (2L, near), (3L, other))
+    val got = Dedup.minhashSignatures(d)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val want = Seq(1L -> refSig(base), 2L -> refSig(near), 3L -> refSig(other))
+    assert(got === want)
   }
 
   test("scalar signature path drops empty-shingle docs like the explode path") {

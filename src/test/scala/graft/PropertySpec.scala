@@ -193,7 +193,12 @@ class PropertySpec extends SparkSpec {
     val aggSigs = tok.groupBy(col("doc_id")).agg(
       call_function("graft_minhash", xxhash64(col("shingle")), lit(64)).as("sig"),
       call_function("graft_simhash", xxhash64(col("shingle"))).as("simhash"))
-    val scalarSigs = graft.operators.Dedup.minhashSignatures(docs)
+    // xxhash64-family scalar twin (the registered path moved to the
+    // md5-KM family, pinned against its own reference in DedupSpec)
+    val scalarSigs = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingles", col("text"), lit(3)), lit(64)).as("sig"))
       .join(graft.operators.Dedup.simhashFingerprints(docs), "doc_id")
     assert(scalarSigs.count() === aggSigs.count()) // same doc set survives
     assert(scalarSigs.except(aggSigs).count() === 0L)

@@ -139,12 +139,12 @@ class RegistrySpec extends SparkSpec {
   test("every oracle belongs to a registered query; rows-only set is the known one") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
     // round 9 shrank this set (ann_ivf gained a full SQL oracle);
-    // round 11 graduated ann_ivf_trained too (deterministic Lloyd's
-    // replayed as unrolled DuckDB CTEs). The remaining hash-dependent
-    // members are cross-checked by the oracle-checked
-    // ann_lsh_recall / minhash_recall / simhash_precision
+    // round 11 graduated ann_ivf_trained (deterministic Lloyd's as
+    // unrolled DuckDB CTEs); round 12 graduated dedup_minhash (md5-KM
+    // signature family, HUGEINT mod-2^64 replay). The remaining
+    // hash-dependent members are cross-checked by the oracle-checked
+    // ann_lsh_recall / simhash_precision
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("dedup_minhash", "dedup_simhash", "ann_lsh",
-      "multimodal_meta"))
+    assert(rowsOnly === Set("dedup_simhash", "ann_lsh", "multimodal_meta"))
   }
 }
