@@ -121,6 +121,52 @@ object Pipeline {
     chunkTable.foreach(t => Dedup.writeChunkPostings(corpus, t))
   }
 
+  /** Complete a crashed [[runIncremental]]'s index appends from its
+    * pending manifest (`<postingsTable>__pending` — written after the
+    * day's accepted output, dropped only when every append landed).
+    * The repair is IDEMPOTENT per index: only entries the crash left
+    * missing are appended (postings/chunks by doc_id semi-join against
+    * the broadcast manifest ids, hashes by their bucketed key), so it
+    * is safe whether the crash hit before, between or after any of the
+    * appends, and safe to crash during the repair itself. Returns the
+    * crashed run's outDir when a manifest was found, so the caller can
+    * distinguish "finish my own crashed day" from "repair a previous
+    * day, then proceed". Without this, a crash between appends poisons
+    * the NEXT run's own dedup decisions: the half-indexed delta ids
+    * read as corpus members, every doc of a re-run drops as an id
+    * collision, and the day's accepted output gets overwritten empty
+    * (r11 ADVICE, medium). */
+  private[graft] def repairPendingAppends(spark: SparkSession,
+                                          postingsTable: String): Option[String] = {
+    val pending = postingsTable + "__pending"
+    if (!spark.catalog.tableExists(pending)) None
+    else {
+      val p = spark.table(pending).localCheckpoint()
+      val ids = p.select(col("doc_id"))
+      val text = p.select(col("doc_id"), col("text"))
+      val postedIds = spark.table(postingsTable).select(col("doc_id")).distinct()
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      Sinks.appendBucketed(
+        Dedup.bandPostings(text.join(broadcast(postedIds), Seq("doc_id"), "left_anti")),
+        postingsTable, Seq("band", "band_hash"))
+      val hashTable = p.select(col("hash_table")).first().getString(0)
+      Sinks.appendBucketed(
+        p.select(col("content_md5")).distinct()
+          .join(spark.table(hashTable), Seq("content_md5"), "left_anti"),
+        hashTable, Seq("content_md5"))
+      Option(p.select(col("chunk_table")).first().getString(0)).foreach { t =>
+        val chunkedIds = spark.table(t).select(col("doc_id")).distinct()
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        Sinks.appendBucketed(
+          Dedup.chunkPostings(text.join(broadcast(chunkedIds), Seq("doc_id"), "left_anti")),
+          t, Seq("chunk_hash"))
+      }
+      val outDir = p.select(col("out_dir")).first().getString(0)
+      spark.sql(s"DROP TABLE $pending")
+      Some(outDir)
+    }
+  }
+
   /** The DAILY ingest against a standing corpus — the production path
     * the full [[runTrainingPrep]] is too expensive for: the corpus is
     * never re-read, re-signed or re-shuffled; only the delta moves.
@@ -163,11 +209,41 @@ object Pipeline {
     *
     * Pair provenance (which side of a candidate pair is the corpus)
     * is decided against the BROADCAST delta id set — never by joining
-    * the corpus-sized postings ids. */
+    * the corpus-sized postings ids.
+    *
+    * NEAR-DUP CRITERION: the incremental bar is the MinHash ESTIMATE
+    * (est_jaccard >= 0.5 from the banded probe), deliberately NOT the
+    * full [[runTrainingPrep]] criterion (exact ngram-Jaccard >= 0.5 ∪
+    * substring pairs): re-scoring exact Jaccard for every candidate
+    * would re-read corpus documents the index exists to avoid
+    * touching. Near the threshold the two bars can disagree (the
+    * estimate is binomial(64, J) around the true J), so daily
+    * accept/drop decisions approximate what a full re-prep of
+    * corpus+delta would decide — the spec pins incremental == full at
+    * the MINHASH grain, and the chunk arm carries the substring
+    * criterion exactly.
+    *
+    * CRASH SAFETY: the accepted output is written first, then a
+    * pending manifest, then the three index appends, then the manifest
+    * drop — see [[repairPendingAppends]] for how any crash point
+    * replays to a consistent corpus + indexes. */
   def runIncremental(spark: SparkSession, sourceDir: String, outDir: String,
                      postingsTable: String, hashTable: String,
                      holdout: Option[org.apache.spark.sql.DataFrame] = None,
                      chunkTable: Option[String] = None): Summary = {
+    // Crash recovery FIRST: a leftover pending manifest means a prior
+    // run died between its index appends — complete them before any
+    // decision reads the tables. If the crashed run was THIS outDir's,
+    // its accepted output is already on disk and fully indexed now;
+    // re-processing the same delta would classify every doc as
+    // already-ingested and OVERWRITE the day's output with an empty
+    // set, so return the recovered day instead.
+    repairPendingAppends(spark, postingsTable).foreach { crashedOutDir =>
+      if (crashedOutDir == outDir)
+        return Map(
+          "accepted" -> spark.read.parquet(s"$outDir/accepted").count(),
+          "repaired" -> 1L)
+    }
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
     val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
@@ -228,6 +304,22 @@ object Pipeline {
       accepted.withColumn("content", TextOps.redact(col("content"))),
       s"$outDir/accepted", Seq("lang"))
     val acceptedText = accepted.select(col("doc_id"), col("content").as("text"))
+    val acceptedN = accepted.count()
+    // The index appends are three separate non-atomic writes; the
+    // pending manifest written HERE (after the day's output, before
+    // any append) is what makes a crash among them recoverable — the
+    // next run's repairPendingAppends completes exactly the missing
+    // entries and drops the manifest. An empty day appends nothing,
+    // so it needs no manifest.
+    if (acceptedN > 0)
+      acceptedText
+        .withColumn("content_md5", md5(col("text")))
+        .withColumn("out_dir", lit(outDir))
+        .withColumn("hash_table", lit(hashTable))
+        .withColumn("chunk_table",
+          chunkTable.map(lit(_)).getOrElse(lit(null)).cast("string"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(postingsTable + "__pending")
     Sinks.appendBucketed(Dedup.bandPostings(acceptedText), postingsTable,
       Seq("band", "band_hash"))
     Sinks.appendBucketed(
@@ -235,8 +327,7 @@ object Pipeline {
       hashTable, Seq("content_md5"))
     chunkTable.foreach(t =>
       Sinks.appendBucketed(Dedup.chunkPostings(acceptedText), t, Seq("chunk_hash")))
-
-    val acceptedN = accepted.count()
+    if (acceptedN > 0) spark.sql(s"DROP TABLE IF EXISTS ${postingsTable}__pending")
     Map(
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
@@ -285,23 +376,6 @@ object Pipeline {
     val deduped = Dedup.applyCanonical(exact, clusters,
       Dedup.canonicalPerCluster(textOnly, clusters))
 
-    // cross-run dedup state: postings + hashes over the text the NEXT
-    // run's candidates will be judged against (cleaned, pre-redact —
-    // the same column this run's own pair graphs read)
-    postingsTable.foreach { t =>
-      Dedup.writeBandPostings(
-        deduped.select(col("doc_id"), col("content").as("text")), t)
-    }
-    hashTable.foreach { t =>
-      Sinks.writeBucketed(
-        deduped.select(md5(col("content")).as("content_md5")).distinct(),
-        t, Seq("content_md5"))
-    }
-    chunkTable.foreach { t =>
-      Dedup.writeChunkPostings(
-        deduped.select(col("doc_id"), col("content").as("text")), t)
-    }
-
     val prepared = deduped.withColumn("content", TextOps.redact(col("content")))
     // persist the split ONCE: four consumers fan out from here (the
     // decontamination job reads both branches, then each side is
@@ -330,6 +404,25 @@ object Pipeline {
       trainAll.join(contaminated, Seq("doc_id"), "left_anti"),
       s"$outDir/train", Seq("lang"))
     Sinks.writeParquet(test, s"$outDir/test", Seq("lang"))
+
+    // cross-run dedup state: postings + hashes over the text the NEXT
+    // run's candidates will be judged against (cleaned, pre-redact —
+    // the same column this run's own pair graphs read), restricted to
+    // the docs ACTUALLY WRITTEN (train-post-decontam ∪ test = deduped
+    // minus the contaminated drops). Indexing `deduped` directly would
+    // register the contaminated docs as corpus members although no
+    // output holds them, and a future delta re-delivering that content
+    // would be rejected as 'corpus wins' against a ghost (r11 ADVICE).
+    // One derivation shared by all three writes.
+    val indexSource = deduped.select(col("doc_id"), col("content").as("text"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    postingsTable.foreach(t => Dedup.writeBandPostings(indexSource, t))
+    hashTable.foreach { t =>
+      Sinks.writeBucketed(
+        indexSource.select(md5(col("text")).as("content_md5")).distinct(),
+        t, Seq("content_md5"))
+    }
+    chunkTable.foreach(t => Dedup.writeChunkPostings(indexSource, t))
 
     def written(path: String): Long =
       spark.read.schema(prepared.schema).parquet(path).count()

@@ -76,12 +76,12 @@ object PlanDump {
       "embedding_covariance" -> "int8 moments: upper-triangle slice explode, long sums combined map-side into 2080 constant groups",
       "decontam_report" -> "combined contamination verdict: both arms' bounded outputs full-outer-joined; corpus work stays inside the arms",
       "q_waiting_orders" -> "TPC-H Q21 rewritten: ONE lineitem scan feeds the per-order lateness profile (the semi+anti pair as two stacked aggregates); supplier x nation broadcast after the sole-late decision",
-      "ann_ivf_trained" -> "trained IVF: each Lloyd round is a broadcast argmin + combinable (cell,dim) re-center; the query path identical to ann_ivf against the refined 1-row centroid broadcast",
+      "ann_ivf_trained" -> "trained IVF: each Lloyd round is a broadcast argmin + deterministic (cell,dim) re-center (sorted collect_list fold — the bit-replayable registered path); the query path identical to ann_ivf against the refined 1-row centroid broadcast",
       "dedup_semantic_trained" -> "trained SemDeDup: Lloyd's-refined centroids slot into the same broadcast-argmin cell assignment + within-cell equi-join pairing as dedup_semantic",
       "sketch_distinct_audit" -> "HLL++ contract row: exact distinct (expand-based) and the sketch in ONE source-keyed aggregate pass over the token explode",
       "sketch_quantile_audit" -> "GK contract row: bounded per-source value rollup + 3 probe rows joined back; the corpus contributes one combinable count pass",
       "dedup_semantic_scaled" -> "SemDeDup with k = ceil(sqrt(N)) fan-out: same broadcast-argmin + within-cell pairing shape as dedup_semantic — only the centroid count scales",
-      "dedup_semantic_capped" -> "viral-cell guard: cell sizes ride a k-row broadcast, vec_id%nsub subcell lands in the join key — pair work per cell linear in its population")
+      "dedup_semantic_capped" -> "viral-cell guard: cell sizes ride a k-row broadcast, rank-within-cell subdivision lands in the join key — pair work per cell linear in its population")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

@@ -463,18 +463,23 @@ object Dedup {
   /** Restore the df-cap invariant on a [[writeChunkPostings]] table
     * whose appends let some chunk's doc-frequency creep over the cap
     * (a chunk that became boilerplate AFTER indexing): re-read, drop
-    * over-cap hashes, rewrite in place — the index-side compaction
-    * that needs NO corpus scan. `localCheckpoint` materializes the
-    * filtered rows first so the overwrite never reads the table it is
-    * replacing. Run it on the maintenance cadence, not per ingest. */
+    * over-cap hashes, rewrite — the index-side compaction that needs
+    * NO corpus scan. The rewrite goes through a durable staging table
+    * ([[graft.sources.Sinks.rewriteBucketed]]): the filtered rows are
+    * fully written while the live table is still intact, then swapped
+    * in with two metadata ops — an executor loss or job failure
+    * mid-rewrite can never destroy the only copy of the index (a
+    * `localCheckpoint`-then-overwrite would stage the sole copy in
+    * volatile executor blocks). Run it on the maintenance cadence or
+    * let [[graft.Pipeline.runIncremental]]'s postings-count check
+    * trigger it. */
   def recapChunkPostings(spark: org.apache.spark.sql.SparkSession, table: String,
                          maxDocFreq: Long = 100L, buckets: Int = 64): Unit = {
     import org.apache.spark.sql.expressions.Window
     val capped = spark.table(table)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
       .filter(col("df") <= maxDocFreq).drop("df")
-      .localCheckpoint()
-    graft.sources.Sinks.writeBucketed(capped, table, Seq("chunk_hash"), buckets)
+    graft.sources.Sinks.rewriteBucketed(capped, table, Seq("chunk_hash"), buckets)
   }
 
   /** Incremental substring-dup probe: delta docs sharing ≥

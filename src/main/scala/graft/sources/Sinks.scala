@@ -83,6 +83,42 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Restore a half-completed [[rewriteBucketed]]: a crash between its
+    * DROP and RENAME leaves the only copy under `__staging` and no
+    * target table. Any consumer of a rewritable bucketed table must
+    * call this before reading (the rewrite's own entry does). No-op in
+    * every other state — `__staging` next to a LIVE target is a
+    * leftover of a crash before the DROP and is superseded, not
+    * recovered. */
+  def recoverTableSwap(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val staging = table + "__staging"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** Rewrite a bucketed table FROM A DERIVATION OF ITSELF without a
+    * window where the only copy lives in volatile storage. A plain
+    * `writeBucketed` overwrite drops the table before writing, so the
+    * source rows must survive somewhere first — and `localCheckpoint`
+    * blocks live non-replicated on executors, where one lost executor
+    * mid-rewrite destroys the only copy. Here the derivation lands as
+    * a durable `__staging` TABLE while the live table is still
+    * readable, then swaps in via two metadata ops (DROP + RENAME) —
+    * the same staging-swap discipline as [[streamingUpsertSink]]'s
+    * directory swap, at catalog grain. A crash before the DROP leaves
+    * the live table untouched; between DROP and RENAME,
+    * [[recoverTableSwap]] promotes the staging copy on the next run. */
+  def rewriteBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                      buckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    val staging = table + "__staging"
+    recoverTableSwap(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    writeBucketed(df, staging, bucketCols, buckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
   /** Catalog lifecycle for a bucketed table — the Spark analog of the
     * reference's `setup_index` (`/root/reference/services/es.py:39-115`:
     * create the index with mappings + shard settings before any

@@ -170,6 +170,77 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(42L))
   }
 
+  test("runIncremental crash recovery: a pending manifest replays to a consistent corpus, never an empty day") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"crtok$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, filler)).toDF("doc_id", "text"), "graft_crash_post", "graft_crash_hash")
+
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_crash_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+
+    // Construct EXACTLY the on-disk state a run leaves when it crashes
+    // after (accepted output + manifest + postings append) but BEFORE
+    // the hash append — the poison state from the r11 ADVICE: without
+    // repair, a rerun sees doc 21 in postings, drops it as an id
+    // collision, and overwrites the day's output with an empty set.
+    val newText = (1 to 40).map(i => s"crnew$i").mkString(" ")
+    val day = writeDelta((21L, newText))
+    val out = Files.createTempDirectory("graft_crash_out").toString
+    val acceptedText = Seq((21L, newText)).toDF("doc_id", "text")
+    acceptedText.select(col("doc_id"), col("text").as("content"), lit("en").as("lang"))
+      .write.partitionBy("lang").parquet(s"$out/accepted")
+    acceptedText
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("out_dir", lit(out))
+      .withColumn("hash_table", lit("graft_crash_hash"))
+      .withColumn("chunk_table", lit(null).cast("string"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_crash_post__pending")
+    graft.sources.Sinks.appendBucketed(
+      graft.operators.Dedup.bandPostings(acceptedText),
+      "graft_crash_post", Seq("band", "band_hash"))
+
+    val s = Pipeline.runIncremental(spark, day, out, "graft_crash_post", "graft_crash_hash")
+    assert(s === Map("accepted" -> 1L, "repaired" -> 1L))
+    // the day's output survived the rerun
+    assert(spark.read.parquet(s"$out/accepted")
+      .select("doc_id").as[Long].collect().toSeq === Seq(21L))
+    // the missing hash append was completed...
+    val md5New = acceptedText.select(md5(col("text"))).as[String].head()
+    assert(spark.table("graft_crash_hash").filter(col("content_md5") === md5New).count() === 1L)
+    // ...and the already-landed postings were NOT appended twice
+    assert(spark.table("graft_crash_post").filter(col("doc_id") === 21L).count() === 16L)
+    assert(!spark.catalog.tableExists("graft_crash_post__pending"))
+
+    // A crash left over from a PREVIOUS day must repair and then let
+    // the current day's delta process normally (not return early).
+    val dayBText = (1 to 40).map(i => s"crday2$i").mkString(" ")
+    acceptedText // re-break the state: pretend day-21's hash append crashed again
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("out_dir", lit(out))
+      .withColumn("hash_table", lit("graft_crash_hash"))
+      .withColumn("chunk_table", lit(null).cast("string"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_crash_post__pending")
+    val dayB = writeDelta((30L, dayBText))
+    val outB = Files.createTempDirectory("graft_crash_outB").toString
+    val sB = Pipeline.runIncremental(spark, dayB, outB, "graft_crash_post", "graft_crash_hash")
+    assert(sB("accepted") === 1L) // day B processed, not short-circuited
+    assert(sB.contains("input"))  // the full summary, not the recovered stub
+    assert(spark.read.parquet(s"$outB/accepted")
+      .select("doc_id").as[Long].collect().toSeq === Seq(30L))
+    // idempotent repair: doc 21's postings/hashes still exactly once
+    assert(spark.table("graft_crash_post").filter(col("doc_id") === 21L).count() === 16L)
+    assert(spark.table("graft_crash_hash").filter(col("content_md5") === md5New).count() === 1L)
+    assert(!spark.catalog.tableExists("graft_crash_post__pending"))
+  }
+
   test("runIncremental chunk arm: a passage copy below whole-doc Jaccard drops vs the corpus") {
     import spark.implicits._
     val passage = (1 to 160).map(i => s"pass$i").mkString(" ")

@@ -262,6 +262,38 @@ class SourcesSpec extends SparkSpec {
       (1L to 2000L).map(i => (i, s"row $i")).toSet)
   }
 
+  test("rewriteBucketed rewrites from itself via durable staging; half-swap recovers") {
+    val rows = (1L to 100L).map(i => (i, i % 7)).toDF("id", "grp")
+    Sinks.writeBucketed(rows, "graft_rw_t", Seq("id"), 4)
+    // a self-derived rewrite (the recapChunkPostings shape): filter the
+    // live table and swap the result in — no localCheckpoint, no window
+    // where the only copy lives in executor blocks
+    Sinks.rewriteBucketed(
+      spark.table("graft_rw_t").filter(col("grp") =!= 0), "graft_rw_t", Seq("id"), 4)
+    assert(spark.table("graft_rw_t").count() === (1L to 100L).count(_ % 7 != 0))
+    // the swapped-in table keeps the declared bucket layout
+    assert(Sinks.ensureBucketedTable(spark,
+      "graft_rw_t", spark.table("graft_rw_t").schema, Seq("id"), 4) === "unchanged")
+    assert(!spark.catalog.tableExists("graft_rw_t__staging"))
+
+    // crash between DROP and RENAME: only the staging copy exists —
+    // recovery promotes it instead of reading an absent table
+    spark.sql("ALTER TABLE graft_rw_t RENAME TO graft_rw_t__staging")
+    Sinks.recoverTableSwap(spark, "graft_rw_t")
+    assert(spark.catalog.tableExists("graft_rw_t") &&
+      !spark.catalog.tableExists("graft_rw_t__staging"))
+    // a stale staging NEXT TO a live table is superseded, not recovered
+    Sinks.writeBucketed(rows.limit(5), "graft_rw_t__staging", Seq("id"), 4)
+    Sinks.recoverTableSwap(spark, "graft_rw_t")
+    assert(spark.table("graft_rw_t").count() === (1L to 100L).count(_ % 7 != 0))
+    // and the next rewrite clears it
+    Sinks.rewriteBucketed(
+      spark.table("graft_rw_t").filter(col("grp") =!= 1), "graft_rw_t", Seq("id"), 4)
+    assert(spark.table("graft_rw_t").count() === (1L to 100L).count(i => i % 7 > 1))
+    assert(!spark.catalog.tableExists("graft_rw_t__staging"))
+    spark.sql("DROP TABLE graft_rw_t")
+  }
+
   test("ensureBucketedTable: create, validate, evolve additively, reject layout drift") {
     val schema = new StructType()
       .add("doc_id", LongType).add("n_chars", LongType)
