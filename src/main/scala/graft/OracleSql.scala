@@ -277,13 +277,26 @@ object OracleSql {
        |  FROM n CROSS JOIN cents$iters c),
        |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1)""".stripMargin
 
-  def kmeansCentroidsCtes(k: Int = 64, iters: Int = 3, dims: Int = 64): String = {
+  /** `kSql`: when set, the seed fan-out is DERIVED from the data by
+    * this scalar expression over `e` (e.g. the √N rule of
+    * [[graft.operators.Ann.semanticDedupPairsScaled]]) instead of the
+    * literal `k` — the same derive-then-seed order the Scala side
+    * runs, so the scaled+trained composition replays bit-for-bit. */
+  def kmeansCentroidsCtes(k: Int = 64, iters: Int = 3, dims: Int = 64,
+                          kSql: Option[String] = None): String = {
     val dot = dotExpr(dims) _
+    val seedCents = kSql match {
+      case Some(expr) =>
+        s"""kk AS (SELECT $expr AS k FROM e),
+           |cents0 AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n, kk WHERE vec_id < kk.k)""".stripMargin
+      case None =>
+        s"cents0 AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < $k)"
+    }
     val seed =
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |     FROM embeddings),
          |n AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM e),
-         |cents0 AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < $k)""".stripMargin
+         |$seedCents""".stripMargin
     val rounds = (0 until iters).map { i =>
       s"""asg$i AS (
          |  SELECT vec_id, emb, cell FROM (
@@ -334,9 +347,10 @@ object OracleSql {
     * pairing as the green `dedup_semantic` oracle against
     * `cents$iters` instead of the seed. */
   def semanticPairsTrainedSql(k: Int = 64, iters: Int = 3,
-                              threshold: Double = 0.35, dims: Int = 64): String = {
+                              threshold: Double = 0.35, dims: Int = 64,
+                              kSql: Option[String] = None): String = {
     val dot = dotExpr(dims) _
-    s"""WITH ${kmeansCentroidsCtes(k, iters, dims)},
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims, kSql)},
        |${trainedAssignmentCtes(iters, dims)}
        |SELECT vec_id_1, vec_id_2, cell, cos AS cosine FROM (
        |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,

@@ -113,12 +113,20 @@ object Pipeline {
     * run appends to both. `corpus` carries (doc_id, text). */
   def bootstrapIncremental(corpus: org.apache.spark.sql.DataFrame,
                            postingsTable: String, hashTable: String,
-                           chunkTable: Option[String] = None): Unit = {
+                           chunkTable: Option[String] = None,
+                           semanticTable: Option[String] = None,
+                           corpusEmbeddings: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     Dedup.writeBandPostings(corpus, postingsTable)
     Sinks.writeBucketed(
       corpus.select(md5(col("text")).as("content_md5")).distinct(),
       hashTable, Seq("content_md5"))
     chunkTable.foreach(t => Dedup.writeChunkPostings(corpus, t))
+    // semantic arm: trained-quantizer cell index over the corpus
+    // vectors ((doc_id, embedding) — the embedder's output for the
+    // accepted docs); training runs ONCE here, daily runs only probe
+    semanticTable.zip(corpusEmbeddings).foreach { case (t, vecs) =>
+      graft.operators.Ann.writeSemanticIndex(vecs, t)
+    }
   }
 
   /** Complete a crashed [[runIncremental]]'s index appends from its
@@ -161,6 +169,20 @@ object Pipeline {
           Dedup.chunkPostings(text.join(broadcast(chunkedIds), Seq("doc_id"), "left_anti")),
           t, Seq("chunk_hash"))
       }
+      // semantic arm: the manifest carries each accepted doc's vector
+      // (null when the doc had none), so the cell-index append replays
+      // without the embedder — same per-index anti-join idempotence
+      Option(p.select(col("semantic_table")).first().getString(0)).foreach { t =>
+        val semIds = spark.table(t).select(col("doc_id")).distinct()
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        Sinks.appendBucketed(
+          graft.operators.Ann.semanticIndexRows(
+            p.filter(col("embedding").isNotNull)
+              .select(col("doc_id"), col("embedding"))
+              .join(broadcast(semIds), Seq("doc_id"), "left_anti"),
+            spark.table(t + "__centroids")),
+          t, Seq("cell"))
+      }
       val outDir = p.select(col("out_dir")).first().getString(0)
       spark.sql(s"DROP TABLE $pending")
       Some(outDir)
@@ -185,6 +207,11 @@ object Pipeline {
     *     ([[operators.Dedup.clusterPairs]]) and the LONGEST member
     *     survives ([[operators.Dedup.applyCanonical]] — same keep
     *     policy as the full prep);
+    *  3b. OPTIONAL semantic arm (`semanticTable` + `deltaEmbeddings`):
+    *     delta vectors probe the trained cell index
+    *     ([[operators.Ann.incrementalSemanticMatches]]) — the arm that
+    *     catches a PARAPHRASED re-delivery both text probes are
+    *     structurally blind to; corpus wins, accepted vectors append;
     *  4. docs sharing a CDC passage with the optional `holdout` set
     *     drop ([[operators.TextOps.decontaminateSubstring]] — the same
     *     eval guard the full prep applies across its split; pass the
@@ -230,7 +257,10 @@ object Pipeline {
   def runIncremental(spark: SparkSession, sourceDir: String, outDir: String,
                      postingsTable: String, hashTable: String,
                      holdout: Option[org.apache.spark.sql.DataFrame] = None,
-                     chunkTable: Option[String] = None): Summary = {
+                     chunkTable: Option[String] = None,
+                     chunkMaxDocFreq: Long = 100L,
+                     semanticTable: Option[String] = None,
+                     deltaEmbeddings: Option[org.apache.spark.sql.DataFrame] = None): Summary = {
     // Crash recovery FIRST: a leftover pending manifest means a prior
     // run died between its index appends — complete them before any
     // decision reads the tables. If the crashed run was THIS outDir's,
@@ -275,7 +305,19 @@ object Pipeline {
       Dedup.incrementalSubstringMatches(text, spark.table(t), minSharedTokens = 64L)
         .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
     }
-    val survivors = substrHits.foldLeft(
+    // semantic arm (optional): a PARAPHRASED re-delivery shares no
+    // shingles and no CDC chunks — both text probes are structurally
+    // blind to it; its embedding still lands in the corpus doc's
+    // quantizer cell. Probe the trained cell index with the surviving
+    // delta's vectors ((doc_id, embedding) from the day's embedder),
+    // corpus wins. Delta docs without a vector simply skip this arm.
+    val semHits = semanticTable.zip(deltaEmbeddings).map { case (t, embs) =>
+      graft.operators.Ann.incrementalSemanticMatches(
+        embs.join(broadcast(exactNew.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
+        spark.table(t), spark.table(t + "__centroids"))
+        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
+    }
+    val survivors = (substrHits.toSeq ++ semHits.toSeq).foldLeft(
       exactNew.join(corpusHits, Seq("doc_id"), "left_anti"))(
       (df, s) => df.join(s, Seq("doc_id"), "left_anti"))
     // within-delta clusters: the LSH probe's delta-delta pairs, plus
@@ -311,24 +353,72 @@ object Pipeline {
     // next run's repairPendingAppends completes exactly the missing
     // entries and drops the manifest. An empty day appends nothing,
     // so it needs no manifest.
-    if (acceptedN > 0)
-      acceptedText
+    // the semantic arm is live only when BOTH the index and the day's
+    // vectors exist — a vector-less day appends nothing semantic and
+    // must not record the index name in the manifest (repair would
+    // otherwise look for vectors the manifest cannot carry)
+    val semArm = semanticTable.zip(deltaEmbeddings)
+    if (acceptedN > 0) {
+      val manifestBase = acceptedText
         .withColumn("content_md5", md5(col("text")))
         .withColumn("out_dir", lit(outDir))
         .withColumn("hash_table", lit(hashTable))
         .withColumn("chunk_table",
           chunkTable.map(lit(_)).getOrElse(lit(null)).cast("string"))
+        .withColumn("semantic_table",
+          semArm.map(a => lit(a._1)).getOrElse(lit(null)).cast("string"))
+      semArm.map { case (_, embs) =>
+        manifestBase.join(embs.select(col("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+      }.getOrElse(manifestBase.withColumn("embedding", lit(null).cast("array<float>")))
         .write.mode("overwrite").format("parquet")
         .saveAsTable(postingsTable + "__pending")
+    }
     Sinks.appendBucketed(Dedup.bandPostings(acceptedText), postingsTable,
       Seq("band", "band_hash"))
     Sinks.appendBucketed(
       acceptedText.select(md5(col("text")).as("content_md5")).distinct(),
       hashTable, Seq("content_md5"))
-    chunkTable.foreach(t =>
-      Sinks.appendBucketed(Dedup.chunkPostings(acceptedText), t, Seq("chunk_hash")))
+    // Delta chunks materialize once (delta-sized): the append consumes
+    // them, then the df-cap breach check probes the index with their
+    // distinct hashes.
+    val deltaChunks = chunkTable.map { t =>
+      val c = Dedup.chunkPostings(acceptedText).localCheckpoint()
+      Sinks.appendBucketed(c, t, Seq("chunk_hash"))
+      c
+    }
+    // semantic index append: the accepted docs' vectors, assigned to
+    // their persisted-centroid cells — tomorrow's probe must see today
+    semArm.foreach { case (t, embs) =>
+      Sinks.appendBucketed(
+        graft.operators.Ann.semanticIndexRows(
+          embs.join(broadcast(accepted.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
+          spark.table(t + "__centroids")),
+        t, Seq("cell"))
+    }
     if (acceptedN > 0) spark.sql(s"DROP TABLE IF EXISTS ${postingsTable}__pending")
+    // Df-cap maintenance, AUTO-TRIGGERED: appends never re-check the
+    // global doc-frequency cap, so a chunk can creep over it across
+    // many ingests — and a breach can only happen on the day an append
+    // grows that chunk's postings, which means checking ONLY the
+    // hashes today's delta touched catches every breach the day it
+    // occurs. The check is a bucketed index probe against the
+    // broadcast delta hash set (index-only — no corpus scan, and not
+    // even a full index aggregate); on breach the staged
+    // [[operators.Dedup.recapChunkPostings]] rewrite restores the
+    // invariant without a manual maintenance call.
+    val recapped = chunkTable.zip(deltaChunks).exists { case (t, c) =>
+      val breached = acceptedN > 0 && spark.table(t)
+        .join(broadcast(c.select(col("chunk_hash")).distinct()),
+          Seq("chunk_hash"), "left_semi")
+        .groupBy(col("chunk_hash")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > chunkMaxDocFreq)
+        .limit(1).count() > 0
+      if (breached) Dedup.recapChunkPostings(spark, t, chunkMaxDocFreq)
+      breached
+    }
     Map(
+      "chunk_recap" -> (if (recapped) 1L else 0L),
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
       "id_collision_dropped" -> corpusIds.count(),
@@ -336,6 +426,7 @@ object Pipeline {
       "exact_new" -> exactNew.count(),
       "neardup_vs_corpus_dropped" -> corpusHits.count(),
       "substring_vs_corpus_dropped" -> substrHits.map(_.count()).getOrElse(0L),
+      "semantic_vs_corpus_dropped" -> semHits.map(_.count()).getOrElse(0L),
       "decontaminated" -> contaminated.map(_.count()).getOrElse(0L),
       "accepted" -> acceptedN)
   }

@@ -1741,9 +1741,27 @@ object SparkEntry {
              |GROUP BY s_name
              |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
 
-    ("multimodal_meta", // rows-only: crc32/binary features not portable to the oracle
+    ("multimodal_meta",
+      // full oracle since the md5-seeded stub (round 12): byte length,
+      // magic, fingerprint AND the stubbed width/height/n_frames are
+      // all hex arithmetic DuckDB replays (digit-weighted parse of the
+      // first 8 md5 chars) — only a true codec decode has no oracle
       (s: SparkSession, d: String) => Multimodal.metadata(Multimodal.binarize(docs(s, d))),
-      None),
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang, text, md5(text) AS fp,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+             |  FROM documents),
+             |s AS (
+             |  SELECT *, list_reduce(list_transform(range(1, 9),
+             |      p -> CAST(strpos('0123456789abcdef', substr(fp, p, 1)) - 1 AS BIGINT)
+             |        * CAST(power(2, 4 * (8 - p)) AS BIGINT)), (a, b) -> a + b) AS seed
+             |  FROM m)
+             |SELECT doc_id, lang, byte_len, fp,
+             |  substr(hex(encode(text)), 1, 8) AS magic,
+             |  CAST(seed % 640 + 1 AS INT) AS width,
+             |  CAST(seed % 480 + 1 AS INT) AS height,
+             |  CAST(byte_len % 16 + 1 AS INT) AS n_frames
+             |FROM s""".stripMargin)),
 
     ("q_shipping_priority",
       // the fact-to-fact join shape (TPC-H Q3): date filters pushed
@@ -1942,6 +1960,18 @@ object SparkEntry {
       (s: SparkSession, d: String) => Ann.semanticDedupPairs(
         Tables.embeddings(s, d), trainIters = 3, deterministic = true),
       Some(OracleSql.semanticPairsTrainedSql())),
+
+    ("dedup_semantic_scaled_trained",
+      // the PRODUCTION composition of the two knobs registered
+      // separately above: k = max(16, ceil(√N)) bounds pair work at
+      // N^1.5, then 3 Lloyd rounds center the cells at that fan-out.
+      // The oracle derives the SAME k from a scalar subquery and
+      // replays the same unrolled training — cell choice, refinement
+      // and within-cell cosine all bit-for-bit
+      (s: SparkSession, d: String) => Ann.semanticDedupPairsScaled(
+        Tables.embeddings(s, d), trainIters = 3, deterministic = true),
+      Some(OracleSql.semanticPairsTrainedSql(
+        kSql = Some("GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))")))),
 
     ("vocab_coverage",
       // top-N vocabulary with a deterministic (cnt DESC, term)

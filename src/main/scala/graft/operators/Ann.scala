@@ -134,9 +134,10 @@ object Ann {
     * price of byte-level reproducibility. A spec pins both modes to
     * the same top-k at gate SF. */
   private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
-                                     deterministic: Boolean = false): DataFrame = {
+                                     deterministic: Boolean = false,
+                                     seed: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0)
-    var cents = ivfCentroids(e, k).localCheckpoint()
+    var cents = seed.getOrElse(ivfCentroids(e, k)).localCheckpoint()
     var it = 0
     while (it < iters) {
       val assigned = nearestCells(e, cents, "emb", "nrm", keep = 1)
@@ -557,12 +558,22 @@ object Ann {
     * Beyond ~1e9 vectors the √N centroid broadcast itself gets big
     * (≈ 32k vectors/GB at 64 dims); that regime wants the trained
     * hierarchical quantizer ([[kmeansCentroids]] over a sampled seed)
-    * — the knob composes, the plan shape is unchanged. */
+    * — the knob composes, the plan shape is unchanged.
+    *
+    * `trainIters > 0` composes BOTH production knobs in one path: the
+    * √N fan-out bounds pair work at N^1.5 and Lloyd's refinement
+    * centers the cells at that fan-out (training cost per round is the
+    * same broadcast argmin + k·dims-row re-center the fixed-k trained
+    * path pays, with k now √N). With `deterministic` the composition
+    * stays bit-replayable end-to-end — the oracle derives the SAME k
+    * from a scalar subquery and unrolls the same Lloyd rounds. */
   def semanticDedupPairsScaled(embeddings: DataFrame, threshold: Double = 0.35,
-                               minCentroids: Int = 16): DataFrame = {
+                               minCentroids: Int = 16, trainIters: Int = 0,
+                               deterministic: Boolean = false): DataFrame = {
     val n = embeddings.count()
     val k = math.max(minCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
-    semanticDedupPairs(embeddings, numCentroids = k, threshold = threshold)
+    semanticDedupPairs(embeddings, numCentroids = k, threshold = threshold,
+      trainIters = trainIters, deterministic = deterministic)
   }
 
   /** Embedding-space decontamination — [[graft.operators.TextOps]]'
@@ -618,6 +629,102 @@ object Ann {
         count(lit(1)).as("matches"))
       .select(col("vec_id"), col("best.h_id").as("holdout_id"),
         col("best.cos").as("cosine"), col("matches"))
+  }
+
+  /** Rank-seeded centroid row for corpora with ARBITRARY ids: the k
+    * lowest doc_ids become cells 0..k-1 (in id order). [[ivfCentroids]]
+    * seeds by `vec_id < k`, which requires the dense 0..N id space of
+    * the embeddings table; a real accepted corpus keys by whatever
+    * doc_ids survived curation. TakeOrdered-k bounds the seed scan
+    * (no global sort materializes); the rank window runs over k rows. */
+  private[graft] def seedCentroidsByRank(e: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("long").as("cell"),
+        asDouble(col("emb")).as("cemb"), col("nrm").as("cnrm"))
+      .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
+  }
+
+  /** Train + persist the cross-run SEMANTIC dedup index over an
+    * accepted corpus's vectors — the embedding arm of the incremental
+    * ingest state, next to [[graft.operators.Dedup.writeBandPostings]]
+    * (whole-doc shingles) and
+    * [[graft.operators.Dedup.writeChunkPostings]] (passages): a
+    * PARAPHRASED re-delivery shares no shingles and no CDC chunks
+    * with its source, so both text arms are structurally blind to it;
+    * its embedding still lands in the same quantizer cell.
+    *
+    * Writes two tables: `<table>` — every corpus vector with its
+    * assigned cell, BUCKETED on `cell` so the daily probe join reads
+    * the corpus side with zero exchange — and `<table>__centroids`
+    * — the k trained centroids (constant-size; the probe broadcasts
+    * it). Training is [[kmeansCentroids]] from the rank-based seed;
+    * at 100 TB each Lloyd round is the map-side broadcast argmin plus
+    * a k×dims-row combinable re-center, and it runs ONCE at bootstrap
+    * — daily deltas never retrain, they probe. */
+  def writeSemanticIndex(vectors: DataFrame, table: String,
+                         numCentroids: Int = 64, trainIters: Int = 3,
+                         buckets: Int = 64): Unit = {
+    graft.GraftExtensions.register(vectors.sparkSession)
+    val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cents = kmeansCentroids(e, numCentroids, trainIters,
+      seed = Some(seedCentroidsByRank(e, numCentroids)))
+    cents.select(explode(col("cents")).as("c"))
+      .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"),
+        col("c.cnrm").as("cnrm"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "__centroids")
+    graft.sources.Sinks.writeBucketed(
+      semanticIndexRows(vectors,
+        vectors.sparkSession.table(table + "__centroids")),
+      table, Seq("cell"), buckets)
+  }
+
+  /** Cell-index rows for a batch of vectors against the PERSISTED
+    * centroids — the shape [[writeSemanticIndex]] writes and an
+    * incremental append adds: (doc_id, cell, emb, nrm), assignment by
+    * the same map-side broadcast argmin as every quantizer consumer. */
+  def semanticIndexRows(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(vectors.sparkSession)
+    val cents = centroids
+      .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
+    val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    nearestCells(e, cents, "emb", "nrm", keep = 1)
+      .select(col("vec_id").as("doc_id"), col("cell"),
+        asDouble(col("emb")).as("emb"), col("nrm"))
+  }
+
+  /** Incremental semantic near-dup probe: delta vectors against the
+    * persisted [[writeSemanticIndex]] — assign each delta vector to
+    * its `nprobe` nearest persisted cells (broadcast argmin over the
+    * constant-size centroid table), join the bucketed corpus index on
+    * `cell` (zero corpus-side exchange — only the day's delta
+    * shuffles), exact cosine inside the cell. One row per
+    * (delta doc, corpus doc) at `threshold`, with the best cosine as
+    * evidence. `nprobe > 1` buys cross-boundary recall at probe time
+    * for delta-sized cost — the knob a fixed corpus index has that
+    * recomputed SemDeDup blocking lacks. */
+  def incrementalSemanticMatches(newVecs: DataFrame, cellIndex: DataFrame,
+                                 centroids: DataFrame,
+                                 threshold: Double = 0.35,
+                                 nprobe: Int = 1): DataFrame = {
+    graft.GraftExtensions.register(newVecs.sparkSession)
+    val cents = centroids
+      .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
+    val d = newVecs.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    nearestCells(d, cents, "emb", "nrm", keep = nprobe)
+      .select(col("vec_id").as("delta_doc"), col("emb"), col("nrm"), col("cell"))
+      .join(cellIndex.select(col("doc_id").as("corpus_doc"), col("cell"),
+        col("emb").as("c_emb"), col("nrm").as("c_nrm")), Seq("cell"))
+      .filter(col("corpus_doc") =!= col("delta_doc"))
+      .withColumn("cos", dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("delta_doc"), col("corpus_doc"))
+      .agg(max(col("cos")).as("cosine"))
   }
 
   /** Embedding-table sanity report — the check an embedding pipeline

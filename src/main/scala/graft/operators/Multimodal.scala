@@ -21,30 +21,37 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       col("lang"))
 
-  /** Typed metadata over the binary column: size, checksum, leading
+  /** Typed metadata over the binary column: size, fingerprint, leading
     * "magic" bytes — all computable without decoding, which is what a
     * 100 TB triage pass wants (decode only what survives filtering).
     *
     * STUB: `width`/`height`/`n_frames` are a deterministic fake decode
-    * derived from the checksum — a real deployment replaces exactly
-    * these three expressions with a decode UDF. */
-  def metadata(binarized: DataFrame): DataFrame =
+    * seeded from the payload md5 — a real deployment replaces exactly
+    * these three expressions with a decode UDF. The seed is md5 (not a
+    * CRC) deliberately: every column of this row is then plain hex
+    * arithmetic a SQL oracle replays, so the stub PLUMBING itself is
+    * gate-verified — only a true codec decode stays unverifiable. */
+  def metadata(binarized: DataFrame): DataFrame = {
+    // first 8 md5 hex chars as an integer — fits a long (< 2^32)
+    val seed = conv(substring(md5(col("payload")), 1, 8), 16, 10).cast("long")
     binarized.select(
       col("doc_id"), col("lang"),
       length(col("payload")).cast("long").as("byte_len"),
-      crc32(col("payload")).as("checksum"),
+      md5(col("payload")).as("fp"),
       hex(substring(col("payload"), 1, 4)).as("magic"),
-      (crc32(col("payload")) % 640 + 1).cast("int").as("width"),     // STUB decode
-      (crc32(col("payload")) % 480 + 1).cast("int").as("height"),    // STUB decode
+      (seed % 640 + 1).cast("int").as("width"),                      // STUB decode
+      (seed % 480 + 1).cast("int").as("height"),                     // STUB decode
       (length(col("payload")) % 16 + 1).cast("int").as("n_frames"))  // STUB decode
+  }
 
   /** Decode-free triage projection — the subset of [[metadata]] that
     * needs NO codec and no stub: byte length, leading magic bytes,
     * full-payload md5. This is the pass that decides what ever gets
     * decoded at 100 TB (dedupe on fp, route on magic, drop on size),
     * and because every column is bytewise-deterministic it is
-    * oracle-checked through the driver gate (the stubbed width/height
-    * decode in [[metadata]] stays rows-only, honestly marked). */
+    * oracle-checked through the driver gate (as is [[metadata]] since
+    * its stub went md5-seeded; only [[decodeBatched]]'s true-codec
+    * seam stays outside the gate, honestly marked). */
   def triage(binarized: DataFrame): DataFrame =
     binarized.select(
       col("doc_id"), col("lang"),
@@ -66,7 +73,7 @@ object Multimodal {
     * preserved — swap in a PIL/ffmpeg-backed implementation on a
     * cluster with codecs and nothing else changes (schema, batching,
     * partitioning are already real). The default is the same
-    * deterministic CRC stub as [[metadata]], so the plumbing is
+    * deterministic md5-seeded stub as [[metadata]], so the plumbing is
     * spec-testable here. */
   def decodeBatched(binarized: DataFrame, maxBatch: Int = 64,
                     decode: Seq[Array[Byte]] => Seq[(Int, Int, Array[Float])] = stubDecode)
@@ -88,17 +95,18 @@ object Multimodal {
   }
 
   /** Deterministic stand-in decoder for [[decodeBatched]]: width and
-    * height from the payload CRC EXACTLY as the [[metadata]] stub
-    * computes them (java.util.zip.CRC32 is the same CRC-32 as Spark's
-    * `crc32` — spec-pinned), features a fixed-width byte prefix
+    * height from the payload md5 EXACTLY as the [[metadata]] stub
+    * computes them (java.security MD5 is the same digest as Spark's
+    * `md5` — spec-pinned), features a fixed-width byte prefix
     * scaled to [0, 1]. */
   private[graft] def stubDecode(payloads: Seq[Array[Byte]]): Seq[(Int, Int, Array[Float])] =
     payloads.map { bytes =>
-      val crc = new java.util.zip.CRC32
-      crc.update(bytes)
-      val c = crc.getValue
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // first 8 hex chars == first 4 digest bytes, big-endian
+      val seed = md.digest(bytes).take(4)
+        .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
       val feats = bytes.take(8).padTo(8, 0.toByte).map(b => (b & 0xff) / 255.0f)
-      ((c % 640 + 1).toInt, (c % 480 + 1).toInt, feats)
+      ((seed % 640 + 1).toInt, (seed % 480 + 1).toInt, feats)
     }
 
   /** Frame sampling: one row per sampled frame index with a per-frame

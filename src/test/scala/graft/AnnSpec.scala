@@ -212,6 +212,40 @@ class AnnSpec extends SparkSpec {
       s"trained recall ${(trained & truth).size} < untrained ${(untrained & truth).size}")
   }
 
+  test("semantic index: rank-seeded centroids handle sparse ids; probe finds cross-corpus neighbors") {
+    // STRIDED doc ids — the distribution ivfCentroids' `vec_id < k`
+    // seed rule collapses on (no ids below k exist); the rank seed
+    // must still produce k cells and a working probe
+    val corpus = Seq(
+      (1000L, Seq(1f, 0f, 0f, 0f)),
+      (5000L, Seq(0f, 1f, 0f, 0f)),
+      (9000L, Seq(0f, 0f, 1f, 0f))).toDF("doc_id", "embedding")
+    Ann.writeSemanticIndex(corpus, "graft_semidx_t", numCentroids = 2, trainIters = 1)
+    val cells = spark.table("graft_semidx_t")
+    assert(cells.select("doc_id").as[Long].collect().toSet === Set(1000L, 5000L, 9000L))
+    assert(spark.table("graft_semidx_t__centroids").count() === 2L)
+    val m = Ann.incrementalSemanticMatches(
+      Seq((7L, Seq(0.95f, 0.31f, 0f, 0f))).toDF("doc_id", "embedding"),
+      cells, spark.table("graft_semidx_t__centroids"), threshold = 0.5)
+      .collect()
+    assert(m.map(r => (r.getAs[Long]("delta_doc"), r.getAs[Long]("corpus_doc"))).toSet
+      === Set((7L, 1000L)))
+  }
+
+  test("scaled+trained composition equals fixed-k training at the derived sqrt-N fan-out") {
+    // the composed registered path must be exactly "derive k, then
+    // train at k" — no hidden divergence between the two knobs
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    val composed = pairs(Ann.semanticDedupPairsScaled(emb, trainIters = 3, deterministic = true))
+    val fixed = pairs(Ann.semanticDedupPairs(emb, numCentroids = k,
+      trainIters = 3, deterministic = true))
+    assert(composed === fixed)
+    assert(composed.nonEmpty)
+  }
+
   test("native graft_dot yields NULL for ragged arrays and null elements, like the HOF form") {
     GraftExtensions.register(spark)
     val df = Seq(

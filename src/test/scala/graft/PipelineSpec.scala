@@ -200,6 +200,8 @@ class PipelineSpec extends SparkSpec {
       .withColumn("out_dir", lit(out))
       .withColumn("hash_table", lit("graft_crash_hash"))
       .withColumn("chunk_table", lit(null).cast("string"))
+      .withColumn("semantic_table", lit(null).cast("string"))
+      .withColumn("embedding", lit(null).cast("array<float>"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable("graft_crash_post__pending")
     graft.sources.Sinks.appendBucketed(
@@ -226,6 +228,8 @@ class PipelineSpec extends SparkSpec {
       .withColumn("out_dir", lit(out))
       .withColumn("hash_table", lit("graft_crash_hash"))
       .withColumn("chunk_table", lit(null).cast("string"))
+      .withColumn("semantic_table", lit(null).cast("string"))
+      .withColumn("embedding", lit(null).cast("array<float>"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable("graft_crash_post__pending")
     val dayB = writeDelta((30L, dayBText))
@@ -280,6 +284,131 @@ class PipelineSpec extends SparkSpec {
       chunkTable = Some("graft_chk_chunks"))
     assert(s2("substring_vs_corpus_dropped") === 1L)
     assert(s2("accepted") === 0L)
+  }
+
+  test("runIncremental semantic arm: a paraphrased re-delivery drops via the embedding probe") {
+    import spark.implicits._
+    // corpus doc 1 with its embedding: the arm trains the quantizer
+    // and persists cell index + centroids at bootstrap
+    val corpusText = (1 to 40).map(i => s"sem$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusText)).toDF("doc_id", "text"),
+      "graft_sem_post", "graft_sem_hash",
+      semanticTable = Some("graft_sem_cells"),
+      corpusEmbeddings = Some(Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("doc_id", "embedding")))
+    assert(spark.catalog.tableExists("graft_sem_cells") &&
+      spark.catalog.tableExists("graft_sem_cells__centroids"))
+
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_sem_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // day 1: doc 80 PARAPHRASES corpus 1 — zero token overlap, so the
+    // MinHash probe is structurally blind to it — but its embedding
+    // sits next to corpus 1's; doc 81 is fresh in text AND embedding
+    val day1 = writeDelta(
+      (80L, (1 to 40).map(i => s"para$i").mkString(" ")),
+      (81L, (1 to 40).map(i => s"novel$i").mkString(" ")))
+    val out1 = Files.createTempDirectory("graft_sem_out1").toString
+    val s1 = Pipeline.runIncremental(spark, day1, out1, "graft_sem_post", "graft_sem_hash",
+      semanticTable = Some("graft_sem_cells"),
+      deltaEmbeddings = Some(Seq(
+        (80L, Seq(0.97f, 0.24f, 0f, 0f)),
+        (81L, Seq(0f, 1f, 0f, 0f))).toDF("doc_id", "embedding")))
+    assert(s1("neardup_vs_corpus_dropped") === 0L, "text probe must be blind to the paraphrase")
+    assert(s1("semantic_vs_corpus_dropped") === 1L)
+    assert(s1("accepted") === 1L)
+    assert(spark.read.parquet(s"$out1/accepted")
+      .select("doc_id").as[Long].collect().toSet === Set(81L))
+    // the accepted doc's vector joined the index; the dropped one didn't
+    assert(spark.table("graft_sem_cells").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 81L))
+
+    // day 2: a paraphrase of DAY 1's accepted doc must now drop — the
+    // semantic index grew by exactly the accepted vectors
+    val day2 = writeDelta((90L, (1 to 40).map(i => s"alt$i").mkString(" ")))
+    val out2 = Files.createTempDirectory("graft_sem_out2").toString
+    val s2 = Pipeline.runIncremental(spark, day2, out2, "graft_sem_post", "graft_sem_hash",
+      semanticTable = Some("graft_sem_cells"),
+      deltaEmbeddings = Some(Seq(
+        (90L, Seq(0.24f, 0.97f, 0f, 0f))).toDF("doc_id", "embedding")))
+    assert(s2("semantic_vs_corpus_dropped") === 1L)
+    assert(s2("accepted") === 0L)
+
+    // crash repair covers the semantic arm: a manifest carrying the
+    // day's vector with NO semantic append landed yet must replay the
+    // missing cell-index rows (and the other indexes) exactly once
+    val t95 = (1 to 40).map(i => s"crashsem$i").mkString(" ")
+    Seq((95L, t95)).toDF("doc_id", "text")
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("out_dir", lit("/tmp/graft_sem_crash_out"))
+      .withColumn("hash_table", lit("graft_sem_hash"))
+      .withColumn("chunk_table", lit(null).cast("string"))
+      .withColumn("semantic_table", lit("graft_sem_cells"))
+      .join(Seq((95L, Seq(0f, 0f, 1f, 0f))).toDF("doc_id", "embedding"), Seq("doc_id"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_sem_post__pending")
+    assert(Pipeline.repairPendingAppends(spark, "graft_sem_post")
+      === Some("/tmp/graft_sem_crash_out"))
+    assert(spark.table("graft_sem_cells").filter(col("doc_id") === 95L).count() === 1L)
+    assert(spark.table("graft_sem_post").filter(col("doc_id") === 95L).count() === 16L)
+    assert(spark.table("graft_sem_hash")
+      .filter(col("content_md5") === org.apache.commons.codec.digest.DigestUtils.md5Hex(t95))
+      .count() === 1L)
+    assert(!spark.catalog.tableExists("graft_sem_post__pending"))
+  }
+
+  test("runIncremental auto-recaps the chunk index when an append breaches the df cap") {
+    import spark.implicits._
+    // a ~30-token shared passage: long distinct prefixes keep every
+    // pairwise whole-doc Jaccard far below the MinHash bar AND the
+    // shared chunk tokens below the 64-token destructive bar, so the
+    // passage-carrying docs keep getting ACCEPTED — exactly how a
+    // chunk's doc-frequency creeps up across ingests
+    val passage = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    def doc(prefix: String) =
+      (1 to 200).map(i => s"$prefix$i").mkString(" ") + " " + passage
+    Pipeline.bootstrapIncremental(
+      Seq((1L, doc("aa")), (2L, doc("bb"))).toDF("doc_id", "text"),
+      "graft_recap_post", "graft_recap_hash", chunkTable = Some("graft_recap_chunks"))
+
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_recap_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // day 1: a third passage carrier is accepted (under both dedup
+    // bars); its chunk append pushes the passage chunks to df=3 > 2 —
+    // the breach check must fire and the staged recap must drop them
+    val day1 = writeDelta((70L, doc("cc")))
+    val out1 = Files.createTempDirectory("graft_recap_out1").toString
+    val s1 = Pipeline.runIncremental(spark, day1, out1,
+      "graft_recap_post", "graft_recap_hash",
+      chunkTable = Some("graft_recap_chunks"), chunkMaxDocFreq = 2L)
+    assert(s1("substring_vs_corpus_dropped") === 0L, "passage must stay below the 64-token bar")
+    assert(s1("accepted") === 1L)
+    assert(s1("chunk_recap") === 1L)
+    val dfs = spark.table("graft_recap_chunks")
+      .groupBy("chunk_hash").count()
+    assert(dfs.filter(col("count") > 2).count() === 0L, "recap must restore the df cap")
+    assert(dfs.count() > 0L, "per-doc prefix chunks must survive the recap")
+
+    // day 2: the same passage arrives again — its chunks were recapped
+    // away as boilerplate, so they carry no dedup evidence (df restarts
+    // at 1) and no new breach fires
+    val day2 = writeDelta((71L, doc("dd")))
+    val out2 = Files.createTempDirectory("graft_recap_out2").toString
+    val s2 = Pipeline.runIncremental(spark, day2, out2,
+      "graft_recap_post", "graft_recap_hash",
+      chunkTable = Some("graft_recap_chunks"), chunkMaxDocFreq = 2L)
+    assert(s2("substring_vs_corpus_dropped") === 0L)
+    assert(s2("accepted") === 1L)
+    assert(s2("chunk_recap") === 0L)
   }
 
   test("runTrainingPrep persists the cross-run postings index a later delta can probe") {

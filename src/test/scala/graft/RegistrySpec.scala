@@ -120,7 +120,10 @@ class RegistrySpec extends SparkSpec {
     "dedup_semantic_scaled",
     // round-11: the viral-cell guard — subdivided cells bound pair
     // work linear in a dense cluster's population
-    "dedup_semantic_capped")
+    "dedup_semantic_capped",
+    // round-12: the production composition of the two knobs — √N
+    // fan-out + Lloyd's-refined centroids, one bit-replayable path
+    "dedup_semantic_scaled_trained")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -141,10 +144,11 @@ class RegistrySpec extends SparkSpec {
     // round 9 shrank this set (ann_ivf gained a full SQL oracle);
     // round 11 graduated ann_ivf_trained (deterministic Lloyd's as
     // unrolled DuckDB CTEs); round 12 graduated dedup_minhash (md5-KM
-    // signature family, HUGEINT mod-2^64 replay). The remaining
-    // hash-dependent members are cross-checked by the oracle-checked
-    // ann_lsh_recall / simhash_precision
+    // signature family, HUGEINT mod-2^64 replay) and multimodal_meta
+    // (md5-seeded stub decode — every column is hex arithmetic). The
+    // remaining hash-dependent members are cross-checked by the
+    // oracle-checked ann_lsh_recall / simhash_precision
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("dedup_simhash", "ann_lsh", "multimodal_meta"))
+    assert(rowsOnly === Set("dedup_simhash", "ann_lsh"))
   }
 }

@@ -182,8 +182,15 @@ class SourcesSpec extends SparkSpec {
     assert(meta.getAs[Long]("byte_len") === 11L)
     assert(meta.getAs[String]("magic") === "68656C6C".toUpperCase) // 'hell'
     assert(meta.getAs[Int]("width") > 0 && meta.getAs[Int]("width") <= 640)
+    assert(meta.getAs[Int]("height") > 0 && meta.getAs[Int]("height") <= 480)
+    assert(meta.getAs[String]("fp").matches("[0-9a-f]{32}"))
+    // the md5-seeded stub: width/height derive from the fingerprint's
+    // leading 8 hex chars — the relation the SQL oracle replays
+    val seed = java.lang.Long.parseLong(meta.getAs[String]("fp").substring(0, 8), 16)
+    assert(meta.getAs[Int]("width") === (seed % 640 + 1).toInt)
+    assert(meta.getAs[Int]("height") === (seed % 480 + 1).toInt)
     val again = Multimodal.metadata(Multimodal.binarize(docs)).head()
-    assert(meta.getAs[Long]("checksum") === again.getAs[Long]("checksum"))
+    assert(meta.getAs[String]("fp") === again.getAs[String]("fp"))
   }
 
   test("Multimodal triage is bytewise-deterministic and codec-free") {
