@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CdcChunks, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SrpBuckets}
+import graft.functions.{BoundedCollect, CdcChunks, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -94,6 +94,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(sh) => SimHashSig(sh)
         case other => badSignature("graft_simhash_sig", "(shingles: array<string>)", other)
+      }),
+    ("graft_simhash_sig_md5",
+      new ExpressionInfo(classOf[SimHashSigMd5].getName, "graft_simhash_sig_md5"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh) => SimHashSigMd5(sh)
+        case other => badSignature("graft_simhash_sig_md5", "(shingles: array<string>)", other)
+      }),
+    ("graft_srp_buckets_md5",
+      new ExpressionInfo(classOf[SrpBucketsMd5].getName, "graft_srp_buckets_md5"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec, Literal(t: Int, _), Literal(b: Int, _)) => SrpBucketsMd5(vec, t, b)
+        case Seq(_, t, b) =>
+          notLiteral("graft_srp_buckets_md5", "tables/bits",
+            Seq(t, b).find { case Literal(_: Int, _) => false; case _ => true }.getOrElse(t))
+        case other => badSignature(
+          "graft_srp_buckets_md5", "(vector, tables: int literal, bits: int literal)", other)
       }),
     ("graft_clean_content",
       new ExpressionInfo(classOf[CleanContent].getName, "graft_clean_content"),

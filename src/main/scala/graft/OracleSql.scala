@@ -182,6 +182,107 @@ object OracleSql {
       |           JOIN mh_pm b ON b.doc_id = c.doc_id_2 AND b.i = a.i
       |           GROUP BY 1, 2)""".stripMargin
 
+  /** Mirrors [[graft.operators.Dedup.simhashPairs]] (64-bit md5-vote
+    * fingerprints, 4×16-bit bands, Hamming ≤ 3) as a CTE chain ending
+    * in `sx_pairs(doc_id_1, doc_id_2, hamming)` — a bit-for-bit replay
+    * of [[graft.functions.SimHashSigMd5]]:
+    *  - `sx_hv` parses each distinct shingle's md5 HEX first half into
+    *    the 64-bit token hash `h1` as a HUGEINT (same digit-weighted
+    *    sum as `mh_hv`),
+    *  - `sx_vote` sums the ±1 per-bit votes over each doc's DISTINCT
+    *    shingle set (bit extraction `(h1 // 2^i) % 2` — 2^i is a power
+    *    of two, so the `power` doubles are exact),
+    *  - `sx_fp` reassembles the unsigned fingerprint (bit set iff the
+    *    vote is STRICTLY positive, ties → 0 like the engine),
+    *  - banding is integer slicing `(fp // 2^(16b)) % 65536` — the
+    *    unsigned view of the engine's `shiftright & 0xFFFF`,
+    *  - `sx_ham` re-derives Hamming by comparing the 64 bit columns
+    *    (the engine's `bit_count(xor)` on the same-bits signed long).
+    */
+  def simhashPairsCtes: String =
+    """sx_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sx_sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |          FROM sx_tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+      |sx_hx AS (SELECT DISTINCT shingle FROM sx_sh),
+      |sx_md AS (SELECT shingle, md5(shingle) AS m FROM sx_hx),
+      |sx_hv AS (SELECT shingle,
+      |            SUM(CASE WHEN p <= 16 THEN CAST(strpos('0123456789abcdef', substr(m, p, 1)) - 1 AS HUGEINT)
+      |                  * CAST(power(2, 4 * (16 - p)) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS h1
+      |          FROM sx_md, UNNEST(range(1, 17)) AS t(p) GROUP BY 1),
+      |sx_vote AS (SELECT s.doc_id, i,
+      |              SUM(CASE WHEN (h1 // CAST(power(2, i) AS HUGEINT)) % 2 = 1
+      |                    THEN 1 ELSE -1 END) AS v
+      |            FROM sx_sh s JOIN sx_hv h USING (shingle), UNNEST(range(0, 64)) AS t(i)
+      |            GROUP BY 1, 2),
+      |sx_fp AS (SELECT doc_id,
+      |            SUM(CASE WHEN v > 0 THEN CAST(power(2, i) AS HUGEINT)
+      |                  ELSE CAST(0 AS HUGEINT) END) AS fpu
+      |          FROM sx_vote GROUP BY 1),
+      |sx_band AS (SELECT doc_id,
+      |              b, (fpu // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS key
+      |            FROM sx_fp, UNNEST(range(0, 4)) AS t(b)),
+      |sx_cand AS (SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+      |            FROM sx_band l JOIN sx_band r
+      |              ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+      |sx_ham AS (SELECT c.doc_id_1, c.doc_id_2,
+      |             CAST(SUM(CASE WHEN (f1.fpu // CAST(power(2, i) AS HUGEINT)) % 2
+      |                            <> (f2.fpu // CAST(power(2, i) AS HUGEINT)) % 2
+      |                   THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+      |           FROM sx_cand c
+      |           JOIN sx_fp f1 ON f1.doc_id = c.doc_id_1
+      |           JOIN sx_fp f2 ON f2.doc_id = c.doc_id_2, UNNEST(range(0, 64)) AS t(i)
+      |           GROUP BY 1, 2),
+      |sx_pairs AS (SELECT doc_id_1, doc_id_2, hamming FROM sx_ham WHERE hamming <= 3)""".stripMargin
+
+  /** Mirrors [[graft.operators.Ann.lshTopK]] at the registered
+    * production parameters (4 tables × 8 bits, 5 queries, top-3) as a
+    * CTE chain ending in `al_top(query_id, vec_id, cosine, rank)` — a
+    * bit-for-bit replay of [[graft.functions.SrpBucketsMd5]]:
+    *  - `al_sgn` builds the CONSTANT ±1 hyperplane matrix from md5 of
+    *    the literal `"t:j:d"` keys (+1 iff the first hex char is
+    *    '0'..'7', i.e. the digest's top bit is clear),
+    *  - `al_proj` folds each (vector, plane) projection left-to-right
+    *    in doubles — the convention every green ANN row proves,
+    *  - bucket bit j is set iff the projection is STRICTLY positive;
+    *    candidates meet on (table, bucket) and exact cosine re-ranks.
+    */
+  def annLshCtes: String =
+    """al_e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |         FROM embeddings),
+      |al_n AS (SELECT vec_id, emb,
+      |           sqrt(list_reduce(list_transform(range(1, 65), i -> emb[i] * emb[i]),
+      |                (acc, x) -> acc + x)) AS nrm
+      |         FROM al_e),
+      |al_sgn AS (SELECT t, j,
+      |             list_transform(range(0, 64), d ->
+      |               CASE WHEN substr(md5(t || ':' || j || ':' || d), 1, 1) <= '7'
+      |                 THEN 1.0 ELSE -1.0 END) AS s
+      |           FROM UNNEST(range(0, 4)) AS t1(t), UNNEST(range(0, 8)) AS t2(j)),
+      |al_proj AS (SELECT vec_id, t, j,
+      |              list_reduce(list_transform(range(1, 65), i -> emb[i] * s[i]),
+      |                (acc, x) -> acc + x) AS proj
+      |            FROM al_n CROSS JOIN al_sgn),
+      |al_bkt AS (SELECT vec_id, t AS tbl,
+      |             SUM(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT)
+      |                   ELSE CAST(0 AS BIGINT) END) AS bucket
+      |           FROM al_proj GROUP BY 1, 2),
+      |al_q AS (SELECT b.vec_id AS query_id, n.emb AS qemb, n.nrm AS qnrm, b.tbl, b.bucket
+      |         FROM al_bkt b JOIN al_n n USING (vec_id) WHERE b.vec_id < 5),
+      |al_cand AS (SELECT DISTINCT q.query_id, b.vec_id
+      |            FROM al_bkt b JOIN al_q q ON b.tbl = q.tbl AND b.bucket = q.bucket
+      |            WHERE b.vec_id <> q.query_id),
+      |al_sc AS (SELECT c.query_id, c.vec_id,
+      |            list_reduce(list_transform(range(1, 65), i -> q.qemb[i] * n.emb[i]),
+      |              (acc, x) -> acc + x) / (q.qnrm * n.nrm) AS cos
+      |          FROM al_cand c
+      |          JOIN (SELECT DISTINCT query_id, qemb, qnrm FROM al_q) q USING (query_id)
+      |          JOIN al_n n ON n.vec_id = c.vec_id),
+      |al_rk AS (SELECT query_id, vec_id, cos,
+      |            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |              ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      |          FROM al_sc),
+      |al_top AS (SELECT query_id, vec_id, cos AS cosine, rank FROM al_rk WHERE rank <= 3)""".stripMargin
+
   /** True transitive closure over the ngram-Jaccard pair graph via a
     * (linear) recursive CTE — every node's cluster is the least id it
     * can reach. The shared oracle for BOTH connected-component
@@ -283,18 +384,29 @@ object OracleSql {
     * literal `k` — the same derive-then-seed order the Scala side
     * runs, so the scaled+trained composition replays bit-for-bit. */
   def kmeansCentroidsCtes(k: Int = 64, iters: Int = 3, dims: Int = 64,
-                          kSql: Option[String] = None): String = {
+                          kSql: Option[String] = None,
+                          where: Option[String] = None,
+                          rankSeed: Boolean = false): String = {
     val dot = dotExpr(dims) _
-    val seedCents = kSql match {
-      case Some(expr) =>
+    val seedCents = (kSql, rankSeed) match {
+      case (Some(expr), false) =>
         s"""kk AS (SELECT $expr AS k FROM e),
            |cents0 AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n, kk WHERE vec_id < kk.k)""".stripMargin
-      case None =>
+      case (None, false) =>
         s"cents0 AS (SELECT vec_id AS cell, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < $k)"
+      case (None, true) =>
+        // [[graft.operators.Ann.seedCentroidsByRank]]: the k LOWEST
+        // ids become cells 0..k-1 in id order — the seed rule for
+        // corpora with arbitrary (sparse) id spaces
+        s"""cents0 AS (SELECT rn - 1 AS cell, emb AS cemb, nrm AS cnrm FROM (
+           |  SELECT emb, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM n) WHERE rn <= $k)""".stripMargin
+      case (Some(_), true) =>
+        throw new IllegalArgumentException("kSql + rankSeed not composed by any registered path")
     }
+    val whereSql = where.map(w => s"WHERE $w").getOrElse("")
     val seed =
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |     FROM embeddings),
+         |     FROM embeddings $whereSql),
          |n AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM e),
          |$seedCents""".stripMargin
     val rounds = (0 until iters).map { i =>
@@ -356,6 +468,36 @@ object OracleSql {
        |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.cell AS cell,
        |    ${dot("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos
        |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Ann.semanticProbe]] — the daily-ingest
+    * semantic arm as a value-checked query: the 4-hex md5 split carves
+    * the delta out of the embeddings table, training runs on the
+    * CORPUS ONLY with the rank seed (sparse ids after a split — the
+    * production situation), `fasg` doubles as the corpus cell index,
+    * and the delta probes it with the same argmin + within-cell
+    * cosine the batch probe runs at `nprobe = 1`. */
+  def semanticProbeSql(k: Int = 64, iters: Int = 3, threshold: Double = 0.35,
+                       deltaHex: String = "0ccd", dims: Int = 64): String = {
+    val dot = dotExpr(dims) _
+    val split = s"substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)"
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims,
+          where = Some(s"$split >= '$deltaHex'"), rankSeed = true)},
+       |${trainedAssignmentCtes(iters, dims)},
+       |de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings WHERE $split < '$deltaHex'),
+       |dn AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM de),
+       |dasg AS (SELECT vec_id, emb, nrm, cell FROM (
+       |  SELECT dn.vec_id, dn.emb, dn.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY dn.vec_id ORDER BY
+       |      (${dot("dn.emb", "c.cemb")} / (dn.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM dn CROSS JOIN cents$iters c) WHERE rn = 1)
+       |SELECT delta_doc, corpus_doc, cos AS cosine FROM (
+       |  SELECT d.vec_id AS delta_doc, a.vec_id AS corpus_doc,
+       |    ${dot("d.emb", "a.emb")} / (d.nrm * a.nrm) AS cos
+       |  FROM dasg d JOIN fasg a ON d.cell = a.cell
+       |  WHERE a.vec_id <> d.vec_id) t
        |WHERE cos >= $threshold""".stripMargin
   }
 

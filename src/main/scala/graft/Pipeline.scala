@@ -329,7 +329,12 @@ object Pipeline {
       ddPairs.unionByName(Dedup.substringDupPairs(text, minSharedTokens = 64L)
         .select(col("doc_id_1"), col("doc_id_2")))
     else ddPairs
-    val clusters = Dedup.clusterPairs(allDdPairs)
+    // star-rounds CC ([[Dedup.clusterPairsStar]]): O(log^2 n)
+    // convergence regardless of component shape — the production
+    // default, since a prep run over an arbitrary corpus can't assume
+    // the dense quasi-clique components min-label propagation wants
+    // (same min-id labeling either way, one shared oracle)
+    val clusters = Dedup.clusterPairsStar(allDdPairs)
     val deduped = Dedup.applyCanonical(survivors, clusters,
       Dedup.canonicalPerCluster(
         survivors.select(col("doc_id"), col("content").as("text")), clusters))
@@ -452,11 +457,13 @@ object Pipeline {
     // near-dup + substring-dup clustering over the exact-deduped
     // survivors — one connected-components pass over the UNION of both
     // pair graphs, so a doc that is a near-dup of A and shares a
-    // passage with B lands in one cluster; clusterPairs persists the
-    // pair projection internally for its fixpoint rounds
+    // passage with B lands in one cluster; the star-rounds CC is the
+    // production default (O(log^2 n) rounds for any component shape,
+    // same min-id labeling) and persists the pair projection
+    // internally for its fixpoint rounds
     val textOnly = exact.select(col("doc_id"), col("content").as("text"))
     val pairCols = Seq("doc_id_1", "doc_id_2")
-    val clusters = Dedup.clusterPairs(
+    val clusters = Dedup.clusterPairsStar(
       Dedup.ngramJaccardPairs(textOnly).select(pairCols.map(col): _*)
         .unionByName(Dedup.substringDupPairs(textOnly, minSharedTokens = 64L)
           .select(pairCols.map(col): _*)))

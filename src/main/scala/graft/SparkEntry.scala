@@ -1196,9 +1196,15 @@ object SparkEntry {
               |SELECT doc_id_1, doc_id_2, est_jaccard FROM mh_est
               |WHERE est_jaccard >= 0.5""".stripMargin)),
 
-    ("dedup_simhash", // rows-only: bit-vote fingerprint, not SQL-expressible
+    ("dedup_simhash",
+      // full oracle since the md5-vote family switch: the fingerprint
+      // votes, the 4x16-bit banding and the Hamming re-rank all replay
+      // in plain SQL (HUGEINT bit extraction over md5 hex — see
+      // OracleSql.simhashPairsCtes); `simhash_precision` remains the
+      // semantic precision contract on top
       (s: SparkSession, d: String) => Dedup.simhashPairs(docs(s, d)),
-      None),
+      Some(s"""WITH $simhashPairsCtes
+              |SELECT doc_id_1, doc_id_2, hamming FROM sx_pairs""".stripMargin)),
 
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) => Dedup.ngramJaccardPairs(docs(s, d)),
@@ -1459,9 +1465,16 @@ object SparkEntry {
              |SELECT query_id, vec_id, cos_q AS cosine_q, rank
              |FROM ranked WHERE rank <= 3""".stripMargin)),
 
-    ("ann_lsh", // rows-only: bucket membership is hash-dependent
+    ("ann_lsh",
+      // full oracle since the md5-hyperplane family switch: bucket
+      // membership is a pure function of md5-derived +-1 signs and
+      // left-to-right double folds, so DuckDB replays the whole index
+      // — which cells exist, who meets whom, and the exact-cosine
+      // re-rank (OracleSql.annLshCtes); `ann_lsh_recall` remains the
+      // semantic recall contract on top
       (s: SparkSession, d: String) => Ann.lshTopK(Tables.embeddings(s, d)),
-      None),
+      Some(s"""WITH $annLshCtes
+              |SELECT query_id, vec_id, cosine, rank FROM al_top""".stripMargin)),
 
     ("ann_ivf",
       // FULLY oracle-checked, rare for an ANN path: the untrained IVF
@@ -1497,16 +1510,19 @@ object SparkEntry {
              |SELECT query_id, vec_id, cos AS cosine, rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
     ("ann_lsh_recall",
-      // LSH at (tables=32, bits=4) reaches FULL recall of the exact
+      // LSH at (tables=64, bits=4) reaches FULL recall of the exact
       // top-3 on this corpus at every gate SF, so the oracle pins
       // hits = exact_k with the exact-side count and k-th cosine
       // derived from data — an SRP bucketing regression drops `hits`
       // and hash-mismatches. The registered ann_lsh keeps the lean
       // (4 tables, 8 bits) production parameters; this row documents
-      // the recall-vs-cost knob (8x the tables at 1/16 the buckets).
+      // the recall-vs-cost knob (16x the tables at 1/16 the buckets;
+      // 32 tables sufficed for the murmur family, the md5 family
+      // needs 64 for query 3's third neighbor at sf0.1 — exactly the
+      // L-vs-recall trade the row exists to document).
       (s: SparkSession, d: String) => {
         val emb = Tables.embeddings(s, d)
-        Ann.recallAtK(Ann.lshTopK(emb, tables = 32, numBits = 4),
+        Ann.recallAtK(Ann.lshTopK(emb, tables = 64, numBits = 4),
           Ann.bruteForceTopK(emb))
       },
       Some("""WITH e AS (SELECT vec_id,
@@ -2183,6 +2199,17 @@ object SparkEntry {
       (s: SparkSession, d: String) => Ann.semanticDecontam(
         Tables.embeddings(s, d), trainIters = 3, deterministic = true),
       Some(OracleSql.semanticDecontamTrainedSql())),
+
+    ("semantic_probe",
+      // the DAILY-INGEST probe itself, oracle-checked end-to-end: a
+      // 4-hex md5 pseudo-delta probes a quantizer trained on the
+      // remaining corpus only (rank-seeded — sparse ids, the
+      // bootstrapIncremental situation) through the LITERAL
+      // production function (Ann.incrementalSemanticMatches); with
+      // deterministic training every stage is replayable arithmetic
+      (s: SparkSession, d: String) => Ann.semanticProbe(
+        Tables.embeddings(s, d), trainIters = 3, deterministic = true),
+      Some(OracleSql.semanticProbeSql())),
 
     ("bpe_pair_stats",
       // the BPE trainer's inner-loop statistic: adjacent-pair counts

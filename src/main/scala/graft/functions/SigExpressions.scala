@@ -161,11 +161,15 @@ case class MinHashSigMd5(child: Expression, numHashes: Int)
 
 object MinHashSigMd5 {
   /** MessageDigest is stateful and not thread-safe; one per thread
-    * (expression instances can be shared across local-mode tasks). */
+    * (expression instances can be shared across local-mode tasks).
+    * Shared by the whole md5 signature family ([[MinHashSigMd5]],
+    * [[SimHashSigMd5]], [[SrpBucketsMd5]]). */
   private val digests = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  private[functions] def digest(): java.security.MessageDigest = digests.get()
 }
 
 /** Scalar 64-bit SimHash fingerprint: `graft_simhash_sig(shingles)` ==
@@ -205,5 +209,73 @@ case class SimHashSig(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** Portable scalar 64-bit SimHash: `graft_simhash_sig_md5(shingles)`
+  * — the ENGINE-NEUTRAL fingerprint family the registered simhash
+  * dedup path rides, completing for SimHash what [[MinHashSigMd5]]
+  * did for MinHash (and closing the last text-side rows-only row):
+  *
+  *  - per shingle, ONE md5 digest; its FIRST 8 bytes big-endian form
+  *    the 64-bit token hash `h1` — exactly the integer a SQL engine
+  *    gets from the md5 HEX string's first 16 characters (the same
+  *    parse the `dedup_minhash` oracle already replays),
+  *  - per-bit ±1 votes over the DISTINCT shingle set (bit i of `h1`
+  *    set → +1, clear → -1), summed per document,
+  *  - fingerprint bit i is set iff the vote sum is STRICTLY positive
+  *    (ties → 0, matching [[SimHashAgg]]/[[SimHashSig]]), stored as
+  *    the same-bits signed long.
+  *
+  * An oracle replays the votes with integer bit extraction
+  * (`(h1 // 2^i) % 2`) and reassembles the unsigned fingerprint as a
+  * HUGEINT, mapping to the signed long domain by subtracting 2^64
+  * above 2^63. Banding and Hamming distance downstream are pure
+  * integer arithmetic on that value, so the WHOLE simhash pipeline
+  * becomes replayable. The xxhash64-family [[SimHashSig]]/[[SimHashAgg]]
+  * pair stays as the fastest engine-native variant; at 100 TB this
+  * stage is still map-only and the digest cost is one md5 per
+  * distinct shingle — identical to the minhash-md5 trade already
+  * taken.
+  */
+case class SimHashSigMd5(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SigHash.checkStringArray(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_sig_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](64)
+    val md = MinHashSigMd5.digest()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(e).getBytes)
+        var h1 = 0L
+        var b = 0
+        while (b < 8) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+        var i = 0
+        while (i < 64) {
+          votes(i) += (((h1 >>> i) & 1L) << 1) - 1L
+          i += 1
+        }
+      }
+      e += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSigMd5 =
     copy(child = newChild)
 }

@@ -67,6 +67,14 @@ object Ann {
   def srpBuckets(emb: Column, tables: Int, numBits: Int): Column =
     call_function("graft_srp_buckets", emb, lit(tables), lit(numBits))
 
+  /** Portable twin ([[graft.functions.SrpBucketsMd5]]): md5-derived
+    * ±1 hyperplanes a SQL engine replays verbatim — the family the
+    * registered `ann_lsh` rows ride so bucket membership itself is
+    * oracle-checkable; same per-row cost (the constant weight matrix
+    * is cached per executor). */
+  def srpBucketsMd5(emb: Column, tables: Int, numBits: Int): Column =
+    call_function("graft_srp_buckets_md5", emb, lit(tables), lit(numBits))
+
   /** LSH-bucketed ANN: L hash tables of `numBits` sign bits; queries
     * meet only same-bucket candidates (the join key is (table,
     * bucket)), then exact cosine re-ranks the candidate set. Recall
@@ -79,7 +87,7 @@ object Ann {
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val banded = e.select(col("vec_id"), col("emb"), col("nrm"),
-      posexplode(srpBuckets(col("emb"), tables, numBits)).as(Seq("table", "bucket")))
+      posexplode(srpBucketsMd5(col("emb"), tables, numBits)).as(Seq("table", "bucket")))
     val q = banded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         col("table"), col("bucket"))
@@ -725,6 +733,50 @@ object Ann {
       .filter(col("cos") >= threshold)
       .groupBy(col("delta_doc"), col("corpus_doc"))
       .agg(max(col("cos")).as("cosine"))
+  }
+
+  /** The DAILY-INGEST SEMANTIC PROBE as a registered, oracle-checkable
+    * query: carve a pseudo-delta out of the embeddings table with the
+    * engine-portable 4-hex md5 rule (`hash_split`'s convention —
+    * `substr(md5(vec_id), 1, 4) < deltaHex` ≈ 5%), train the
+    * quantizer on the REMAINING corpus only (rank-seeded, because the
+    * corpus ids are sparse after the split — exactly the situation
+    * [[seedCentroidsByRank]] exists for and what
+    * [[graft.Pipeline.bootstrapIncremental]] does), build the cell
+    * index from the corpus, and probe it with the delta through the
+    * LITERAL production function ([[incrementalSemanticMatches]],
+    * `nprobe = 1`). This is the one path `runIncremental` runs per
+    * delta that previously had only spec coverage; with
+    * `deterministic = true` every stage is replayable double/hex
+    * arithmetic, so DuckDB value-checks the whole probe end-to-end
+    * ([[graft.OracleSql.semanticProbeSql]]).
+    *
+    * Scale shape is the production one by construction: training cost
+    * is constant-size per-round centroid math over the corpus,
+    * the index is one argmin projection per corpus vector, and the
+    * probe joins delta×corpus WITHIN cells only — the corpus never
+    * self-joins and never re-shuffles for the delta. */
+  def semanticProbe(embeddings: DataFrame, numCentroids: Int = 64,
+                    trainIters: Int = 3, threshold: Double = 0.35,
+                    deltaHex: String = "0ccd",
+                    deterministic: Boolean = false): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val flagged = embeddings
+      .select(col("vec_id"), col("embedding"),
+        (substring(md5(col("vec_id").cast("string")), 1, 4) < deltaHex).as("is_delta"))
+    val corpus = flagged.filter(!col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val delta = flagged.filter(col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val e = corpus.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cents = kmeansCentroids(e, numCentroids, trainIters, deterministic,
+      seed = Some(seedCentroidsByRank(e, numCentroids)))
+    val centroids = cents.select(explode(col("cents")).as("c"))
+      .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"),
+        col("c.cnrm").as("cnrm"))
+    incrementalSemanticMatches(delta, semanticIndexRows(corpus, centroids),
+      centroids, threshold, nprobe = 1)
   }
 
   /** Embedding-table sanity report — the check an embedding pipeline

@@ -179,15 +179,19 @@ object Dedup {
     * against exact n-gram Jaccard in the spec suite. */
   def simhashFingerprints(documents: DataFrame, k: Int = 3): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
-    // MAP-ONLY scalar fingerprint ([[graft.functions.SimHashSig]]):
-    // same bit-for-bit result as the `graft_simhash` aggregate over
-    // exploded shingles (spec-pinned), without the explode shuffle.
+    // MAP-ONLY scalar fingerprint. The registered family is the
+    // md5-vote [[graft.functions.SimHashSigMd5]] — engine-neutral, so
+    // the whole simhash pipeline (votes, banding, Hamming) replays in
+    // plain SQL and oracle-checks end-to-end, the same portability
+    // move [[minhashSignatures]] made. The xxhash64 family
+    // (`graft_simhash_sig`/`graft_simhash`) stays registered as the
+    // fastest engine-native variant (spec-pinned agg==scalar).
     // Empty-shingle docs are filtered to match the explode path.
     documents
       // Cheap token-count filter; see [[minhashSignatures]].
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"),
-        call_function("graft_simhash_sig",
+        call_function("graft_simhash_sig_md5",
           call_function("graft_shingles", col("text"), lit(k))).as("simhash"))
   }
 
@@ -607,11 +611,12 @@ object Dedup {
     * pair-graph node labelled with its component's minimum id), but
     * convergence in O(log^2 n) rounds REGARDLESS of component shape.
     * [[clusterPairs]]' min-label propagation needs diameter rounds,
-    * which is the right trade for the dense quasi-cliques near-dup
-    * pairs produce; this is the scale-safe fallback when a corpus
-    * yields deep chains (transitive near-dup drift — A~B~C~... with no
-    * short-cut pairs), where label propagation would either run
-    * hundreds of rounds or cut off.
+    * which wins on the dense quasi-cliques near-dup pairs usually
+    * produce; this variant is the PRODUCTION DEFAULT (what
+    * [[graft.Pipeline]] runs), because a prep over an arbitrary corpus
+    * can't assume component shape — deep chains (transitive near-dup
+    * drift, A~B~C~... with no short-cut pairs) would make label
+    * propagation run diameter rounds or cut off.
     *
     * Each round is two self-contained aggregate+join jobs over the
     * canonical (larger, smaller) edge list:

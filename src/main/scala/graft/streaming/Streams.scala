@@ -211,6 +211,52 @@ object Streams {
         })
   }
 
+  case class SemanticHit(doc_id: Long, corpus_doc: Long, cosine: Double)
+
+  /** Continuous SEMANTIC near-dup guard — the streaming twin of the
+    * daily-ingest semantic arm
+    * ([[graft.operators.Ann.incrementalSemanticMatches]], the probe
+    * [[graft.Pipeline.runIncremental]] runs per delta): each arriving
+    * vector is assigned to its trained-quantizer cell by the same
+    * map-side broadcast argmin every quantizer consumer uses, joined
+    * against the PERSISTED cell index on the cell id, and flagged
+    * against any corpus member above the cosine threshold. This is
+    * the arm that catches a PARAPHRASED re-delivery — zero shingle
+    * overlap, so [[nearDupStream]]'s MinHash buckets are structurally
+    * blind to it — as it arrives, instead of at the nightly batch.
+    *
+    * Fully STATELESS (a stream-static equi-join plus projections): no
+    * watermark, no state store — the corpus side is the bucketed
+    * index table, re-read per micro-batch (cache it for a hot loop),
+    * and the centroid set is a constant-size broadcast. Scale shape
+    * is identical to the batch probe: the 100 TB corpus index never
+    * shuffles (bucketed on `cell`); only the micro-batch moves.
+    * Contract, spec-pinned: at `nprobe = 1` the emitted hits are
+    * EXACTLY the batch probe's rows for the same delta. Like the
+    * batch arm, hits above the threshold are the drop/review signal;
+    * docs whose vectors arrive later than the text fall through to
+    * the nightly sweep. */
+  def semanticProbeStream(rawVectors: DataFrame, cellIndex: DataFrame,
+                          centroids: DataFrame,
+                          threshold: Double = 0.35): Dataset[SemanticHit] = {
+    import rawVectors.sparkSession.implicits._
+    graft.GraftExtensions.register(rawVectors.sparkSession)
+    val cents = centroids
+      .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
+    graft.operators.Ann.nearestCells(
+      rawVectors.select(col("doc_id"), col("embedding").as("emb"))
+        .withColumn("nrm", graft.operators.Ann.norm(col("emb"))),
+      cents, "emb", "nrm", keep = 1)
+      .join(cellIndex.select(col("doc_id").as("corpus_doc"), col("cell"),
+        col("emb").as("c_emb"), col("nrm").as("c_nrm")), Seq("cell"))
+      .filter(col("corpus_doc") =!= col("doc_id"))
+      .withColumn("cosine",
+        graft.operators.Ann.dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_id"), col("corpus_doc"), col("cosine"))
+      .as[SemanticHit]
+  }
+
   /** Micro-batch bronze ingest — the reference's consumer loop
     * (`pipeline/consumer_pipeline.py`) lands each poll as a PG upsert;
     * the file-native equivalent is append-only bronze plus exact dedup

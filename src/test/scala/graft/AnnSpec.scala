@@ -293,6 +293,43 @@ class AnnSpec extends SparkSpec {
     assert(mixed(2) === fresh2)
   }
 
+  test("graft_srp_buckets_md5 matches an independent hex-string sign reference") {
+    GraftExtensions.register(spark)
+    // Replayability contract (what the ann_lsh oracle relies on): the
+    // bucket must be derivable from md5 HEX strings alone — weight
+    // (t, j, d) is +1 iff md5("t:j:d") starts with '0'..'7', the
+    // projection folds dims left-to-right, bit j set iff strictly
+    // positive. An independent driver-side formulation must land on
+    // the same buckets as the engine's byte-twiddling loop.
+    def refBuckets(v: Seq[Double], tables: Int, bits: Int): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until bits).foldLeft(0L) { (bucket, j) =>
+          val proj = v.indices.foldLeft(0.0) { (acc, d) =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$t:$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+            acc + v(d) * (if (hex.charAt(0) <= '7') 1.0 else -1.0)
+          }
+          if (proj > 0) bucket | (1L << j) else bucket
+        }
+      }
+    val vecs = Seq(
+      Seq(1.0, -2.0, 0.5, 3.0),
+      (0 until 64).map(j => math.sin(j * 0.7)).toSeq)
+    for (v <- vecs) {
+      val arr = v.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val got = spark.sql(s"SELECT graft_srp_buckets_md5($arr, 4, 8) AS b")
+        .head().getSeq[Long](0)
+      assert(got.toSeq === refBuckets(v, 4, 8))
+    }
+    // identical vectors share every bucket (the recall guarantee the
+    // lshTopK spec uses) holds for the md5 family by determinism
+    val a = spark.sql("SELECT graft_srp_buckets_md5(array(1.0D, 2.0D), 3, 5) AS b")
+      .head().getSeq[Long](0)
+    val b = spark.sql("SELECT graft_srp_buckets_md5(array(1.0D, 2.0D), 3, 5) AS b")
+      .head().getSeq[Long](0)
+    assert(a === b)
+  }
+
   test("graft_ivf_argmin equals the declarative struct-min on random mixed vectors") {
     GraftExtensions.register(spark)
     val vecs = (0 until 200).map(i =>

@@ -264,8 +264,14 @@ class DedupSpec extends SparkSpec {
   test("native simhash aggregate equals the declarative 64-column vote form") {
     import org.apache.spark.sql.functions._
     GraftExtensions.register(spark)
-    val tok = Dedup.shingleRows(docs((1L, base), (2L, near), (3L, other)))
-    val native = Dedup.simhashFingerprints(docs((1L, base), (2L, near), (3L, other)))
+    val d = docs((1L, base), (2L, near), (3L, other))
+    val tok = Dedup.shingleRows(d)
+    // the xxhash64 scalar (the registered path rides the md5 family,
+    // which has its own BigInt/hex reference spec)
+    val native = d.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_simhash_sig",
+          call_function("graft_shingles", col("text"), lit(3))).as("simhash"))
       .orderBy("doc_id").as[(Long, Long)].collect()
     val h = xxhash64(col("shingle"))
     val votes = (0 until 64).map(i =>
@@ -296,7 +302,12 @@ class DedupSpec extends SparkSpec {
     val aggSim = tok.groupBy(col("doc_id"))
       .agg(call_function("graft_simhash", xxhash64(col("shingle"))).as("simhash"))
       .orderBy("doc_id").as[(Long, Long)].collect()
-    val scalarSim = Dedup.simhashFingerprints(d)
+    // the xxhash64 scalar twin (the registered path now rides the md5
+    // family, pinned by its own BigInt/hex reference spec below)
+    val scalarSim = d.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_simhash_sig",
+          call_function("graft_shingles", col("text"), lit(3))).as("simhash"))
       .orderBy("doc_id").as[(Long, Long)].collect()
     assert(scalarSim.toSeq === aggSim.toSeq)
   }
@@ -331,6 +342,35 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
     val want = Seq(1L -> refSig(base), 2L -> refSig(near), 3L -> refSig(other))
     assert(got === want)
+  }
+
+  test("md5-vote simhash fingerprint matches an independent BigInt/hex reference") {
+    // Same replayability contract as the md5-KM minhash spec: the
+    // fingerprint must be derivable from the md5 HEX string alone —
+    // h1 as a BigInt from the first 16 hex chars, per-bit votes via
+    // BigInt bit tests, strict-positive assembly — landing on the
+    // same bits as the engine's byte-twiddling Long loop.
+    def refFp(text: String, k: Int = 3): Long = {
+      val w = text.split(" ")
+      val shingles =
+        if (w.length < k) Seq.empty
+        else (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" ")).distinct
+      val votes = Array.fill(64)(0L)
+      for (s <- shingles) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h1 = BigInt(hex.substring(0, 16), 16)
+        for (i <- 0 until 64)
+          votes(i) += (if (h1.testBit(i)) 1L else -1L)
+      }
+      var fp = BigInt(0)
+      for (i <- 0 until 64) if (votes(i) > 0) fp = fp.setBit(i)
+      fp.toLong // same-bits signed representation
+    }
+    val d = docs((1L, base), (2L, near), (3L, other))
+    val got = Dedup.simhashFingerprints(d)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> refFp(base), 2L -> refFp(near), 3L -> refFp(other)))
   }
 
   test("scalar signature path drops empty-shingle docs like the explode path") {

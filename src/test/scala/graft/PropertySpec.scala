@@ -198,8 +198,9 @@ class PropertySpec extends SparkSpec {
     val scalarSigs = docs.filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         call_function("graft_minhash_sig",
-          call_function("graft_shingles", col("text"), lit(3)), lit(64)).as("sig"))
-      .join(graft.operators.Dedup.simhashFingerprints(docs), "doc_id")
+          call_function("graft_shingles", col("text"), lit(3)), lit(64)).as("sig"),
+        call_function("graft_simhash_sig",
+          call_function("graft_shingles", col("text"), lit(3))).as("simhash"))
     assert(scalarSigs.count() === aggSigs.count()) // same doc set survives
     assert(scalarSigs.except(aggSigs).count() === 0L)
     assert(aggSigs.except(scalarSigs).count() === 0L)

@@ -123,7 +123,10 @@ class RegistrySpec extends SparkSpec {
     "dedup_semantic_capped",
     // round-12: the production composition of the two knobs — √N
     // fan-out + Lloyd's-refined centroids, one bit-replayable path
-    "dedup_semantic_scaled_trained")
+    "dedup_semantic_scaled_trained",
+    // round-12: the daily-ingest semantic probe (rank-seeded corpus
+    // training + incrementalSemanticMatches) as a value-checked row
+    "semantic_probe")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -144,11 +147,11 @@ class RegistrySpec extends SparkSpec {
     // round 9 shrank this set (ann_ivf gained a full SQL oracle);
     // round 11 graduated ann_ivf_trained (deterministic Lloyd's as
     // unrolled DuckDB CTEs); round 12 graduated dedup_minhash (md5-KM
-    // signature family, HUGEINT mod-2^64 replay) and multimodal_meta
-    // (md5-seeded stub decode — every column is hex arithmetic). The
-    // remaining hash-dependent members are cross-checked by the
-    // oracle-checked ann_lsh_recall / simhash_precision
+    // signature family), multimodal_meta (md5-seeded stub decode),
+    // then dedup_simhash (md5-vote fingerprints) and ann_lsh
+    // (md5-hyperplane SRP) — the rows-only set is now EMPTY: every
+    // registered query is value-checked against the DuckDB oracle
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("dedup_simhash", "ann_lsh"))
+    assert(rowsOnly === Set.empty[String])
   }
 }

@@ -264,6 +264,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticProbeStream flags a paraphrased re-delivery against the corpus, == batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with a trained 2-cell index (rank-seeded like the
+    // incremental arm); delta: one paraphrase-of-1000 (same direction,
+    // different vector — the MinHash-blind case) and one orthogonal doc
+    val corpus = Seq(
+      (1000L, Seq(1f, 0f, 0f, 0f)),
+      (5000L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (9000L, Seq(0f, 0f, 1f, 0f))).toDF("doc_id", "embedding")
+    graft.operators.Ann.writeSemanticIndex(corpus, "graft_semidx_stream",
+      numCentroids = 2, trainIters = 1)
+    val cells = spark.table("graft_semidx_stream")
+    val cents = spark.table("graft_semidx_stream__centroids")
+    val delta = Seq(
+      (7L, Seq(0.95f, 0.31f, 0f, 0f)),   // paraphrase: lands in 1000's cell
+      (8L, Seq(0f, 1f, 0f, 0f)))          // unrelated direction
+    val input = MemoryStream[(Long, Seq[Float])]
+    val df = input.toDF().toDF("doc_id", "embedding")
+    val q = Streams.semanticProbeStream(df, cells, cents, threshold = 0.5)
+      .writeStream.format("memory").queryName("sem_probe_out").outputMode("append").start()
+    try {
+      input.addData(delta: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, corpus_doc, cosine FROM sem_probe_out")
+        .as[(Long, Long, Double)].collect().toSet
+      // the streaming hits are EXACTLY the batch incremental probe's
+      // rows for the same delta (nprobe = 1 on both sides)
+      val batch = graft.operators.Ann.incrementalSemanticMatches(
+        delta.toDF("doc_id", "embedding"), cells, cents, threshold = 0.5)
+        .select(col("delta_doc"), col("corpus_doc"), col("cosine"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set(7L), "only the paraphrase is flagged")
+    } finally q.stop()
+  }
+
   test("streamingUpsertSink: later micro-batches replace same-key rows in the layer") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
