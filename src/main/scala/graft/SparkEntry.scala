@@ -667,6 +667,36 @@ object SparkEntry {
              |  CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
              |FROM toks JOIN d USING (term) GROUP BY doc_id""".stripMargin)),
 
+    ("charlm_score",
+      // CCNet-style char-trigram LM quality filter, value-checked: the
+      // model is the corpus's own bounded trigram table (≤ |Σ|³ rows at
+      // ANY corpus size — broadcastable side table at 100 TB), score =
+      // LINEAR mean conditional probability + rare-position count
+      // (log-free for cross-engine exactness, the topic_terms move);
+      // registered deterministic: per-doc terms fold in trigram order
+      (s: SparkSession, d: String) =>
+        TextOps.charlmScore(docs(s, d), deterministic = true),
+      Some("""WITH cd AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+             |ct AS (SELECT doc_id, substr(text, i, 3) AS tri
+             |       FROM cd, UNNEST(range(1, length(text) - 1)) AS t(i)),
+             |cn AS (SELECT doc_id, tri, COUNT(*) AS n FROM ct GROUP BY 1, 2),
+             |c3 AS (SELECT tri, CAST(SUM(n) AS BIGINT) AS c3 FROM cn GROUP BY 1),
+             |c2 AS (SELECT substr(tri, 1, 2) AS bi, CAST(SUM(c3) AS BIGINT) AS c2
+             |       FROM c3 GROUP BY 1),
+             |s AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS sz FROM c3),
+             |p AS (SELECT cn.doc_id, cn.tri, cn.n,
+             |        (CAST(c3.c3 AS DOUBLE) + 1.0)
+             |          / (CAST(c2.c2 AS DOUBLE) + CAST(s.sz AS DOUBLE)) AS p
+             |      FROM cn JOIN c3 USING (tri)
+             |      JOIN c2 ON substr(cn.tri, 1, 2) = c2.bi, s),
+             |agg AS (SELECT doc_id,
+             |          CAST(SUM(n) AS BIGINT) AS n_tri,
+             |          list_reduce(list(n * p ORDER BY tri), (a, b) -> a + b) AS psum,
+             |          CAST(COALESCE(SUM(CASE WHEN p < 0.001 THEN n END), 0) AS BIGINT) AS rare_tri
+             |        FROM p GROUP BY 1)
+             |SELECT doc_id, n_tri, psum / CAST(n_tri AS DOUBLE) AS mean_char_prob, rare_tri
+             |FROM agg""".stripMargin)),
+
     ("retention_cohorts",
       // Monday-start weeks on both engines; offset = exact day-diff DIV 7
       (s: SparkSession, d: String) =>

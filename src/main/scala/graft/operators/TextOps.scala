@@ -208,6 +208,70 @@ object TextOps {
         when(words > 1, (words - 1).cast("double"))).as("dup_bigram_frac"))
   }
 
+  /** Character-trigram language-model quality score — the CCNet-style
+    * "train a small LM on the corpus, flag the docs it finds
+    * improbable" filter, the standard perplexity-filtering step of a
+    * training-data pipeline, built to be VALUE-CHECKABLE:
+    *
+    *  - the model is the corpus's own char-trigram table with add-one
+    *    smoothing: `P(c|ab) = (C(abc)+1) / (C(ab)+S)` where `C(ab)`
+    *    is DERIVED as `Σ_c C(abc)` (denominators consistent with the
+    *    numerators by construction) and `S` is the alphabet size seen
+    *    in third-position chars. The table is INTRINSICALLY BOUNDED —
+    *    ≤ |Σ|³ rows regardless of corpus size — so at 100 TB the
+    *    model is a broadcastable side table and training is one
+    *    map-combinable count aggregate; no cap, no sampling.
+    *  - the score is the LINEAR mean conditional probability
+    *    `Σ n·P / N` (plus `rare_tri`, the count of trigram positions
+    *    with P < 1e-3 — the "surprising characters" integer). Linear,
+    *    not log-perplexity, for the same reason `topic_terms` uses
+    *    linear idf: log is not IEEE exact-rounded cross-engine, while
+    *    products/divisions are — so the whole score replays bit-for-
+    *    bit in the oracle. Ranking quality: low mean-probability and
+    *    high rare_tri flag the same garbled/boilerplate docs a
+    *    perplexity rank flags.
+    *  - `deterministic = true` (the registered path) folds each doc's
+    *    `n·P` terms in trigram order (sorted-collect `aggregate`, the
+    *    kmeans re-center convention) so the double sum is independent
+    *    of partitioning; the default plain `sum` is map-side
+    *    combinable for production runs that don't need bit-stability.
+    */
+  def charlmScore(documents: DataFrame,
+                  rareBelow: Double = 0.001,
+                  deterministic: Boolean = false): DataFrame = {
+    // per-doc trigram multiset: positions 1..len-2, character-based
+    // (both engines' substring/length count characters, not bytes)
+    val tris = documents
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("tri"))
+      .groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("n"))
+    val c3 = tris.groupBy(col("tri")).agg(sum(col("n")).as("c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi")).agg(sum(col("c3")).as("c2"))
+    val s = c3.agg(countDistinct(substring(col("tri"), 3, 1)).as("sz"))
+    val scored = tris
+      .join(c3, "tri")
+      .join(c2, substring(tris("tri"), 1, 2) === c2("bi"))
+      .crossJoin(broadcast(s))
+      .withColumn("p",
+        (col("c3").cast("double") + 1.0) /
+          (col("c2").cast("double") + col("sz").cast("double")))
+      .withColumn("t", col("n") * col("p"))
+    val psum =
+      if (deterministic)
+        aggregate(array_sort(collect_list(struct(col("tri"), col("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t"))
+      else sum(col("t"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tri"),
+        psum.as("psum"),
+        coalesce(sum(when(col("p") < rareBelow, col("n"))), lit(0L)).as("rare_tri"))
+      .select(col("doc_id"), col("n_tri"),
+        (col("psum") / col("n_tri")).as("mean_char_prob"), col("rare_tri"))
+  }
+
   /** Deterministic hash split — the train/holdout assignment step of a
     * training-data pipeline (the sibling of [[decontaminate]]: split
     * first, then verify no leakage). Assignment is a pure function of

@@ -125,8 +125,9 @@ class RegistrySpec extends SparkSpec {
     // fan-out + Lloyd's-refined centroids, one bit-replayable path
     "dedup_semantic_scaled_trained",
     // round-12: the daily-ingest semantic probe (rank-seeded corpus
-    // training + incrementalSemanticMatches) as a value-checked row
-    "semantic_probe")
+    // training + incrementalSemanticMatches) as a value-checked row,
+    // and the CCNet-style char-trigram LM quality filter
+    "semantic_probe", "charlm_score")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -246,6 +246,46 @@ class TextOpsSpec extends SparkSpec {
     assert(full === ((1L, 0L, 0L))) // zero-filled evidence for the silent arm
   }
 
+  test("charlmScore: hand-computed model on a 2-doc corpus; garbled text scores lower") {
+    // corpus "abab" + "abxq": trigram table is tiny enough to check by
+    // hand. "abab" -> {aba:1, bab:1}; "abxq" -> {abx:1, bxq:1}.
+    // C(ab)=C(aba)+C(abx)=2, C(ba)=1, C(bx)=1; S=|{a,b,x,q}|=4.
+    // P(a|ab)=(1+1)/(2+4)=1/3, P(b|ba)=(1+1)/(1+4)=2/5,
+    // P(x|ab)=(1+1)/(2+4)=1/3, P(q|bx)=(1+1)/(1+4)=2/5.
+    val df = docs((1L, "abab", "en", "s", 4L), (2L, "abxq", "en", "s", 4L))
+    val out = TextOps.charlmScore(df, deterministic = true)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tri", "mean_char_prob", "rare_tri")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out(0) === ((1L, 2L, (1.0 / 3 + 2.0 / 5) / 2, 0L)))
+    assert(out(1) === ((2L, 2L, (1.0 / 3 + 2.0 / 5) / 2, 0L)))
+
+    // semantic contract on a larger corpus: repeated natural-looking
+    // text scores HIGHER than a doc of characters the model never
+    // groups the same way (every trigram near-unique)
+    val natural = Seq.fill(20)("the data pipeline runs the data").mkString(" ")
+    val garbled = "zq9 vw7 kx3 mj5 qz1 wv8 xk4 jm6 p0y y2p"
+    val big = docs(
+      (Seq.tabulate(8)(i => (i.toLong, natural, "en", "s", natural.length.toLong)) :+
+        ((99L, garbled, "en", "s", garbled.length.toLong))): _*)
+    val scores = TextOps.charlmScore(big)
+      .select("doc_id", "mean_char_prob").as[(Long, Double)].collect().toMap
+    assert(scores(99L) < scores(0L) / 2,
+      s"garbled ${scores(99L)} should be far below natural ${scores(0L)}")
+  }
+
+  test("charlmScore deterministic fold equals the combinable sum within float tolerance") {
+    val texts = (1 to 30).map(i =>
+      (i.toLong, s"doc $i with some shared characters and id $i" * (i % 3 + 1), "en", "s", 10L))
+    val df = docs(texts: _*)
+    val det = TextOps.charlmScore(df, deterministic = true)
+      .select("doc_id", "mean_char_prob").as[(Long, Double)].collect().toMap
+    val comb = TextOps.charlmScore(df, deterministic = false)
+      .select("doc_id", "mean_char_prob").as[(Long, Double)].collect().toMap
+    assert(det.keySet === comb.keySet)
+    det.foreach { case (k, v) => assert(math.abs(v - comb(k)) < 1e-12) }
+  }
+
   test("gopherFilter keeps exactly gopherRules' pass set with input columns intact") {
     // 50 words, mwl ~4, all-alpha, two stopword hits -> passes every rule
     val good = (Seq("the", "data", "of", "pipeline") ++ Seq.fill(46)("word")).mkString(" ")
