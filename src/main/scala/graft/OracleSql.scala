@@ -471,6 +471,51 @@ object OracleSql {
        |WHERE cos >= $threshold""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Corpus.bpeTrain]] round for round:
+    * each round's winner (max count, lexicographic ties) is DERIVED
+    * from the data like the k-means oracle's centroids, and the merge
+    * is applied with the islands/even-offset window form of greedy
+    * non-overlapping left-to-right matching (provably equal to the
+    * engine's fold — adjacent matches exist only when lhs = rhs, and
+    * both rules then merge alternate positions). Pure integer/string
+    * arithmetic throughout — the one oracle with no doubles at all. */
+  def bpeTrainSql(merges: Int = 8): String = {
+    val base =
+      """bw AS (SELECT word, COUNT(*) AS freq FROM
+        |  (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |seg0 AS (SELECT word, freq,
+        |  list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS seg
+        |  FROM bw)""".stripMargin
+    val rounds = (0 until merges).map { r =>
+      s"""pc$r AS (SELECT seg[i] AS lhs, seg[i + 1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM seg$r, UNNEST(range(1, len(seg))) AS t(i) GROUP BY 1, 2),
+         |win$r AS (SELECT lhs, rhs, cnt FROM pc$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |pos$r AS (SELECT word, freq, i, seg[i] AS sym, w.lhs AS wl, w.rhs AS wr,
+         |    CASE WHEN seg[i] = w.lhs AND seg[i + 1] = w.rhs THEN 1 ELSE 0 END AS m
+         |  FROM seg$r, win$r w, UNNEST(range(1, len(seg) + 1)) AS t(i)),
+         |isl$r AS (SELECT *, CASE WHEN m = 1
+         |    THEN i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) END AS isl
+         |  FROM pos$r),
+         |mrg$r AS (SELECT *, CASE WHEN m = 1
+         |    AND (i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS do_merge
+         |  FROM isl$r),
+         |emit$r AS (SELECT word, freq, i,
+         |    CASE WHEN do_merge = 1 THEN wl || wr
+         |         WHEN COALESCE(LAG(do_merge) OVER (PARTITION BY word ORDER BY i), 0) = 0
+         |           THEN sym END AS nsym
+         |  FROM mrg$r),
+         |seg${r + 1} AS (SELECT word, freq, list(nsym ORDER BY i) AS seg
+         |  FROM emit$r WHERE nsym IS NOT NULL GROUP BY word, freq)""".stripMargin
+    }
+    val unioned = (0 until merges).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM win$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${(base +: rounds).mkString(",\n")}
+       |$unioned""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.Ann.semanticProbe]] — the daily-ingest
     * semantic arm as a value-checked query: the 4-hex md5 split carves
     * the delta out of the embeddings table, training runs on the

@@ -83,7 +83,12 @@ object PlanDump {
       "dedup_semantic_scaled" -> "SemDeDup with k = ceil(sqrt(N)) fan-out: same broadcast-argmin + within-cell pairing shape as dedup_semantic — only the centroid count scales",
       "dedup_semantic_capped" -> "viral-cell guard: cell sizes ride a k-row broadcast, rank-within-cell subdivision lands in the join key — pair work per cell linear in its population",
       "dedup_semantic_scaled_trained" -> "the composed production path: sqrt(N) fan-out derived by one count action, then Lloyd rounds at that k (broadcast argmin + deterministic re-center), within-cell pairing unchanged",
-      "multimodal_meta" -> "decode-free metadata + md5-seeded stub decode: ONE map-side projection over the binarized scan — no shuffle, no codec; every column replays in the oracle")
+      "multimodal_meta" -> "decode-free metadata + md5-seeded stub decode: ONE map-side projection over the binarized scan — no shuffle, no codec; every column replays in the oracle",
+      "dedup_simhash" -> "md5-vote simhash: map-only scalar fingerprints, 4x16-bit band explode, bucket self-join, bit_count(xor) re-rank — the whole chain oracle-replayable since round 12",
+      "ann_lsh" -> "md5-hyperplane SRP buckets: constant sign matrix cached per executor, (table, bucket) equi-join bounds candidates, exact cosine re-rank — bucket membership itself oracle-checked",
+      "semantic_probe" -> "daily-ingest probe: rank-seeded corpus-only Lloyd training, corpus cell index from one argmin projection, delta x corpus joined WITHIN cells — the corpus never self-joins",
+      "charlm_score" -> "char-LM filter: bounded trigram model (two count aggregates), model joined back onto the per-doc trigram rollup, deterministic sorted fold per doc — no log anywhere",
+      "bpe_train" -> "BPE training: vocab-bounded word rollup, per-round pair-count aggregate + 1-row winner collect, map-only fold re-segmentation — corpus rows touched once at tokenization")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

@@ -667,6 +667,15 @@ object SparkEntry {
              |  CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
              |FROM toks JOIN d USING (term) GROUP BY doc_id""".stripMargin)),
 
+    ("bpe_train",
+      // the FULL BPE merge-training loop (bpe_pair_stats is round 0's
+      // statistic): 8 driver-coordinated rounds over the vocab-bounded
+      // word rollup, winner = max pair count with lexicographic ties;
+      // pure integer/string arithmetic, so the oracle replays every
+      // round — winners derived from data like the k-means oracle
+      (s: SparkSession, d: String) => Corpus.bpeTrain(docs(s, d)),
+      Some(OracleSql.bpeTrainSql())),
+
     ("charlm_score",
       // CCNet-style char-trigram LM quality filter, value-checked: the
       // model is the corpus's own bounded trigram table (≤ |Σ|³ rows at

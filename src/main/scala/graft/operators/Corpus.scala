@@ -644,6 +644,78 @@ object Corpus {
     * slices, a pair-domain-bounded combinable sum, and a
     * TakeOrdered(topN) with the (count desc, pair) tiebreak. Every
     * number is an exact BIGINT. */
+  /** BPE tokenizer TRAINING — the full merge loop, not just the
+    * pair statistic ([[bpePairStats]] is round 0's counts): starting
+    * from characters, each round counts adjacent symbol pairs over
+    * the CURRENT segmentation (weighted by word frequency, per
+    * occurrence), merges the most frequent pair corpus-wide (ties to
+    * the lexicographically smallest — deterministic), and re-segments.
+    * Returns the merge table `(merge_rank, lhs, rhs, merged,
+    * pair_count)` — the artifact a tokenizer ships.
+    *
+    * Built like every graft fixpoint ([[graft.operators.Dedup.clusterPairs]],
+    * k-means): DRIVER-COORDINATED rounds — only the 1-row winner comes
+    * back per round — with `localCheckpoint` cutting per-round lineage.
+    * Everything runs off the DISTINCT-WORD rollup, never raw corpus
+    * rows: at 100 TB the state is vocabulary-bounded (the word table),
+    * each round is one explode + one map-combinable count aggregate
+    * over it, and re-segmentation is a map-only per-word fold. All
+    * arithmetic is integers and strings — no floats anywhere — so the
+    * WHOLE training loop replays bit-for-bit in the DuckDB oracle
+    * ([[graft.OracleSql.bpeTrainSql]] unrolls the rounds, deriving
+    * each round's winner from data like the k-means oracle does).
+    *
+    * Merge application is greedy non-overlapping left-to-right (the
+    * BPE standard): the fold `if last(acc) == lhs && cur == rhs then
+    * replace-last with merged else push` — provably equal to the
+    * oracle's islands/even-offset window form (adjacent matches exist
+    * only when lhs == rhs, and both rules then merge alternate
+    * positions). Stops early if a round has no pairs left. */
+  def bpeTrain(documents: DataFrame, merges: Int = 8): DataFrame = {
+    require(merges >= 1 && merges <= 64)
+    val spark = documents.sparkSession
+    val words = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) >= 2) // single chars carry no pairs
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var seg = words.select(col("word"), col("freq"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("seg"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < merges && !done) {
+      // fully-merged single-symbol words carry no pairs — and under
+      // ANSI, sequence(1, 0) DESCENDS, making the transform index past
+      // the array; filter them before the pair explode
+      val win = seg.filter(size(col("seg")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(seg) - 1), " +
+            "i -> struct(element_at(seg, i) AS l, element_at(seg, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (win.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (win.head.getString(0), win.head.getString(1), win.head.getLong(2))
+        out += ((r, a, b, a + b, cnt))
+        val mergedSeg = aggregate(col("seg"), array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        seg = seg.select(col("word"), col("freq"), mergedSeg.as("seg"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    spark.createDataFrame(out.result())
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   def bpePairStats(documents: DataFrame, topN: Int = 100): DataFrame = {
     require(topN >= 1)
     val words = documents

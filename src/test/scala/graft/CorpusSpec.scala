@@ -10,6 +10,30 @@ class CorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("bpeTrain: hand-computed merge sequence, greedy non-overlap, early stop") {
+    // corpus "aaab aaab ab": words aaab (freq 2), ab (freq 1)
+    // round 0: (a,a) = 4 occurrences (2 per aaab), (a,b) = 3 -> merge aa
+    //   greedy non-overlap: [a,a,a,b] -> [aa,a,b] (NOT [aa,aa...])
+    // round 1: (a,b) = 3 beats (aa,a) = 2 -> merge ab; [aa,a,b] -> [aa,ab]
+    // round 2: (aa,ab) = 2 -> merge aaab
+    // round 3: no pairs anywhere -> early stop (3 rows despite merges=4)
+    val df = docs((1L, "aaab aaab ab", "en", "s"))
+    val out = Corpus.bpeTrain(df, merges = 4)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect()
+    assert(out.toSeq === Seq(
+      (0, "a", "a", "aa", 4L),
+      (1, "a", "b", "ab", 3L),
+      (2, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpeTrain ties resolve to the lexicographically smallest pair") {
+    // "xy yx": (x,y) = 1 and (y,x) = 1 -> (x,y) wins the tie
+    val out = Corpus.bpeTrain(docs((1L, "xy yx", "en", "s")), merges = 1)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(out.toSeq === Seq((0, "x", "y", "xy", 1L)))
+  }
+
   test("stratifiedSample is deterministic, stratified and stable under growth") {
     val base = (1L to 400L).map(i =>
       (i, s"doc $i", if (i % 2 == 0) "en" else "fr", "s"))

@@ -126,8 +126,9 @@ class RegistrySpec extends SparkSpec {
     "dedup_semantic_scaled_trained",
     // round-12: the daily-ingest semantic probe (rank-seeded corpus
     // training + incrementalSemanticMatches) as a value-checked row,
-    // and the CCNet-style char-trigram LM quality filter
-    "semantic_probe", "charlm_score")
+    // the CCNet-style char-trigram LM quality filter, and the full
+    // BPE merge-training loop
+    "semantic_probe", "charlm_score", "bpe_train")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
