@@ -449,9 +449,31 @@ object Pipeline {
                       testBuckets: Int = 410,
                       postingsTable: Option[String] = None,
                       hashTable: Option[String] = None,
-                      chunkTable: Option[String] = None): Summary = {
+                      chunkTable: Option[String] = None,
+                      charlmRareFracMax: Option[Double] = None,
+                      charlmRareBelow: Double = 0.001): Summary = {
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
-    val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+    val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+    // optional CORPUS-RELATIVE quality arm ([[TextOps.charlmScore]]):
+    // train the bounded char-trigram model on the rule-gate survivors
+    // themselves and drop docs whose fraction of rare trigram
+    // positions exceeds the cap — the garbled/encoding-damaged text a
+    // fixed rule battery misses. Runs BEFORE dedup so a damaged doc
+    // can never become a cluster's surviving canonical. Both knobs are
+    // corpus-calibrated: `charlmRareBelow` is what counts as a rare
+    // trigram position (1e-3 suits corpus-scale counts; smaller
+    // corpora need a higher bar), `charlmRareFracMax` how much of a
+    // doc may be rare before it drops.
+    val quality = charlmRareFracMax match {
+      case None => ruleQuality
+      case Some(maxFrac) =>
+        val improbable = TextOps.charlmScore(
+            ruleQuality.select(col("doc_id"), col("content").as("text")),
+            rareBelow = charlmRareBelow)
+          .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
+          .select(col("doc_id"))
+        ruleQuality.join(improbable, Seq("doc_id"), "left_anti")
+    }
     val exact = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))
 
     // near-dup + substring-dup clustering over the exact-deduped
@@ -559,6 +581,9 @@ object Pipeline {
     Map(
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
+      // 0 when the arm is off — the summary keys stay stable
+      "charlm_dropped" ->
+        charlmRareFracMax.map(_ => ruleQuality.count() - quality.count()).getOrElse(0L),
       "exact_deduped" -> exact.count(),
       "near_deduped" -> (trainN + testN + decontamN),
       "decontaminated" -> decontamN,

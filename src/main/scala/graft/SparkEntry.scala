@@ -2113,6 +2113,37 @@ object SparkEntry {
              |    AND l_shipdate < TIMESTAMP '1998-01-01') t
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    ("q_market_share",
+      // TPC-H Q8: share-within-group over the six-table snowflake —
+      // numerator + denominator in ONE conditional aggregate pass,
+      // pushed date/type filters, constant dims broadcast, big dims
+      // left to AQE (the Q3 rule)
+      (s: SparkSession, d: String) => Relational.marketShare(
+        Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.part(s, d)),
+      Some("""WITH base AS (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS rev,
+             |    n2.n_name AS supp_nation
+             |  FROM orders, customer, nation n1, region, lineitem, part, supplier, nation n2
+             |  WHERE o_custkey = c_custkey
+             |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |    AND r_name = 'ASIA'
+             |    AND o_orderkey = l_orderkey
+             |    AND l_partkey = p_partkey AND p_type = 'PROMO'
+             |    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01')
+             |SELECT o_year,
+             |  CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN rev
+             |    ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) AS nation_revenue,
+             |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+             |  CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN rev
+             |    ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             |    / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+             |FROM base GROUP BY 1""".stripMargin)),
+
     ("q_returned_items",
       // TPC-H Q10: both fact scans carry their own filter, customer
       // dim joined AFTER the rollup, broadcast nation, keyed top-N

@@ -209,6 +209,60 @@ object Relational {
         sum(col("rev")).cast("double").as("total_revenue"))
       .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
 
+  /** National market share (TPC-H Q8 shape): within one region's
+    * customers, one part type and a two-year window, the share of
+    * revenue supplied by a target nation, per order year. Adds the
+    * SHARE-WITHIN-GROUP shape over the six-table snowflake — the one
+    * TPC-H query left expressible over the available tables (Q2, Q9,
+    * Q11, Q16 and Q20 need `partsupp`, which the dataset doesn't
+    * ship; Q12 needs ship-mode/commit-date columns).
+    *
+    * Scale shape: the order-date window is pushed into the orders
+    * scan and the type filter into the part scan; constant dims
+    * (nation, region) broadcast; the customer/part/supplier joins
+    * stay declarative so AQE sizes them at runtime (a region's
+    * customers are a fifth of the table — not broadcastable at
+    * 100 TB, the Q3 rule); numerator and denominator ride ONE
+    * conditional aggregate pass (the [[promoRevenueByMonth]] move) —
+    * no second scan, no per-nation self-join. Revenue accumulates
+    * exactly as decimal(30,4); the share is one double division on
+    * the bounded per-year output. */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                  part: DataFrame, regionName: String = "ASIA",
+                  targetNation: String = "NATION_12", partType: String = "PROMO",
+                  dateLo: String = "1996-01-01", dateHi: String = "1998-01-01"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    orders
+      .filter(col("o_orderdate") >= lit(dateLo) && col("o_orderdate") < lit(dateHi))
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      .join(customer.join(broadcast(regionNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,4)").as("rev")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(part.filter(col("p_type") === partType).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, col("rev"))
+          .otherwise(lit(0).cast("decimal(30,4)"))).cast("double").as("nation_revenue"),
+        sum(col("rev")).cast("double").as("total_revenue"))
+      .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+  }
+
   /** Large-quantity orders (TPC-H Q18 shape): orders whose lineitems
     * sum past a quantity threshold, reported with the customer who
     * placed them — the AGGREGATE-THEN-JOIN-BACK shape the rest of the

@@ -411,6 +411,47 @@ class PipelineSpec extends SparkSpec {
     assert(s2("chunk_recap") === 0L)
   }
 
+  test("runTrainingPrep charlm arm drops the garbled doc the rule gate passes") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_prep_lm").toString
+    val outOff = Files.createTempDirectory("graft_prep_lm_off").toString
+    val outOn = Files.createTempDirectory("graft_prep_lm_on").toString
+    // natural docs share trigram mass; the garbled doc is long enough
+    // to pass the length rule but its trigrams are near-unique — high
+    // rare-position fraction under the corpus-trained model
+    val natural = (i: Int) =>
+      Seq.fill(12)(s"the data pipeline number $i runs the data").mkString(" ")
+    val garbled = (1 to 14).map(i => s"zq${i}x w${i}v7 k${i}j").mkString(" ")
+    (Seq.tabulate(6)(i => (i.toLong, natural(i), "en")) :+ ((99L, garbled, "en")))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$src/documents.parquet")
+
+    val off = Pipeline.runTrainingPrep(spark, src, outOff)
+    assert(off("charlm_dropped") === 0L)
+    // a tiny corpus can leave the test split empty (no parquet footer
+    // to infer from) — read both splits with the train side's schema
+    val sch = spark.read.parquet(s"$outOff/train").schema
+    def ids(out: String): Set[Long] =
+      (spark.read.schema(sch).parquet(s"$out/train")
+        .select("doc_id").as[Long].collect() ++
+        spark.read.schema(sch).parquet(s"$out/test")
+          .select("doc_id").as[Long].collect()).toSet
+    val offIds = ids(outOff)
+    assert(offIds.contains(99L), "without the arm the garbled doc survives")
+
+    // rareBelow raised for the tiny corpus: with 7 docs every bigram
+    // context count is small, so the corpus-scale 1e-3 bar never
+    // fires — 0.1 separates the garbled doc's near-unique trigrams
+    // (P ~ 0.05) from the naturals' repeated mass (P ~ 0.7)
+    val on = Pipeline.runTrainingPrep(spark, src, outOn,
+      charlmRareFracMax = Some(0.5), charlmRareBelow = 0.1)
+    assert(on("charlm_dropped") === 1L, s"summary: $on")
+    val onIds = ids(outOn)
+    assert(!onIds.contains(99L), "the garbled doc must be dropped")
+    assert(onIds === offIds - 99L, "the arm touches ONLY the improbable doc")
+  }
+
   test("runTrainingPrep persists the cross-run postings index a later delta can probe") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_prep_idx").toString

@@ -359,6 +359,21 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "CartesianProduct") === 0)
   }
 
+  test("q_market_share: date + type filters pushed, dims broadcast, one aggregate pass") {
+    val plan = finalPlan(SparkEntry.queries("q_market_share")(spark, dir))
+    // the two-year window prunes orders; the type filter prunes part
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$plan")
+    assert(plan.contains("EqualTo(p_type,PROMO)"), s"type filter not pushed:\n$plan")
+    // constant dims (region -> nation prune, supplier nation) broadcast
+    assert(count(plan, "BroadcastHashJoin") >= 2, s"dims must broadcast:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+    // numerator + denominator in ONE conditional aggregate — a second
+    // lineitem scan would double the dominant cost at 100 TB. The 8
+    // scans are the 7 tables + nation twice (both dim chains read it;
+    // it is constant-size); any more means a duplicated fact scan.
+    assert(count(plan, "Scan parquet") <= 8, s"extra fact scan:\n$plan")
+  }
+
   test("dedup_semantic: map-side cell assignment, pair join keyed on cell") {
     val plan = finalPlan(SparkEntry.queries("dedup_semantic")(spark, dir))
     // the quantizer is the native one-pass argmin against a 1-row

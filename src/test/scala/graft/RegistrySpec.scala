@@ -126,9 +126,10 @@ class RegistrySpec extends SparkSpec {
     "dedup_semantic_scaled_trained",
     // round-12: the daily-ingest semantic probe (rank-seeded corpus
     // training + incrementalSemanticMatches) as a value-checked row,
-    // the CCNet-style char-trigram LM quality filter, and the full
-    // BPE merge-training loop
-    "semantic_probe", "charlm_score", "bpe_train")
+    // the CCNet-style char-trigram LM quality filter, the full BPE
+    // merge-training loop, and TPC-H Q8 (the last query expressible
+    // over the shipped tables)
+    "semantic_probe", "charlm_score", "bpe_train", "q_market_share")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
