@@ -206,8 +206,8 @@ object OracleSql {
       |sx_hx AS (SELECT DISTINCT shingle FROM sx_sh),
       |sx_md AS (SELECT shingle, md5(shingle) AS m FROM sx_hx),
       |sx_hv AS (SELECT shingle,
-      |            SUM(CASE WHEN p <= 16 THEN CAST(strpos('0123456789abcdef', substr(m, p, 1)) - 1 AS HUGEINT)
-      |                  * CAST(power(2, 4 * (16 - p)) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS h1
+      |            SUM(CAST(strpos('0123456789abcdef', substr(m, p, 1)) - 1 AS HUGEINT)
+      |                  * CAST(power(2, 4 * (16 - p)) AS HUGEINT)) AS h1
       |          FROM sx_md, UNNEST(range(1, 17)) AS t(p) GROUP BY 1),
       |sx_vote AS (SELECT s.doc_id, i,
       |              SUM(CASE WHEN (h1 // CAST(power(2, i) AS HUGEINT)) % 2 = 1

@@ -578,12 +578,18 @@ object Pipeline {
     val shardN = spark.read.parquet(s"$outDir/train_shards")
       .select(col("shard")).distinct().count()
 
+    // one evaluation each: with the charlm arm on, quality.count()
+    // re-runs the corpus-scale model-train + score + anti-join — the
+    // summary must not pay that job twice (nor an extra silver scan
+    // when the arm is off, where ruleQuality IS quality)
+    val qualityN = quality.count()
+    val charlmDroppedN =
+      charlmRareFracMax.map(_ => ruleQuality.count() - qualityN).getOrElse(0L)
     Map(
       "input" -> Tables.documents(spark, sourceDir).count(),
-      "quality" -> quality.count(),
+      "quality" -> qualityN,
       // 0 when the arm is off — the summary keys stay stable
-      "charlm_dropped" ->
-        charlmRareFracMax.map(_ => ruleQuality.count() - quality.count()).getOrElse(0L),
+      "charlm_dropped" -> charlmDroppedN,
       "exact_deduped" -> exact.count(),
       "near_deduped" -> (trainN + testN + decontamN),
       "decontaminated" -> decontamN,

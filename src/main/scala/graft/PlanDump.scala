@@ -88,7 +88,8 @@ object PlanDump {
       "ann_lsh" -> "md5-hyperplane SRP buckets: constant sign matrix cached per executor, (table, bucket) equi-join bounds candidates, exact cosine re-rank — bucket membership itself oracle-checked",
       "semantic_probe" -> "daily-ingest probe: rank-seeded corpus-only Lloyd training, corpus cell index from one argmin projection, delta x corpus joined WITHIN cells — the corpus never self-joins",
       "charlm_score" -> "char-LM filter: bounded trigram model (two count aggregates), model joined back onto the per-doc trigram rollup, deterministic sorted fold per doc — no log anywhere",
-      "bpe_train" -> "BPE training: vocab-bounded word rollup, per-round pair-count aggregate + 1-row winner collect, map-only fold re-segmentation — corpus rows touched once at tokenization")
+      "bpe_train" -> "BPE training: vocab-bounded word rollup, per-round pair-count aggregate + 1-row winner collect, map-only fold re-segmentation — corpus rows touched once at tokenization",
+      "q_market_share" -> "TPC-H Q8: share-within-group over the six-table snowflake — ONE conditional aggregate pass (no per-nation self-join), pushed date/type filters, constant dims broadcast, big dims left to AQE")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

@@ -251,9 +251,15 @@ case class SimHashSigMd5(child: Expression)
     val n = arr.numElements()
     val votes = new Array[Long](64)
     val md = MinHashSigMd5.digest()
+    // dedup defensively: graft_shingles already emits a distinct set,
+    // but the documented contract (votes over the DISTINCT shingle
+    // set, the form the SQL oracle's SELECT DISTINCT replays) must
+    // hold for ANY caller — a direct SQL invocation with repeated
+    // elements would otherwise double-vote
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var e = 0
     while (e < n) {
-      if (!arr.isNullAt(e)) {
+      if (!arr.isNullAt(e) && seen.add(arr.getUTF8String(e))) {
         md.reset()
         val d = md.digest(arr.getUTF8String(e).getBytes)
         var h1 = 0L

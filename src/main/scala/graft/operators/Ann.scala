@@ -718,7 +718,23 @@ object Ann {
   def incrementalSemanticMatches(newVecs: DataFrame, cellIndex: DataFrame,
                                  centroids: DataFrame,
                                  threshold: Double = 0.35,
-                                 nprobe: Int = 1): DataFrame = {
+                                 nprobe: Int = 1): DataFrame =
+    semanticProbeRows(newVecs, cellIndex, centroids, threshold, nprobe)
+      .groupBy(col("delta_doc"), col("corpus_doc"))
+      .agg(max(col("cos")).as("cosine"))
+
+  /** The probe's candidate core, SHARED between the batch arm above
+    * and [[graft.streaming.Streams.semanticProbeStream]] — cell
+    * assignment, index join, self-pair filter, cosine and threshold
+    * live in exactly one place, so the spec-pinned stream == batch
+    * contract cannot drift when a knob changes. At `nprobe = 1` the
+    * emitted (delta_doc, corpus_doc) pairs are already unique (one
+    * cell per delta vector, one index row per corpus member); the
+    * batch wrapper's max-aggregate matters only for `nprobe > 1`. */
+  private[graft] def semanticProbeRows(newVecs: DataFrame, cellIndex: DataFrame,
+                                       centroids: DataFrame,
+                                       threshold: Double,
+                                       nprobe: Int): DataFrame = {
     graft.GraftExtensions.register(newVecs.sparkSession)
     val cents = centroids
       .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
@@ -731,8 +747,6 @@ object Ann {
       .filter(col("corpus_doc") =!= col("delta_doc"))
       .withColumn("cos", dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .filter(col("cos") >= threshold)
-      .groupBy(col("delta_doc"), col("corpus_doc"))
-      .agg(max(col("cos")).as("cosine"))
   }
 
   /** The DAILY-INGEST SEMANTIC PROBE as a registered, oracle-checkable

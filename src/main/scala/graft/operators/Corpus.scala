@@ -626,24 +626,17 @@ object Corpus {
         col("oov_tokens").cast("double") / col("tokens").cast("double"))
   }
 
-  /** BPE merge-candidate statistics — the counting step of the
-    * byte-pair-encoding trainer's inner loop (Sennrich et al. 2016):
-    * for every adjacent symbol pair inside a word, how many times it
-    * occurs in the corpus, weighted by word frequency. The top row is
-    * the pair the first merge iteration would fuse; the table is the
-    * evidence a tokenizer-training run keeps per iteration. Character
-    * level here (iteration 0 — later iterations would rerun on the
-    * merged symbol stream); positions count individually, so "aaa"
-    * contributes "aa" twice per occurrence, exactly the trainer's
-    * statistic.
-    *
-    * Scale shape: pair extraction runs on the DISTINCT-WORD rollup
-    * (vocabulary-bounded — Heaps' law, not corpus-linear), never on
-    * raw corpus rows: one corpus-scale word count with map-side
-    * combine, then a vocab-sized explode into `substr(word, i, 2)`
-    * slices, a pair-domain-bounded combinable sum, and a
-    * TakeOrdered(topN) with the (count desc, pair) tiebreak. Every
-    * number is an exact BIGINT. */
+  /** The distinct-word frequency rollup BOTH BPE entry points run on
+    * (vocabulary-bounded — Heaps' law, not corpus-linear): one
+    * corpus-scale word count with map-side combine. ONE definition so
+    * the trainer and its round-0 statistic can never tokenize
+    * differently. */
+  private def wordFreqs(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) >= 2) // single chars carry no pairs
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
   /** BPE tokenizer TRAINING — the full merge loop, not just the
     * pair statistic ([[bpePairStats]] is round 0's counts): starting
     * from characters, each round counts adjacent symbol pairs over
@@ -674,11 +667,7 @@ object Corpus {
   def bpeTrain(documents: DataFrame, merges: Int = 8): DataFrame = {
     require(merges >= 1 && merges <= 64)
     val spark = documents.sparkSession
-    val words = documents
-      .select(explode(split(lower(col("text")), " ")).as("word"))
-      .filter(length(col("word")) >= 2) // single chars carry no pairs
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var seg = words.select(col("word"), col("freq"),
+    var seg = wordFreqs(documents).select(col("word"), col("freq"),
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("seg"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -716,13 +705,25 @@ object Corpus {
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** BPE merge-candidate statistics — the counting step of the
+    * byte-pair-encoding trainer's inner loop (Sennrich et al. 2016):
+    * for every adjacent symbol pair inside a word, how many times it
+    * occurs in the corpus, weighted by word frequency. The top row is
+    * the pair the first merge iteration would fuse; the table is the
+    * evidence a tokenizer-training run keeps per iteration. Character
+    * level here (iteration 0 — [[bpeTrain]] runs the actual loop on
+    * the merged symbol stream); positions count individually, so
+    * "aaa" contributes "aa" twice per occurrence, exactly the
+    * trainer's statistic.
+    *
+    * Scale shape: pair extraction runs on the DISTINCT-WORD rollup
+    * ([[wordFreqs]]), never on raw corpus rows: a vocab-sized explode
+    * into `substr(word, i, 2)` slices, a pair-domain-bounded
+    * combinable sum, and a TakeOrdered(topN) with the (count desc,
+    * pair) tiebreak. Every number is an exact BIGINT. */
   def bpePairStats(documents: DataFrame, topN: Int = 100): DataFrame = {
     require(topN >= 1)
-    val words = documents
-      .select(explode(split(lower(col("text")), " ")).as("word"))
-      .filter(length(col("word")) >= 2)
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    words
+    wordFreqs(documents)
       .select(col("freq"), explode(transform(
         sequence(lit(1), length(col("word")) - 1),
         i => col("word").substr(i, lit(2)))).as("pair"))

@@ -240,20 +240,16 @@ object Streams {
                           centroids: DataFrame,
                           threshold: Double = 0.35): Dataset[SemanticHit] = {
     import rawVectors.sparkSession.implicits._
-    graft.GraftExtensions.register(rawVectors.sparkSession)
-    val cents = centroids
-      .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
-    graft.operators.Ann.nearestCells(
-      rawVectors.select(col("doc_id"), col("embedding").as("emb"))
-        .withColumn("nrm", graft.operators.Ann.norm(col("emb"))),
-      cents, "emb", "nrm", keep = 1)
-      .join(cellIndex.select(col("doc_id").as("corpus_doc"), col("cell"),
-        col("emb").as("c_emb"), col("nrm").as("c_nrm")), Seq("cell"))
-      .filter(col("corpus_doc") =!= col("doc_id"))
-      .withColumn("cosine",
-        graft.operators.Ann.dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .filter(col("cosine") >= threshold)
-      .select(col("doc_id"), col("corpus_doc"), col("cosine"))
+    // the candidate core is the batch probe's own
+    // ([[graft.operators.Ann.semanticProbeRows]]) — one definition,
+    // so the spec-pinned stream == batch contract cannot drift; at
+    // nprobe = 1 pairs are already unique, so the batch wrapper's
+    // max-aggregate is unnecessary (and an unbounded stream could not
+    // run it without state anyway)
+    graft.operators.Ann
+      .semanticProbeRows(rawVectors, cellIndex, centroids, threshold, nprobe = 1)
+      .select(col("delta_doc").as("doc_id"), col("corpus_doc"),
+        col("cos").as("cosine"))
       .as[SemanticHit]
   }
 
