@@ -706,6 +706,48 @@ object SparkEntry {
              |SELECT doc_id, n_tri, psum / CAST(n_tri AS DOUBLE) AS mean_char_prob, rare_tri
              |FROM agg""".stripMargin)),
 
+    ("charlm_cross_score",
+      // the true CCNet shape: the model trains on the md5-selected
+      // REFERENCE subset (~95%) and scores the held-out candidates —
+      // "improbable" means "unlike the reference"; candidates carry
+      // trigrams the reference never saw, exercising the add-one
+      // unseen mass (LEFT JOIN + COALESCE on both engines)
+      (s: SparkSession, d: String) => {
+        val split = docs(s, d).withColumn("__cand",
+          substring(md5(col("doc_id").cast("string")), 1, 4) < "0ccd")
+        TextOps.charlmScoreAgainst(
+          split.filter(col("__cand")).drop("__cand"),
+          split.filter(!col("__cand")).drop("__cand"),
+          deterministic = true)
+      },
+      Some("""WITH rd AS (SELECT doc_id, text FROM documents
+             |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '0ccd'
+             |          AND length(text) >= 3),
+             |cdd AS (SELECT doc_id, text FROM documents
+             |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'
+             |          AND length(text) >= 3),
+             |rt AS (SELECT doc_id, substr(text, i, 3) AS tri
+             |       FROM rd, UNNEST(range(1, length(text) - 1)) AS t(i)),
+             |c3 AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS c3 FROM rt GROUP BY 1),
+             |c2 AS (SELECT substr(tri, 1, 2) AS bi, CAST(SUM(c3) AS BIGINT) AS c2
+             |       FROM c3 GROUP BY 1),
+             |s AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS sz FROM c3),
+             |ct AS (SELECT doc_id, substr(text, i, 3) AS tri
+             |       FROM cdd, UNNEST(range(1, length(text) - 1)) AS t(i)),
+             |cn AS (SELECT doc_id, tri, COUNT(*) AS n FROM ct GROUP BY 1, 2),
+             |p AS (SELECT cn.doc_id, cn.tri, cn.n,
+             |        (CAST(COALESCE(c3.c3, 0) AS DOUBLE) + 1.0)
+             |          / (CAST(COALESCE(c2.c2, 0) AS DOUBLE) + CAST(s.sz AS DOUBLE)) AS p
+             |      FROM cn LEFT JOIN c3 USING (tri)
+             |      LEFT JOIN c2 ON substr(cn.tri, 1, 2) = c2.bi, s),
+             |agg AS (SELECT doc_id,
+             |          CAST(SUM(n) AS BIGINT) AS n_tri,
+             |          list_reduce(list(n * p ORDER BY tri), (a, b) -> a + b) AS psum,
+             |          CAST(COALESCE(SUM(CASE WHEN p < 0.001 THEN n END), 0) AS BIGINT) AS rare_tri
+             |        FROM p GROUP BY 1)
+             |SELECT doc_id, n_tri, psum / CAST(n_tri AS DOUBLE) AS mean_char_prob, rare_tri
+             |FROM agg""".stripMargin)),
+
     ("retention_cohorts",
       // Monday-start weeks on both engines; offset = exact day-diff DIV 7
       (s: SparkSession, d: String) =>

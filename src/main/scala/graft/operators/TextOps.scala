@@ -238,26 +238,45 @@ object TextOps {
     */
   def charlmScore(documents: DataFrame,
                   rareBelow: Double = 0.001,
-                  deterministic: Boolean = false): DataFrame = {
-    // per-doc trigram multiset: positions 1..len-2, character-based
-    // (both engines' substring/length count characters, not bytes)
-    val tris = documents
+                  deterministic: Boolean = false): DataFrame =
+    charlmScoreAgainst(documents, documents, rareBelow, deterministic)
+
+  /** Per-doc trigram multiset: positions 1..len-2, character-based
+    * (both engines' substring/length count characters, not bytes). */
+  private def triRollup(documents: DataFrame): DataFrame =
+    documents
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
           .as("tri"))
       .groupBy(col("doc_id"), col("tri"))
       .agg(count(lit(1)).as("n"))
-    val c3 = tris.groupBy(col("tri")).agg(sum(col("n")).as("c3"))
+
+  /** The CROSS-CORPUS form — the true CCNet shape: the model trains
+    * on a REFERENCE corpus (the clean data you trust) and scores
+    * CANDIDATE docs against it, so "improbable" means "unlike the
+    * reference", not "unlike yourself". [[charlmScore]] is the
+    * self-scoring special case (candidates == reference).
+    *
+    * Unseen mass needs no special-casing: with null counts coalesced
+    * to 0, the single smoothed formula `P = (C(abc)+1) / (C(ab)+S)`
+    * yields `1/(C(ab)+S)` for an unseen trigram over a seen bigram
+    * and `1/S` for an unseen bigram — standard add-one behavior, and
+    * exactly what the oracle's LEFT JOIN + COALESCE replays. */
+  def charlmScoreAgainst(candidates: DataFrame, reference: DataFrame,
+                         rareBelow: Double = 0.001,
+                         deterministic: Boolean = false): DataFrame = {
+    val c3 = triRollup(reference).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi")).agg(sum(col("c3")).as("c2"))
     val s = c3.agg(countDistinct(substring(col("tri"), 3, 1)).as("sz"))
+    val tris = triRollup(candidates)
     val scored = tris
-      .join(c3, "tri")
-      .join(c2, substring(tris("tri"), 1, 2) === c2("bi"))
+      .join(c3, Seq("tri"), "left")
+      .join(c2, substring(tris("tri"), 1, 2) === c2("bi"), "left")
       .crossJoin(broadcast(s))
       .withColumn("p",
-        (col("c3").cast("double") + 1.0) /
-          (col("c2").cast("double") + col("sz").cast("double")))
+        (coalesce(col("c3"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c2"), lit(0L)).cast("double") + col("sz").cast("double")))
       .withColumn("t", col("n") * col("p"))
     val psum =
       if (deterministic)

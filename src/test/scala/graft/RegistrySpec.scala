@@ -129,7 +129,8 @@ class RegistrySpec extends SparkSpec {
     // the CCNet-style char-trigram LM quality filter, the full BPE
     // merge-training loop, and TPC-H Q8 (the last query expressible
     // over the shipped tables)
-    "semantic_probe", "charlm_score", "bpe_train", "q_market_share")
+    "semantic_probe", "charlm_score", "charlm_cross_score", "bpe_train",
+    "q_market_share")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -44,6 +44,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(over.isNullAt(0))
   }
 
+  test("md5 signature family computes from plain SQL; simhash dedups repeated elements") {
+    // the portable (oracle-replayable) family — minhash, simhash, SRP
+    val r = spark.sql(
+      """SELECT graft_minhash_sig_md5(array('a b c', 'b c d'), 4) AS mh,
+        |       graft_simhash_sig_md5(array('a b c', 'b c d')) AS sh,
+        |       graft_srp_buckets_md5(array(1.0D, -2.0D), 2, 4) AS srp""".stripMargin).head()
+    assert(r.getAs[Seq[Long]]("mh").length === 4)
+    assert(r.getAs[Seq[Long]]("srp").length === 2)
+    // DISTINCT-vote contract for ANY caller: a repeated element must
+    // not double-vote (the SQL oracle replays a DISTINCT set)
+    val dup = spark.sql(
+      "SELECT graft_simhash_sig_md5(array('x y z', 'x y z', 'b c d')) AS sh").head()
+    assert(dup.getAs[Long]("sh") === spark.sql(
+      "SELECT graft_simhash_sig_md5(array('x y z', 'b c d')) AS sh").head().getAs[Long]("sh"))
+  }
+
   test("a wrong arity fails analysis with the documented signature") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_dot(array(1.0)) FROM range(1)").collect()

@@ -274,6 +274,28 @@ class TextOpsSpec extends SparkSpec {
       s"garbled ${scores(99L)} should be far below natural ${scores(0L)}")
   }
 
+  test("charlmScoreAgainst: unseen mass follows the single smoothed formula") {
+    // reference "abab": model c3 = {aba:1, bab:1}, C(ab)=1, C(ba)=1,
+    // S = |{a, b}| = 2.
+    // candidate "abaq": tri "aba" seen -> (1+1)/(1+2) = 2/3;
+    //   tri "baq" unseen over seen bigram "ba" -> (0+1)/(1+2) = 1/3.
+    // candidate "qqq": tri "qqq" unseen over unseen bigram -> 1/S = 1/2.
+    val ref = docs((10L, "abab", "en", "s", 4L))
+    val cand = docs((1L, "abaq", "en", "s", 4L), (2L, "qqq", "en", "s", 3L))
+    val out = TextOps.charlmScoreAgainst(cand, ref, deterministic = true)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tri", "mean_char_prob", "rare_tri")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out(0) === ((1L, 2L, (2.0 / 3 + 1.0 / 3) / 2, 0L)))
+    assert(out(1) === ((2L, 1L, 1.0 / 2, 0L)))
+    // self-scoring delegates to the same core: identical output
+    val self = TextOps.charlmScore(ref, deterministic = true)
+      .select("doc_id", "mean_char_prob").as[(Long, Double)].collect()
+    val selfAgainst = TextOps.charlmScoreAgainst(ref, ref, deterministic = true)
+      .select("doc_id", "mean_char_prob").as[(Long, Double)].collect()
+    assert(self.toSeq === selfAgainst.toSeq)
+  }
+
   test("charlmScore deterministic fold equals the combinable sum within float tolerance") {
     val texts = (1 to 30).map(i =>
       (i.toLong, s"doc $i with some shared characters and id $i" * (i % 3 + 1), "en", "s", 10L))
