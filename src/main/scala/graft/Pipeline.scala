@@ -115,7 +115,8 @@ object Pipeline {
                            postingsTable: String, hashTable: String,
                            chunkTable: Option[String] = None,
                            semanticTable: Option[String] = None,
-                           corpusEmbeddings: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+                           corpusEmbeddings: Option[org.apache.spark.sql.DataFrame] = None,
+                           charlmTable: Option[String] = None): Unit = {
     Dedup.writeBandPostings(corpus, postingsTable)
     Sinks.writeBucketed(
       corpus.select(md5(col("text")).as("content_md5")).distinct(),
@@ -126,6 +127,16 @@ object Pipeline {
     // accepted docs); training runs ONCE here, daily runs only probe
     semanticTable.zip(corpusEmbeddings).foreach { case (t, vecs) =>
       graft.operators.Ann.writeSemanticIndex(vecs, t)
+    }
+    // charlm arm: the corpus's aggregated trigram counts, tagged with
+    // the bootstrap append id. One row set per ingest (bounded by
+    // |alphabet|^3 whatever the day's size), summed back into the
+    // quality model at probe time — the model STAYS CURRENT as the
+    // corpus grows, without ever re-reading corpus documents.
+    charlmTable.foreach { t =>
+      Sinks.writeBucketed(
+        TextOps.charlmCounts(corpus).withColumn("append_id", lit("bootstrap")),
+        t, Seq("tri"))
     }
   }
 
@@ -184,6 +195,19 @@ object Pipeline {
           t, Seq("cell"))
       }
       val outDir = p.select(col("out_dir")).first().getString(0)
+      // charlm arm: recompute the crashed day's aggregated counts from
+      // the manifest text and append exactly the (append_id, tri) rows
+      // the crash left missing — row-level idempotent like the others.
+      // (Column guard: a manifest written by a pre-charlm build has no
+      // charlm_table column.)
+      if (p.columns.contains("charlm_table"))
+        Option(p.select(col("charlm_table")).first().getString(0)).foreach { t =>
+          val day = TextOps.charlmCounts(text).withColumn("append_id", lit(outDir))
+          Sinks.appendBucketed(
+            day.join(spark.table(t).filter(col("append_id") === outDir)
+              .select(col("tri")), Seq("tri"), "left_anti"),
+            t, Seq("tri"))
+        }
       spark.sql(s"DROP TABLE $pending")
       Some(outDir)
     }
@@ -197,6 +221,17 @@ object Pipeline {
     * (matching [[streaming.Streams.dedupStream]]'s contract at the
     * batch grain):
     *  1. clean + quality-gate the delta ([[operators.Cleaning.silver]]);
+    *  1b. OPTIONAL charlm arm, gate side (`charlmTable` +
+    *     `charlmRareFracMax`): score the delta against the
+    *     CORPUS-TRAINED trigram model — the per-ingest count table
+    *     summed back to `(tri, c3)` — and drop LM-improbable docs
+    *     before any dedup arm (the same corpus-relative bar
+    *     [[runTrainingPrep]]'s charlm gate applies, except "the
+    *     corpus" is the standing accepted corpus, so a delta of
+    *     garbage cannot normalize its own garbage); the accepted
+    *     day's |alphabet|^3-bounded counts append under this run's
+    *     outDir, so tomorrow's gate sees today's prose without ever
+    *     re-reading a corpus document;
     *  2. exact dedup WITHIN the delta (keep-first on content hash),
     *     then VS the corpus — an anti-join against the bucketed hash
     *     set, which reads shuffle-free on its join key;
@@ -260,7 +295,10 @@ object Pipeline {
                      chunkTable: Option[String] = None,
                      chunkMaxDocFreq: Long = 100L,
                      semanticTable: Option[String] = None,
-                     deltaEmbeddings: Option[org.apache.spark.sql.DataFrame] = None): Summary = {
+                     deltaEmbeddings: Option[org.apache.spark.sql.DataFrame] = None,
+                     charlmTable: Option[String] = None,
+                     charlmRareFracMax: Option[Double] = None,
+                     charlmRareBelow: Double = 0.001): Summary = {
     // Crash recovery FIRST: a leftover pending manifest means a prior
     // run died between its index appends — complete them before any
     // decision reads the tables. If the crashed run was THIS outDir's,
@@ -275,7 +313,25 @@ object Pipeline {
           "repaired" -> 1L)
     }
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
-    val quality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+    val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+    // charlm arm, gate side (optional): score the delta against the
+    // CORPUS-TRAINED model — the persisted per-ingest count table
+    // summed back to (tri, c3) — and drop LM-improbable docs, the
+    // same corpus-relative quality bar [[runTrainingPrep]] applies,
+    // except here "the corpus" is the standing accepted corpus, not
+    // the delta itself (a delta of garbage must not normalize its own
+    // garbage). Runs before every dedup arm for the prep's reason: a
+    // damaged doc must never become a cluster's surviving canonical.
+    val charlmDropped = charlmTable.zip(charlmRareFracMax).map { case (t, maxFrac) =>
+      val model = spark.table(t).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
+      TextOps.charlmScoreAgainstModel(
+          ruleQuality.select(col("doc_id"), col("content").as("text")),
+          model, rareBelow = charlmRareBelow)
+        .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
+        .select(col("doc_id")).localCheckpoint()
+    }
+    val quality = charlmDropped.fold(ruleQuality)(d =>
+      ruleQuality.join(broadcast(d), Seq("doc_id"), "left_anti"))
     val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
       .join(broadcast(quality.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .localCheckpoint()
@@ -372,6 +428,8 @@ object Pipeline {
           chunkTable.map(lit(_)).getOrElse(lit(null)).cast("string"))
         .withColumn("semantic_table",
           semArm.map(a => lit(a._1)).getOrElse(lit(null)).cast("string"))
+        .withColumn("charlm_table",
+          charlmTable.map(lit(_)).getOrElse(lit(null)).cast("string"))
       semArm.map { case (_, embs) =>
         manifestBase.join(embs.select(col("doc_id"), col("embedding")),
           Seq("doc_id"), "left")
@@ -401,6 +459,15 @@ object Pipeline {
           spark.table(t + "__centroids")),
         t, Seq("cell"))
     }
+    // charlm model append: the accepted day's aggregated trigram
+    // counts, tagged with this run's outDir as the append id — one
+    // |alphabet|^3-bounded row set per ingest; tomorrow's gate sums
+    // the grown model without re-reading any corpus document
+    if (acceptedN > 0) charlmTable.foreach { t =>
+      Sinks.appendBucketed(
+        TextOps.charlmCounts(acceptedText).withColumn("append_id", lit(outDir)),
+        t, Seq("tri"))
+    }
     if (acceptedN > 0) spark.sql(s"DROP TABLE IF EXISTS ${postingsTable}__pending")
     // Df-cap maintenance, AUTO-TRIGGERED: appends never re-check the
     // global doc-frequency cap, so a chunk can creep over it across
@@ -426,6 +493,9 @@ object Pipeline {
       "chunk_recap" -> (if (recapped) 1L else 0L),
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
+      // the dropped-id set is checkpointed — this count does not
+      // re-run the corpus-model scoring job
+      "charlm_dropped" -> charlmDropped.map(_.count()).getOrElse(0L),
       "id_collision_dropped" -> corpusIds.count(),
       "exact_within" -> exactWithin.count(),
       "exact_new" -> exactNew.count(),

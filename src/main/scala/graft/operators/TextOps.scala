@@ -252,6 +252,13 @@ object TextOps {
       .groupBy(col("doc_id"), col("tri"))
       .agg(count(lit(1)).as("n"))
 
+  /** A corpus batch's aggregated trigram counts `(tri, n)` — the rows
+    * the incremental charlm arm appends per ingest day (bounded by
+    * |Σ|³ whatever the batch size) and sums back into the model
+    * ([[charlmScoreAgainstModel]]'s `c3`). */
+  def charlmCounts(documents: DataFrame): DataFrame =
+    triRollup(documents).groupBy(col("tri")).agg(sum(col("n")).as("n"))
+
   /** The CROSS-CORPUS form — the true CCNet shape: the model trains
     * on a REFERENCE corpus (the clean data you trust) and scores
     * CANDIDATE docs against it, so "improbable" means "unlike the
@@ -265,8 +272,22 @@ object TextOps {
     * exactly what the oracle's LEFT JOIN + COALESCE replays. */
   def charlmScoreAgainst(candidates: DataFrame, reference: DataFrame,
                          rareBelow: Double = 0.001,
-                         deterministic: Boolean = false): DataFrame = {
-    val c3 = triRollup(reference).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
+                         deterministic: Boolean = false): DataFrame =
+    charlmScoreAgainstModel(candidates,
+      triRollup(reference).groupBy(col("tri")).agg(sum(col("n")).as("c3")),
+      rareBelow, deterministic)
+
+  /** Score against an ALREADY-AGGREGATED trigram model `(tri, c3)` —
+    * what [[charlmScoreAgainst]] builds from a reference corpus and
+    * what [[graft.Pipeline.runIncremental]]'s charlm arm reads from
+    * its persisted count table. The conditioning bigram counts and
+    * the alphabet size DERIVE from the model (`C(ab) = Σ_c C(abc)`,
+    * `S` = distinct third chars), so a persisted model is just the
+    * one table and the smoothing can never disagree with it. */
+  def charlmScoreAgainstModel(candidates: DataFrame, c3In: DataFrame,
+                              rareBelow: Double = 0.001,
+                              deterministic: Boolean = false): DataFrame = {
+    val c3 = c3In.select(col("tri"), col("c3"))
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi")).agg(sum(col("c3")).as("c2"))
     val s = c3.agg(countDistinct(substring(col("tri"), 3, 1)).as("sz"))
     val tris = triRollup(candidates)

@@ -361,6 +361,74 @@ class PipelineSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_sem_post__pending"))
   }
 
+  test("runIncremental charlm arm: corpus-model gate drops garbage; the model grows per day") {
+    import spark.implicits._
+    // a corpus of natural prose seeds the trigram model at bootstrap
+    val corpusDocs = (1 to 6).map(i => (i.toLong,
+      Seq.fill(10)(s"the data pipeline number $i runs the data").mkString(" ")))
+    Pipeline.bootstrapIncremental(
+      corpusDocs.toDF("doc_id", "text"),
+      "graft_lm_post", "graft_lm_hash", charlmTable = Some("graft_lm_model"))
+    assert(spark.table("graft_lm_model")
+      .select("append_id").distinct().as[String].collect().toSeq === Seq("bootstrap"))
+
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_lm_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // day 1: doc 80 is natural prose — same character distribution as
+    // the corpus but scrambled word order, so its word-level shingles
+    // share nothing and NO dedup arm fires; doc 81 is garbled (chars
+    // the corpus never saw -> every trigram at the unseen-mass floor)
+    val natural = Seq.fill(8)("data runs today the pipeline quietly the number data").mkString(" ")
+    val garbled = (1 to 14).map(i => s"zq${i}x w${i}v7 k${i}j").mkString(" ")
+    val day1 = writeDelta((80L, natural), (81L, garbled))
+    val out1 = Files.createTempDirectory("graft_lm_out1").toString
+    val s1 = Pipeline.runIncremental(spark, day1, out1, "graft_lm_post", "graft_lm_hash",
+      charlmTable = Some("graft_lm_model"),
+      charlmRareFracMax = Some(0.5), charlmRareBelow = 0.1)
+    assert(s1("charlm_dropped") === 1L, s"summary: $s1")
+    assert(s1("accepted") === 1L)
+    assert(spark.read.parquet(s"$out1/accepted")
+      .select("doc_id").as[Long].collect().toSeq === Seq(80L))
+    // the model grew by exactly the accepted day's counts, under the
+    // day's append id — tomorrow's gate sees today's prose
+    assert(spark.table("graft_lm_model")
+      .select("append_id").distinct().as[String].collect().toSet === Set("bootstrap", out1))
+
+    // crash repair: a manifest naming the charlm table with the day's
+    // rows only PARTIALLY landed must append exactly the missing
+    // (append_id, tri) rows — no duplicates for the pre-landed ones
+    val crashText = Seq.fill(8)("pipeline data the runs number the data today quietly").mkString(" ")
+    Seq((95L, crashText)).toDF("doc_id", "text")
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("out_dir", lit("/tmp/graft_lm_crash_out"))
+      .withColumn("hash_table", lit("graft_lm_hash"))
+      .withColumn("chunk_table", lit(null).cast("string"))
+      .withColumn("semantic_table", lit(null).cast("string"))
+      .withColumn("charlm_table", lit("graft_lm_model"))
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_lm_post__pending")
+    // simulate the partial append: half the day's rows already landed
+    val dayCounts = graft.operators.TextOps.charlmCounts(
+        Seq((95L, crashText)).toDF("doc_id", "text"))
+      .withColumn("append_id", lit("/tmp/graft_lm_crash_out")).localCheckpoint()
+    val half = dayCounts.filter(md5(col("tri")).substr(1, 1) < "8").localCheckpoint()
+    graft.sources.Sinks.appendBucketed(half, "graft_lm_model", Seq("tri"))
+    assert(Pipeline.repairPendingAppends(spark, "graft_lm_post")
+      === Some("/tmp/graft_lm_crash_out"))
+    val landed = spark.table("graft_lm_model")
+      .filter(col("append_id") === "/tmp/graft_lm_crash_out")
+      .select("tri", "n").as[(String, Long)].collect()
+    assert(landed.length === dayCounts.count(), "every day row exactly once")
+    assert(landed.toMap === dayCounts.select("tri", "n")
+      .as[(String, Long)].collect().toMap)
+  }
+
   test("runIncremental auto-recaps the chunk index when an append breaches the df cap") {
     import spark.implicits._
     // a ~30-token shared passage: long distinct prefixes keep every
