@@ -259,6 +259,25 @@ object TextOps {
   def charlmCounts(documents: DataFrame): DataFrame =
     triRollup(documents).groupBy(col("tri")).agg(sum(col("n")).as("n"))
 
+  /** Compact the incremental charlm count table
+    * ([[graft.Pipeline.runIncremental]]'s `charlmTable`): one row set
+    * per ingest day keeps appends bounded, but over years the table
+    * carries days × |Σ|³ rows while the MODEL only needs the per-
+    * trigram sums. The recap re-aggregates everything into a single
+    * `recap` append id — same totals, days collapsed — through the
+    * STAGED bucketed rewrite ([[graft.sources.Sinks.rewriteBucketed]]
+    * + `recoverTableSwap`), so the live table is intact until the
+    * swap and an executor loss mid-rewrite cannot destroy the only
+    * copy (the discipline the chunk-index recap follows). Safe to run
+    * any time the daily ingest is not mid-append. */
+  def recapCharlmCounts(spark: org.apache.spark.sql.SparkSession, table: String,
+                        buckets: Int = 64): Unit = {
+    val summed = spark.table(table)
+      .groupBy(col("tri")).agg(sum(col("n")).as("n"))
+      .withColumn("append_id", lit("recap"))
+    graft.sources.Sinks.rewriteBucketed(summed, table, Seq("tri"), buckets)
+  }
+
   /** The CROSS-CORPUS form — the true CCNet shape: the model trains
     * on a REFERENCE corpus (the clean data you trust) and scores
     * CANDIDATE docs against it, so "improbable" means "unlike the

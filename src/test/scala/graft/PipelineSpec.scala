@@ -427,6 +427,16 @@ class PipelineSpec extends SparkSpec {
     assert(landed.length === dayCounts.count(), "every day row exactly once")
     assert(landed.toMap === dayCounts.select("tri", "n")
       .as[(String, Long)].collect().toMap)
+
+    // recap: days collapse into one append id with IDENTICAL per-tri
+    // totals — the model a reader sums is unchanged
+    val before = spark.table("graft_lm_model")
+      .groupBy(col("tri")).agg(org.apache.spark.sql.functions.sum(col("n")).as("n"))
+      .as[(String, Long)].collect().toMap
+    graft.operators.TextOps.recapCharlmCounts(spark, "graft_lm_model")
+    val after = spark.table("graft_lm_model")
+    assert(after.select("append_id").distinct().as[String].collect().toSeq === Seq("recap"))
+    assert(after.select("tri", "n").as[(String, Long)].collect().toMap === before)
   }
 
   test("runIncremental auto-recaps the chunk index when an append breaches the df cap") {
