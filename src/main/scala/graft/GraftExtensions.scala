@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CdcChunks, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BoundedCollect, CdcChunks, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -51,6 +51,13 @@ object GraftExtensions {
         case Seq(text, Literal(k: Int, _)) => Shingles(text, k)
         case Seq(_, other) => notLiteral("graft_shingles", "k", other)
         case other => badSignature("graft_shingles", "(text, k: int literal)", other)
+      }),
+    ("graft_char_ngrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(k: Int, _)) => CharNgrams(text, k)
+        case Seq(_, other) => notLiteral("graft_char_ngrams", "k", other)
+        case other => badSignature("graft_char_ngrams", "(text, k: int literal)", other)
       }),
     ("graft_srp_buckets",
       new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),

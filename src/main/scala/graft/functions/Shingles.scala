@@ -53,3 +53,46 @@ case class Shingles(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
+
+/** All character k-grams of a string (NON-distinct — the char-LM
+  * scorer counts multiplicities), one native pass:
+  * `graft_char_ngrams(text, k)` == the HOF form
+  * `transform(sequence(1, length(text) - k + 1), i -> substring(text, i, k))`
+  * (and an empty array when the text is shorter than k — the HOF form
+  * would need a length guard because ANSI `sequence(1, 0)` DESCENDS).
+  * The HOF tree evaluates interpreted per position; on the charlm
+  * rows the trigram extraction dominated the profile the same way
+  * token shingling did before [[Shingles]]. Positions are CHARACTER
+  * indices (matching both engines' `substring`/`substr`), so the
+  * replacement is bit-identical to the oracle's `substr(text, i, k)`
+  * — spec-pinned against the HOF form. */
+case class CharNgrams(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"ngram size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    // UTF8String.substringSQL counts CHARACTERS like the SQL function —
+    // byte slicing would break on multi-byte text
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = s.substringSQL(i + 1, k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}

@@ -242,15 +242,19 @@ object TextOps {
     charlmScoreAgainst(documents, documents, rareBelow, deterministic)
 
   /** Per-doc trigram multiset: positions 1..len-2, character-based
-    * (both engines' substring/length count characters, not bytes). */
-  private def triRollup(documents: DataFrame): DataFrame =
+    * (both engines' substring/length count characters, not bytes).
+    * Native one-pass extraction ([[graft.functions.CharNgrams]],
+    * spec-pinned == the interpreted HOF form it replaced, which
+    * dominated the charlm rows' profile). */
+  private def triRollup(documents: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
     documents
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("tri"))
+        explode(call_function("graft_char_ngrams", col("text"), lit(3))).as("tri"))
       .groupBy(col("doc_id"), col("tri"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** A corpus batch's aggregated trigram counts `(tri, n)` — the rows
     * the incremental charlm arm appends per ingest day (bounded by

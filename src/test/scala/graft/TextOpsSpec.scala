@@ -274,6 +274,25 @@ class TextOpsSpec extends SparkSpec {
       s"garbled ${scores(99L)} should be far below natural ${scores(0L)}")
   }
 
+  test("graft_char_ngrams is element-identical to the HOF substring form") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.expr
+    // crafted: shorter-than-k, exactly k, multi-byte chars (substring
+    // must count characters), repeats — plus a long mixed string
+    val rows = Seq("ab", "abc", "ололо ab", "aaaa",
+      (1 to 50).map(i => s"w$i").mkString(" "))
+    val df = rows.toDF("text")
+    val out = df.select(
+      expr("graft_char_ngrams(text, 3)").as("native"),
+      expr("CASE WHEN length(text) >= 3 THEN " +
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
+        "ELSE array() END").as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
   test("charlmScoreAgainst: unseen mass follows the single smoothed formula") {
     // reference "abab": model c3 = {aba:1, bab:1}, C(ab)=1, C(ba)=1,
     // S = |{a, b}| = 2.
