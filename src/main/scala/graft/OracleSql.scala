@@ -480,6 +480,33 @@ object OracleSql {
     * both rules then merge alternate positions). Pure integer/string
     * arithmetic throughout — the one oracle with no doubles at all. */
   def bpeTrainSql(merges: Int = 8): String = {
+    val unioned = (0 until merges).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM win$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeTrainCtes(merges)}
+       |$unioned""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Corpus.bpeEncodeStats]]: the encoder
+    * is "replay the merges", so the training chain's final `seg`
+    * relation already holds every vocabulary word's encoding — token
+    * counts read off it, doc stats from one exploded-words join
+    * (words under 2 chars are outside the vocab rollup and count 1
+    * token, the LEFT JOIN + COALESCE). */
+  def bpeEncodeSql(merges: Int = 8): String =
+    s"""WITH ${bpeTrainCtes(merges)},
+       |wl AS (SELECT word, CAST(len(seg) AS BIGINT) AS toks FROM seg$merges),
+       |dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+       |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) >= 1),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |          CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       |          CAST(SUM(COALESCE(toks, 1)) AS BIGINT) AS n_bpe_tokens
+       |        FROM dwf LEFT JOIN wl USING (word) GROUP BY 1)
+       |SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+       |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
+       |FROM agg""".stripMargin
+
+  private def bpeTrainCtes(merges: Int): String = {
     val base =
       """bw AS (SELECT word, COUNT(*) AS freq FROM
         |  (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
@@ -509,11 +536,7 @@ object OracleSql {
          |seg${r + 1} AS (SELECT word, freq, list(nsym ORDER BY i) AS seg
          |  FROM emit$r WHERE nsym IS NOT NULL GROUP BY word, freq)""".stripMargin
     }
-    val unioned = (0 until merges).map { r =>
-      s"SELECT CAST($r AS INTEGER) AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM win$r"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH ${(base +: rounds).mkString(",\n")}
-       |$unioned""".stripMargin
+    (base +: rounds).mkString(",\n")
   }
 
   /** Mirrors [[graft.operators.Ann.semanticProbe]] — the daily-ingest

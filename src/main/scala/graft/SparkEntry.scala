@@ -676,6 +676,17 @@ object SparkEntry {
       (s: SparkSession, d: String) => Corpus.bpeTrain(docs(s, d)),
       Some(OracleSql.bpeTrainSql())),
 
+    ("bpe_encode",
+      // the encoder half of the tokenizer story: train 8 merges, then
+      // report what the trained tokenizer does to every document —
+      // per-doc BPE token count (the sequence-length budget) and
+      // chars-per-token compression; encoding reads off the training
+      // loop's final vocab segmentation, so it costs one join beyond
+      // training, and the oracle reads the same off bpeTrainSql's
+      // final seg relation
+      (s: SparkSession, d: String) => Corpus.bpeEncodeStats(docs(s, d)),
+      Some(OracleSql.bpeEncodeSql())),
+
     ("charlm_score",
       // CCNet-style char-trigram LM quality filter, value-checked: the
       // model is the corpus's own bounded trigram table (≤ |Σ|³ rows at

@@ -665,8 +665,18 @@ object Corpus {
     * only when lhs == rhs, and both rules then merge alternate
     * positions). Stops early if a round has no pairs left. */
   def bpeTrain(documents: DataFrame, merges: Int = 8): DataFrame = {
-    require(merges >= 1 && merges <= 64)
     val spark = documents.sparkSession
+    spark.createDataFrame(bpeTrainLoop(documents, merges)._1)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** The training loop itself, also returning the FINAL per-word
+    * segmentation — what [[bpeEncodeStats]] consumes (the encoder is
+    * "replay the merges", so training's last state IS the encoding
+    * of every vocabulary word). */
+  private def bpeTrainLoop(documents: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(merges >= 1 && merges <= 64)
     var seg = wordFreqs(documents).select(col("word"), col("freq"),
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("seg"))
       .localCheckpoint()
@@ -701,8 +711,38 @@ object Corpus {
         r += 1
       }
     }
-    spark.createDataFrame(out.result())
-      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    (out.result(), seg)
+  }
+
+  /** BPE ENCODING statistics — the other half of the tokenizer story:
+    * train `merges` merges on the corpus itself, then report what the
+    * trained tokenizer does to every document — the per-doc BPE token
+    * count (the sequence-length statistic a trainer budgets context
+    * windows and compute with) and the chars-per-token compression.
+    *
+    * The encoder costs almost nothing beyond training: BPE encoding
+    * is "replay the merges in rank order", and the training loop's
+    * final per-word segmentation already IS that replay for every
+    * vocabulary word — so encoding = one join from the exploded doc
+    * words to the vocab-bounded token-count table. Words under 2
+    * chars (excluded from the vocab rollup — they can never merge)
+    * count 1 token each. All integers plus one exact division; the
+    * oracle replays training via the [[graft.OracleSql.bpeTrainSql]]
+    * CTE chain and reads token counts off its final `seg` relation. */
+  def bpeEncodeStats(documents: DataFrame, merges: Int = 8): DataFrame = {
+    val seg = bpeTrainLoop(documents, merges)._2
+    val wordToks = seg.select(col("word"), size(col("seg")).cast("long").as("toks"))
+    documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wordToks, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(coalesce(col("toks"), lit(1L))).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
   }
 
   /** BPE merge-candidate statistics — the counting step of the

@@ -27,6 +27,20 @@ class CorpusSpec extends SparkSpec {
       (2, "aa", "ab", "aaab", 2L)))
   }
 
+  test("bpeEncodeStats counts tokens under the trained merges; short words count 1") {
+    // same corpus as the bpeTrain spec: after its 3 merges both vocab
+    // words collapse to single tokens (aaab -> [aaab], ab -> [ab]);
+    // the 1-char word "a" is outside the vocab rollup -> 1 token
+    val df = docs(
+      (1L, "aaab aaab ab", "en", "s"),
+      (2L, "a aaab", "en", "s"))
+    val out = Corpus.bpeEncodeStats(df, merges = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out(0) === ((1L, 3L, 10L, 3L, 10.0 / 3)))
+    assert(out(1) === ((2L, 2L, 5L, 2L, 5.0 / 2)))
+  }
+
   test("bpeTrain ties resolve to the lexicographically smallest pair") {
     // "xy yx": (x,y) = 1 and (y,x) = 1 -> (x,y) wins the tie
     val out = Corpus.bpeTrain(docs((1L, "xy yx", "en", "s")), merges = 1)

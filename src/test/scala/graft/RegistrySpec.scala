@@ -130,7 +130,7 @@ class RegistrySpec extends SparkSpec {
     // merge-training loop, and TPC-H Q8 (the last query expressible
     // over the shipped tables)
     "semantic_probe", "charlm_score", "charlm_cross_score", "bpe_train",
-    "q_market_share")
+    "bpe_encode", "q_market_share")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
