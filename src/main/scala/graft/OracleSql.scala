@@ -471,6 +471,142 @@ object OracleSql {
        |WHERE cos >= $threshold""".stripMargin
   }
 
+  /** Sequential-fold squared L2 — the PQ metric's twin of
+    * [[dotExpr]]: 0 + (a1-b1)² + … left-to-right, matching
+    * [[graft.operators.Pq.l2sq]]'s `aggregate(zip_with(…))` fold. */
+  private def l2sqExpr(dims: Int)(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
+
+  /** DuckDB replay of [[graft.operators.Pq.trainCodebooks]] +
+    * [[graft.operators.Pq.pqCodes]] with `deterministic = true`:
+    * per subspace `j`, the seed codebook is the first-`ksub`
+    * vec_ids' subvectors, then `iters` unrolled L2 Lloyd rounds
+    * (same three shared conventions as [[kmeansCentroidsCtes]] —
+    * exact float→double widening, left-to-right distance folds,
+    * ascending-vec_id re-center means — with cosine-argmax swapped
+    * for L2-argmin). Ends at `codes(vec_id, sub, code)`; per-sub
+    * relations `s$j` (subvectors) and `p${j}c$iters` (trained
+    * codebook) stay visible for the query replays. `withE = false`
+    * composes after [[kmeansCentroidsCtes]], which already defines
+    * the shared double-widened `e`. */
+  def pqCtes(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+             iters: Int = 2, withE: Boolean = true): String = {
+    val l2 = l2sqExpr(subDims) _
+    val e = if (withE)
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),\n"
+    else ""
+    val subs = (0 until m).map { j =>
+      val lo = j * subDims + 1
+      val hi = (j + 1) * subDims
+      val seed =
+        s"""s$j AS (SELECT vec_id, emb[$lo:$hi] AS semb FROM e),
+           |p${j}c0 AS (SELECT vec_id AS cell, semb AS cemb FROM s$j WHERE vec_id < $ksub)""".stripMargin
+      val rounds = (0 until iters).map { i =>
+        s"""p${j}a$i AS (SELECT vec_id, semb, cell FROM (
+           |  SELECT s.vec_id, s.semb, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${l2("s.semb", "c.cemb")}, c.cell) AS rn
+           |  FROM s$j s CROSS JOIN p${j}c$i c) WHERE rn = 1),
+           |p${j}m$i AS (SELECT cell, p.pos AS pos,
+           |    list_reduce(list(semb[p.pos] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mn
+           |  FROM p${j}a$i CROSS JOIN (SELECT unnest(range(1, ${subDims + 1})) AS pos) p
+           |  GROUP BY cell, p.pos),
+           |p${j}n$i AS (SELECT cell, list(mn ORDER BY pos) AS cemb FROM p${j}m$i GROUP BY cell),
+           |p${j}c${i + 1} AS (SELECT p.cell, COALESCE(nc.cemb, p.cemb) AS cemb
+           |  FROM p${j}c$i p LEFT JOIN p${j}n$i nc ON p.cell = nc.cell)""".stripMargin
+      }
+      val code =
+        s"""p${j}code AS (SELECT vec_id, CAST($j AS INTEGER) AS sub, cell AS code FROM (
+           |  SELECT s.vec_id, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${l2("s.semb", "c.cemb")}, c.cell) AS rn
+           |  FROM s$j s CROSS JOIN p${j}c$iters c) WHERE rn = 1)""".stripMargin
+      (seed +: rounds :+ code).mkString(",\n")
+    }
+    val codes = (0 until m).map(j => s"SELECT vec_id, sub, code FROM p${j}code")
+      .mkString("\n  UNION ALL ")
+    e + (subs :+ s"codes AS (\n  $codes)").mkString(",\n")
+  }
+
+  /** Mirrors [[graft.operators.Pq.pqCodes]] end-to-end. */
+  def pqCodesSql(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+                 iters: Int = 2): String =
+    s"""WITH ${pqCtes(m, subDims, ksub, iters)}
+       |SELECT vec_id, sub, code FROM codes""".stripMargin
+
+  /** The shared ADC query chain: codes rolled to per-vector arrays,
+    * per-query per-subspace distance tables `dt`, and the
+    * subspace-ordered fold `adist` over a candidate set named
+    * `cand(query_id, vec_id)`. The exact-cosine re-rank mirrors
+    * [[graft.operators.Pq.pqTopK]]'s rerank. */
+  private def adcQueryCtes(m: Int, subDims: Int, iters: Int,
+                           numQueries: Int, adcCand: Int, topK: Int,
+                           dims: Int): String = {
+    val l2 = l2sqExpr(subDims) _
+    val dot = dotExpr(dims) _
+    val dt = (0 until m).map { j =>
+      s"""SELECT q.vec_id AS query_id, CAST($j AS INTEGER) AS sub, c.cell,
+         |    ${l2("q.semb", "c.cemb")} AS d2
+         |  FROM s$j q CROSS JOIN p${j}c$iters c WHERE q.vec_id < $numQueries""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""ca AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM codes GROUP BY vec_id),
+       |dt AS (
+       |  $dt),
+       |adist AS (
+       |  SELECT d.query_id, c.vec_id,
+       |    list_reduce(list(d.d2 ORDER BY d.sub), (a, b) -> a + b) AS adist
+       |  FROM cand c
+       |  JOIN ca ON ca.vec_id = c.vec_id
+       |  JOIN dt d ON d.query_id = c.query_id AND d.cell = ca.codes[d.sub + 1]
+       |  GROUP BY d.query_id, c.vec_id),
+       |acand AS (SELECT query_id, vec_id, adist FROM (
+       |  SELECT query_id, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS arn
+       |  FROM adist) WHERE arn <= $adcCand),
+       |nv AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM e),
+       |rr AS (SELECT a.query_id, a.vec_id, a.adist,
+       |    ${dot("q.emb", "v.emb")} / (q.nrm * v.nrm) AS cos
+       |  FROM acand a
+       |  JOIN nv v ON a.vec_id = v.vec_id
+       |  JOIN nv q ON q.vec_id = a.query_id),
+       |pqtop AS (SELECT query_id, vec_id, adist, cos, rank FROM (
+       |  SELECT query_id, vec_id, adist, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rr) WHERE rank <= $topK)""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Pq.pqTopK]] (deterministic training)
+    * end-to-end: replayed codebooks and codes, a flat ADC scan as
+    * the candidate set (every coded vector, self excluded), then
+    * the exact-cosine re-rank of the top-`adcCand` survivors. */
+  def pqQuerySql(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+                 iters: Int = 2, numQueries: Int = 5, adcCand: Int = 64,
+                 topK: Int = 3, dims: Int = 64): String =
+    s"""WITH ${pqCtes(m, subDims, ksub, iters)},
+       |qq AS (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < $numQueries),
+       |cand AS (SELECT qq.query_id, v.vec_id FROM e v CROSS JOIN qq
+       |         WHERE v.vec_id <> qq.query_id),
+       |${adcQueryCtes(m, subDims, iters, numQueries, adcCand, topK, dims)}
+       |SELECT query_id, vec_id, adist, cos AS cosine, rank FROM pqtop""".stripMargin
+
+  /** Mirrors [[graft.operators.Pq.ivfPqTopK]]: the trained COSINE
+    * coarse quantizer ([[kmeansCentroidsCtes]], identical to
+    * `ann_ivf_trained`'s) prunes candidates to each query's
+    * `nprobe` cells, and the PQ chain ADC-ranks only those — the
+    * composed two-level replay. */
+  def ivfPqQuerySql(kCoarse: Int = 64, coarseIters: Int = 3,
+                    nprobe: Int = 4, m: Int = 8, subDims: Int = 8,
+                    ksub: Int = 16, iters: Int = 2, numQueries: Int = 5,
+                    adcCand: Int = 64, topK: Int = 3,
+                    dims: Int = 64): String =
+    s"""WITH ${kmeansCentroidsCtes(kCoarse, coarseIters, dims)},
+       |${trainedAssignmentCtes(coarseIters, dims)},
+       |${pqCtes(m, subDims, ksub, iters, withE = false)},
+       |qp AS (SELECT vec_id AS query_id, cell
+       |       FROM scored WHERE vec_id < $numQueries AND rn <= $nprobe),
+       |cand AS (SELECT qp.query_id, a.vec_id FROM fasg a
+       |         JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.query_id),
+       |${adcQueryCtes(m, subDims, iters, numQueries, adcCand, topK, dims)}
+       |SELECT query_id, vec_id, adist, cos AS cosine, rank FROM pqtop""".stripMargin
+
   /** Mirrors [[graft.operators.Corpus.bpeTrain]] round for round:
     * each round's winner (max count, lexicographic ties) is DERIVED
     * from the data like the k-means oracle's centroids, and the merge

@@ -1645,6 +1645,40 @@ object SparkEntry {
         Ann.ivfTopKTrained(Tables.embeddings(s, d), deterministic = true),
       Some(OracleSql.kmeansQuerySql())),
 
+    ("pq_codes",
+      // product quantization (Jégou et al. 2011): m=8 subspaces × 8
+      // dims, each with a 16-cell L2 codebook trained by 2 replayed
+      // Lloyd rounds — a vector becomes 8 small ints. FULL oracle:
+      // the same three conventions as ann_ivf_trained (exact
+      // float→double, left-to-right folds, ascending-vec_id
+      // re-center) with cosine-argmax swapped for L2-argmin, so
+      // DuckDB replays training AND encoding bit-for-bit
+      (s: SparkSession, d: String) =>
+        Pq.pqCodes(Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.pqCodesSql())),
+
+    ("ann_pq",
+      // the ADC scan over pq_codes' codes: each query precomputes
+      // its m × ksub subspace-distance table ONCE, every candidate
+      // costs m array lookups (no per-candidate float math), and
+      // only the top-64 ADC survivors touch full vectors for the
+      // exact-cosine re-rank. At 100 TB the codes (8 B/vector) fit
+      // in cluster memory where the raw vectors (256 B) cannot
+      (s: SparkSession, d: String) =>
+        Pq.pqTopK(Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.pqQuerySql())),
+
+    ("ann_ivf_pq",
+      // the composed two-level index: ann_ivf_trained's cosine
+      // coarse quantizer prunes to nprobe=4 of 64 cells, ann_pq's
+      // codes ADC-rank the survivors (codes on raw vectors — the
+      // FAISS IndexIVFPQ by_residual=false layout), exact re-rank
+      // last — the standard billion-scale serving shape, replayed
+      // end-to-end by composing the two proven oracle chains
+      (s: SparkSession, d: String) =>
+        Pq.ivfPqTopK(Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.ivfPqQuerySql())),
+
     ("token_count",
       (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
       // whitespace spelled as the explicit class (TextOps.Ws): RE2's

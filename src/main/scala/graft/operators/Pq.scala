@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the embedding column — the ANN
+  * memory path the flat indexes cannot offer at corpus scale
+  * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  * Search"; the reference engine ships no ANN at all — see
+  * SURVEY.md §2 #30-32 for the similarity-search family this
+  * extends).
+  *
+  * The embedding is split into `m` contiguous subspaces of
+  * `subDims` dims; each subspace gets its own `ksub`-centroid
+  * L2 k-means codebook; a vector's code is its per-subspace
+  * argmin cell — `m` small ints instead of `dims` floats. At 100 TB
+  * that is the difference between an un-holdable corpus and an
+  * in-memory scan: 100 B vectors × 64 fp32 dims = 25.6 TB of raw
+  * vectors, but m=8 byte codes are 800 GB — a size a 1000-executor
+  * cluster holds in memory. Queries scan CODES, not vectors
+  * (asymmetric distance computation): each query precomputes an
+  * m × ksub table of subspace distances ONCE, then every candidate
+  * costs m array lookups — no per-candidate float math at all. Full
+  * vectors are touched only to re-rank the top-R ADC survivors.
+  *
+  * Every stage is engine-portable by the same conventions the
+  * trained-IVF family proved (Ann.kmeansCentroids): float→double
+  * widening, left-to-right sequential folds for every distance, and
+  * deterministic re-center means folding members in ascending
+  * `vec_id` — so DuckDB replays training, codes, ADC and re-rank
+  * bit-for-bit ([[graft.OracleSql.pqCodesSql]] /
+  * [[graft.OracleSql.pqQuerySql]]).
+  */
+object Pq {
+
+  /** Subspace `sub`'s slice of an embedding, widened to double —
+    * dims [sub*subDims, (sub+1)*subDims) 0-based. */
+  private[graft] def subvec(emb: Column, sub: Int, subDims: Int): Column =
+    Ann.asDouble(slice(emb, sub * subDims + 1, subDims))
+
+  /** Sequential-fold squared L2 distance between two equal-length
+    * double arrays: 0.0 + (a1-b1)² + (a2-b2)² + … left-to-right —
+    * the one fold convention every PQ oracle replays
+    * (`list_reduce(list_transform(range(…)))` on the DuckDB side). */
+  private[graft] def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Map-side nearest-codebook-cell assignment on SUBvectors: the
+    * one-row broadcast centroid array is scored per row with array
+    * HOFs — (d², cell) ascending, so ties go to the lower cell id —
+    * no shuffle on the corpus side (the Ann.nearestCells shape with
+    * cosine swapped for the PQ metric, L2). */
+  private def assignCell(s: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = transform(col("cents"), c =>
+      struct(l2sq(col("semb"), c.getField("cemb")).as("d2"),
+        c.getField("cell").as("cell")))
+    s.crossJoin(broadcast(cents))
+      .withColumn("cell", element_at(array_sort(scored), 1).getField("cell"))
+      .drop("cents")
+  }
+
+  /** One subspace's trained codebook, aggregated to ONE row
+    * `(sub, cents: array<struct<cell, cemb>>)`: seed = the `ksub`
+    * lowest vec_ids' subvectors (cell = vec_id, the
+    * Ann.ivfCentroids rule), then `iters` Lloyd assign/re-center
+    * rounds under squared L2.
+    *
+    * Scale shape per round: assignment is the map-side broadcast
+    * argmin above (no shuffle); re-centering explodes to
+    * (cell, dim) partial sums — `deterministic = false`
+    * (production) keeps them map-side COMBINABLE so the shuffle
+    * carries ksub × subDims rows, not the corpus;
+    * `deterministic = true` (the oracle-checked registry path)
+    * folds each (cell, dim)'s members in ascending vec_id order —
+    * the byte-reproducibility trade, same as
+    * [[Ann.kmeansCentroids]]. Empty cells keep their previous
+    * centroid. The codebook is ksub × subDims doubles — a constant
+    * broadcast at any corpus size. */
+  private[graft] def codebook(e: DataFrame, sub: Int, subDims: Int,
+                              ksub: Int, iters: Int,
+                              deterministic: Boolean): DataFrame = {
+    require(iters >= 0 && ksub > 0)
+    val s = e.select(col("vec_id"), subvec(col("emb"), sub, subDims).as("semb"))
+    var cents = s.filter(col("vec_id") < ksub)
+      .agg(collect_list(struct(col("vec_id").as("cell"),
+        col("semb").as("cemb"))).as("cents"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val sums = assignCell(s, cents)
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("semb")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+      val means = (if (deterministic)
+        sums.agg(aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          lit(0.0), (acc, p) => acc + p.getField("x")).as("sx"),
+          count(lit(1)).as("c"))
+      else
+        sums.agg(sum(col("x")).as("sx"), count(lit(1)).as("c")))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("sx") / col("c")).as("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cemb"))
+      val prev = cents.select(explode(col("cents")).as("p"))
+        .select(col("p.cell").as("cell"), col("p.cemb").as("pemb"))
+      cents = prev.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cemb"), col("pemb")).as("cemb"))
+        .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+        .localCheckpoint()
+      it += 1
+    }
+    cents.select(lit(sub).as("sub"), col("cents"))
+  }
+
+  /** All `m` codebooks: `(sub, cents)`, one row per subspace —
+    * m × ksub × subDims doubles total, broadcast-sized forever. */
+  private[graft] def trainCodebooks(e: DataFrame, m: Int, subDims: Int,
+                                    ksub: Int, iters: Int,
+                                    deterministic: Boolean): DataFrame =
+    (0 until m).map(j => codebook(e, j, subDims, ksub, iters, deterministic))
+      .reduce(_.unionAll(_))
+
+  private def embCol(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").as("emb"))
+
+  /** PQ encoding of the corpus: one row per (vec_id, sub) with that
+    * subspace's nearest trained cell — the relational form of the
+    * m-byte code. `m` map-side broadcast argmins over the corpus,
+    * zero corpus shuffles. */
+  def pqCodes(embeddings: DataFrame, m: Int = 8, subDims: Int = 8,
+              ksub: Int = 16, iters: Int = 2,
+              deterministic: Boolean = false): DataFrame = {
+    val e = embCol(embeddings)
+    val cb = trainCodebooks(e, m, subDims, ksub, iters, deterministic)
+    (0 until m).map { j =>
+      val s = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
+      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
+        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Codes rolled up to one array per vector, ordered by subspace —
+    * the scan-side layout ADC consumes. */
+  private def codesArr(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+
+  /** The m × ksub per-query ADC distance table: one row per query,
+    * `dtab[j][cell+1]` = ‖q_j − c_{j,cell}‖². Codebook cells are
+    * always 0..ksub-1 (seed rule + empty-cell keep), so sorting a
+    * codebook by cell makes the array index the cell id. */
+  private def queryTables(q: DataFrame, cb: DataFrame, subDims: Int): DataFrame = {
+    val cbRow = cb.agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+      p => p.getField("cents")).as("subcents"))
+    q.crossJoin(broadcast(cbRow))
+      .withColumn("dtab", transform(col("subcents"), (cents, j) =>
+        transform(array_sort(cents), c =>
+          l2sq(Ann.asDouble(slice(col("qemb"), j * subDims + 1, lit(subDims))),
+            c.getField("cemb")))))
+      .drop("subcents")
+  }
+
+  /** ADC approximate distance of one coded row against a query's
+    * table: m lookups folded in subspace order — per-row, fixed
+    * order, so bit-stable under ANY partitioning. */
+  private def adcDist: Column =
+    aggregate(zip_with(col("dtab"), col("codes"),
+      (t, c) => element_at(t, (c + 1).cast("int"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ top-k: train codebooks, encode the corpus, ADC-scan the
+    * codes for each query's `adcCand` best candidates, then re-rank
+    * those few by EXACT cosine on the full vectors. The corpus-wide
+    * work touches only codes (memory-resident at any scale); full
+    * vectors are read for queries × adcCand rows. Output one row per
+    * (query, rank ≤ k): approximate distance, exact cosine, rank. */
+  def pqTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
+             m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+             iters: Int = 2, adcCand: Int = 64,
+             deterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embCol(embeddings)
+    val cb = trainCodebooks(e, m, subDims, ksub, iters, deterministic)
+    val codes = (0 until m).map { j =>
+      val s = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
+      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
+        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
+    }.reduce(_.unionAll(_))
+    val q = queryTables(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
+      cb, subDims)
+    val adc = codesArr(codes)
+      .crossJoin(broadcast(q.select(col("query_id"), col("dtab"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adcDist)
+      .withColumn("arn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("arn") <= adcCand)
+      .select(col("query_id"), col("vec_id"), col("adist"))
+    rerank(adc, e, q.select(col("query_id"), col("qemb")), k)
+  }
+
+  /** Exact-cosine re-rank of ADC survivors: only queries × adcCand
+    * full vectors are fetched — at scale a join against the vector
+    * store keyed on vec_id, never a corpus scan. */
+  private def rerank(adc: DataFrame, e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    adc.join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", Ann.dot(col("qemb"), col("emb")) /
+        (Ann.norm(col("qemb")) * Ann.norm(col("emb"))))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adist"),
+        col("cos").as("cosine"), col("rank"))
+  }
+
+  /** IVF-PQ: the trained coarse quantizer ([[Ann.kmeansCentroids]],
+    * cosine cells — identical to `ann_ivf_trained`'s) prunes the
+    * corpus to `nprobe` cells per query, and PQ codes ADC-rank the
+    * survivors (codes on the RAW vectors — FAISS's
+    * `IndexIVFPQ(by_residual=false)` layout; residual encoding
+    * would buy finer codes at the cost of cell-coupled codebooks).
+    * The two prune levels compose: cells cut the candidate set to
+    * ~nprobe/k_coarse of the corpus, codes make scanning those
+    * candidates m lookups each, and full vectors surface only for
+    * the top-`adcCand` re-rank — the standard billion-scale ANN
+    * serving shape. */
+  def ivfPqTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
+                numCentroids: Int = 64, nprobe: Int = 4, trainIters: Int = 3,
+                m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+                iters: Int = 2, adcCand: Int = 64,
+                deterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embCol(embeddings).withColumn("nrm", Ann.norm(col("emb")))
+    val coarse = Ann.kmeansCentroids(e, numCentroids, trainIters, deterministic)
+    val cells = Ann.nearestCells(e, coarse, "emb", "nrm", keep = 1)
+      .select(col("vec_id"), col("cell"))
+    val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
+      m, subDims, ksub, iters, deterministic)
+    val codes = (0 until m).map { j =>
+      val s = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
+      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
+        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
+    }.reduce(_.unionAll(_))
+    val qRows = Ann.nearestCells(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+          col("nrm").as("qnrm")),
+      coarse, "qemb", "qnrm", keep = nprobe)
+    val qTabs = queryTables(
+      qRows.select(col("query_id"), col("qemb")).dropDuplicates("query_id"),
+      cb, subDims)
+    val adc = codesArr(codes)
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(qRows.select(col("query_id"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qTabs.select(col("query_id"), col("dtab"))), Seq("query_id"))
+      .withColumn("adist", adcDist)
+      .withColumn("arn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("arn") <= adcCand)
+      .select(col("query_id"), col("vec_id"), col("adist"))
+    rerank(adc, e.select(col("vec_id"), col("emb")),
+      qTabs.select(col("query_id"), col("qemb")), k)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{Ann, Pq}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (SURVEY §2, ANN family: `pq_codes`,
+  * `ann_pq`, `ann_ivf_pq`). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 deterministic 8-dim vectors in two tight clusters: even ids
+    * hug e1-ish directions, odd ids e2-ish — small jitter keeps every
+    * vector distinct while the cluster structure stays unambiguous. */
+  private def clustered(n: Int = 40): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+      else Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+      val jit = (0 until 8).map(j => base(j) + 0.01f * ((i * 8 + j) % 7))
+      (i.toLong, jit, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+
+  test("l2sq folds dims left-to-right: 0 for identical, exact for a unit offset") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(2.0, 2.0, 3.0)))
+      .toDF("a", "b", "c")
+    val (same, off) = df.select(
+      Pq.l2sq(col("a"), col("b")), Pq.l2sq(col("a"), col("c")))
+      .as[(Double, Double)].head()
+    assert(same === 0.0)
+    assert(off === 1.0)
+  }
+
+  test("pqCodes: one code per (vector, subspace), codes within [0, ksub)") {
+    val codes = Pq.pqCodes(clustered(), m = 2, subDims = 4, ksub = 4,
+      iters = 2, deterministic = true)
+    val rows = codes.as[(Long, Int, Long)].collect()
+    assert(rows.length === 40 * 2)
+    assert(rows.map(r => (r._1, r._2)).distinct.length === 80)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 4))
+  }
+
+  test("pqCodes groups the two planted clusters: same-parity rows share codes") {
+    // After training, every even vector should land on one code word
+    // per subspace and every odd vector on another — PQ's whole point.
+    // ksub = 2 so the seed (vecs 0 and 1) plants one centroid per
+    // cluster — with more seeds a cluster legitimately spans several
+    // code words and the one-word assertion would be vacuous.
+    val codes = Pq.pqCodes(clustered(), m = 2, subDims = 4, ksub = 2,
+      iters = 2, deterministic = true)
+      .withColumn("parity", (col("vec_id") % 2).cast("int"))
+    val perParity = codes.groupBy(col("parity"), col("sub"))
+      .agg(countDistinct(col("code")).as("n")).as[(Int, Int, Long)].collect()
+    assert(perParity.forall(_._3 === 1L),
+      s"each (parity, sub) should map to exactly one code word: ${perParity.toSeq}")
+    val cross = codes.filter(col("sub") === 0)
+      .groupBy(col("parity")).agg(first(col("code")).as("c"))
+      .as[(Int, Long)].collect().toMap
+    assert(cross(0) !== cross(1), "clusters must get distinct code words")
+  }
+
+  test("deterministic and combinable training agree on the top-k (same data, both modes)") {
+    val det = Pq.pqTopK(clustered(), numQueries = 3, k = 3, m = 2,
+      subDims = 4, ksub = 4, iters = 2, adcCand = 8, deterministic = true)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val comb = Pq.pqTopK(clustered(), numQueries = 3, k = 3, m = 2,
+      subDims = 4, ksub = 4, iters = 2, adcCand = 8, deterministic = false)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(det === comb)
+  }
+
+  test("pqTopK re-rank returns exact cosines: top hit for an even query is an even vector") {
+    val out = Pq.pqTopK(clustered(), numQueries = 2, k = 3, m = 2,
+      subDims = 4, ksub = 4, iters = 2, adcCand = 8, deterministic = true)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.length === 6)
+    // query 0 is even-cluster: all its top-3 are even vectors with
+    // near-1 cosine; same for odd query 1 within its own cluster
+    out.foreach { case (q, v, cos, _) =>
+      assert(v % 2 === q % 2, s"query $q matched cross-cluster vector $v")
+      assert(cos > 0.99, s"in-cluster cosine unexpectedly low: $cos")
+      assert(v !== q, "self must be excluded")
+    }
+  }
+
+  test("ADC distance is the sum of per-subspace codebook distances (spot-check vs exact)") {
+    // With ksub large enough that every vector is its own centroid
+    // after 0 iters (n <= ksub), ADC degenerates to exact L2 between
+    // subvectors — adist must equal the true squared L2 distance.
+    val df = clustered(8)
+    val out = Pq.pqTopK(df, numQueries = 1, k = 3, m = 2, subDims = 4,
+      ksub = 8, iters = 0, adcCand = 7, deterministic = true)
+      .select("vec_id", "adist").as[(Long, Double)].collect().toMap
+    val e = df.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+    val exact = e.crossJoin(q).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Pq.l2sq(col("emb"), col("qemb")).as("d2"))
+      .as[(Long, Double)].collect().toMap
+    out.foreach { case (v, adist) =>
+      assert(math.abs(adist - exact(v)) < 1e-12,
+        s"vec $v: adist $adist != exact ${exact(v)}")
+    }
+  }
+
+  test("ivfPqTopK matches pqTopK's hit set when every cell is probed") {
+    // nprobe = numCentroids means coarse pruning removes nothing —
+    // the composed index must return the same (query, vec) hits.
+    val flat = Pq.pqTopK(clustered(), numQueries = 2, k = 3, m = 2,
+      subDims = 4, ksub = 4, iters = 2, adcCand = 40, deterministic = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Pq.ivfPqTopK(clustered(), numQueries = 2, k = 3,
+      numCentroids = 4, nprobe = 4, trainIters = 1, m = 2, subDims = 4,
+      ksub = 4, iters = 2, adcCand = 40, deterministic = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(flat === ivf)
+  }
+
+  test("pq recall on the gate corpus: ADC top-64 + re-rank recovers the exact top-3") {
+    // The parameters registered for ann_pq reach full recall on the
+    // sf0.001 embeddings — the same data-side contract ann_lsh_recall
+    // pins; a codes/ADC regression drops hits below exact_k.
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val recall = Ann.recallAtK(
+      Pq.pqTopK(embs, deterministic = true),
+      Ann.bruteForceTopK(embs))
+      .select("query_id", "exact_k", "hits").as[(Long, Long, Long)].collect()
+    assert(recall.length === 5)
+    val total = recall.map(_._2).sum
+    val hit = recall.map(_._3).sum
+    assert(hit >= (total * 2) / 3,
+      s"PQ recall collapsed: $hit of $total exact hits recovered")
+  }
+}
