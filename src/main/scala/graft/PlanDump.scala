@@ -92,7 +92,9 @@ object PlanDump {
       "q_market_share" -> "TPC-H Q8: share-within-group over the six-table snowflake — ONE conditional aggregate pass (no per-nation self-join), pushed date/type filters, constant dims broadcast, big dims left to AQE",
       "pq_codes" -> "PQ encoding: per-subspace broadcast-codebook L2 argmin, m map-only passes over the corpus — zero corpus shuffles; training shuffles carry ksub x subDims rows, not vectors",
       "ann_pq" -> "ADC scan: per-query m x ksub distance table broadcast onto the code scan, m array lookups per candidate, exact-cosine re-rank only for the top-64 survivors",
-      "ann_ivf_pq" -> "two-level serving shape: trained cosine cells prune to nprobe cells, ADC ranks in-cell codes, full vectors fetched for the re-rank only")
+      "ann_ivf_pq" -> "two-level serving shape: trained cosine cells prune to nprobe cells, ADC ranks in-cell codes, full vectors fetched for the re-rank only",
+      "entity_pagerank" -> "damped PageRank: corpus work ends at the per-doc mention aggregate; 5 sorted-fold rounds on gazetteer-bounded rows with per-round checkpoints",
+      "curriculum_assign" -> "curriculum buckets: md5 sample filter map-side, window only over the SAMPLE, bucket count against a (k-1)-row broadcast — no global sort")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

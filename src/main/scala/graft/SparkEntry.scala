@@ -34,6 +34,44 @@ object SparkEntry {
   private val enStopSql: String = Search.Analyzer.english.stopwords.toSeq.sorted
     .map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Mirrors [[graft.operators.Corpus.curriculumAssign]] (k=10,
+    * 1-hex-char sample): the quality-score chain (same expressions as
+    * the green `quality_score` oracle), the md5 sample, boundary
+    * ranks ceil(i·S/10) off the sorted sample, and the broadcast-side
+    * bucket count with (score, doc_id) lexicographic ties. LEFT JOIN
+    * ON TRUE so an empty boundary set degrades to bucket 0 exactly
+    * like the Scala side. Ends at `casg(doc_id, quality_score,
+    * bucket)` — shared by `curriculum_assign` and `curriculum_stats`. */
+  private val curriculumCtes: String =
+    """cparts AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+      |    LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, length_score * 0.4 + unique_ratio * 0.3
+      |    + (1.0 - stopword_ratio) * 0.3 AS quality_score
+      |  FROM cparts),
+      |sm AS (SELECT doc_id, quality_score FROM sc
+      |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1'),
+      |rk AS (SELECT doc_id, quality_score,
+      |         ROW_NUMBER() OVER (ORDER BY quality_score, doc_id) AS rn FROM sm),
+      |ss AS (SELECT COUNT(*) AS s FROM sm),
+      |ccuts AS (SELECT DISTINCT (i * ss.s + 9) // 10 AS rn
+      |          FROM ss, UNNEST(range(1, 10)) AS t(i)),
+      |cbounds AS (SELECT quality_score AS bs, doc_id AS bid
+      |            FROM rk JOIN ccuts USING (rn)),
+      |casg AS (
+      |  SELECT sc.doc_id, sc.quality_score,
+      |    CAST(SUM(CASE WHEN sc.quality_score > b.bs
+      |               OR (sc.quality_score = b.bs AND sc.doc_id > b.bid)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM sc LEFT JOIN cbounds b ON TRUE
+      |  GROUP BY 1, 2)""".stripMargin
+
   private[graft] val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- Medallion ETL core (SURVEY §2 #1-5) ----
@@ -960,6 +998,27 @@ object SparkEntry {
 
     // ---- Corpus-construction ops (round 8): rebalancing sample,
     // per-group exemplars, corpus n-gram stats, length shape ----
+    ("curriculum_assign",
+      // quantile curriculum buckets WITHOUT a global sort: Spark's
+      // own RangePartitioner trick made deterministic — md5-chosen
+      // 1/16 sample, boundaries read off the sorted SAMPLE at type-1
+      // quantile ranks, map-side bucket = count of boundaries
+      // beneath (score, doc_id); ties lexicographic so assignment
+      // is a pure row function
+      (s: SparkSession, d: String) => Corpus.curriculumAssign(docs(s, d)),
+      Some(s"""WITH $curriculumCtes
+              |SELECT doc_id, quality_score, bucket FROM casg""".stripMargin)),
+
+    ("curriculum_stats",
+      // the monotone-buckets report: k rows, sizes near N/k and
+      // non-overlapping score ranges up to boundary ties
+      (s: SparkSession, d: String) => Corpus.curriculumStats(docs(s, d)),
+      Some(s"""WITH $curriculumCtes
+              |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS docs,
+              |  MIN(quality_score) AS min_score,
+              |  MAX(quality_score) AS max_score
+              |FROM casg GROUP BY bucket""".stripMargin)),
+
     ("stratified_sample",
       // rebalance a language-skewed corpus: keep 10% of en (410/4096),
       // 25% of everything else — deterministic per (stratum, key)
@@ -1222,6 +1281,37 @@ object SparkEntry {
               |         FROM adj JOIN deg d2 ON adj.v = d2.u GROUP BY 1)
               |SELECT deg.u AS entity, degree, centrality
               |FROM deg JOIN cent ON deg.u = cent.u""".stripMargin)),
+
+    ("entity_pagerank",
+      // the damped double-precision ranking entity_centrality's
+      // integer iterates deliberately avoided: the sorted-fold
+      // convention (each node's in-contributions folded in ascending
+      // neighbor order) makes the double iteration bit-replayable,
+      // so DuckDB reruns all 5 damped rounds exactly — constants
+      // spelled CAST(… AS DOUBLE) to dodge DuckDB's DECIMAL literals
+      (s: SparkSession, d: String) => Ner.entityPagerank(s, docs(s, d)),
+      Some {
+        val rounds = (0 until 5).map { i =>
+          s"""c$i AS (SELECT a.v, a.u, r.pr * a.w / o.outw AS contrib
+             |  FROM adj a JOIN pr$i r ON a.u = r.u JOIN outw o ON a.u = o.u),
+             |pr${i + 1} AS (SELECT c.v AS u,
+             |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             |      + CAST(0.85 AS DOUBLE) * list_reduce(list(contrib ORDER BY c.u), (x, y) -> x + y) AS pr
+             |  FROM c$i c, nn GROUP BY c.v, nn.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $nerCtes,
+           |e AS (SELECT DISTINCT doc_id, entity_text AS word FROM ents),
+           |p AS (SELECT a.word AS e1, b.word AS e2, COUNT(*) AS w
+           |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.word < b.word
+           |      GROUP BY 1, 2),
+           |adj AS (SELECT e1 AS u, e2 AS v, w FROM p
+           |        UNION ALL SELECT e2, e1, w FROM p),
+           |outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS outw FROM adj GROUP BY 1),
+           |nn AS (SELECT COUNT(*) AS n FROM outw),
+           |pr0 AS (SELECT u, CAST(1 AS DOUBLE) / nn.n AS pr FROM outw, nn),
+           |$rounds
+           |SELECT u AS entity, pr AS pagerank FROM pr5""".stripMargin
+      }),
 
     ("entity_overview",
       (s: SparkSession, d: String) => Ner.entityOverview(s, docs(s, d)),

@@ -815,4 +815,60 @@ object Corpus {
       .withColumn("favored_rate",
         col("favored_tokens").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Curriculum bucket assignment — order the corpus for training by
+    * quality WITHOUT a global sort. A curriculum wants quantile
+    * buckets of a per-doc score (train easy→hard, or highest-quality
+    * epochs first), but exact quantiles of a continuous score need a
+    * global order and `ntile()` with no partition key funnels the
+    * corpus through ONE task. This uses Spark's own RangePartitioner
+    * trick, made deterministic: take an md5-chosen sample (one hex
+    * char = 1/16 of docs — at any corpus size a rate can make the
+    * sample boundary-box small), sort ONLY the sample, read the k-1
+    * boundary rows off it, broadcast them, and assign every doc its
+    * bucket with a map-side count of boundaries beneath it. Ties
+    * break on (score, doc_id) lexicographically, so assignment is a
+    * pure function of the row — re-runs and repartitioning never
+    * move a doc across buckets (sample quantiles approximate the
+    * true ones; boundaries are EXACT functions of the sample).
+    *
+    * Scale shape: two map-side passes over the scores (the sample
+    * filter, the bucket count against a (k-1)-row broadcast) plus
+    * one window over the sample — the only non-broadcast-scale
+    * intermediate is the sample itself, sized by `sampleHexLt`. */
+  def curriculumAssign(documents: DataFrame, k: Int = 10,
+                       sampleHexLt: String = "1"): DataFrame = {
+    val scores = TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val sample = scores.filter(
+      substring(md5(col("doc_id").cast("string")), 1, sampleHexLt.length) < sampleHexLt)
+    val ranked = sample.withColumn("rn",
+      row_number().over(Window.orderBy(col("quality_score"), col("doc_id"))))
+    val s = sample.count()
+    // boundary i sits at rank ceil(i*S/k): the type-1 sample quantile
+    val cuts = (1 until k).map(i => (i.toLong * s + k - 1) / k).distinct
+    val bounds = ranked.filter(col("rn").isin(cuts: _*))
+      .select(col("quality_score").as("bs"), col("doc_id").as("bid"))
+    // left join on TRUE (not crossJoin): an empty boundary set —
+    // the sample missed every doc — degrades to one bucket 0, not
+    // to an empty result
+    scores.join(broadcast(bounds), lit(true), "left")
+      .groupBy(col("doc_id"), col("quality_score"))
+      .agg(sum(when(col("quality_score") > col("bs") ||
+        (col("quality_score") === col("bs") && col("doc_id") > col("bid")),
+        1L).otherwise(0L)).as("bucket"))
+      .select(col("doc_id"), col("quality_score"), col("bucket"))
+  }
+
+  /** Per-bucket curriculum report: sizes and score ranges — the view
+    * that shows the buckets are monotone in score and near-uniform in
+    * population (the sample-quantile guarantee). Broadcast-scale:
+    * k rows out of one combinable aggregate. */
+  def curriculumStats(documents: DataFrame, k: Int = 10,
+                      sampleHexLt: String = "1"): DataFrame =
+    curriculumAssign(documents, k, sampleHexLt)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
 }

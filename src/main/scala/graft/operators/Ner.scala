@@ -248,6 +248,24 @@ object Ner {
     * (|V| × N × (|V| × N)) far inside BIGINT for any realistic
     * gazetteer. */
   def entityCentrality(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val adj = cooccurrenceAdj(spark, documents)
+    val deg = adj.groupBy(col("u")).agg(sum(col("w")).as("degree"))
+    val cent = adj
+      .join(broadcast(deg.select(col("u").as("v"), col("degree").as("dv"))), "v")
+      .groupBy(col("u"))
+      .agg(sum(col("w") * col("dv")).as("centrality"))
+    deg.join(cent, "u")
+      .select(col("u").as("entity"), col("degree"), col("centrality"))
+  }
+
+  /** The symmetric weighted entity co-occurrence graph `(u, v, w)`:
+    * per-doc DISTINCT mentions paired within the doc (sorted-array
+    * slice pairing — no self-join on the corpus), weights = number of
+    * docs where the two entities co-occur, both edge directions
+    * materialized. Gazetteer-bounded: at most |dict|² edges no matter
+    * the corpus size — the shared base of [[entityCentrality]] and
+    * [[entityPagerank]]. */
+  private def cooccurrenceAdj(spark: SparkSession, documents: DataFrame): DataFrame = {
     val ents = mentions(spark, documents)
       .select(col("doc_id"), col("word")).distinct()
     val pairs = ents
@@ -259,14 +277,51 @@ object Ner {
           b => struct(a.as("e1"), b.as("e2")))))).as("p"))
       .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
       .agg(count(lit(1)).as("w"))
-    val adj = pairs.select(col("e1").as("u"), col("e2").as("v"), col("w"))
+    pairs.select(col("e1").as("u"), col("e2").as("v"), col("w"))
       .union(pairs.select(col("e2").as("u"), col("e1").as("v"), col("w")))
-    val deg = adj.groupBy(col("u")).agg(sum(col("w")).as("degree"))
-    val cent = adj
-      .join(broadcast(deg.select(col("u").as("v"), col("degree").as("dv"))), "v")
-      .groupBy(col("u"))
-      .agg(sum(col("w") * col("dv")).as("centrality"))
-    deg.join(cent, "u")
-      .select(col("u").as("entity"), col("degree"), col("centrality"))
+  }
+
+  /** Damped weighted PageRank over the entity co-occurrence graph —
+    * the double-precision ranking [[entityCentrality]]'s docstring
+    * historically ruled out: a distributed double sum is
+    * partitioning-dependent, but the deterministic sorted-fold
+    * convention proven by the trained-quantizer family (fold each
+    * node's in-contributions in ascending neighbor order) makes the
+    * damped iteration bit-replayable on any engine, so the full
+    * PageRank semantics — damping, weight normalization, convergent
+    * mass — come back on the menu.
+    *
+    * Fixed `iters` rounds (reproducibility over epsilon-convergence,
+    * the [[Ann.kmeansCentroids]] rule) of
+    * `pr' = (1-d)/N + d · Σ_in pr(v) · w / outw(v)`. The graph is
+    * symmetric so every node has out-edges — no dangling-mass term.
+    *
+    * Scale shape: corpus-sized work ends at the per-doc mention
+    * aggregate inside [[cooccurrenceAdj]]; the rank table and every
+    * per-round join/aggregate live on gazetteer-bounded rows
+    * (broadcast scale), with `localCheckpoint` cutting per-round
+    * lineage exactly like the CC fixpoint. */
+  def entityPagerank(spark: SparkSession, documents: DataFrame,
+                     iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0)
+    val adj = cooccurrenceAdj(spark, documents)
+    val outw = adj.groupBy(col("u")).agg(sum(col("w")).as("outw"))
+    val n = outw.count()
+    var pr = outw.select(col("u"), lit(1.0 / n).as("pr")).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contribs = adj
+        .join(pr, Seq("u"))
+        .join(outw, Seq("u"))
+        .select(col("v"), col("u"), (col("pr") * col("w") / col("outw")).as("contrib"))
+      pr = contribs.groupBy(col("v"))
+        .agg(aggregate(array_sort(collect_list(struct(col("u"), col("contrib")))),
+          lit(0.0), (acc, s) => acc + s.getField("contrib")).as("s"))
+        .select(col("v").as("u"),
+          (lit((1 - damping) / n) + lit(damping) * col("s")).as("pr"))
+        .localCheckpoint()
+      it += 1
+    }
+    pr.select(col("u").as("entity"), col("pr").as("pagerank"))
   }
 }

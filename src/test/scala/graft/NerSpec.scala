@@ -87,4 +87,35 @@ class NerSpec extends SparkSpec {
     assert(out === Set(
       ("spark", 3L, 5L), ("customer", 2L, 6L), ("query", 1L, 3L)))
   }
+
+  private val prDocs = docs(
+    (1L, "spark customer"), (2L, "customer spark"), (3L, "spark query"),
+    (4L, "query window"), (5L, "spark window"))
+
+  test("entityPagerank: iters=0 is uniform 1/N over the graph's nodes") {
+    val out = Ner.entityPagerank(spark, prDocs, iters = 0)
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet === Set("spark", "customer", "query", "window"))
+    out.values.foreach(v => assert(v === 0.25))
+  }
+
+  test("entityPagerank conserves mass and ranks the hub first") {
+    val out = Ner.entityPagerank(spark, prDocs)
+      .as[(String, Double)].collect().toMap
+    // symmetric graph, no dangling nodes: total rank mass stays 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // spark co-occurs with everyone — it must outrank every other node
+    val top = out.maxBy(_._2)._1
+    assert(top === "spark", s"expected hub 'spark' first, got $out")
+    out.values.foreach(v => assert(v > 0.0))
+  }
+
+  test("entityPagerank is bit-deterministic under repartitioning") {
+    val a = Ner.entityPagerank(spark, prDocs)
+      .as[(String, Double)].collect().toMap
+    val b = Ner.entityPagerank(spark, prDocs.repartition(7))
+      .as[(String, Double)].collect().toMap
+    // exact double equality — the sorted-fold convention's contract
+    assert(a === b)
+  }
 }
