@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CdcChunks, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BoundedCollect, CdcChunks, FreqItemsAgg, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -150,6 +150,13 @@ object GraftExtensions {
         case Seq(text, Literal(cut: Int, _)) => CdcChunks(text, cut)
         case Seq(_, other) => notLiteral("graft_cdc_chunks", "cutByte", other)
         case other => badSignature("graft_cdc_chunks", "(text, cutByte: int literal)", other)
+      }),
+    ("graft_freq_items",
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "graft_freq_items"),
+      (args: Seq[Expression]) => args match {
+        case Seq(term, Literal(k: Int, _)) => FreqItemsAgg(term, k).toAggregateExpression()
+        case Seq(_, other) => notLiteral("graft_freq_items", "k", other)
+        case other => badSignature("graft_freq_items", "(term: string, k: int literal)", other)
       }),
     ("graft_bounded_collect",
       new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),

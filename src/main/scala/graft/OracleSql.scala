@@ -587,6 +587,38 @@ object OracleSql {
        |${adcQueryCtes(m, subDims, iters, numQueries, adcCand, topK, dims)}
        |SELECT query_id, vec_id, adist, cos AS cosine, rank FROM pqtop""".stripMargin
 
+  /** Mirrors `Ann.recallAtK(Pq.pqTopK, Ann.bruteForceTopK)` as a
+    * FULL replay — unlike `ann_lsh_recall`, PQ at the registered
+    * parameters does NOT reach full recall (quantization loses real
+    * neighbors), so the oracle cannot pin `hits = exact_k` from the
+    * data side; instead BOTH chains are replayed (the proven pq CTEs
+    * plus the brute-force ranking over the `nv` norms relation the
+    * ADC chain already builds) and the recall integers are computed
+    * the same way on each engine. */
+  def pqRecallSql(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+                  iters: Int = 2, numQueries: Int = 5, adcCand: Int = 64,
+                  topK: Int = 3, dims: Int = 64): String = {
+    val dot = dotExpr(dims) _
+    s"""WITH ${pqCtes(m, subDims, ksub, iters)},
+       |qq AS (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < $numQueries),
+       |cand AS (SELECT qq.query_id, v.vec_id FROM e v CROSS JOIN qq
+       |         WHERE v.vec_id <> qq.query_id),
+       |${adcQueryCtes(m, subDims, iters, numQueries, adcCand, topK, dims)},
+       |ex AS (SELECT q.vec_id AS query_id, v.vec_id,
+       |    ${dot("q.emb", "v.emb")} / (q.nrm * v.nrm) AS cos
+       |  FROM nv v CROSS JOIN nv q
+       |  WHERE q.vec_id < $numQueries AND v.vec_id <> q.vec_id),
+       |exr AS (SELECT query_id, vec_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM ex),
+       |extop AS (SELECT query_id, vec_id, cos FROM exr WHERE rank <= $topK)
+       |SELECT x.query_id, CAST(COUNT(*) AS BIGINT) AS exact_k,
+       |  CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  MIN(x.cos) AS kth_cosine
+       |FROM extop x LEFT JOIN pqtop p
+       |  ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+       |GROUP BY x.query_id""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.Pq.ivfPqTopK]]: the trained COSINE
     * coarse quantizer ([[kmeansCentroidsCtes]], identical to
     * `ann_ivf_trained`'s) prunes candidates to each query's

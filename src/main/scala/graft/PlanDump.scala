@@ -94,7 +94,8 @@ object PlanDump {
       "ann_pq" -> "ADC scan: per-query m x ksub distance table broadcast onto the code scan, m array lookups per candidate, exact-cosine re-rank only for the top-64 survivors",
       "ann_ivf_pq" -> "two-level serving shape: trained cosine cells prune to nprobe cells, ADC ranks in-cell codes, full vectors fetched for the re-rank only",
       "entity_pagerank" -> "damped PageRank: corpus work ends at the per-doc mention aggregate; 5 sorted-fold rounds on gazetteer-bounded rows with per-round checkpoints",
-      "curriculum_assign" -> "curriculum buckets: md5 sample filter map-side, window only over the SAMPLE, bucket count against a (k-1)-row broadcast — no global sort")
+      "curriculum_assign" -> "curriculum buckets: md5 sample filter map-side, window only over the SAMPLE, bucket count against a (k-1)-row broadcast — no global sort",
+      "heavy_hitters_audit" -> "MG contract row: the k-entry combinable sketch and the exact rollup in one audit join; production keeps only the sketch aggregate")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

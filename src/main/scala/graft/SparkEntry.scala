@@ -1103,6 +1103,26 @@ object SparkEntry {
              |  TRUE AS approx_ok
              |FROM cum GROUP BY source, n""".stripMargin)),
 
+    ("heavy_hitters_audit",
+      // the Misra-Gries contract as a gate row (sketch_distinct_audit
+      // pattern): exact side oracle-replayed, the sketch pinned by
+      // presence + error-bound + undercount booleans that hold for
+      // ANY update/merge order — the validation run that licenses the
+      // k-entry combinable aggregate on a vocabulary-scale stream
+      (s: SparkSession, d: String) => Corpus.heavyHittersAudit(docs(s, d)),
+      Some("""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             |            FROM documents),
+             |ex AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+             |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM ex GROUP BY 1),
+             |hv AS (SELECT ex.source, CAST(COUNT(*) AS BIGINT) AS heavy
+             |       FROM ex JOIN n USING (source)
+             |       WHERE c * 33 > n_tokens GROUP BY 1)
+             |SELECT n.source, n_tokens,
+             |  COALESCE(heavy, 0) AS heavy_terms,
+             |  COALESCE(heavy, 0) AS heavy_found,
+             |  TRUE AS bound_ok, TRUE AS underestimate_ok
+             |FROM n LEFT JOIN hv USING (source)""".stripMargin)),
+
     ("char_budget_sample",
       // per-source keep fraction = budget/total in 65536ths (exact DIV),
       // applied as the md5-prefix rule; under-budget sources keep all
@@ -1757,6 +1777,19 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         Pq.pqTopK(Tables.embeddings(s, d), deterministic = true),
       Some(OracleSql.pqQuerySql())),
+
+    ("ann_pq_recall",
+      // the PQ recall contract — unlike LSH, quantization genuinely
+      // loses neighbors at the registered parameters (hits < exact_k
+      // by design), so the oracle replays BOTH chains instead of
+      // pinning full recall; the row documents the ADC-budget-vs-
+      // recall knob the same way ann_lsh_recall documents L-vs-recall
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.recallAtK(Pq.pqTopK(emb, deterministic = true),
+          Ann.bruteForceTopK(emb))
+      },
+      Some(OracleSql.pqRecallSql())),
 
     ("ann_ivf_pq",
       // the composed two-level index: ann_ivf_trained's cosine

@@ -157,6 +157,48 @@ object Corpus {
         (abs(col("hll") - col("exact_terms")).cast("double")
           <= col("exact_terms").cast("double") * tol).as("hll_ok"))
 
+  /** Heavy-hitters audit — the [[sketchDistinctAudit]] pattern for
+    * the native Misra-Gries aggregate
+    * ([[graft.functions.FreqItemsAgg]]): per source, the exact token
+    * total and heavy-term count next to booleans asserting the
+    * sketch's error contract held — every term with true count
+    * > N/(k+1) is present (`heavy_found = heavy_terms`), its
+    * estimate is within N/(k+1) of exact (`bound_ok`, integer
+    * cross-multiplied), and NO estimate overcounts
+    * (`underestimate_ok`, MG only ever decrements). The raw counters
+    * are deliberately not emitted — sketch content is update/merge-
+    * order dependent (same rule as the GK audit); the contract
+    * booleans hold for ANY valid order, so the row is deterministic
+    * and the oracle pins them from the exact side.
+    *
+    * Scale shape: the sketch is ONE combinable aggregate whose
+    * state is k entries per group — the only heavy-hitter shape
+    * whose shuffle doesn't carry the vocabulary; the exact rollup
+    * exists only to audit at gate SF. */
+  def heavyHittersAudit(documents: DataFrame, k: Int = 32): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
+    val toks = documents.select(col("source"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val sk = toks.groupBy(col("source"))
+      .agg(call_function("graft_freq_items", col("term"), lit(k)).as("items"),
+        count(lit(1)).as("n_tokens"))
+    val est = sk.select(col("source"), explode(col("items")).as("it"))
+      .select(col("source"), col("it.term").as("term"), col("it.est").as("est"))
+    val exact = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("exact"))
+    val heavy = col("exact") * (k + 1) > col("n_tokens")
+    exact.join(est, Seq("source", "term"), "left")
+      .join(sk.select(col("source"), col("n_tokens")), Seq("source"))
+      .groupBy(col("source"), col("n_tokens"))
+      .agg(
+        sum(when(heavy, 1L).otherwise(0L)).as("heavy_terms"),
+        sum(when(heavy && col("est").isNotNull, 1L).otherwise(0L)).as("heavy_found"),
+        min(when(heavy,
+          (col("exact") - coalesce(col("est"), lit(0L))) * (k + 1) <= col("n_tokens"))
+          .otherwise(lit(true))).as("bound_ok"),
+        min(col("est").isNull || col("est") <= col("exact")).as("underestimate_ok"))
+  }
+
   /** Quantile sketch audit — [[sketchDistinctAudit]]'s twin for
     * `percentile_approx`: per source, exact type-1 p50/p90/p99 of
     * `n_chars` (integer cross-multiplication, oracle-replayable) next

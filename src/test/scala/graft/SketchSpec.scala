@@ -70,4 +70,46 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a - e) <= 1L, s"approx $a vs exact $e")
     }
   }
+
+  private def mgSketch(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    GraftExtensions.register(spark)
+    df.agg(call_function("graft_freq_items", col("term"), lit(k)).as("items"))
+      .select(explode(col("items")).as("it"))
+      .select(col("it.term"), col("it.est"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("graft_freq_items is exact while distinct terms fit the k counters") {
+    val df = Seq.fill(7)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")
+    val out = mgSketch(df.toDF("term"), k = 8)
+    assert(out === Map("a" -> 7L, "b" -> 4L, "c" -> 2L))
+  }
+
+  test("graft_freq_items honors the Misra-Gries bound on a skewed stream, any partitioning") {
+    // 1000 'hot' + 40 distinct cold singletons + 200 'warm': N=1240, k=4
+    // bound: exact - est <= N/(k+1) = 248; hot (1000 > 248) MUST appear
+    val terms = Seq.fill(1000)("hot") ++ (0 until 40).map(i => s"cold$i") ++
+      Seq.fill(200)("warm")
+    val exact = terms.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    for (parts <- Seq(1, 3, 13)) {
+      val out = mgSketch(terms.toDF("term").repartition(parts), k = 4)
+      assert(out.size <= 4)
+      assert(out.contains("hot"), s"heavy hitter lost at parts=$parts: $out")
+      out.foreach { case (t, est) =>
+        assert(est <= exact(t), s"$t overcounted: $est > ${exact(t)}")
+        assert(exact(t) - est <= 1240L / 5, s"$t error past the MG bound")
+      }
+    }
+  }
+
+  test("heavyHittersAudit passes its contract on real data") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Corpus.heavyHittersAudit(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("heavy_found") === r.getAs[Long]("heavy_terms"),
+        s"guaranteed-present heavy term missing from the sketch: $r")
+      assert(r.getAs[Boolean]("bound_ok") && r.getAs[Boolean]("underestimate_ok"), s"$r")
+    }
+  }
 }
