@@ -38,6 +38,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * and drop the non-positive (the mergeable-summaries reduction,
   * error bounds add).
   */
+/** The Misra-Gries update/reduce core, shared by the batch aggregate
+  * below and the streaming face
+  * ([[graft.streaming.Streams.heavyHittersStream]]) so the two can
+  * never disagree on the sketch semantics. */
+object MisraGries {
+
+  /** One observation: present → +1; room → insert 1; full →
+    * decrement every counter, dropping zeros. */
+  def update(buffer: mutable.HashMap[String, Long], term: String, k: Int): Unit =
+    buffer.get(term) match {
+      case Some(c) => buffer.update(term, c + 1)
+      case None if buffer.size < k => buffer.update(term, 1L)
+      case None =>
+        // snapshot the keys: mutating during keysIterator is unsafe
+        buffer.keys.toArray.foreach { t =>
+          val nc = buffer(t) - 1
+          if (nc == 0) buffer.remove(t) else buffer.update(t, nc)
+        }
+    }
+
+  /** Shrink an over-full merged buffer back to ≤ k entries: subtract
+    * the (k+1)-th largest count from everything (the
+    * mergeable-summaries reduction; error bounds add). */
+  def reduce(buffer: mutable.HashMap[String, Long], k: Int): Unit =
+    if (buffer.size > k) {
+      val sorted = buffer.values.toArray
+      scala.util.Sorting.quickSort(sorted)
+      val cut = sorted(sorted.length - 1 - k) // (k+1)-th largest
+      buffer.keys.toArray.foreach { t =>
+        val nc = buffer(t) - cut
+        if (nc <= 0) buffer.remove(t) else buffer.update(t, nc)
+      }
+    }
+}
+
 case class FreqItemsAgg(
     child: Expression,
     k: Int,
@@ -68,16 +103,7 @@ case class FreqItemsAgg(
     if (v != null) {
       // copy out of Spark's reused UTF8String buffer before keying
       val term = v.asInstanceOf[UTF8String].toString
-      buffer.get(term) match {
-        case Some(c) => buffer.update(term, c + 1)
-        case None if buffer.size < k => buffer.update(term, 1L)
-        case None => // full: decrement every counter, drop zeros
-          // snapshot the keys: mutating during keysIterator is unsafe
-          buffer.keys.toArray.foreach { t =>
-            val nc = buffer(t) - 1
-            if (nc == 0) buffer.remove(t) else buffer.update(t, nc)
-          }
-      }
+      MisraGries.update(buffer, term, k)
     }
     buffer
   }
@@ -87,17 +113,7 @@ case class FreqItemsAgg(
     other.foreach { case (t, c) =>
       buffer.update(t, buffer.getOrElse(t, 0L) + c)
     }
-    if (buffer.size > k) {
-      // subtract the (k+1)-th largest count from everything; at most
-      // k entries stay strictly positive
-      val sorted = buffer.values.toArray
-      scala.util.Sorting.quickSort(sorted)
-      val cut = sorted(sorted.length - 1 - k) // (k+1)-th largest
-      buffer.keys.toArray.foreach { t =>
-        val nc = buffer(t) - cut
-        if (nc <= 0) buffer.remove(t) else buffer.update(t, nc)
-      }
-    }
+    MisraGries.reduce(buffer, k)
     buffer
   }
 

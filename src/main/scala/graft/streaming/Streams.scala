@@ -253,6 +253,46 @@ object Streams {
       .as[SemanticHit]
   }
 
+  case class HeavyHitter(source: String, term: String, est: Long)
+
+  /** Continuous per-source heavy hitters — the streaming face of the
+    * batch Misra-Gries aggregate
+    * ([[graft.functions.FreqItemsAgg]] / `heavy_hitters_audit`):
+    * per-source state is the SAME k-counter sketch, updated through
+    * the SAME shared core ([[graft.functions.MisraGries]]) so stream
+    * and batch can never disagree on the semantics. Each trigger
+    * folds the micro-batch's tokens into the sketch and emits the
+    * current k rows per source — a live "what is flooding this feed"
+    * view at ingest (boilerplate bursts, crawler loops, spam
+    * campaigns) without waiting for the nightly token rollup.
+    *
+    * State is k entries per source FOREVER — no watermark, no
+    * timeout, no growth: the sketch is bounded by construction on an
+    * unbounded stream, which is the whole reason MG (and not an
+    * exact rollup) is the thing a 100 TB/day feed can keep per key.
+    * The MG guarantees survive batching (update order is arbitrary
+    * in the proof): every term above N/(k+1) of the tokens seen so
+    * far is in the emitted rows, estimates never overcount, and with
+    * ≤ k distinct terms the counts are EXACT running totals — the
+    * contracts the spec pins against the batch audit's booleans. */
+  def heavyHittersStream(rawDocuments: DataFrame, k: Int = 32): Dataset[HeavyHitter] = {
+    import rawDocuments.sparkSession.implicits._
+    rawDocuments
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (source: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) => {
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.foreach { case (t, c) => m.update(t, c) })
+          rows.foreach { case (_, t) => graft.functions.MisraGries.update(m, t, k) }
+          state.update(m.toMap)
+          m.toArray.sortBy { case (t, c) => (-c, t) }
+            .iterator.map { case (t, c) => HeavyHitter(source, t, c) }
+        })
+  }
+
   /** Micro-batch bronze ingest — the reference's consumer loop
     * (`pipeline/consumer_pipeline.py`) lands each poll as a PG upsert;
     * the file-native equivalent is append-only bronze plus exact dedup

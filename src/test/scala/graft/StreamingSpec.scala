@@ -390,4 +390,55 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "session_id", "events").as[(Long, Long, Long)].collect()
     assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("heavyHittersStream: exact running totals under k, MG contracts on a skewed feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("source", "text")
+    val q = Streams.heavyHittersStream(df, k = 4)
+      .writeStream.format("memory").queryName("hh_out").outputMode("append").start()
+    try {
+      // batch 1: three distinct terms (< k): counts must be exact
+      input.addData(("s1", "a a a b"), ("s1", "b c"))
+      q.processAllAvailable()
+      val snap1 = spark.sql(
+        "SELECT term, est FROM hh_out").as[(String, Long)].collect().toMap
+      assert(snap1 === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      // batch 2: more of the same terms — running totals accumulate
+      // across triggers exactly (still under k distinct)
+      input.addData(("s1", "a b b"))
+      q.processAllAvailable()
+      val latest = spark.sql(
+        """SELECT term, est FROM hh_out""").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+      assert(latest === Map("a" -> 4L, "b" -> 4L, "c" -> 1L))
+      // batch 3: a flood of distinct cold terms forces decrements; the
+      // hot term must survive (MG guarantee) and never overcount
+      input.addData(("s1", (1 to 30).map(i => s"z$i").mkString(" ")))
+      input.addData(("s1", "a a a a a a a a a a"))
+      q.processAllAvailable()
+      val last = spark.sql(
+        """SELECT term, est FROM hh_out""").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+      // N = 7 + 3 + 30 + 10 = 50, k=4 -> bound N/(k+1) = 10; true a = 14 > 10
+      assert(last.contains("a"), s"hot term lost: $last")
+      assert(last("a") <= 14L, s"overcounted: ${last("a")}")
+      assert(14L - last("a") <= 10L, s"past the MG bound: ${last("a")}")
+    } finally q.stop()
+  }
+
+  test("heavyHittersStream keys state per source: sketches never mix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("source", "text")
+    val q = Streams.heavyHittersStream(df, k = 4)
+      .writeStream.format("memory").queryName("hh_src_out").outputMode("append").start()
+    try {
+      input.addData(("s1", "x x"), ("s2", "y"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT source, term, est FROM hh_src_out")
+        .as[(String, String, Long)].collect().toSet
+      assert(out === Set(("s1", "x", 2L), ("s2", "y", 1L)))
+    } finally q.stop()
+  }
 }
