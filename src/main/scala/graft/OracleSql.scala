@@ -490,7 +490,8 @@ object OracleSql {
     * composes after [[kmeansCentroidsCtes]], which already defines
     * the shared double-widened `e`. */
   def pqCtes(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
-             iters: Int = 2, withE: Boolean = true): String = {
+             iters: Int = 2, withE: Boolean = true,
+             src: String = "e"): String = {
     val l2 = l2sqExpr(subDims) _
     val e = if (withE)
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),\n"
@@ -499,7 +500,7 @@ object OracleSql {
       val lo = j * subDims + 1
       val hi = (j + 1) * subDims
       val seed =
-        s"""s$j AS (SELECT vec_id, emb[$lo:$hi] AS semb FROM e),
+        s"""s$j AS (SELECT vec_id, emb[$lo:$hi] AS semb FROM $src),
            |p${j}c0 AS (SELECT vec_id AS cell, semb AS cemb FROM s$j WHERE vec_id < $ksub)""".stripMargin
       val rounds = (0 until iters).map { i =>
         s"""p${j}a$i AS (SELECT vec_id, semb, cell FROM (
@@ -638,6 +639,66 @@ object OracleSql {
        |         JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.query_id),
        |${adcQueryCtes(m, subDims, iters, numQueries, adcCand, topK, dims)}
        |SELECT query_id, vec_id, adist, cos AS cosine, rank FROM pqtop""".stripMargin
+
+  /** Mirrors [[graft.operators.Pq.ivfPqResidualTopK]] — FAISS
+    * IndexIVFPQ with by_residual=true: the coarse chain assigns
+    * cells, a residual projection re-roots the PQ chain on
+    * `x − c(cell)` (`pqCtes(src = "res")`), the query side computes a
+    * residual PER PROBED CELL, and ADC joins on (query, cell, sub,
+    * code). Per-element subtraction and every fold replay exactly. */
+  def ivfPqResidualQuerySql(kCoarse: Int = 64, coarseIters: Int = 3,
+                            nprobe: Int = 4, m: Int = 8, subDims: Int = 8,
+                            ksub: Int = 16, iters: Int = 2, numQueries: Int = 5,
+                            adcCand: Int = 64, topK: Int = 3,
+                            dims: Int = 64): String = {
+    val l2 = l2sqExpr(subDims) _
+    val dot = dotExpr(dims) _
+    val dt = (0 until m).map { j =>
+      val lo = j * subDims + 1
+      val hi = (j + 1) * subDims
+      s"""SELECT qr.query_id, qr.cell, CAST($j AS INTEGER) AS sub, cb.cell AS code,
+         |    ${l2(s"(qr.remb[$lo:$hi])", "cb.cemb")} AS d2
+         |  FROM qres qr CROSS JOIN p${j}c$iters cb""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${kmeansCentroidsCtes(kCoarse, coarseIters, dims)},
+       |${trainedAssignmentCtes(coarseIters, dims)},
+       |res AS MATERIALIZED (SELECT a.vec_id,
+       |    list_transform(range(1, ${dims + 1}), i -> a.emb[i] - c.cemb[i]) AS emb
+       |  FROM fasg a JOIN cents$coarseIters c ON a.cell = c.cell),
+       |${pqCtes(m, subDims, ksub, iters, withE = false, src = "res")},
+       |qp AS (SELECT vec_id AS query_id, qemb, cell FROM (
+       |  SELECT vec_id, emb AS qemb, cell, rn FROM scored WHERE vec_id < $numQueries) t
+       |  WHERE rn <= $nprobe),
+       |qres AS (SELECT q.query_id, q.cell,
+       |    list_transform(range(1, ${dims + 1}), i -> q.qemb[i] - c.cemb[i]) AS remb
+       |  FROM qp q JOIN cents$coarseIters c ON q.cell = c.cell),
+       |dt AS (
+       |  $dt),
+       |ca AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM codes GROUP BY vec_id),
+       |cand AS (SELECT qp.query_id, a.vec_id, a.cell FROM fasg a
+       |         JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.query_id),
+       |adist AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    list_reduce(list(d.d2 ORDER BY d.sub), (x, y) -> x + y) AS adist
+       |  FROM cand c
+       |  JOIN ca ON ca.vec_id = c.vec_id
+       |  JOIN dt d ON d.query_id = c.query_id AND d.cell = c.cell
+       |           AND d.code = ca.codes[d.sub + 1]
+       |  GROUP BY c.query_id, c.vec_id),
+       |acand AS (SELECT query_id, vec_id, adist FROM (
+       |  SELECT query_id, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS arn
+       |  FROM adist) WHERE arn <= $adcCand),
+       |rr AS (SELECT a.query_id, a.vec_id, a.adist,
+       |    ${dot("q.emb", "v.emb")} / (q.nrm * v.nrm) AS cos
+       |  FROM acand a
+       |  JOIN n v ON a.vec_id = v.vec_id
+       |  JOIN n q ON q.vec_id = a.query_id)
+       |SELECT query_id, vec_id, adist, cos AS cosine, rank FROM (
+       |  SELECT query_id, vec_id, adist, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rr) WHERE rank <= $topK""".stripMargin
+  }
 
   /** Mirrors [[graft.operators.Corpus.bpeTrain]] round for round:
     * each round's winner (max count, lexicographic ties) is DERIVED

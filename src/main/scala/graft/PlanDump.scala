@@ -95,7 +95,8 @@ object PlanDump {
       "ann_ivf_pq" -> "two-level serving shape: trained cosine cells prune to nprobe cells, ADC ranks in-cell codes, full vectors fetched for the re-rank only",
       "entity_pagerank" -> "damped PageRank: corpus work ends at the per-doc mention aggregate; 5 sorted-fold rounds on gazetteer-bounded rows with per-round checkpoints",
       "curriculum_assign" -> "curriculum buckets: md5 sample filter map-side, window only over the SAMPLE, bucket count against a (k-1)-row broadcast — no global sort",
-      "heavy_hitters_audit" -> "MG contract row: the k-entry combinable sketch and the exact rollup in one audit join; production keeps only the sketch aggregate")
+      "heavy_hitters_audit" -> "MG contract row: the k-entry combinable sketch and the exact rollup in one audit join; production keeps only the sketch aggregate",
+      "ann_ivf_pq_residual" -> "residual IVF-PQ: per-(query, probed-cell) ADC tables ride one broadcast; codes and cells equi-join; full vectors only in the re-rank")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

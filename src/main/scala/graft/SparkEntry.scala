@@ -1802,6 +1802,17 @@ object SparkEntry {
         Pq.ivfPqTopK(Tables.embeddings(s, d), deterministic = true),
       Some(OracleSql.ivfPqQuerySql())),
 
+    ("ann_ivf_pq_residual",
+      // FAISS IndexIVFPQ proper (by_residual=true): codes quantize
+      // x − c(cell), so the codebook budget covers the post-coarse
+      // residual distribution — finer codes at the same 8 B/vector;
+      // the query's ADC table becomes per probed cell (nprobe × m ×
+      // ksub doubles, still broadcast-scale); oracle composes the
+      // coarse chain + a residual projection + the PQ chain
+      (s: SparkSession, d: String) =>
+        Pq.ivfPqResidualTopK(Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.ivfPqResidualQuerySql())),
+
     ("token_count",
       (s: SparkSession, d: String) => TextOps.tokenCount(docs(s, d)),
       // whitespace spelled as the explicit class (TextOps.Ws): RE2's

@@ -270,4 +270,66 @@ object Pq {
     rerank(adc, e.select(col("vec_id"), col("emb")),
       qTabs.select(col("query_id"), col("qemb")), k)
   }
+
+  /** RESIDUAL-encoded IVF-PQ — the full FAISS `IndexIVFPQ`
+    * (by_residual=true) semantics: codes quantize `x − c(cell)`, the
+    * vector's offset from its coarse centroid, not the raw vector.
+    * Residuals concentrate near the origin, so the same m × ksub
+    * codebook budget spends its cells on the distribution that
+    * actually remains after coarse assignment — finer codes at
+    * identical code size, the standard recall-per-byte win. The cost:
+    * a query's ADC table is per PROBED CELL (its residual differs per
+    * cell), so the broadcast grows nprobe-fold — still
+    * queries × nprobe × m × ksub doubles, broadcast-scale forever.
+    *
+    * Same replay conventions as the whole family; the oracle
+    * ([[graft.OracleSql.ivfPqResidualQuerySql]]) composes the coarse
+    * chain, a residual projection, and the PQ chain re-rooted on the
+    * residual relation. */
+  def ivfPqResidualTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3,
+                        numCentroids: Int = 64, nprobe: Int = 4, trainIters: Int = 3,
+                        m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+                        iters: Int = 2, adcCand: Int = 64,
+                        deterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embCol(embeddings).withColumn("nrm", Ann.norm(col("emb")))
+    val coarse = Ann.kmeansCentroids(e, numCentroids, trainIters, deterministic)
+    val centRows = coarse.select(explode(col("cents")).as("c"))
+      .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"))
+    val cells = Ann.nearestCells(e, coarse, "emb", "nrm", keep = 1)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    val residuals = cells.join(broadcast(centRows), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(Ann.asDouble(col("emb")), col("cemb"), (x, c) => x - c).as("emb"))
+    val cb = trainCodebooks(residuals, m, subDims, ksub, iters, deterministic)
+    val codes = (0 until m).map { j =>
+      val s = residuals.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
+      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
+        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
+    }.reduce(_.unionAll(_))
+    val qRows = Ann.nearestCells(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+          col("nrm").as("qnrm")),
+      coarse, "qemb", "qnrm", keep = nprobe)
+    // per (query, probed cell): the query's residual IN THAT CELL
+    val qres = qRows.join(broadcast(centRows), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(Ann.asDouble(col("qemb")), col("cemb"), (x, c) => x - c).as("qemb"))
+    val qTabs = queryTables(qres, cb, subDims)
+    val adc = codesArr(codes)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(broadcast(qTabs.select(col("query_id"), col("cell"), col("dtab"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adcDist)
+      .withColumn("arn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("arn") <= adcCand)
+      .select(col("query_id"), col("vec_id"), col("adist"))
+    rerank(adc, e.select(col("vec_id"), col("emb")),
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb")), k)
+  }
 }

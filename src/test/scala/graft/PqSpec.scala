@@ -129,4 +129,30 @@ class PqSpec extends SparkSpec {
     assert(hit >= (total * 2) / 3,
       s"PQ recall collapsed: $hit of $total exact hits recovered")
   }
+
+  test("residual IVF-PQ with exact codebooks reproduces true distances and the exact top-k") {
+    // iters=0 and ksub >= n make every residual its own codeword, so
+    // ADC in a probed cell is ||(q-c) - (x-c)||^2 = ||q-x||^2 exactly;
+    // probing every cell with a full rerank budget must then return
+    // the brute-force top-k
+    val df = clustered(8)
+    val out = Pq.ivfPqResidualTopK(df, numQueries = 2, k = 3,
+      numCentroids = 4, nprobe = 4, trainIters = 1, m = 2, subDims = 4,
+      ksub = 8, iters = 0, adcCand = 8, deterministic = true)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val exact = Ann.bruteForceTopK(df, numQueries = 2, k = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(out === exact)
+  }
+
+  test("residual IVF-PQ recall on the gate corpus stays above the family floor") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val recall = Ann.recallAtK(
+      Pq.ivfPqResidualTopK(embs, deterministic = true),
+      Ann.bruteForceTopK(embs))
+      .select("exact_k", "hits").as[(Long, Long)].collect()
+    val (total, hit) = (recall.map(_._1).sum, recall.map(_._2).sum)
+    assert(hit >= (total * 2) / 3,
+      s"residual IVF-PQ recall collapsed: $hit of $total")
+  }
 }
