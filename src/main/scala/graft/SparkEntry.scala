@@ -1333,6 +1333,35 @@ object SparkEntry {
            |SELECT u AS entity, pr AS pagerank FROM pr5""".stripMargin
       }),
 
+    ("entity_communities",
+      // synchronous weighted label propagation, made deterministic:
+      // all nodes update simultaneously from the previous round's
+      // labels (order cannot matter), argmax by summed incident
+      // weight with ties to the smaller label — integer weights and
+      // lexicographic ties only, so the replay needs no fold
+      // conventions at all
+      (s: SparkSession, d: String) => Ner.entityCommunities(s, docs(s, d)),
+      Some {
+        val rounds = (0 until 5).map { i =>
+          s"""cs$i AS (SELECT a.u, l.label, CAST(SUM(a.w) AS BIGINT) AS lw
+             |  FROM adj a JOIN cl$i l ON a.v = l.u GROUP BY 1, 2),
+             |cl${i + 1} AS (SELECT u, label FROM (
+             |  SELECT u, label,
+             |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY lw DESC, label) AS rn
+             |  FROM cs$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $nerCtes,
+           |e AS (SELECT DISTINCT doc_id, entity_text AS word FROM ents),
+           |p AS (SELECT a.word AS e1, b.word AS e2, COUNT(*) AS w
+           |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.word < b.word
+           |      GROUP BY 1, 2),
+           |adj AS (SELECT e1 AS u, e2 AS v, w FROM p
+           |        UNION ALL SELECT e2, e1, w FROM p),
+           |cl0 AS (SELECT DISTINCT u, u AS label FROM adj),
+           |$rounds
+           |SELECT u AS entity, label AS community FROM cl5""".stripMargin
+      }),
+
     ("entity_overview",
       (s: SparkSession, d: String) => Ner.entityOverview(s, docs(s, d)),
       Some(s"""WITH $nerCtes

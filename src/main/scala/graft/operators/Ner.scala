@@ -324,4 +324,41 @@ object Ner {
     }
     pr.select(col("u").as("entity"), col("pr").as("pagerank"))
   }
+
+  /** Community detection on the entity co-occurrence graph by
+    * SYNCHRONOUS weighted label propagation — deterministic where
+    * classic LPA is not: every round, each node adopts the label
+    * with the greatest incident edge weight among its neighbors'
+    * current labels (its own current label votes with weight 0 — a
+    * pure neighbor majority), ties to the SMALLER label; all nodes
+    * update simultaneously from the previous round's labels, so
+    * update order cannot matter; labels start as each node's own
+    * name. Fixed `iters` rounds (the reproducibility-over-epsilon
+    * rule). Integer weights and lexicographic ties throughout — no
+    * doubles at all, the easiest replay in the graph family.
+    *
+    * Scale shape: identical to [[entityPagerank]] — corpus work ends
+    * at the mention aggregate, each round is one gazetteer-bounded
+    * join + argmax aggregate over checkpointed labels. */
+  def entityCommunities(spark: SparkSession, documents: DataFrame,
+                        iters: Int = 5): DataFrame = {
+    require(iters >= 0)
+    val adj = cooccurrenceAdj(spark, documents)
+    var labels = adj.select(col("u")).distinct()
+      .select(col("u"), col("u").as("label")).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      labels = adj
+        .join(labels.withColumnRenamed("u", "v"), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(sum(col("w")).as("lw"))
+        .groupBy(col("u"))
+        .agg(min_by(struct(col("label"), col("lw")),
+          struct((-col("lw")).as("nw"), col("label"))).as("pick"))
+        .select(col("u"), col("pick.label").as("label"))
+        .localCheckpoint()
+      it += 1
+    }
+    labels.select(col("u").as("entity"), col("label").as("community"))
+  }
 }

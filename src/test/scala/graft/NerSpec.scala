@@ -118,4 +118,33 @@ class NerSpec extends SparkSpec {
     // exact double equality — the sorted-fold convention's contract
     assert(a === b)
   }
+
+  test("entityCommunities groups two cliques, the weak bridge stays home") {
+    // clique 1 {customer, merge, query} x3 docs, clique 2
+    // {spark, stream, window} x3 docs, one bridge doc {query, spark}:
+    // synchronous LPA converges to each clique under its dominant
+    // label; the w=1 bridge never outvotes the w=3 clique edges
+    val df = docs(
+      (1L, "customer merge query"), (2L, "customer merge query"),
+      (3L, "customer merge query"),
+      (4L, "spark stream window"), (5L, "spark stream window"),
+      (6L, "spark stream window"),
+      (7L, "query spark"))
+    val out = Ner.entityCommunities(spark, df)
+      .as[(String, String)].collect().toMap
+    assert(out("customer") === out("merge") && out("merge") === out("query"))
+    assert(out("spark") === out("stream") && out("stream") === out("window"))
+    assert(out("customer") !== out("spark"),
+      s"bridge merged the cliques: $out")
+  }
+
+  test("entityCommunities is deterministic under repartitioning") {
+    val df = docs(
+      (1L, "customer merge query"), (2L, "spark stream window"),
+      (3L, "query spark"), (4L, "customer query"))
+    val a = Ner.entityCommunities(spark, df).as[(String, String)].collect().toSet
+    val b = Ner.entityCommunities(spark, df.repartition(11))
+      .as[(String, String)].collect().toSet
+    assert(a === b)
+  }
 }
