@@ -312,7 +312,20 @@ object Pipeline {
           "accepted" -> spark.read.parquet(s"$outDir/accepted").count(),
           "repaired" -> 1L)
     }
-    val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
+    // Day-zero observability, BEFORE any gate: the raw delta's
+    // per-source heavy-hitters snapshot to the DAY's directory (k
+    // sketch rows per source — what flooded this feed today,
+    // including everything the gates below drop). Written to outDir,
+    // not a global table, so a crash-rerun overwrites the same
+    // content instead of double-appending — idempotent by
+    // construction, and deliberately outside the pending-manifest
+    // discipline (a monitoring view, rebuildable from the raw delta,
+    // never an accept/drop input).
+    val rawDelta = Tables.documents(spark, sourceDir)
+    Sinks.writeParquet(
+      operators.Corpus.heavyHittersSnapshot(rawDelta),
+      s"$outDir/heavy_hitters", Seq())
+    val silver = Cleaning.silver(rawDelta)
     val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     // charlm arm, gate side (optional): score the delta against the
     // CORPUS-TRAINED model — the persisted per-ingest count table
@@ -636,6 +649,21 @@ object Pipeline {
     val bins = spark.read.parquet(s"$outDir/train_packing")
       .select(col("domain"), col("bin")).distinct().count()
 
+    // curriculum map over the SAME written train split: quality-
+    // quantile bucket per doc (Corpus.curriculumAssign — sample-
+    // boundary buckets, no global sort), so a trainer can schedule
+    // highest-quality buckets first (or easy→hard) without re-scoring;
+    // like the packing map, assignment is a pure row function and
+    // survives any re-read partitioning
+    Sinks.writeParquet(
+      operators.Corpus.curriculumAssign(
+        spark.read.schema(prepared.schema).parquet(s"$outDir/train")
+          .select(col("doc_id"), col("content").as("text"),
+            col("content_length").as("n_chars"))),
+      s"$outDir/train_curriculum", Seq())
+    val curriculumBuckets = spark.read.parquet(s"$outDir/train_curriculum")
+      .select(col("bucket")).distinct().count()
+
     // last mile: the deterministic global shuffle, materialized as
     // shard=K/ directories in read order (Corpus.shuffleShards +
     // Sinks.writeShards) — the layout a trainer streams directly;
@@ -666,6 +694,7 @@ object Pipeline {
       "train" -> trainN,
       "test" -> testN,
       "train_bins" -> bins,
+      "curriculum_buckets" -> curriculumBuckets,
       "train_shards" -> shardN)
     } finally split.unpersist()
   }

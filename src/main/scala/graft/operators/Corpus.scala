@@ -199,6 +199,25 @@ object Corpus {
         min(col("est").isNull || col("est") <= col("exact")).as("underestimate_ok"))
   }
 
+  /** The per-source heavy-hitters SNAPSHOT — what
+    * [[graft.Pipeline.runIncremental]] materializes per ingest day
+    * (`outDir/heavy_hitters`): the k sketch rows per source plus the
+    * source's token total, nothing exact-side (that is
+    * [[heavyHittersAudit]]'s job at gate SF). Reading snapshots
+    * across days is the drift view — a term surging into a feed's
+    * top-k is a crawler loop or spam campaign announcing itself. */
+  def heavyHittersSnapshot(documents: DataFrame, k: Int = 32): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
+    documents.select(col("source"),
+      explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_freq_items", col("term"), lit(k)).as("items"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("source"), col("n_tokens"), explode(col("items")).as("it"))
+      .select(col("source"), col("n_tokens"),
+        col("it.term").as("term"), col("it.est").as("est"))
+  }
+
   /** Quantile sketch audit — [[sketchDistinctAudit]]'s twin for
     * `percentile_approx`: per source, exact type-1 p50/p90/p99 of
     * `n_chars` (integer cross-multiplication, oracle-replayable) next

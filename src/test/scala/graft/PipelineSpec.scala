@@ -72,6 +72,17 @@ class PipelineSpec extends SparkSpec {
       assert(ps.map(_._2).sorted.toSeq === (1L to ps.length).toSeq)
     }
 
+    // the curriculum map covers the train split exactly, one monotone
+    // bucket per doc (the Corpus.curriculumAssign contract over the
+    // WRITTEN split)
+    val cur = spark.read.parquet(s"$out/train_curriculum")
+    assert(cur.count() === s1("train"))
+    assert(s1("curriculum_buckets") >= 1L && s1("curriculum_buckets") <= 10L)
+    val trainIds = spark.read.schema(
+      spark.read.parquet(s"$out/train").schema).parquet(s"$out/train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cur.select("doc_id").as[Long].collect().toSet === trainIds)
+
     val written = spark.read.parquet(s"$out/train")
       .unionByName(spark.read.parquet(s"$out/test"))
     val kept = written.select("doc_id").as[Long].collect().sorted
@@ -127,6 +138,19 @@ class PipelineSpec extends SparkSpec {
     assert(s1("accepted") === 1L)             // 12 vs 13 cluster -> longest (13) survives
     val acc1 = spark.read.parquet(s"$out1/accepted")
     assert(acc1.select("doc_id").as[Long].collect().toSet === Set(13L))
+    // the day's heavy-hitters snapshot lands with the day's output,
+    // from the RAW delta (pre-gate). On THIS delta the tokens are
+    // near-all singletons, so Misra-Gries legitimately decrements
+    // everything away — the contract here is the bounded shape (at
+    // most k rows per source, estimates never above exact), not
+    // non-emptiness; a skewed feed's snapshot is pinned in
+    // SketchSpec/StreamingSpec
+    val hh1 = spark.read.parquet(s"$out1/heavy_hitters")
+    assert(hh1.columns.sorted.toSeq === Seq("est", "n_tokens", "source", "term"))
+    assert(hh1.count() <= 32L)
+    val hhTerms = hh1.select("term", "est").as[(String, Long)].collect().toMap
+    // 'fresh1'..'fresh40' appear twice (docs 12+13): MG never overcounts
+    assert(hhTerms.values.forall(_ <= 2L), s"overcount: $hhTerms")
     // the WRITTEN corpus is redacted like the full prep's; the probe
     // indexes keep the pre-redact content the pair graphs read
     val written13 = acc1.select("content").as[String].head()
