@@ -491,7 +491,7 @@ object OracleSql {
     * the shared double-widened `e`. */
   def pqCtes(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
              iters: Int = 2, withE: Boolean = true,
-             src: String = "e"): String = {
+             src: String = "e", rankSeed: Boolean = false): String = {
     val l2 = l2sqExpr(subDims) _
     val e = if (withE)
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),\n"
@@ -499,9 +499,16 @@ object OracleSql {
     val subs = (0 until m).map { j =>
       val lo = j * subDims + 1
       val hi = (j + 1) * subDims
+      val seedCte = if (rankSeed)
+        // [[graft.operators.Pq.codebook]] rankSeed: the ksub lowest
+        // ids become cells 0..ksub-1 in id order (sparse id spaces)
+        s"""p${j}c0 AS (SELECT rn - 1 AS cell, semb AS cemb FROM (
+           |  SELECT semb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM s$j) WHERE rn <= $ksub)""".stripMargin
+      else
+        s"p${j}c0 AS (SELECT vec_id AS cell, semb AS cemb FROM s$j WHERE vec_id < $ksub)"
       val seed =
         s"""s$j AS (SELECT vec_id, emb[$lo:$hi] AS semb FROM $src),
-           |p${j}c0 AS (SELECT vec_id AS cell, semb AS cemb FROM s$j WHERE vec_id < $ksub)""".stripMargin
+           |$seedCte""".stripMargin
       val rounds = (0 until iters).map { i =>
         s"""p${j}a$i AS (SELECT vec_id, semb, cell FROM (
            |  SELECT s.vec_id, s.semb, c.cell,
@@ -796,6 +803,57 @@ object OracleSql {
        |  FROM dasg d JOIN fasg a ON d.cell = a.cell
        |  WHERE a.vec_id <> d.vec_id) t
        |WHERE cos >= $threshold""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Pq.semanticProbePq]]: the probe's
+    * coarse chain (corpus-only, rank-seeded — identical to
+    * [[semanticProbeSql]]), rank-seeded PQ codebooks + codes on the
+    * corpus (`pqCtes(rankSeed = true)`), one ADC table per delta
+    * vector, and the law-of-cosines recovery of the approximate
+    * cosine from the ADC distance and the stored exact norms. */
+  def semanticProbePqSql(k: Int = 64, iters: Int = 3, threshold: Double = 0.35,
+                         deltaHex: String = "0ccd", m: Int = 8,
+                         subDims: Int = 8, ksub: Int = 16, pqIters: Int = 2,
+                         dims: Int = 64): String = {
+    val dot = dotExpr(dims) _
+    val l2 = l2sqExpr(subDims) _
+    val split = s"substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)"
+    val dt = (0 until m).map { j =>
+      val lo = j * subDims + 1
+      val hi = (j + 1) * subDims
+      s"""SELECT d.vec_id AS query_id, CAST($j AS INTEGER) AS sub, cb.cell,
+         |    ${l2(s"(d.emb[$lo:$hi])", "cb.cemb")} AS d2
+         |  FROM dn d CROSS JOIN p${j}c$pqIters cb""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims,
+          where = Some(s"$split >= '$deltaHex'"), rankSeed = true)},
+       |${trainedAssignmentCtes(iters, dims)},
+       |${pqCtes(m, subDims, ksub, pqIters, withE = false, rankSeed = true)},
+       |ca AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM codes GROUP BY vec_id),
+       |de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings WHERE $split < '$deltaHex'),
+       |dn AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM de),
+       |dasg AS (SELECT vec_id, nrm, cell FROM (
+       |  SELECT dn.vec_id, dn.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY dn.vec_id ORDER BY
+       |      (${dot("dn.emb", "c.cemb")} / (dn.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM dn CROSS JOIN cents$iters c) WHERE rn = 1),
+       |dt AS (
+       |  $dt),
+       |cnd AS (SELECT d.vec_id AS query_id, a.vec_id, d.nrm AS qn, a.nrm AS xn
+       |        FROM dasg d JOIN fasg a ON d.cell = a.cell
+       |        WHERE a.vec_id <> d.vec_id),
+       |ad AS (SELECT c.query_id, c.vec_id, c.qn, c.xn,
+       |    list_reduce(list(d.d2 ORDER BY d.sub), (x, y) -> x + y) AS adist
+       |  FROM cnd c
+       |  JOIN ca ON ca.vec_id = c.vec_id
+       |  JOIN dt d ON d.query_id = c.query_id AND d.cell = ca.codes[d.sub + 1]
+       |  GROUP BY c.query_id, c.vec_id, c.qn, c.xn)
+       |SELECT query_id AS delta_doc, vec_id AS corpus_doc, approx_cos FROM (
+       |  SELECT query_id, vec_id,
+       |    (qn * qn + xn * xn - adist) / (CAST(2 AS DOUBLE) * qn * xn) AS approx_cos
+       |  FROM ad) t
+       |WHERE approx_cos >= $threshold""".stripMargin
   }
 
   /** Mirrors [[graft.operators.Ann.semanticDecontam]] with a TRAINED

@@ -97,7 +97,8 @@ object PlanDump {
       "curriculum_assign" -> "curriculum buckets: md5 sample filter map-side, window only over the SAMPLE, bucket count against a (k-1)-row broadcast — no global sort",
       "heavy_hitters_audit" -> "MG contract row: the k-entry combinable sketch and the exact rollup in one audit join; production keeps only the sketch aggregate",
       "ann_ivf_pq_residual" -> "residual IVF-PQ: per-(query, probed-cell) ADC tables ride one broadcast; codes and cells equi-join; full vectors only in the re-rank",
-      "entity_communities" -> "sync LPA: per-round gazetteer-bounded join + min_by argmax over checkpointed labels; integer weights, no doubles")
+      "entity_communities" -> "sync LPA: per-round gazetteer-bounded join + min_by argmax over checkpointed labels; integer weights, no doubles",
+      "semantic_probe_pq" -> "PQ-compressed probe: 16 B/doc index rows equi-join delta cells, ADC + law-of-cosines recovery map-side, corpus vectors never load")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

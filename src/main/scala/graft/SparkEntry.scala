@@ -2531,6 +2531,18 @@ object SparkEntry {
         Tables.embeddings(s, d), trainIters = 3, deterministic = true),
       Some(OracleSql.semanticProbeSql())),
 
+    ("semantic_probe_pq",
+      // the probe against a PQ-COMPRESSED index: 16 B per corpus doc
+      // (codes + stored norm) instead of 256 B of vectors — the index
+      // a 100 TB corpus can hold in memory; approximate cosine
+      // recovered from the ADC distance by the law of cosines, so
+      // hits are candidates for the exact arm, not a replacement.
+      // Fully oracle-replayed: coarse chain + rank-seeded PQ chain +
+      // the cosine-recovery arithmetic
+      (s: SparkSession, d: String) => Pq.semanticProbePq(
+        Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.semanticProbePqSql())),
+
     ("bpe_pair_stats",
       // the BPE trainer's inner-loop statistic: adjacent-pair counts
       // weighted by word frequency, extracted from the vocab-bounded

@@ -79,12 +79,24 @@ object Pq {
     * broadcast at any corpus size. */
   private[graft] def codebook(e: DataFrame, sub: Int, subDims: Int,
                               ksub: Int, iters: Int,
-                              deterministic: Boolean): DataFrame = {
+                              deterministic: Boolean,
+                              rankSeed: Boolean = false): DataFrame = {
     require(iters >= 0 && ksub > 0)
     val s = e.select(col("vec_id"), subvec(col("emb"), sub, subDims).as("semb"))
-    var cents = s.filter(col("vec_id") < ksub)
-      .agg(collect_list(struct(col("vec_id").as("cell"),
-        col("semb").as("cemb"))).as("cents"))
+    // rankSeed: the ksub LOWEST ids become cells 0..ksub-1 in id
+    // order — the Ann.seedCentroidsByRank rule for sparse id spaces
+    // (a real accepted corpus); the dense ADC code->array-index
+    // contract needs cells 0..ksub-1 either way
+    val seedRows = if (rankSeed) {
+      import org.apache.spark.sql.expressions.Window
+      s.orderBy(col("vec_id")).limit(ksub)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("long").as("cell"), col("semb").as("cemb"))
+    } else
+      s.filter(col("vec_id") < ksub)
+        .select(col("vec_id").as("cell"), col("semb").as("cemb"))
+    var cents = seedRows
+      .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
       .localCheckpoint()
     var it = 0
     while (it < iters) {
@@ -117,8 +129,9 @@ object Pq {
     * m × ksub × subDims doubles total, broadcast-sized forever. */
   private[graft] def trainCodebooks(e: DataFrame, m: Int, subDims: Int,
                                     ksub: Int, iters: Int,
-                                    deterministic: Boolean): DataFrame =
-    (0 until m).map(j => codebook(e, j, subDims, ksub, iters, deterministic))
+                                    deterministic: Boolean,
+                                    rankSeed: Boolean = false): DataFrame =
+    (0 until m).map(j => codebook(e, j, subDims, ksub, iters, deterministic, rankSeed))
       .reduce(_.unionAll(_))
 
   private def embCol(embeddings: DataFrame): DataFrame =
@@ -331,5 +344,63 @@ object Pq {
     rerank(adc, e.select(col("vec_id"), col("emb")),
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb")), k)
+  }
+
+  /** The PQ-COMPRESSED daily-ingest semantic probe — what the
+    * persisted semantic index becomes when the corpus outgrows
+    * storing vectors: 16 B per corpus doc (8 code bytes + one
+    * stored norm) instead of 256 B of fp32, a 16× smaller index the
+    * cluster can hold in memory at any corpus size. Same pseudo-delta
+    * split and rank-seeded coarse quantizer as
+    * [[Ann.semanticProbe]]; the index rows are (cell, doc_id, codes,
+    * ‖x‖); each delta vector gets ONE m × ksub ADC table, and the
+    * cosine is recovered from the ADC distance by the law of
+    * cosines: cos ≈ (‖q‖² + ‖x‖² − d²_adc) / (2‖q‖‖x‖) — possible
+    * precisely BECAUSE the index keeps the exact norm. Hits are
+    * approximate (quantization error moves borderline pairs), which
+    * is the documented trade: this probe flags candidates for the
+    * exact arm, it does not replace it. With deterministic training
+    * every stage replays ([[graft.OracleSql.semanticProbePqSql]]). */
+  def semanticProbePq(embeddings: DataFrame, numCentroids: Int = 64,
+                      trainIters: Int = 3, threshold: Double = 0.35,
+                      deltaHex: String = "0ccd", m: Int = 8, subDims: Int = 8,
+                      ksub: Int = 16, iters: Int = 2,
+                      deterministic: Boolean = false): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val flagged = embeddings.select(col("vec_id"), col("embedding"),
+      (substring(md5(col("vec_id").cast("string")), 1, 4) < deltaHex).as("is_delta"))
+    val e = flagged.filter(!col("is_delta"))
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", Ann.norm(col("emb")))
+    val cents = Ann.kmeansCentroids(e, numCentroids, trainIters, deterministic,
+      seed = Some(Ann.seedCentroidsByRank(e, numCentroids)))
+    val cells = Ann.nearestCells(e, cents, "emb", "nrm", keep = 1)
+      .select(col("vec_id"), col("cell"))
+    val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
+      m, subDims, ksub, iters, deterministic, rankSeed = true)
+    val codes = (0 until m).map { j =>
+      val sj = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
+      assignCell(sj, cb.filter(col("sub") === j).select(col("cents")))
+        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
+    }.reduce(_.unionAll(_))
+    // the persisted index SHAPE: one row per corpus doc, 16 B payload
+    val index = codesArr(codes)
+      .join(cells, Seq("vec_id"))
+      .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+    val delta = flagged.filter(col("is_delta"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      .withColumn("qnrm", Ann.norm(col("qemb")))
+    val q = Ann.nearestCells(delta, cents, "qemb", "qnrm", keep = 1)
+    val qt = queryTables(q, cb, subDims)
+    qt.select(col("query_id"), col("qnrm"), col("cell"), col("dtab"))
+      .join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adcDist)
+      .withColumn("approx_cos",
+        (col("qnrm") * col("qnrm") + col("nrm") * col("nrm") - col("adist"))
+          / (lit(2.0) * col("qnrm") * col("nrm")))
+      .filter(col("approx_cos") >= threshold)
+      .select(col("query_id").as("delta_doc"), col("vec_id").as("corpus_doc"),
+        col("approx_cos"))
   }
 }

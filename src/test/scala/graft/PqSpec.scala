@@ -155,4 +155,44 @@ class PqSpec extends SparkSpec {
     assert(hit >= (total * 2) / 3,
       s"residual IVF-PQ recall collapsed: $hit of $total")
   }
+
+  test("semanticProbePq with exact codebooks recovers true cosines via the law of cosines") {
+    // ksub >= corpus and iters = 0 make every corpus vector its own
+    // codeword, so adist is the true ||q - x||^2 and the recovered
+    // cosine must match the direct dot-product cosine to fp rounding
+    val df = clustered(12)
+    val pq = Pq.semanticProbePq(df, numCentroids = 4, trainIters = 1,
+      threshold = -2.0, deltaHex = "4000", m = 2, subDims = 4, ksub = 12,
+      iters = 0, deterministic = true)
+      .select("delta_doc", "corpus_doc", "approx_cos")
+      .as[(Long, Long, Double)].collect()
+    assert(pq.nonEmpty, "the 25% pseudo-delta must produce probe pairs")
+    val e = df.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"))
+    val cos = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        (Ann.dot(col("a.emb"), col("b.emb")) /
+          (Ann.norm(col("a.emb")) * Ann.norm(col("b.emb")))).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    pq.foreach { case (d, c, ac) =>
+      assert(math.abs(ac - cos((d, c))) < 1e-9,
+        s"($d,$c): recovered $ac vs direct ${cos((d, c))}")
+    }
+  }
+
+  test("semanticProbePq is candidate-COMPLETE over the exact probe at gate SF") {
+    // quantization error widens the candidate set near the threshold
+    // (that is the documented trade: the PQ probe feeds the exact
+    // arm), but it must not LOSE a hit the exact probe finds
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Ann.semanticProbe(embs, trainIters = 3, deterministic = true)
+      .select("delta_doc", "corpus_doc")
+      .as[(Long, Long)].collect().toSet
+    val pq = Pq.semanticProbePq(embs, deterministic = true)
+      .select("delta_doc", "corpus_doc")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((exact -- pq).isEmpty,
+      s"PQ probe lost exact hits: ${exact -- pq}")
+  }
 }
