@@ -46,93 +46,105 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Map-side nearest-codebook-cell assignment on SUBvectors: the
-    * one-row broadcast centroid array is scored per row with array
-    * HOFs — (d², cell) ascending, so ties go to the lower cell id —
-    * no shuffle on the corpus side (the Ann.nearestCells shape with
-    * cosine swapped for the PQ metric, L2). */
-  private def assignCell(s: DataFrame, cents: DataFrame): DataFrame = {
+  /** All vectors' subvectors for all `m` subspaces in ONE relation
+    * `(vec_id, sub, semb)` — training and encoding batch every
+    * subspace into a single plan per pass instead of m sequential
+    * jobs (the arithmetic per (sub, row) is unchanged; only the job
+    * count drops m-fold). */
+  private def subRows(e: DataFrame, m: Int, subDims: Int): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until m).map(j =>
+      struct(lit(j).as("sub"), subvec(col("emb"), j, subDims).as("semb"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.semb").as("semb"))
+
+  /** Nearest-codebook-cell assignment for ALL subspaces at once:
+    * each (vec, sub) row broadcast-joins its subspace's centroid
+    * array on `sub` and scores it with array HOFs — (d², cell)
+    * ascending, ties to the lower cell id — no shuffle on the
+    * corpus side. */
+  private def assignAll(sv: DataFrame, cb: DataFrame): DataFrame = {
     val scored = transform(col("cents"), c =>
       struct(l2sq(col("semb"), c.getField("cemb")).as("d2"),
         c.getField("cell").as("cell")))
-    s.crossJoin(broadcast(cents))
+    sv.join(broadcast(cb), Seq("sub"))
       .withColumn("cell", element_at(array_sort(scored), 1).getField("cell"))
       .drop("cents")
   }
 
-  /** One subspace's trained codebook, aggregated to ONE row
+  /** All `m` trained codebooks, one row per subspace
     * `(sub, cents: array<struct<cell, cemb>>)`: seed = the `ksub`
-    * lowest vec_ids' subvectors (cell = vec_id, the
-    * Ann.ivfCentroids rule), then `iters` Lloyd assign/re-center
-    * rounds under squared L2.
+    * lowest vec_ids' subvectors (cell = vec_id, the Ann.ivfCentroids
+    * rule; `rankSeed = true` ranks arbitrary/sparse ids to dense
+    * cells 0..ksub-1 — the Ann.seedCentroidsByRank rule, which the
+    * ADC code→array-index contract needs), then `iters` Lloyd
+    * assign/re-center rounds under squared L2, ALL subspaces in one
+    * plan per round.
     *
     * Scale shape per round: assignment is the map-side broadcast
     * argmin above (no shuffle); re-centering explodes to
-    * (cell, dim) partial sums — `deterministic = false`
+    * (sub, cell, dim) partial sums — `deterministic = false`
     * (production) keeps them map-side COMBINABLE so the shuffle
-    * carries ksub × subDims rows, not the corpus;
-    * `deterministic = true` (the oracle-checked registry path)
-    * folds each (cell, dim)'s members in ascending vec_id order —
-    * the byte-reproducibility trade, same as
-    * [[Ann.kmeansCentroids]]. Empty cells keep their previous
-    * centroid. The codebook is ksub × subDims doubles — a constant
-    * broadcast at any corpus size. */
-  private[graft] def codebook(e: DataFrame, sub: Int, subDims: Int,
-                              ksub: Int, iters: Int,
-                              deterministic: Boolean,
-                              rankSeed: Boolean = false): DataFrame = {
+    * carries m × ksub × subDims rows, not the corpus;
+    * `deterministic = true` (the oracle-checked registry path) folds
+    * each (sub, cell, dim)'s members in ascending vec_id order — the
+    * byte-reproducibility trade, same as [[Ann.kmeansCentroids]].
+    * Empty cells keep their previous centroid. The codebook set is
+    * m × ksub × subDims doubles — a constant broadcast at any corpus
+    * size. */
+  private[graft] def trainCodebooks(e: DataFrame, m: Int, subDims: Int,
+                                    ksub: Int, iters: Int,
+                                    deterministic: Boolean,
+                                    rankSeed: Boolean = false): DataFrame = {
     require(iters >= 0 && ksub > 0)
-    val s = e.select(col("vec_id"), subvec(col("emb"), sub, subDims).as("semb"))
-    // rankSeed: the ksub LOWEST ids become cells 0..ksub-1 in id
-    // order — the Ann.seedCentroidsByRank rule for sparse id spaces
-    // (a real accepted corpus); the dense ADC code->array-index
-    // contract needs cells 0..ksub-1 either way
+    val sv = subRows(e, m, subDims)
     val seedRows = if (rankSeed) {
       import org.apache.spark.sql.expressions.Window
-      s.orderBy(col("vec_id")).limit(ksub)
-        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-          .cast("long").as("cell"), col("semb").as("cemb"))
+      val ids = e.orderBy(col("vec_id")).limit(ksub)
+        .select(col("vec_id"),
+          (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            .cast("long").as("cell"))
+      sv.join(broadcast(ids), Seq("vec_id"))
+        .select(col("sub"), col("cell"), col("semb").as("cemb"))
     } else
-      s.filter(col("vec_id") < ksub)
-        .select(col("vec_id").as("cell"), col("semb").as("cemb"))
-    var cents = seedRows
+      sv.filter(col("vec_id") < ksub)
+        .select(col("sub"), col("vec_id").as("cell"), col("semb").as("cemb"))
+    var cents = seedRows.groupBy(col("sub"))
       .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
       .localCheckpoint()
     var it = 0
     while (it < iters) {
-      val sums = assignCell(s, cents)
-        .select(col("cell"), col("vec_id"),
+      val sums = assignAll(sv, cents)
+        .select(col("sub"), col("cell"), col("vec_id"),
           posexplode(col("semb")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
+        .groupBy(col("sub"), col("cell"), col("pos"))
       val means = (if (deterministic)
         sums.agg(aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
           lit(0.0), (acc, p) => acc + p.getField("x")).as("sx"),
           count(lit(1)).as("c"))
       else
         sums.agg(sum(col("x")).as("sx"), count(lit(1)).as("c")))
-        .groupBy(col("cell"))
+        .groupBy(col("sub"), col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"),
           (col("sx") / col("c")).as("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cemb"))
-      val prev = cents.select(explode(col("cents")).as("p"))
-        .select(col("p.cell").as("cell"), col("p.cemb").as("pemb"))
-      cents = prev.join(means, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("cemb"), col("pemb")).as("cemb"))
+        .select(col("sub"), col("cell"),
+          transform(col("pm"), p => p.getField("m")).as("cemb"))
+      val prev = cents.select(col("sub"), explode(col("cents")).as("p"))
+        .select(col("sub"), col("p.cell").as("cell"), col("p.cemb").as("pemb"))
+      cents = prev.join(means, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+          coalesce(col("cemb"), col("pemb")).as("cemb"))
+        .groupBy(col("sub"))
         .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
         .localCheckpoint()
       it += 1
     }
-    cents.select(lit(sub).as("sub"), col("cents"))
+    cents
   }
 
-  /** All `m` codebooks: `(sub, cents)`, one row per subspace —
-    * m × ksub × subDims doubles total, broadcast-sized forever. */
-  private[graft] def trainCodebooks(e: DataFrame, m: Int, subDims: Int,
-                                    ksub: Int, iters: Int,
-                                    deterministic: Boolean,
-                                    rankSeed: Boolean = false): DataFrame =
-    (0 until m).map(j => codebook(e, j, subDims, ksub, iters, deterministic, rankSeed))
-      .reduce(_.unionAll(_))
+  /** PQ codes for every vector and subspace against a trained
+    * codebook set — one batched broadcast-argmin pass. */
+  private def codesFor(e: DataFrame, cb: DataFrame, m: Int, subDims: Int): DataFrame =
+    assignAll(subRows(e, m, subDims), cb)
+      .select(col("vec_id"), col("sub"), col("cell").as("code"))
 
   private def embCol(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").as("emb"))
@@ -146,11 +158,7 @@ object Pq {
               deterministic: Boolean = false): DataFrame = {
     val e = embCol(embeddings)
     val cb = trainCodebooks(e, m, subDims, ksub, iters, deterministic)
-    (0 until m).map { j =>
-      val s = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
-      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
-        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
-    }.reduce(_.unionAll(_))
+    codesFor(e, cb, m, subDims)
   }
 
   /** Codes rolled up to one array per vector, ordered by subspace —
@@ -197,11 +205,7 @@ object Pq {
     graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embCol(embeddings)
     val cb = trainCodebooks(e, m, subDims, ksub, iters, deterministic)
-    val codes = (0 until m).map { j =>
-      val s = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
-      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
-        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
-    }.reduce(_.unionAll(_))
+    val codes = codesFor(e, cb, m, subDims)
     val q = queryTables(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
@@ -257,11 +261,7 @@ object Pq {
       .select(col("vec_id"), col("cell"))
     val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
       m, subDims, ksub, iters, deterministic)
-    val codes = (0 until m).map { j =>
-      val s = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
-      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
-        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
-    }.reduce(_.unionAll(_))
+    val codes = codesFor(e, cb, m, subDims)
     val qRows = Ann.nearestCells(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
@@ -316,11 +316,7 @@ object Pq {
       .select(col("vec_id"),
         zip_with(Ann.asDouble(col("emb")), col("cemb"), (x, c) => x - c).as("emb"))
     val cb = trainCodebooks(residuals, m, subDims, ksub, iters, deterministic)
-    val codes = (0 until m).map { j =>
-      val s = residuals.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
-      assignCell(s, cb.filter(col("sub") === j).select(col("cents")))
-        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
-    }.reduce(_.unionAll(_))
+    val codes = codesFor(residuals, cb, m, subDims)
     val qRows = Ann.nearestCells(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
@@ -378,11 +374,7 @@ object Pq {
       .select(col("vec_id"), col("cell"))
     val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
       m, subDims, ksub, iters, deterministic, rankSeed = true)
-    val codes = (0 until m).map { j =>
-      val sj = e.select(col("vec_id"), subvec(col("emb"), j, subDims).as("semb"))
-      assignCell(sj, cb.filter(col("sub") === j).select(col("cents")))
-        .select(col("vec_id"), lit(j).as("sub"), col("cell").as("code"))
-    }.reduce(_.unionAll(_))
+    val codes = codesFor(e.select(col("vec_id"), col("emb")), cb, m, subDims)
     // the persisted index SHAPE: one row per corpus doc, 16 B payload
     val index = codesArr(codes)
       .join(cells, Seq("vec_id"))

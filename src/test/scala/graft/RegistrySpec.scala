@@ -130,7 +130,16 @@ class RegistrySpec extends SparkSpec {
     // merge-training loop, and TPC-H Q8 (the last query expressible
     // over the shipped tables)
     "semantic_probe", "charlm_score", "charlm_cross_score", "bpe_train",
-    "bpe_encode", "q_market_share")
+    "bpe_encode", "q_market_share",
+    // round-13: the product-quantization ANN family (codes, flat ADC,
+    // recall contract, composed IVF-PQ, residual encoding, the
+    // PQ-compressed semantic probe), the entity-graph double-precision
+    // PageRank + LPA communities, quality-quantile curriculum buckets,
+    // and the Misra-Gries heavy-hitters contract row
+    "pq_codes", "ann_pq", "ann_pq_recall", "ann_ivf_pq",
+    "ann_ivf_pq_residual", "semantic_probe_pq", "entity_pagerank",
+    "entity_communities", "curriculum_assign", "curriculum_stats",
+    "heavy_hitters_audit")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
