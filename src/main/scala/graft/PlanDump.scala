@@ -90,7 +90,7 @@ object PlanDump {
       "charlm_score" -> "char-LM filter: bounded trigram model (two count aggregates), model joined back onto the per-doc trigram rollup, deterministic sorted fold per doc — no log anywhere",
       "bpe_train" -> "BPE training: vocab-bounded word rollup, per-round pair-count aggregate + 1-row winner collect, map-only fold re-segmentation — corpus rows touched once at tokenization",
       "q_market_share" -> "TPC-H Q8: share-within-group over the six-table snowflake — ONE conditional aggregate pass (no per-nation self-join), pushed date/type filters, constant dims broadcast, big dims left to AQE",
-      "pq_codes" -> "PQ encoding: per-subspace broadcast-codebook L2 argmin, m map-only passes over the corpus — zero corpus shuffles; training shuffles carry ksub x subDims rows, not vectors",
+      "pq_codes" -> "PQ encoding: all m subspaces in ONE batched broadcast-argmin pass (sub-keyed codebook join), zero corpus shuffles; training shuffles carry m x ksub x subDims rows, not vectors",
       "ann_pq" -> "ADC scan: per-query m x ksub distance table broadcast onto the code scan, m array lookups per candidate, exact-cosine re-rank only for the top-64 survivors",
       "ann_ivf_pq" -> "two-level serving shape: trained cosine cells prune to nprobe cells, ADC ranks in-cell codes, full vectors fetched for the re-rank only",
       "entity_pagerank" -> "damped PageRank: corpus work ends at the per-doc mention aggregate; 5 sorted-fold rounds on gazetteer-bounded rows with per-round checkpoints",
