@@ -98,7 +98,8 @@ object PlanDump {
       "heavy_hitters_audit" -> "MG contract row: the k-entry combinable sketch and the exact rollup in one audit join; production keeps only the sketch aggregate",
       "ann_ivf_pq_residual" -> "residual IVF-PQ: per-(query, probed-cell) ADC tables ride one broadcast; codes and cells equi-join; full vectors only in the re-rank",
       "entity_communities" -> "sync LPA: per-round gazetteer-bounded join + min_by argmax over checkpointed labels; integer weights, no doubles",
-      "semantic_probe_pq" -> "PQ-compressed probe: 16 B/doc index rows equi-join delta cells, ADC + law-of-cosines recovery map-side, corpus vectors never load")
+      "semantic_probe_pq" -> "PQ-compressed probe: 16 B/doc index rows equi-join delta cells, ADC + law-of-cosines recovery map-side, corpus vectors never load",
+      "bloom_filter_audit" -> "bloom contract row: one checkpointed split feeds the driver-built filter and the probe aggregate; booleans pinned from the exact side")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"

@@ -1123,6 +1123,21 @@ object SparkEntry {
              |  TRUE AS bound_ok, TRUE AS underestimate_ok
              |FROM n LEFT JOIN hv USING (source)""".stripMargin)),
 
+    ("bloom_filter_audit",
+      // the bloom contract as a gate row (third in the sketch-audit
+      // family): no-false-negatives exact, fp rate within a generous
+      // bound — the validation that licenses bloom PREfilters for
+      // the incremental probes (a billion accepted ids = ~1 GB
+      // broadcastable bloom where the exact hash table is tens of GB)
+      (s: SparkSession, d: String) => Corpus.bloomFilterAudit(docs(s, d)),
+      Some("""WITH f AS (SELECT doc_id,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS in_corpus
+             |  FROM documents)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+             |  CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+             |  TRUE AS no_false_negatives, TRUE AS fp_ok
+             |FROM f""".stripMargin)),
+
     ("char_budget_sample",
       // per-source keep fraction = budget/total in 65536ths (exact DIV),
       // applied as the md5-prefix rule; under-budget sources keep all

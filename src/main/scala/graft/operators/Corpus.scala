@@ -199,6 +199,46 @@ object Corpus {
         min(col("est").isNull || col("est") <= col("exact")).as("underestimate_ok"))
   }
 
+  /** Bloom-filter membership audit — the third sketch contract row
+    * (after HLL++ cardinality and GK quantiles): a Bloom filter built
+    * over a deterministic ~50% id split is probed with EVERY doc, and
+    * the row pins the two guarantees a bloom prefilter rides on at
+    * scale — members are NEVER missed (`no_false_negatives`, exact)
+    * and the false-positive rate stays within a generous multiple of
+    * the configured fpp (`fp_ok`). Raw fp counts are deliberately not
+    * emitted: the bit array is engine-specific (like sketch content
+    * in the other audits), while the booleans hold for any correct
+    * implementation — so the row is oracle-pinnable from the exact
+    * side.
+    *
+    * This is the validation that licenses bloom PREfilters in the
+    * incremental probes: a corpus of a billion accepted ids is a
+    * ~1 GB broadcastable bloom at 1% fpp where the exact hash table
+    * is tens of GB — the delta scan drops definite non-members
+    * map-side and only maybes pay the index join. The `mightContain`
+    * UDF here is audit-only (Spark's BloomFilter is a driver object
+    * with no expression form); the production prefilter shape is
+    * Spark's own runtime row-level bloom join. */
+  def bloomFilterAudit(documents: DataFrame, fpp: Double = 0.03): DataFrame = {
+    val flagged = documents.select(col("doc_id"),
+      (substring(md5(col("doc_id").cast("string")), 1, 4) < "8000").as("in_corpus"))
+      .localCheckpoint() // the bloom build and the probe must see ONE split
+    val corpus = flagged.filter(col("in_corpus"))
+    val bf = corpus.stat.bloomFilter("doc_id", math.max(corpus.count(), 1L), fpp)
+    val might = udf((id: Long) => bf.mightContain(id))
+    flagged.withColumn("hit", might(col("doc_id")))
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("in_corpus") && col("hit"), 1L).otherwise(0L)).as("mf"),
+        sum(when(!col("in_corpus") && col("hit"), 1L).otherwise(0L)).as("fp"))
+      .select(col("n_probed"), col("n_members"),
+        (col("mf") === col("n_members")).as("no_false_negatives"),
+        (col("fp").cast("double") <=
+          (col("n_probed") - col("n_members")).cast("double") * fpp * 3 + 1.0)
+          .as("fp_ok"))
+  }
+
   /** The per-source heavy-hitters SNAPSHOT — what
     * [[graft.Pipeline.runIncremental]] materializes per ingest day
     * (`outDir/heavy_hitters`): the k sketch rows per source plus the

@@ -139,7 +139,7 @@ class RegistrySpec extends SparkSpec {
     "pq_codes", "ann_pq", "ann_pq_recall", "ann_ivf_pq",
     "ann_ivf_pq_residual", "semantic_probe_pq", "entity_pagerank",
     "entity_communities", "curriculum_assign", "curriculum_stats",
-    "heavy_hitters_audit")
+    "heavy_hitters_audit", "bloom_filter_audit")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -102,6 +102,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloomFilterAudit: members never missed, fp rate within bound, any partitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    for (df <- Seq(docs, docs.repartition(13))) {
+      val r = Corpus.bloomFilterAudit(df).collect().head
+      assert(r.getAs[Boolean]("no_false_negatives"), s"bloom missed a member: $r")
+      assert(r.getAs[Boolean]("fp_ok"), s"fp rate past the bound: $r")
+      assert(r.getAs[Long]("n_probed") === df.count())
+    }
+  }
+
   test("heavyHittersAudit passes its contract on real data") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = Corpus.heavyHittersAudit(docs).collect()
