@@ -182,6 +182,8 @@ object Corpus {
     val sk = toks.groupBy(col("source"))
       .agg(call_function("graft_freq_items", col("term"), lit(k)).as("items"),
         count(lit(1)).as("n_tokens"))
+      .localCheckpoint() // k rows/source; read by BOTH branches below —
+                         // without this the sketch aggregate runs twice
     val est = sk.select(col("source"), explode(col("items")).as("it"))
       .select(col("source"), col("it.term").as("term"), col("it.est").as("est"))
     val exact = toks.groupBy(col("source"), col("term"))
@@ -253,7 +255,11 @@ object Corpus {
       .groupBy(col("source"))
       .agg(call_function("graft_freq_items", col("term"), lit(k)).as("items"),
         count(lit(1)).as("n_tokens"))
-      .select(col("source"), col("n_tokens"), explode(col("items")).as("it"))
+      // explode_outer: a source whose sketch decremented to empty (a
+      // near-all-singleton feed) still gets its (source, n_tokens)
+      // row — the drift view must distinguish "no heavy hitters"
+      // from "source absent from the delta"
+      .select(col("source"), col("n_tokens"), explode_outer(col("items")).as("it"))
       .select(col("source"), col("n_tokens"),
         col("it.term").as("term"), col("it.est").as("est"))
   }

@@ -304,8 +304,13 @@ object Ner {
   def entityPagerank(spark: SparkSession, documents: DataFrame,
                      iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 0)
-    val adj = cooccurrenceAdj(spark, documents)
+    // checkpoint the graph ONCE: every eagerly-materialized round
+    // below re-reads it, and without this the corpus-scale mention
+    // aggregate would re-run per round (the clusterPairsStar
+    // persist convention)
+    val adj = cooccurrenceAdj(spark, documents).localCheckpoint()
     val outw = adj.groupBy(col("u")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint()
     val n = outw.count()
     var pr = outw.select(col("u"), lit(1.0 / n).as("pr")).localCheckpoint()
     var it = 0
@@ -343,7 +348,9 @@ object Ner {
   def entityCommunities(spark: SparkSession, documents: DataFrame,
                         iters: Int = 5): DataFrame = {
     require(iters >= 0)
-    val adj = cooccurrenceAdj(spark, documents)
+    // same one-checkpoint rule as entityPagerank: the rounds below
+    // must not re-derive the graph from the corpus
+    val adj = cooccurrenceAdj(spark, documents).localCheckpoint()
     var labels = adj.select(col("u")).distinct()
       .select(col("u"), col("u").as("label")).localCheckpoint()
     var it = 0

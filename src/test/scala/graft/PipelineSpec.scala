@@ -148,7 +148,11 @@ class PipelineSpec extends SparkSpec {
     val hh1 = spark.read.parquet(s"$out1/heavy_hitters")
     assert(hh1.columns.sorted.toSeq === Seq("est", "n_tokens", "source", "term"))
     assert(hh1.count() <= 32L)
-    val hhTerms = hh1.select("term", "est").as[(String, Long)].collect().toMap
+    // explode_outer keeps the (source, n_tokens) row even when the
+    // sketch emptied — the source is never absent from the snapshot
+    assert(hh1.select("source").distinct().as[String].collect().toSeq === Seq("s"))
+    val hhTerms = hh1.filter(col("term").isNotNull)
+      .select("term", "est").as[(String, Long)].collect().toMap
     // 'fresh1'..'fresh40' appear twice (docs 12+13): MG never overcounts
     assert(hhTerms.values.forall(_ <= 2L), s"overcount: $hhTerms")
     // the WRITTEN corpus is redacted like the full prep's; the probe
