@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CdcChunks, FreqItemsAgg, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BoundedCollect, CdcChunks, FreqItemsAgg, SortedFoldSum, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -157,6 +157,12 @@ object GraftExtensions {
         case Seq(term, Literal(k: Int, _)) => FreqItemsAgg(term, k).toAggregateExpression()
         case Seq(_, other) => notLiteral("graft_freq_items", "k", other)
         case other => badSignature("graft_freq_items", "(term: string, k: int literal)", other)
+      }),
+    ("graft_sorted_fold_sum",
+      new ExpressionInfo(classOf[SortedFoldSum].getName, "graft_sorted_fold_sum"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k, v) => SortedFoldSum(k, v).toAggregateExpression()
+        case other => badSignature("graft_sorted_fold_sum", "(key: bigint, value: double)", other)
       }),
     ("graft_bounded_collect",
       new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),

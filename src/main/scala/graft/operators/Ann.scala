@@ -145,6 +145,7 @@ object Ann {
                                      deterministic: Boolean = false,
                                      seed: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0)
+    graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
     var cents = seed.getOrElse(ivfCentroids(e, k)).localCheckpoint()
     var it = 0
     while (it < iters) {
@@ -153,8 +154,11 @@ object Ann {
         .select(col("cell"), col("vec_id"), posexplode(asDouble(col("emb"))).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
       val means = (if (deterministic)
-        sums.agg(aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
-          lit(0.0), (acc, p) => acc + p.getField("x")).as("sx"), count(lit(1)).as("c"))
+        // the sorted fold as ONE native aggregate
+        // ([[graft.functions.SortedFoldSum]]) — bit-identical to the
+        // declarative array_sort(collect_list) + aggregate it replaces
+        sums.agg(call_function("graft_sorted_fold_sum", col("vec_id"), col("x")).as("sx"),
+          count(lit(1)).as("c"))
       else
         sums.agg(sum(col("x")).as("sx"), count(lit(1)).as("c")))
         .groupBy(col("cell"))

@@ -95,6 +95,7 @@ object Pq {
                                     deterministic: Boolean,
                                     rankSeed: Boolean = false): DataFrame = {
     require(iters >= 0 && ksub > 0)
+    graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
     val sv = subRows(e, m, subDims)
     val seedRows = if (rankSeed) {
       import org.apache.spark.sql.expressions.Window
@@ -117,8 +118,9 @@ object Pq {
           posexplode(col("semb")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))
       val means = (if (deterministic)
-        sums.agg(aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
-          lit(0.0), (acc, p) => acc + p.getField("x")).as("sx"),
+        // native sorted fold ([[graft.functions.SortedFoldSum]]) —
+        // bit-identical to the declarative form it replaces
+        sums.agg(call_function("graft_sorted_fold_sum", col("vec_id"), col("x")).as("sx"),
           count(lit(1)).as("c"))
       else
         sums.agg(sum(col("x")).as("sx"), count(lit(1)).as("c")))
