@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CdcChunks, FreqItemsAgg, SortedFoldSum, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BoundedCollect, CdcChunks, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -163,6 +163,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(k, v) => SortedFoldSum(k, v).toAggregateExpression()
         case other => badSignature("graft_sorted_fold_sum", "(key: bigint, value: double)", other)
+      }),
+    ("graft_sorted_fold_sum_str",
+      new ExpressionInfo(classOf[SortedFoldSumStr].getName, "graft_sorted_fold_sum_str"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k, v) => SortedFoldSumStr(k, v).toAggregateExpression()
+        case other => badSignature("graft_sorted_fold_sum_str", "(key: string, value: double)", other)
       }),
     ("graft_bounded_collect",
       new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),

@@ -304,6 +304,7 @@ object Ner {
   def entityPagerank(spark: SparkSession, documents: DataFrame,
                      iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 0)
+    graft.GraftExtensions.register(spark) // graft_sorted_fold_sum_str
     // checkpoint the graph ONCE: every eagerly-materialized round
     // below re-reads it, and without this the corpus-scale mention
     // aggregate would re-run per round (the clusterPairsStar
@@ -320,8 +321,8 @@ object Ner {
         .join(outw, Seq("u"))
         .select(col("v"), col("u"), (col("pr") * col("w") / col("outw")).as("contrib"))
       pr = contribs.groupBy(col("v"))
-        .agg(aggregate(array_sort(collect_list(struct(col("u"), col("contrib")))),
-          lit(0.0), (acc, s) => acc + s.getField("contrib")).as("s"))
+        .agg(call_function("graft_sorted_fold_sum_str",
+          col("u"), col("contrib")).as("s"))
         .select(col("v").as("u"),
           (lit((1 - damping) / n) + lit(damping) * col("s")).as("pr"))
         .localCheckpoint()

@@ -322,10 +322,13 @@ object TextOps {
         (coalesce(col("c3"), lit(0L)).cast("double") + 1.0) /
           (coalesce(col("c2"), lit(0L)).cast("double") + col("sz").cast("double")))
       .withColumn("t", col("n") * col("p"))
+    graft.GraftExtensions.register(candidates.sparkSession)
     val psum =
       if (deterministic)
-        aggregate(array_sort(collect_list(struct(col("tri"), col("t")))),
-          lit(0.0), (acc, x) => acc + x.getField("t"))
+        // native string-keyed sorted fold
+        // ([[graft.functions.SortedFoldSumStr]]) — bit-identical to
+        // the declarative array_sort(collect_list) chain it replaces
+        call_function("graft_sorted_fold_sum_str", col("tri"), col("t"))
       else sum(col("t"))
     scored.groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tri"),

@@ -28,4 +28,32 @@ class ExactSpec extends SparkSpec {
     val s = df.agg(Exact.sumFixed(col("v"), 2)).head().getDouble(0)
     assert(math.abs(s - 0.05) < 1e-12)
   }
+
+  test("graft_sorted_fold_sum(_str) are bit-identical to the declarative sorted fold") {
+    GraftExtensions.register(spark)
+    // double values whose summation order visibly matters, keys that
+    // exercise byte-order vs UTF-16 order (non-ASCII above and below
+    // the surrogate range) and long keys out of insertion order
+    val rows = (1 to 800).map { i =>
+      val key = if (i % 3 == 0) s"\u00e9$i" else if (i % 3 == 1) s"\u4e2d$i" else s"a$i"
+      (i % 7L, key, i.toLong * 1001L, (math.E * i * 0.013) % 89)
+    }
+    val df = rows.toDF("g", "ks", "kl", "x").repartition(13)
+    val declStr = df.groupBy(col("g")).agg(
+      aggregate(array_sort(collect_list(struct(col("ks"), col("x")))),
+        lit(0.0), (acc, p) => acc + p.getField("x")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val natStr = df.groupBy(col("g")).agg(
+      call_function("graft_sorted_fold_sum_str", col("ks"), col("x")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(declStr === natStr) // exact double equality
+    val declLong = df.groupBy(col("g")).agg(
+      aggregate(array_sort(collect_list(struct(col("kl"), col("x")))),
+        lit(0.0), (acc, p) => acc + p.getField("x")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val natLong = df.groupBy(col("g")).agg(
+      call_function("graft_sorted_fold_sum", col("kl"), col("x")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(declLong === natLong)
+  }
 }
