@@ -1352,14 +1352,18 @@ object SparkEntry {
       // synchronous weighted label propagation, made deterministic:
       // all nodes update simultaneously from the previous round's
       // labels (order cannot matter), argmax by summed incident
-      // weight with ties to the smaller label — integer weights and
-      // lexicographic ties only, so the replay needs no fold
-      // conventions at all
+      // weight — each node's own label voting with its max incident
+      // edge weight (the bipartite 2-cycle breaker) — ties to the
+      // smaller label; integer weights and lexicographic ties only,
+      // so the replay needs no fold conventions at all
       (s: SparkSession, d: String) => Ner.entityCommunities(s, docs(s, d)),
       Some {
         val rounds = (0 until 5).map { i =>
-          s"""cs$i AS (SELECT a.u, l.label, CAST(SUM(a.w) AS BIGINT) AS lw
-             |  FROM adj a JOIN cl$i l ON a.v = l.u GROUP BY 1, 2),
+          s"""cs$i AS (SELECT u, label, CAST(SUM(w) AS BIGINT) AS lw FROM (
+             |    SELECT a.u, l.label, a.w FROM adj a JOIN cl$i l ON a.v = l.u
+             |    UNION ALL
+             |    SELECT s.u, l.label, s.sw FROM sw s JOIN cl$i l ON s.u = l.u
+             |  ) GROUP BY 1, 2),
              |cl${i + 1} AS (SELECT u, label FROM (
              |  SELECT u, label,
              |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY lw DESC, label) AS rn
@@ -1372,6 +1376,7 @@ object SparkEntry {
            |      GROUP BY 1, 2),
            |adj AS (SELECT e1 AS u, e2 AS v, w FROM p
            |        UNION ALL SELECT e2, e1, w FROM p),
+           |sw AS (SELECT u, MAX(w) AS sw FROM adj GROUP BY 1),
            |cl0 AS (SELECT DISTINCT u, u AS label FROM adj),
            |$rounds
            |SELECT u AS entity, label AS community FROM cl5""".stripMargin

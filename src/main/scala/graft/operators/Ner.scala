@@ -334,30 +334,46 @@ object Ner {
   /** Community detection on the entity co-occurrence graph by
     * SYNCHRONOUS weighted label propagation — deterministic where
     * classic LPA is not: every round, each node adopts the label
-    * with the greatest incident edge weight among its neighbors'
-    * current labels (its own current label votes with weight 0 — a
-    * pure neighbor majority), ties to the SMALLER label; all nodes
-    * update simultaneously from the previous round's labels, so
-    * update order cannot matter; labels start as each node's own
-    * name. Fixed `iters` rounds (the reproducibility-over-epsilon
-    * rule). Integer weights and lexicographic ties throughout — no
-    * doubles at all, the easiest replay in the graph family.
+    * with the greatest summed incident edge weight among its
+    * neighbors' current labels, where the node's OWN current label
+    * also votes, with weight equal to its strongest incident edge;
+    * ties go to the SMALLER label; all nodes update simultaneously
+    * from the previous round's labels, so update order cannot
+    * matter; labels start as each node's own name. The self-vote is
+    * the 2-cycle breaker a pure neighbor majority lacks (r13
+    * ADVICE): on a two-node (or any bipartite) component the
+    * neighbor-only rule swaps labels forever — self weight = max
+    * incident edge ties the swap and the min-label tiebreak settles
+    * the component on its smallest name in one round, while inside
+    * a community a dominant label still outvotes any single
+    * self-vote (it carries ≥ the same max edge weight plus the rest
+    * of its edges). Fixed `iters` rounds (the
+    * reproducibility-over-epsilon rule). Integer weights and
+    * lexicographic ties throughout — no doubles at all, the easiest
+    * replay in the graph family.
     *
     * Scale shape: identical to [[entityPagerank]] — corpus work ends
     * at the mention aggregate, each round is one gazetteer-bounded
-    * join + argmax aggregate over checkpointed labels. */
+    * join + argmax aggregate over checkpointed labels (the
+    * self-vote union adds one node-count-bounded row set per
+    * round). */
   def entityCommunities(spark: SparkSession, documents: DataFrame,
                         iters: Int = 5): DataFrame = {
     require(iters >= 0)
     // same one-checkpoint rule as entityPagerank: the rounds below
     // must not re-derive the graph from the corpus
     val adj = cooccurrenceAdj(spark, documents).localCheckpoint()
+    val selfW = adj.groupBy(col("u")).agg(max(col("w")).as("sw"))
+      .localCheckpoint()
     var labels = adj.select(col("u")).distinct()
       .select(col("u"), col("u").as("label")).localCheckpoint()
     var it = 0
     while (it < iters) {
       labels = adj
         .join(labels.withColumnRenamed("u", "v"), Seq("v"))
+        .select(col("u"), col("label"), col("w"))
+        .unionByName(labels.join(selfW, Seq("u"))
+          .select(col("u"), col("label"), col("sw").as("w")))
         .groupBy(col("u"), col("label"))
         .agg(sum(col("w")).as("lw"))
         .groupBy(col("u"))

@@ -72,10 +72,15 @@ object Pq {
 
   /** All `m` trained codebooks, one row per subspace
     * `(sub, cents: array<struct<cell, cemb>>)`: seed = the `ksub`
-    * lowest vec_ids' subvectors (cell = vec_id, the Ann.ivfCentroids
-    * rule; `rankSeed = true` ranks arbitrary/sparse ids to dense
-    * cells 0..ksub-1 — the Ann.seedCentroidsByRank rule, which the
-    * ADC code→array-index contract needs), then `iters` Lloyd
+    * lowest vec_ids' subvectors, RANKED to dense cells 0..ksub-1
+    * (the Ann.seedCentroidsByRank rule — the default, because the
+    * ADC code→array-index contract REQUIRES dense cells: on a dense
+    * 0-based id space it coincides with the legacy cell = vec_id
+    * rule, and on sparse/non-zero-based ids it is the only correct
+    * one; `rankSeed = false` keeps the raw cell = vec_id seeding for
+    * callers that replay the legacy oracle on dense ids and is
+    * guarded by a loud failure when the ids are not 0..ksub-1 —
+    * silent wrong distances were the r13 ADVICE hazard), then `iters` Lloyd
     * assign/re-center rounds under squared L2, ALL subspaces in one
     * plan per round.
     *
@@ -93,7 +98,7 @@ object Pq {
   private[graft] def trainCodebooks(e: DataFrame, m: Int, subDims: Int,
                                     ksub: Int, iters: Int,
                                     deterministic: Boolean,
-                                    rankSeed: Boolean = false): DataFrame = {
+                                    rankSeed: Boolean = true): DataFrame = {
     require(iters >= 0 && ksub > 0)
     graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
     val sv = subRows(e, m, subDims)
@@ -111,6 +116,18 @@ object Pq {
     var cents = seedRows.groupBy(col("sub"))
       .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
       .localCheckpoint()
+    if (!rankSeed) {
+      // legacy cell = vec_id seeding only holds the ADC contract
+      // (cells dense 0..ksub-1) on a dense 0-based id space — fail
+      // loudly on any other, instead of element_at reading the wrong
+      // dtab slot and returning silently-wrong distances (r13 ADVICE).
+      // One tiny read of the already-checkpointed m-row codebook set.
+      val seeded = cents.select(explode(col("cents")).as("c"))
+        .select(col("c.cell")).distinct()
+        .orderBy(col("cell")).collect().map(_.getLong(0)).toSeq
+      require(seeded == (0L until ksub.toLong),
+        s"rankSeed=false requires vec_ids dense from 0: seeded cells $seeded != 0..${ksub - 1}")
+    }
     var it = 0
     while (it < iters) {
       val sums = assignAll(sv, cents)

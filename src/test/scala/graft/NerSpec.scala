@@ -138,6 +138,25 @@ class NerSpec extends SparkSpec {
       s"bridge merged the cliques: $out")
   }
 
+  test("entityCommunities converges on a two-node component (no 2-cycle swap)") {
+    // an entity pair that co-occurs ONLY with each other is the
+    // smallest bipartite component: a pure neighbor-majority rule
+    // swaps their labels every synchronous round, so after any odd/
+    // even round count the two nodes of one component disagree (r13
+    // ADVICE). The self-vote (own label, max incident edge weight)
+    // ties the swap and min-label settles both on the smaller name.
+    val df = docs(
+      (1L, "customer merge"), (2L, "customer merge"),
+      // a second isolated pair, opposite lexicographic edge order
+      (3L, "window stream"), (4L, "window stream"))
+    val out = Ner.entityCommunities(spark, df)
+      .as[(String, String)].collect().toMap
+    assert(out("customer") === "customer" && out("merge") === "customer",
+      s"pair component did not settle on its min label: $out")
+    assert(out("stream") === "stream" && out("window") === "stream",
+      s"pair component did not settle on its min label: $out")
+  }
+
   test("entityCommunities is deterministic under repartitioning") {
     val df = docs(
       (1L, "customer merge query"), (2L, "spark stream window"),
