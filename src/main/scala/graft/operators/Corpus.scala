@@ -247,7 +247,16 @@ object Corpus {
     * source's token total, nothing exact-side (that is
     * [[heavyHittersAudit]]'s job at gate SF). Reading snapshots
     * across days is the drift view — a term surging into a feed's
-    * top-k is a crawler loop or spam campaign announcing itself. */
+    * top-k is a crawler loop or spam campaign announcing itself.
+    *
+    * Reruns are NOT row-stable: Misra-Gries sketch content depends
+    * on update/merge order, so re-running the same day under a
+    * different partitioning may keep different near-boundary terms
+    * (truly heavy terms — above N/(k+1) — always survive, and
+    * estimates never overcount; those contract booleans, audited by
+    * [[heavyHittersAudit]], are the stable surface). Day-over-day
+    * drift views should therefore expect spurious churn in the
+    * table's tail, never in its genuine heavy hitters. */
   def heavyHittersSnapshot(documents: DataFrame, k: Int = 32): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
     documents.select(col("source"),

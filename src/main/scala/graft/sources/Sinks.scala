@@ -346,6 +346,59 @@ object Sinks {
     * with a transactional format the same [[mergeUpsert]] plan becomes
     * a partition-scoped MERGE. Returned unstarted — callers
     * `.start()`. */
+  /** Streaming GROUP-replace upsert — the snapshot-table sink for
+    * streams that re-emit a whole row SET per key each trigger
+    * (e.g. [[graft.streaming.Streams.heavyHittersStream]]'s k
+    * refreshed sketch rows per source): every micro-batch replaces
+    * the persisted rows of each group it touches wholesale and
+    * leaves untouched groups' rows in place, so the layer always
+    * holds exactly one — the latest — row set per group and
+    * survives restarts like any checkpointed sink.
+    *
+    * [[streamingUpsertSink]] cannot express this: its per-KEY merge
+    * keeps one row per key, but a snapshot group is many rows whose
+    * MEMBERSHIP changes between triggers (a term dropping out of a
+    * sketch must drop out of the table — a keyed upsert would leave
+    * the stale row behind).
+    *
+    * `versionCol` (when set) resolves multiple versions of one group
+    * INSIDE a batch — at-least-once replay can coalesce two triggers
+    * into one micro-batch; only each group's max-version rows land.
+    * Replay-safe the same way as the keyed sink: re-applying a batch
+    * replaces the same groups with the same rows. Scale shape: the
+    * rewrite touches the snapshot layer (groups × k rows — sketch-
+    * bounded, never corpus-bounded) plus one atomic staging swap. */
+  def streamingGroupReplaceSink(stream: DataFrame, path: String, checkpoint: String,
+                                groupKeys: Seq[String],
+                                versionCol: Option[String] = None): DataStreamWriter[Row] = {
+    require(groupKeys.nonEmpty, "streamingGroupReplaceSink needs at least one group column")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(path)
+        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverHalfSwap(fs, target) // same crash-window rule as the keyed sink
+        val keyCols = groupKeys.map(org.apache.spark.sql.functions.col)
+        val latest = versionCol.fold(batch) { v =>
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+          batch.withColumn("__maxv",
+            org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(v)).over(w))
+            .filter(org.apache.spark.sql.functions.col(v) === org.apache.spark.sql.functions.col("__maxv"))
+            .drop("__maxv")
+        }
+        val merged =
+          if (fs.exists(target))
+            spark.read.schema(batch.schema).parquet(path)
+              .join(latest.select(keyCols: _*).distinct(), groupKeys, "left_anti")
+              .unionByName(latest)
+          else latest
+        merged.write.mode("overwrite").parquet(staging.toString)
+        swapInto(fs, staging, target)
+      }
+  }
+
   def streamingUpsertSink(stream: DataFrame, path: String, checkpoint: String,
                           keys: Seq[String]): DataStreamWriter[Row] = {
     require(keys.nonEmpty, "streamingUpsertSink needs at least one key column")

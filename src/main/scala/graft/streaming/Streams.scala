@@ -253,7 +253,7 @@ object Streams {
       .as[SemanticHit]
   }
 
-  case class HeavyHitter(source: String, term: String, est: Long)
+  case class HeavyHitter(source: String, term: String, est: Long, trigger: Long)
 
   /** Continuous per-source heavy hitters — the streaming face of the
     * batch Misra-Gries aggregate
@@ -274,7 +274,18 @@ object Streams {
     * in the proof): every term above N/(k+1) of the tokens seen so
     * far is in the emitted rows, estimates never overcount, and with
     * ≤ k distinct terms the counts are EXACT running totals — the
-    * contracts the spec pins against the batch audit's booleans. */
+    * contracts the spec pins against the batch audit's booleans.
+    *
+    * LATEST-WINS CONTRACT (r13 ADVICE): Append mode means an
+    * append-only sink accumulates every trigger's refreshed totals —
+    * superseded rows are never retracted. Each emitted row therefore
+    * carries `trigger`, the source's update counter (how many
+    * micro-batches have touched that source's sketch, persisted in
+    * state, so it survives restarts and never repeats). The current
+    * snapshot of a source is its max-trigger row set, deterministic
+    * for any consumer; [[graft.sources.Sinks.streamingGroupReplaceSink]]
+    * applies exactly that rule to keep a persisted one-row-set-per-
+    * source snapshot table live across restarts. */
   def heavyHittersStream(rawDocuments: DataFrame, k: Int = 32): Dataset[HeavyHitter] = {
     import rawDocuments.sparkSession.implicits._
     rawDocuments
@@ -283,13 +294,15 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (source: String, rows: Iterator[(String, String)],
-         state: GroupState[Map[String, Long]]) => {
+         state: GroupState[(Map[String, Long], Long)]) => {
+          val (prev, prevTrigger) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
           val m = scala.collection.mutable.HashMap.empty[String, Long]
-          state.getOption.foreach(_.foreach { case (t, c) => m.update(t, c) })
+          prev.foreach { case (t, c) => m.update(t, c) }
           rows.foreach { case (_, t) => graft.functions.MisraGries.update(m, t, k) }
-          state.update(m.toMap)
+          val trigger = prevTrigger + 1L
+          state.update((m.toMap, trigger))
           m.toArray.sortBy { case (t, c) => (-c, t) }
-            .iterator.map { case (t, c) => HeavyHitter(source, t, c) }
+            .iterator.map { case (t, c) => HeavyHitter(source, t, c, trigger) }
         })
   }
 

@@ -405,12 +405,15 @@ class StreamingSpec extends SparkSpec {
         "SELECT term, est FROM hh_out").as[(String, Long)].collect().toMap
       assert(snap1 === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
       // batch 2: more of the same terms — running totals accumulate
-      // across triggers exactly (still under k distinct)
+      // across triggers exactly (still under k distinct); the current
+      // snapshot is the max-trigger row set (the documented
+      // latest-wins rule, not a per-term max(est) workaround)
       input.addData(("s1", "a b b"))
       q.processAllAvailable()
       val latest = spark.sql(
-        """SELECT term, est FROM hh_out""").as[(String, Long)].collect()
-        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+        """SELECT term, est FROM hh_out
+          |WHERE trigger = (SELECT max(trigger) FROM hh_out)""".stripMargin)
+        .as[(String, Long)].collect().toMap
       assert(latest === Map("a" -> 4L, "b" -> 4L, "c" -> 1L))
       // batch 3: a flood of distinct cold terms forces decrements; the
       // hot term must survive (MG guarantee) and never overcount
@@ -418,12 +421,19 @@ class StreamingSpec extends SparkSpec {
       input.addData(("s1", "a a a a a a a a a a"))
       q.processAllAvailable()
       val last = spark.sql(
-        """SELECT term, est FROM hh_out""").as[(String, Long)].collect()
-        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+        """SELECT term, est FROM hh_out
+          |WHERE trigger = (SELECT max(trigger) FROM hh_out)""".stripMargin)
+        .as[(String, Long)].collect().toMap
       // N = 7 + 3 + 30 + 10 = 50, k=4 -> bound N/(k+1) = 10; true a = 14 > 10
       assert(last.contains("a"), s"hot term lost: $last")
       assert(last("a") <= 14L, s"overcounted: ${last("a")}")
       assert(14L - last("a") <= 10L, s"past the MG bound: ${last("a")}")
+      // triggers are per-source update counters: strictly increasing,
+      // one value per micro-batch that touched the source
+      val trigs = spark.sql("SELECT DISTINCT trigger FROM hh_out")
+        .as[Long].collect().sorted
+      assert(trigs.head === 1L && trigs.length >= 3
+        && trigs.toSeq === (1L to trigs.length))
     } finally q.stop()
   }
 
@@ -440,5 +450,51 @@ class StreamingSpec extends SparkSpec {
         .as[(String, String, Long)].collect().toSet
       assert(out === Set(("s1", "x", 2L), ("s2", "y", 1L)))
     } finally q.stop()
+  }
+
+  test("persisted heavy-hitters snapshot survives a kill/restart and converges to batch") {
+    // the live view as a TABLE: streamingGroupReplaceSink keeps one
+    // latest row set per source across triggers AND across a query
+    // kill/restart (state from the checkpoint, table via group
+    // replace) — at the end it must equal the batch
+    // heavyHittersSnapshot of the full delivered prefix (≤ k
+    // distinct terms per source, so both sides are exact counts and
+    // the comparison is order-independent)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hh_snap").toString
+    val path = s"$dir/snapshot"
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("source", "text")
+    def start() = graft.sources.Sinks.streamingGroupReplaceSink(
+      Streams.heavyHittersStream(df, k = 8).toDF(), path, s"$dir/ckpt",
+      groupKeys = Seq("source"), versionCol = Some("trigger")).start()
+    val q1 = start()
+    try {
+      input.addData(("s1", "a a b"), ("s2", "x"))
+      q1.processAllAvailable()
+      input.addData(("s1", "b c"))
+      q1.processAllAvailable()
+    } finally q1.stop() // kill mid-stream; checkpoint + table survive
+    val mid = spark.read.parquet(path)
+      .select("source", "term", "est").as[(String, String, Long)].collect().toSet
+    assert(mid === Set(("s1", "a", 2L), ("s1", "b", 2L), ("s1", "c", 1L), ("s2", "x", 1L)),
+      s"pre-restart snapshot wrong: $mid")
+    val q2 = start()
+    try {
+      input.addData(("s1", "a"), ("s2", "x y"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = spark.read.parquet(path)
+      .select("source", "term", "est").as[(String, String, Long)].collect().toSet
+    val delivered = Seq(("s1", "a a b"), ("s2", "x"), ("s1", "b c"),
+      ("s1", "a"), ("s2", "x y")).toDF("source", "text")
+    val batch = graft.operators.Corpus.heavyHittersSnapshot(delivered, k = 8)
+      .select("source", "term", "est").as[(String, String, Long)].collect().toSet
+    assert(fin === batch, s"restarted snapshot $fin != batch $batch")
+    // exactly one row set per source: no superseded trigger rows leak
+    val perSourceTrigs = spark.read.parquet(path)
+      .select("source", "trigger").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    assert(perSourceTrigs.values.forall(_ == 1), s"stale trigger rows: $perSourceTrigs")
   }
 }
