@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedCollect, CdcChunks, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -157,6 +157,13 @@ object GraftExtensions {
         case Seq(term, Literal(k: Int, _)) => FreqItemsAgg(term, k).toAggregateExpression()
         case Seq(_, other) => notLiteral("graft_freq_items", "k", other)
         case other => badSignature("graft_freq_items", "(term: string, k: int literal)", other)
+      }),
+    ("graft_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bloom, value) => BloomMightContain(bloom, value)
+        case other => badSignature("graft_might_contain",
+          "(bloom: binary literal, value: string)", other)
       }),
     ("graft_sorted_fold_sum",
       new ExpressionInfo(classOf[SortedFoldSum].getName, "graft_sorted_fold_sum"),

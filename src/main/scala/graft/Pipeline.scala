@@ -121,12 +121,27 @@ object Pipeline {
     Sinks.writeBucketed(
       corpus.select(md5(col("text")).as("content_md5")).distinct(),
       hashTable, Seq("content_md5"))
+    // the hash set's bloom summary, maintained across ingests: the
+    // daily exact arm drops definite non-members map-side before the
+    // index anti-join ([[runIncremental]]'s union-bypass), licensed
+    // by the no-false-negatives contract operators.Corpus
+    // .bloomFilterAudit pins
+    Dedup.writeHashBloom(corpus.sparkSession, hashTable)
     chunkTable.foreach(t => Dedup.writeChunkPostings(corpus, t))
     // semantic arm: trained-quantizer cell index over the corpus
     // vectors ((doc_id, embedding) — the embedder's output for the
-    // accepted docs); training runs ONCE here, daily runs only probe
+    // accepted docs); training runs ONCE here, daily runs only probe.
+    // Next to the full-vector index, the PQ-compressed twin
+    // (<t>__pq + <t>__pq__codebooks — 16 B/doc): the probe's first
+    // pass at corpus scales the vector index has outgrown in memory.
+    // Codebooks train HERE, once; the coarse quantizer is SHARED
+    // (same persisted centroids) so both indexes agree on cell
+    // membership — the confirm pass prunes the vector index by the
+    // PQ probe's cells and two quantizers would read wrong cells.
     semanticTable.zip(corpusEmbeddings).foreach { case (t, vecs) =>
       graft.operators.Ann.writeSemanticIndex(vecs, t)
+      graft.operators.Pq.writeSemanticIndexPq(vecs, t + "__pq",
+        sharedCentroids = Some(vecs.sparkSession.table(t + "__centroids")))
     }
     // charlm arm: the corpus's aggregated trigram counts, tagged with
     // the bootstrap append id. One row set per ingest (bounded by
@@ -173,6 +188,11 @@ object Pipeline {
         p.select(col("content_md5")).distinct()
           .join(spark.table(hashTable), Seq("content_md5"), "left_anti"),
         hashTable, Seq("content_md5"))
+      // bloom re-merge, UNCONDITIONAL: the crash may have hit between
+      // the hash append and the bloom merge, and re-merging hashes the
+      // bloom already holds is a no-op (idempotent puts) — so after
+      // repair the prefilter provably covers every indexed hash
+      Dedup.mergeHashBloom(spark, hashTable, p.select(col("content_md5")).distinct())
       Option(p.select(col("chunk_table")).first().getString(0)).foreach { t =>
         val chunkedIds = spark.table(t).select(col("doc_id")).distinct()
           .join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -182,17 +202,28 @@ object Pipeline {
       }
       // semantic arm: the manifest carries each accepted doc's vector
       // (null when the doc had none), so the cell-index append replays
-      // without the embedder — same per-index anti-join idempotence
+      // without the embedder — same per-index anti-join idempotence.
+      // The PQ twin repairs by the same rule against ITS OWN id set
+      // (the crash may have landed one index and not the other).
       Option(p.select(col("semantic_table")).first().getString(0)).foreach { t =>
+        val manifestVecs = p.filter(col("embedding").isNotNull)
+          .select(col("doc_id"), col("embedding"))
         val semIds = spark.table(t).select(col("doc_id")).distinct()
           .join(broadcast(ids), Seq("doc_id"), "left_semi")
         Sinks.appendBucketed(
           graft.operators.Ann.semanticIndexRows(
-            p.filter(col("embedding").isNotNull)
-              .select(col("doc_id"), col("embedding"))
-              .join(broadcast(semIds), Seq("doc_id"), "left_anti"),
+            manifestVecs.join(broadcast(semIds), Seq("doc_id"), "left_anti"),
             spark.table(t + "__centroids")),
           t, Seq("cell"))
+        if (spark.catalog.tableExists(t + "__pq")) {
+          val pqIds = spark.table(t + "__pq").select(col("doc_id")).distinct()
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+          Sinks.appendBucketed(
+            graft.operators.Pq.semanticIndexRowsPq(
+              manifestVecs.join(broadcast(pqIds), Seq("doc_id"), "left_anti"),
+              spark.table(t + "__centroids"), spark.table(t + "__pq__codebooks")),
+            t + "__pq", Seq("cell"))
+        }
       }
       val outDir = p.select(col("out_dir")).first().getString(0)
       // charlm arm: recompute the crashed day's aggregated counts from
@@ -211,6 +242,41 @@ object Pipeline {
       spark.sql(s"DROP TABLE $pending")
       Some(outDir)
     }
+  }
+
+  /** The exact-dup-vs-corpus gate with the BLOOM UNION-BYPASS: when
+    * the hash table carries its persisted bloom summary
+    * ([[operators.Dedup.writeHashBloom]] — bootstrapped once, merged
+    * daily), delta rows the bloom says are DEFINITELY not corpus
+    * members skip the anti-join entirely — no false negatives means
+    * they are truly new — and only the "maybe" sliver (fpp × delta +
+    * true duplicates, ~3% at steady state) proceeds to the exact
+    * bucketed anti-join. The shape matters because Spark's zero-code
+    * runtime bloom join CANNOT serve here: pruning the probe side of
+    * a LEFT ANTI join would drop exactly the rows the join must
+    * keep, so InjectRuntimeFilter never fires on it — the explicit
+    * filter + union is the correct form. The bloom ships as a plan
+    * literal (a broadcast-scale driver value), the probe is the
+    * codegen'd [[graft.functions.BloomMightContain]], and the delta
+    * is checkpointed once so both branches read one materialization.
+    * Without a bloom (pre-bloom bootstrap, lost table): the plain
+    * anti-join, same rows. */
+  private[graft] def exactNewVsCorpus(spark: SparkSession, exactWithin: org.apache.spark.sql.DataFrame,
+                                      hashTable: String): org.apache.spark.sql.DataFrame = {
+    val hashed = exactWithin.withColumn("__content_md5", md5(col("content")))
+    val out = Dedup.readHashBloom(spark, hashTable) match {
+      case Some(bloom) =>
+        graft.GraftExtensions.register(spark)
+        val might = call_function("graft_might_contain", lit(bloom), col("__content_md5"))
+        val base = hashed.localCheckpoint()
+        base.filter(!might).unionByName(
+          base.filter(might).join(spark.table(hashTable),
+            col("__content_md5") === col("content_md5"), "left_anti"))
+      case None =>
+        hashed.join(spark.table(hashTable),
+          col("__content_md5") === col("content_md5"), "left_anti")
+    }
+    out.drop("__content_md5")
   }
 
   /** The DAILY ingest against a standing corpus — the production path
@@ -233,8 +299,14 @@ object Pipeline {
     *     outDir, so tomorrow's gate sees today's prose without ever
     *     re-reading a corpus document;
     *  2. exact dedup WITHIN the delta (keep-first on content hash),
-    *     then VS the corpus — an anti-join against the bucketed hash
-    *     set, which reads shuffle-free on its join key;
+    *     then VS the corpus — the bloom union-bypass
+    *     ([[exactNewVsCorpus]]): definite non-members of the
+    *     persisted corpus bloom skip the join map-side (no false
+    *     negatives), the maybe sliver anti-joins the bucketed hash
+    *     set, which reads shuffle-free on its join key; the accepted
+    *     day's hashes merge back into the bloom
+    *     ([[operators.Dedup.mergeHashBloom]] — delta-sized, crash-
+    *     replayable) so tomorrow's prefilter stays complete;
     *  3. near-dup VS corpus and WITHIN delta in one
     *     [[operators.Dedup.incrementalMinhashCandidates]] probe: a
     *     delta doc paired with any corpus doc drops (the corpus copy
@@ -298,7 +370,8 @@ object Pipeline {
                      deltaEmbeddings: Option[org.apache.spark.sql.DataFrame] = None,
                      charlmTable: Option[String] = None,
                      charlmRareFracMax: Option[Double] = None,
-                     charlmRareBelow: Double = 0.001): Summary = {
+                     charlmRareBelow: Double = 0.001,
+                     pqRetrainQerr: Double = 0.5): Summary = {
     // Crash recovery FIRST: a leftover pending manifest means a prior
     // run died between its index appends — complete them before any
     // decision reads the tables. If the crashed run was THIS outDir's,
@@ -317,10 +390,14 @@ object Pipeline {
     // sketch rows per source — what flooded this feed today,
     // including everything the gates below drop). Written to outDir,
     // not a global table, so a crash-rerun overwrites the same
-    // content instead of double-appending — idempotent by
-    // construction, and deliberately outside the pending-manifest
-    // discipline (a monitoring view, rebuildable from the raw delta,
-    // never an accept/drop input).
+    // LOCATION instead of double-appending — append-idempotent only:
+    // MG sketch content is update/merge-order dependent, so a rerun
+    // under different partitioning may legally land different
+    // borderline (term, est) rows (the MG contract booleans, not row
+    // content, are the stable surface — see heavyHittersSnapshot's
+    // doc). Deliberately outside the pending-manifest discipline (a
+    // monitoring view, rebuildable from the raw delta, never an
+    // accept/drop input).
     val rawDelta = Tables.documents(spark, sourceDir)
     Sinks.writeParquet(
       operators.Corpus.heavyHittersSnapshot(rawDelta),
@@ -350,8 +427,7 @@ object Pipeline {
       .localCheckpoint()
     val idSafe = quality.join(broadcast(corpusIds), Seq("doc_id"), "left_anti")
     val exactWithin = Cleaning.dedupKeepFirst(idSafe, md5(col("content")), col("doc_id"))
-    val exactNew = exactWithin.join(spark.table(hashTable),
-      md5(col("content")) === col("content_md5"), "left_anti")
+    val exactNew = exactNewVsCorpus(spark, exactWithin, hashTable)
       .localCheckpoint() // three consumers below; the probe must not re-run the scan chain
     val text = exactNew.select(col("doc_id"), col("content").as("text"))
 
@@ -377,14 +453,45 @@ object Pipeline {
     // semantic arm (optional): a PARAPHRASED re-delivery shares no
     // shingles and no CDC chunks — both text probes are structurally
     // blind to it; its embedding still lands in the corpus doc's
-    // quantizer cell. Probe the trained cell index with the surviving
-    // delta's vectors ((doc_id, embedding) from the day's embedder),
-    // corpus wins. Delta docs without a vector simply skip this arm.
+    // quantizer cell. Probe with the surviving delta's vectors
+    // ((doc_id, embedding) from the day's embedder), corpus wins.
+    // Delta docs without a vector simply skip this arm. With the PQ
+    // twin present (bootstraps since the PQ seam landed), the probe
+    // is TWO-TIER: candidates from the 16 B/doc code index
+    // (persisted codebooks — never retrained; over-collects by the
+    // probe's margin because ADC cosines carry quantization error),
+    // then EXACT cosine on just the candidate pairs against the
+    // full-vector index, scanning only the cells the candidates
+    // touched (the collect is bounded by the quantizer's k — a
+    // driver-safe constant, same license as the BPE loop's 1-row
+    // fetch). Corpus-scale work reads codes; vectors surface
+    // candidate-sized. Without the PQ twin: the one-tier exact
+    // cell probe, same hits.
+    val semThreshold = 0.35
     val semHits = semanticTable.zip(deltaEmbeddings).map { case (t, embs) =>
-      graft.operators.Ann.incrementalSemanticMatches(
-        embs.join(broadcast(exactNew.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
-        spark.table(t), spark.table(t + "__centroids"))
-        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
+      val deltaVecs = embs.join(broadcast(exactNew.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      val hits =
+        if (spark.catalog.tableExists(t + "__pq")) {
+          val cand = graft.operators.Pq.incrementalSemanticMatchesPq(
+              deltaVecs, spark.table(t + "__pq"), spark.table(t + "__centroids"),
+              spark.table(t + "__pq__codebooks"), threshold = semThreshold)
+            .localCheckpoint()
+          val cells = cand.select(col("cell")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          spark.table(t).filter(col("cell").isin(cells: _*))
+            .select(col("doc_id").as("corpus_doc"), col("emb").as("c_emb"),
+              col("nrm").as("c_nrm"))
+            .join(cand.select(col("delta_doc"), col("corpus_doc")), Seq("corpus_doc"))
+            .join(deltaVecs.select(col("doc_id").as("delta_doc"),
+              col("embedding")), Seq("delta_doc"))
+            .filter(graft.operators.Ann.dot(col("embedding"), col("c_emb")) /
+              (graft.operators.Ann.norm(col("embedding")) * col("c_nrm")) >= semThreshold)
+        } else
+          graft.operators.Ann.incrementalSemanticMatches(
+            deltaVecs, spark.table(t), spark.table(t + "__centroids"),
+            threshold = semThreshold)
+      hits.select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
     }
     val survivors = (substrHits.toSeq ++ semHits.toSeq).foldLeft(
       exactNew.join(corpusHits, Seq("doc_id"), "left_anti"))(
@@ -455,6 +562,14 @@ object Pipeline {
     Sinks.appendBucketed(
       acceptedText.select(md5(col("text")).as("content_md5")).distinct(),
       hashTable, Seq("content_md5"))
+    // keep the persisted exact-dup bloom current (no-op when none is
+    // maintained). AFTER the table append — a saturation rebuild
+    // re-reads the table and must see today; BEFORE the manifest drop
+    // — a crash in between replays the merge idempotently (bloom puts
+    // set the same bits) via repairPendingAppends, so the prefilter
+    // can never hold false negatives against the indexed corpus.
+    if (acceptedN > 0) Dedup.mergeHashBloom(spark, hashTable,
+      acceptedText.select(md5(col("text")).as("content_md5")).distinct())
     // Delta chunks materialize once (delta-sized): the append consumes
     // them, then the df-cap breach check probes the index with their
     // distinct hashes.
@@ -464,13 +579,45 @@ object Pipeline {
       c
     }
     // semantic index append: the accepted docs' vectors, assigned to
-    // their persisted-centroid cells — tomorrow's probe must see today
-    semArm.foreach { case (t, embs) =>
+    // their persisted-centroid cells — tomorrow's probe must see
+    // today. The PQ twin appends the same docs' code rows (persisted
+    // codebooks encode them — no retraining in the steady state),
+    // keeping both tiers of the probe complete in lockstep — UNLESS
+    // the day's vectors breach the quantization-error bar: a frozen
+    // codebook only bounds error for data like its training corpus,
+    // so a day landing out-of-distribution vectors (feed shifts
+    // topic, embedder changes) would encode them so poorly the PQ
+    // tier could miss their future paraphrases past any margin. On
+    // breach, RETRAIN codebooks + RE-ENCODE the whole index from the
+    // full-vector table (coarse centroids stay shared/unchanged) —
+    // the semantic analog of the chunk df-cap auto-recap: amortized,
+    // auto-triggered, and a crash mid-rewrite only loses the PQ
+    // table, which downgrades the probe to the exact one-tier arm,
+    // never to wrong answers.
+    val pqRetrained = semArm.exists { case (t, embs) =>
+      val dayVecs = embs.join(broadcast(accepted.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
       Sinks.appendBucketed(
-        graft.operators.Ann.semanticIndexRows(
-          embs.join(broadcast(accepted.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
-          spark.table(t + "__centroids")),
+        graft.operators.Ann.semanticIndexRows(dayVecs, spark.table(t + "__centroids")),
         t, Seq("cell"))
+      if (!spark.catalog.tableExists(t + "__pq")) false
+      else {
+        val worst = graft.operators.Pq.quantizationError(
+            dayVecs, spark.table(t + "__pq__codebooks"))
+          .agg(max(col("qerr"))).first()
+        val breach = !worst.isNullAt(0) && worst.getDouble(0) > pqRetrainQerr
+        if (breach)
+          graft.operators.Pq.writeSemanticIndexPq(
+            spark.table(t).select(col("doc_id"), col("emb").as("embedding")),
+            t + "__pq",
+            sharedCentroids = Some(spark.table(t + "__centroids")))
+        else
+          Sinks.appendBucketed(
+            graft.operators.Pq.semanticIndexRowsPq(dayVecs,
+              spark.table(t + "__centroids"), spark.table(t + "__pq__codebooks")),
+            t + "__pq", Seq("cell"))
+        breach
+      }
     }
     // charlm model append: the accepted day's aggregated trigram
     // counts, tagged with this run's outDir as the append id — one
@@ -504,6 +651,7 @@ object Pipeline {
     }
     Map(
       "chunk_recap" -> (if (recapped) 1L else 0L),
+      "semantic_pq_retrain" -> (if (pqRetrained) 1L else 0L),
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
       // the dropped-id set is checkpointed — this count does not
@@ -624,6 +772,9 @@ object Pipeline {
       Sinks.writeBucketed(
         indexSource.select(md5(col("text")).as("content_md5")).distinct(),
         t, Seq("content_md5"))
+      // same bloom bootstrap as bootstrapIncremental — the daily
+      // exact arm's map-side prefilter starts live immediately
+      Dedup.writeHashBloom(spark, t)
     }
     chunkTable.foreach(t => Dedup.writeChunkPostings(indexSource, t))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for training-data curation (SURVEY §2
@@ -125,6 +125,90 @@ object Dedup {
     graft.sources.Sinks.writeBucketed(
       bandPostings(documents, bands, rowsPerBand), table,
       Seq("band", "band_hash"), buckets)
+
+  // ---- persisted exact-dup bloom (<hashTable>__bloom) -------------------
+  //
+  // The corpus content-hash set's bloom summary, maintained ACROSS
+  // ingests so the daily exact-dup prefilter never scans the corpus
+  // to build it: bootstrap builds it once from the hash table, every
+  // accepted day MERGES its own delta-sized bloom in (bloom filters
+  // of identical (capacity, fpp) are bitwise-OR mergeable), and a
+  // geometric rebuild (capacity ×4) runs only when the tracked item
+  // count outgrows capacity — amortized O(log N) corpus scans over
+  // the corpus's lifetime, zero in the steady state. Bloom puts are
+  // idempotent, so crash-replaying a day's merge is harmless (the
+  // repair path re-merges unconditionally). A LOST bloom table only
+  // disables the prefilter (readHashBloom → None → plain anti-join):
+  // correctness never depends on it, by construction — blooms have
+  // no false negatives, so "definitely new" rows that skip the join
+  // are truly new, and everything else still hits the exact check.
+  // Sizing honesty at 100 TB: ~7.3 bits/item at fpp=0.03 means 1 B
+  // corpus hashes ≈ 0.9 GB serialized — fine as a driver-held plan
+  // literal; far beyond that, partition the hash space or accept the
+  // plain bucketed anti-join (which this prefilter only accelerates,
+  // never replaces).
+
+  private def bloomTableOf(hashTable: String): String = hashTable + "__bloom"
+
+  private def serializeBloom(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def persistHashBloom(spark: SparkSession, hashTable: String,
+                               bytes: Array[Byte], capacity: Long,
+                               fpp: Double, items: Long): Unit = {
+    import spark.implicits._
+    Seq((bytes, capacity, fpp, items)).toDF("bloom", "capacity", "fpp", "items")
+      .write.mode("overwrite").format("parquet").saveAsTable(bloomTableOf(hashTable))
+  }
+
+  /** (Re)build the persisted bloom from the CURRENT hash table — the
+    * bootstrap call, and the geometric-rebuild step. One single-column
+    * scan of the bucketed hash table. */
+  def writeHashBloom(spark: SparkSession, hashTable: String,
+                     fpp: Double = 0.03, minCapacity: Long = 1L << 20): Unit = {
+    val items = spark.table(hashTable).count()
+    val capacity = math.max(minCapacity, 4L * items)
+    val bf = spark.table(hashTable).stat.bloomFilter("content_md5", capacity, fpp)
+    persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp, items)
+  }
+
+  /** The serialized corpus bloom, or None when no bloom is maintained
+    * for this hash table (pre-bloom bootstrap, or a lost table) —
+    * callers fall back to the plain anti-join. */
+  def readHashBloom(spark: SparkSession, hashTable: String): Option[Array[Byte]] =
+    if (!spark.catalog.tableExists(bloomTableOf(hashTable))) None
+    else Some(spark.table(bloomTableOf(hashTable))
+      .select(col("bloom")).first().getAs[Array[Byte]](0))
+
+  /** Fold an accepted day's hashes into the persisted bloom —
+    * delta-sized work only (a compatible-parameter day bloom built
+    * from `dayHashes.content_md5`, OR-merged in). Rebuilds from the
+    * full hash table at ×4 capacity when the tracked item count
+    * outgrows the filter — call AFTER the day's hash-table append so
+    * the rebuild sees the day. No-op when no bloom is maintained.
+    * Idempotent under replay: re-merging the same hashes sets the
+    * same bits. */
+  def mergeHashBloom(spark: SparkSession, hashTable: String,
+                     dayHashes: DataFrame): Unit =
+    if (spark.catalog.tableExists(bloomTableOf(hashTable))) {
+      val row = spark.table(bloomTableOf(hashTable))
+        .select(col("bloom"), col("capacity"), col("fpp"), col("items")).first()
+      val (bytes, capacity, fpp, items) =
+        (row.getAs[Array[Byte]](0), row.getLong(1), row.getDouble(2), row.getLong(3))
+      val dayCount = dayHashes.count()
+      if (items + dayCount > capacity)
+        writeHashBloom(spark, hashTable, fpp)
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        bf.mergeInPlace(dayHashes.stat.bloomFilter("content_md5", capacity, fpp))
+        persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp,
+          items + dayCount)
+      }
+    }
 
   /** Incremental near-dup detection across ingests: compute signatures
     * for the NEW documents only and probe the persisted corpus index

@@ -361,6 +361,219 @@ object Pq {
         .select(col("vec_id").as("query_id"), col("emb").as("qemb")), k)
   }
 
+  /** (m, subDims) recovered from a persisted codebook table — one
+    * tiny aggregate over the m × ksub codebook rows, so probe/append
+    * callers never have to carry training hyper-parameters around. */
+  private def codebookShape(codebooks: DataFrame): (Int, Int) = {
+    val r = codebooks.agg(
+      (max(col("sub")) + 1).cast("int"), max(size(col("cemb"))).cast("int")).first()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Persisted codebook rows re-packed to the (sub, cents) layout the
+    * assignment/ADC internals consume. */
+  private def packCodebooks(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy(col("sub"))
+      .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+
+  /** Train + persist the PQ-compressed cross-run semantic index — the
+    * production form of what [[semanticProbePq]] proves as a
+    * registered query: three tables, trained ONCE at bootstrap, only
+    * probed and appended-to by daily ingests:
+    *
+    *   - `<table>__centroids` — the coarse quantizer's k cells
+    *     (rank-seeded [[Ann.kmeansCentroids]], identical to
+    *     [[Ann.writeSemanticIndex]]'s, so the full-vector index and
+    *     the PQ index agree on cell membership);
+    *   - `<table>__codebooks` — the m × ksub PQ codebooks
+    *     `(sub, cell, cemb)`, the broadcast-scale training product
+    *     whose per-probe RETRAINING the registered query pays by
+    *     design and production must not;
+    *   - `<table>` — one row per corpus doc `(doc_id, cell, codes,
+    *     nrm)`, BUCKETED on `cell`: the 16 B/doc payload (m code
+    *     bytes + one stored norm — the norm is what lets a probe
+    *     recover cosine from ADC distance by the law of cosines)
+    *     that stays holdable in cluster memory at any corpus size
+    *     the full-vector index has long outgrown. */
+  def writeSemanticIndexPq(vectors: DataFrame, table: String,
+                           numCentroids: Int = 64, trainIters: Int = 3,
+                           m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+                           iters: Int = 2, buckets: Int = 64,
+                           deterministic: Boolean = false,
+                           sharedCentroids: Option[DataFrame] = None): Unit = {
+    val spark = vectors.sparkSession
+    graft.GraftExtensions.register(spark)
+    val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", Ann.norm(col("emb")))
+    // `sharedCentroids`: reuse an already-persisted coarse quantizer
+    // (e.g. the full-vector index's `__centroids`) instead of
+    // training one — REQUIRED when the PQ index lives next to a
+    // full-vector index of the same corpus, because the confirm pass
+    // prunes the full index by the PQ probe's cell ids: two
+    // independently-trained quantizers would disagree on membership
+    // and the prune would read the wrong cells.
+    if (sharedCentroids.isEmpty) {
+      val cents = Ann.kmeansCentroids(e, numCentroids, trainIters, deterministic,
+        seed = Some(Ann.seedCentroidsByRank(e, numCentroids)))
+      cents.select(explode(col("cents")).as("c"))
+        .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"),
+          col("c.cnrm").as("cnrm"))
+        .write.mode("overwrite").format("parquet").saveAsTable(table + "__centroids")
+    }
+    val centroidRows = sharedCentroids.getOrElse(spark.table(table + "__centroids"))
+    val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
+      m, subDims, ksub, iters, deterministic)
+    cb.select(col("sub"), explode(col("cents")).as("c"))
+      .select(col("sub"), col("c.cell").as("cell"), col("c.cemb").as("cemb"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "__codebooks")
+    graft.sources.Sinks.writeBucketed(
+      semanticIndexRowsPq(vectors, centroidRows,
+        spark.table(table + "__codebooks")),
+      table, Seq("cell"), buckets)
+  }
+
+  /** PQ index rows for a batch of vectors against the PERSISTED
+    * centroids + codebooks — the shape [[writeSemanticIndexPq]]
+    * writes and a daily append adds: `(doc_id, cell, codes, nrm)`,
+    * cell by the broadcast coarse argmin, codes by the broadcast
+    * per-subspace argmin — zero shuffles on the batch side beyond
+    * the codes rollup. */
+  def semanticIndexRowsPq(vectors: DataFrame, centroids: DataFrame,
+                          codebooks: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(vectors.sparkSession)
+    val (m, subDims) = codebookShape(codebooks)
+    val cents = centroids
+      .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
+    val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", Ann.norm(col("emb")))
+    val cells = Ann.nearestCells(e, cents, "emb", "nrm", keep = 1)
+      .select(col("vec_id"), col("cell"), col("nrm"))
+    codesArr(codesFor(e.select(col("vec_id"), col("emb")),
+        packCodebooks(codebooks), m, subDims))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("cell"), col("codes"), col("nrm"))
+  }
+
+  /** The OPQ DECISION REPORT — connects the measured embedding
+    * covariance ([[Ann.quantizedMoments]], the registered
+    * `embedding_covariance` table) to the PQ subspace layout, so
+    * rotate-before-PQ (OPQ, Ge et al. 2013) is a data-driven call
+    * instead of folklore: PQ quantizes `subDims`-dim contiguous
+    * blocks independently, which is information-optimal only when
+    * correlation mass concentrates WITHIN blocks — correlation
+    * ACROSS blocks is structure the independent codebooks cannot
+    * exploit, and a learned rotation would repack it. One row:
+    * pair counts and mean |Pearson correlation| within vs across
+    * the m contiguous blocks, plus the verdict boolean
+    * (`rotation_indicated` = cross mass exceeds within mass).
+    *
+    * Determinism: covariances are the proven exact replay; each
+    * correlation is one division + IEEE sqrt of exact doubles;
+    * the two means fold the FIXED ≤ dims²/2 pair rows in ascending
+    * (dim_i, dim_j) via the native sorted fold, then divide by exact
+    * counts — no unordered double sums anywhere. Scale shape: one
+    * corpus moments pass (shared with `embedding_covariance`), then
+    * constant-size (≤ 2016 rows at 64 dims) arithmetic. */
+  def subspaceCoherence(embeddings: DataFrame, subDims: Int = 8): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val mom = Ann.quantizedMoments(embeddings)
+    val diag = mom.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").as("d"), col("cov").as("v"))
+    val off = mom.filter(col("dim_i") < col("dim_j"))
+      .join(broadcast(diag.select(col("d").as("dim_i"), col("v").as("vi"))), Seq("dim_i"))
+      .join(broadcast(diag.select(col("d").as("dim_j"), col("v").as("vj"))), Seq("dim_j"))
+      // zero-variance dims carry no correlation (a constant dimension
+      // is trivially block-independent) — guard the division
+      .withColumn("corr", when(col("vi") * col("vj") > 0,
+        col("cov") / sqrt(col("vi") * col("vj"))).otherwise(lit(0.0)))
+      .withColumn("same_block",
+        expr(s"(dim_i - 1) div $subDims") === expr(s"(dim_j - 1) div $subDims"))
+      .withColumn("k", (col("dim_i").cast("long") * 1000L + col("dim_j")).cast("long"))
+    off.agg(
+        sum(when(col("same_block"), 1L).otherwise(0L)).as("within_pairs"),
+        sum(when(!col("same_block"), 1L).otherwise(0L)).as("cross_pairs"),
+        call_function("graft_sorted_fold_sum", col("k"),
+          when(col("same_block"), abs(col("corr"))).otherwise(lit(0.0))).as("ws"),
+        call_function("graft_sorted_fold_sum", col("k"),
+          when(!col("same_block"), abs(col("corr"))).otherwise(lit(0.0))).as("cs"))
+      .select(col("within_pairs"), col("cross_pairs"),
+        (col("ws") / col("within_pairs")).as("within_mean_abs_corr"),
+        (col("cs") / col("cross_pairs")).as("cross_mean_abs_corr"))
+      .withColumn("rotation_indicated",
+        col("cross_mean_abs_corr") > col("within_mean_abs_corr"))
+  }
+
+  /** Per-vector SELF-quantization error against persisted codebooks:
+    * Σ_j ‖x_j − c_{j,code(x_j)}‖² — how far a vector sits from its
+    * own PQ reconstruction. This is the drift tripwire for a frozen
+    * codebook: vectors from regions the training corpus never
+    * covered (a feed shifting topic, a new embedder) quantize with
+    * arbitrarily large error, and THEIR recovered cosines can miss
+    * the probe's margin entirely — quantization error is bounded for
+    * in-distribution data only. [[graft.Pipeline.runIncremental]]
+    * checks each accepted day's error and retrains + re-encodes the
+    * PQ index when the day breaches the bar (the semantic analog of
+    * the chunk df-cap auto-recap). Cost: delta-sized — the same
+    * broadcast argmin as encoding, keeping the min d² instead of the
+    * argmin cell. */
+  def quantizationError(vectors: DataFrame, codebooks: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(vectors.sparkSession)
+    val (m, subDims) = codebookShape(codebooks)
+    val scored = transform(col("cents"), c =>
+      struct(l2sq(col("semb"), c.getField("cemb")).as("d2"),
+        c.getField("cell").as("cell")))
+    subRows(vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb")),
+        m, subDims)
+      .join(broadcast(packCodebooks(codebooks)), Seq("sub"))
+      .withColumn("d2", element_at(array_sort(scored), 1).getField("d2"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d2")).as("qerr"))
+      .select(col("vec_id").as("doc_id"), col("qerr"))
+  }
+
+  /** The daily semantic probe against the PERSISTED PQ index — the
+    * production first pass [[graft.Pipeline.runIncremental]] runs
+    * when the PQ tables exist: each delta vector gets its coarse
+    * cell (broadcast argmin over the persisted centroids), ONE
+    * m × ksub ADC table (persisted codebooks — never retrained), and
+    * scans only its cell's 16 B/doc code rows; cosine is recovered
+    * from the ADC distance by the law of cosines exactly as
+    * [[semanticProbePq]] does. Emits candidate pairs at
+    * `threshold − margin`: PQ cosines carry quantization error, so
+    * the probe deliberately over-collects by `margin` and the caller
+    * confirms with EXACT cosine on just the candidate pairs (the
+    * two-tier shape that keeps corpus-wide work on codes and
+    * full-vector work candidate-sized). `margin = 0` reproduces the
+    * registered query's rows bit-for-bit (same arithmetic path).
+    * Output: (delta_doc, corpus_doc, cell, approx_cos) — cell kept
+    * so the confirm scan can prune the full-vector index to the
+    * touched cells. */
+  def incrementalSemanticMatchesPq(newVecs: DataFrame, pqIndex: DataFrame,
+                                   centroids: DataFrame, codebooks: DataFrame,
+                                   threshold: Double = 0.35,
+                                   margin: Double = 0.05,
+                                   nprobe: Int = 1): DataFrame = {
+    graft.GraftExtensions.register(newVecs.sparkSession)
+    val (_, subDims) = codebookShape(codebooks)
+    val cents = centroids
+      .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
+    val d = newVecs.select(col("doc_id").as("query_id"), col("embedding").as("qemb"))
+      .withColumn("qnrm", Ann.norm(col("qemb")))
+    val q = Ann.nearestCells(d, cents, "qemb", "qnrm", keep = nprobe)
+    val qt = queryTables(q, packCodebooks(codebooks), subDims)
+    qt.select(col("query_id"), col("qnrm"), col("cell"), col("dtab"))
+      .join(pqIndex.select(col("doc_id").as("corpus_doc"), col("cell"),
+        col("codes"), col("nrm")), Seq("cell"))
+      .filter(col("corpus_doc") =!= col("query_id"))
+      .withColumn("adist", adcDist)
+      .withColumn("approx_cos",
+        (col("qnrm") * col("qnrm") + col("nrm") * col("nrm") - col("adist"))
+          / (lit(2.0) * col("qnrm") * col("nrm")))
+      .filter(col("approx_cos") >= threshold - margin)
+      .select(col("query_id").as("delta_doc"), col("corpus_doc"),
+        col("cell"), col("approx_cos"))
+  }
+
   /** The PQ-COMPRESSED daily-ingest semantic probe — what the
     * persisted semantic index becomes when the corpus outgrows
     * storing vectors: 16 B per corpus doc (8 code bytes + one

@@ -480,4 +480,62 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDupPairs(docs(many: _*), minSharedTokens = 1L,
       maxDocFreq = 5L).count() === 0L)
   }
+
+  test("graft_might_contain: zero false negatives against a stat-built bloom, fp rate bounded") {
+    // the no-false-negatives contract the exact-arm prefilter leans
+    // on: EVERY member of the set the filter was built from probes
+    // true through the native expression (Sinks-independent — the
+    // expression must agree with Spark's own put semantics for
+    // string columns), and non-members probe true at ~fpp only
+    import org.apache.spark.sql.functions.{call_function, lit => flit}
+    graft.GraftExtensions.register(spark)
+    val members = (1 to 500).map(i => s"hash_$i")
+    val bf = members.toDF("content_md5").stat.bloomFilter("content_md5", 2000L, 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = (c: org.apache.spark.sql.Column) =>
+      call_function("graft_might_contain", flit(bos.toByteArray), c)
+    val hits = members.toDF("h").filter(probe(col("h"))).count()
+    assert(hits === 500L, s"false negatives: ${500L - hits}")
+    val fps = (1 to 2000).map(i => s"other_$i").toDF("h")
+      .filter(probe(col("h"))).count()
+    assert(fps <= 2000 * 0.03 * 3 + 1, s"fp rate blown: $fps / 2000")
+  }
+
+  test("hash bloom lifecycle: bootstrap, daily merge, saturation rebuild") {
+    import org.apache.spark.sql.functions.{call_function, lit => flit}
+    graft.GraftExtensions.register(spark)
+    val t = "graft_bloomlife_hash"
+    def hashesDf(hs: Seq[String]) = hs.toDF("content_md5")
+    graft.sources.Sinks.writeBucketed(hashesDf(Seq("a", "b", "c")), t, Seq("content_md5"))
+    // tiny capacity so the saturation path is reachable in a spec
+    Dedup.writeHashBloom(spark, t, minCapacity = 8L)
+    val cap0 = spark.table(t + "__bloom").select("capacity").as[Long].head()
+    assert(cap0 === 12L) // max(8, 4*3)
+    def memberHits(hs: Seq[String]): Long = {
+      val bytes = Dedup.readHashBloom(spark, t).get
+      hashesDf(hs).filter(call_function("graft_might_contain",
+        flit(bytes), col("content_md5"))).count()
+    }
+    assert(memberHits(Seq("a", "b", "c")) === 3L)
+    // day 1: under capacity -> in-place merge, items tracked
+    graft.sources.Sinks.appendBucketed(hashesDf(Seq("d", "e")), t, Seq("content_md5"))
+    Dedup.mergeHashBloom(spark, t, hashesDf(Seq("d", "e")))
+    assert(memberHits(Seq("a", "b", "c", "d", "e")) === 5L)
+    assert(spark.table(t + "__bloom").select("items").as[Long].head() === 5L)
+    assert(spark.table(t + "__bloom").select("capacity").as[Long].head() === cap0)
+    // day 2: overflows capacity -> geometric rebuild from the (already
+    // appended) table; every indexed hash still probes true
+    val day2 = (1 to 10).map(i => s"x$i")
+    graft.sources.Sinks.appendBucketed(hashesDf(day2), t, Seq("content_md5"))
+    Dedup.mergeHashBloom(spark, t, hashesDf(day2))
+    val cap2 = spark.table(t + "__bloom").select("capacity").as[Long].head()
+    assert(cap2 > cap0, s"no rebuild: $cap2")
+    assert(memberHits(Seq("a", "b", "c", "d", "e") ++ day2) === 15L)
+    // no bloom table -> None, prefilter off, never an error
+    spark.sql(s"DROP TABLE ${t}__bloom")
+    assert(Dedup.readHashBloom(spark, t).isEmpty)
+    Dedup.mergeHashBloom(spark, t, hashesDf(Seq("zz"))) // no-op
+    assert(Dedup.readHashBloom(spark, t).isEmpty)
+  }
 }

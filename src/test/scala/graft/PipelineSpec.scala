@@ -198,6 +198,69 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(42L))
   }
 
+  test("bloom prefilter: the exact arm probes map-side, same rows as the plain anti-join") {
+    import spark.implicits._
+    val corpusText = (1 to 40).map(i => s"bp$i").mkString(" ")
+    val otherText = (1 to 40).map(i => s"bq$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusText), (2L, otherText)).toDF("doc_id", "text"),
+      "graft_bloomarm_post", "graft_bloomarm_hash")
+    // bootstrap maintains the bloom next to the hash table
+    assert(spark.catalog.tableExists("graft_bloomarm_hash__bloom"))
+    assert(spark.table("graft_bloomarm_hash__bloom")
+      .select("items").as[Long].head() === 2L)
+    val freshText = (1 to 40).map(i => s"br$i").mkString(" ")
+    val delta = Seq((10L, corpusText), (11L, freshText)).toDF("doc_id", "content")
+    val framed = Pipeline.exactNewVsCorpus(spark, delta, "graft_bloomarm_hash")
+    // PLAN WALK: the prefilter is IN the executed plan — the native
+    // probe on the definite-new branch (both filter branches carry
+    // it), i.e. delta rows are classified map-side before any join
+    val plan = framed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain"), s"no bloom probe in plan:\n$plan")
+    // and the anti-join consumes only the maybe branch: exactly one
+    // LeftAnti join node, fed by a Filter on the probe
+    assert("LeftAnti".r.findAllIn(plan).length === 1, s"join shape wrong:\n$plan")
+    // rows: the corpus dup drops, the fresh doc survives — identical
+    // to the plain anti-join once the bloom is gone
+    assert(framed.select("doc_id").as[Long].collect().toSet === Set(11L))
+    spark.sql("DROP TABLE graft_bloomarm_hash__bloom")
+    val plain = Pipeline.exactNewVsCorpus(spark, delta, "graft_bloomarm_hash")
+    assert(!plain.queryExecution.executedPlan.toString.contains("graft_might_contain"))
+    assert(plain.select("doc_id").as[Long].collect().toSet === Set(11L))
+  }
+
+  test("runIncremental maintains the bloom across days: accepted hashes probe true next run") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"bm$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, base)).toDF("doc_id", "text"),
+      "graft_bloomday_post", "graft_bloomday_hash")
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_bloomday_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val fresh = (1 to 40).map(i => s"bn$i").mkString(" ")
+    val s1 = Pipeline.runIncremental(spark,
+      writeDelta((10L, fresh)),
+      Files.createTempDirectory("graft_bloomday_out1").toString,
+      "graft_bloomday_post", "graft_bloomday_hash")
+    assert(s1("accepted") === 1L)
+    // the accepted day's hash was merged into the persisted bloom —
+    // item count grew, and a re-delivery of the SAME content tomorrow
+    // goes down the maybe branch and drops at the exact check
+    assert(spark.table("graft_bloomday_hash__bloom")
+      .select("items").as[Long].head() === 2L)
+    val s2 = Pipeline.runIncremental(spark,
+      writeDelta((20L, fresh)),
+      Files.createTempDirectory("graft_bloomday_out2").toString,
+      "graft_bloomday_post", "graft_bloomday_hash")
+    assert(s2("exact_new") === 0L, s"bloom lost day 1's hashes: $s2")
+    assert(s2("accepted") === 0L)
+  }
+
   test("runIncremental crash recovery: a pending manifest replays to a consistent corpus, never an empty day") {
     import spark.implicits._
     val filler = (1 to 40).map(i => s"crtok$i").mkString(" ")
@@ -326,6 +389,13 @@ class PipelineSpec extends SparkSpec {
       corpusEmbeddings = Some(Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("doc_id", "embedding")))
     assert(spark.catalog.tableExists("graft_sem_cells") &&
       spark.catalog.tableExists("graft_sem_cells__centroids"))
+    // the PQ twin bootstraps next to the full-vector index: the
+    // 16 B/doc code index + its codebooks, cells SHARED with the
+    // full index (one coarse quantizer)
+    assert(spark.catalog.tableExists("graft_sem_cells__pq") &&
+      spark.catalog.tableExists("graft_sem_cells__pq__codebooks"))
+    assert(spark.table("graft_sem_cells__pq").columns.sorted.toSeq
+      === Seq("cell", "codes", "doc_id", "nrm"))
 
     def writeDelta(rows: (Long, String)*): String = {
       val dir = Files.createTempDirectory("graft_sem_delta").toString
@@ -349,10 +419,19 @@ class PipelineSpec extends SparkSpec {
     assert(s1("neardup_vs_corpus_dropped") === 0L, "text probe must be blind to the paraphrase")
     assert(s1("semantic_vs_corpus_dropped") === 1L)
     assert(s1("accepted") === 1L)
+    // doc 81 is ORTHOGONAL to the 1-vector bootstrap corpus — the
+    // frozen codebook cannot encode it (self-quantization error 2),
+    // so the drift tripwire must fire and re-encode the PQ index;
+    // without the retrain, day 2's paraphrase of 81 would sail past
+    // the PQ tier (its code would reconstruct to corpus doc 1)
+    assert(s1("semantic_pq_retrain") === 1L, s"drift retrain did not fire: $s1")
     assert(spark.read.parquet(s"$out1/accepted")
       .select("doc_id").as[Long].collect().toSet === Set(81L))
-    // the accepted doc's vector joined the index; the dropped one didn't
+    // the accepted doc's vector joined the index; the dropped one
+    // didn't — and the PQ code index grew in lockstep
     assert(spark.table("graft_sem_cells").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 81L))
+    assert(spark.table("graft_sem_cells__pq").select("doc_id")
       .as[Long].collect().toSet === Set(1L, 81L))
 
     // day 2: a paraphrase of DAY 1's accepted doc must now drop — the
@@ -365,6 +444,8 @@ class PipelineSpec extends SparkSpec {
         (90L, Seq(0.24f, 0.97f, 0f, 0f))).toDF("doc_id", "embedding")))
     assert(s2("semantic_vs_corpus_dropped") === 1L)
     assert(s2("accepted") === 0L)
+    // day 2's delta sits in the re-trained codebook's span — no retrain
+    assert(s2("semantic_pq_retrain") === 0L)
 
     // crash repair covers the semantic arm: a manifest carrying the
     // day's vector with NO semantic append landed yet must replay the
@@ -382,6 +463,8 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.repairPendingAppends(spark, "graft_sem_post")
       === Some("/tmp/graft_sem_crash_out"))
     assert(spark.table("graft_sem_cells").filter(col("doc_id") === 95L).count() === 1L)
+    // the PQ twin repaired by the same anti-join rule, exactly once
+    assert(spark.table("graft_sem_cells__pq").filter(col("doc_id") === 95L).count() === 1L)
     assert(spark.table("graft_sem_post").filter(col("doc_id") === 95L).count() === 16L)
     assert(spark.table("graft_sem_hash")
       .filter(col("content_md5") === org.apache.commons.codec.digest.DigestUtils.md5Hex(t95))

@@ -195,4 +195,64 @@ class PqSpec extends SparkSpec {
     assert((exact -- pq).isEmpty,
       s"PQ probe lost exact hits: ${exact -- pq}")
   }
+
+  test("subspaceCoherence: cross-block twins indicate rotation, within-block twins don't") {
+    // 16-dim one-hot designs over i = 0..63, subDims=8 -> 2 blocks;
+    // indicator dims give EXACT correlations (two one-hot dims of one
+    // block: -1/7; independent uniform indicators: 0; copied dims:
+    // 1), and 0/1 values survive per-vector int8 quantization as
+    // 0/127 — correlations unchanged. No noise floor anywhere.
+    def embed(f: (Int, Int) => Float) =
+      (0 until 64).map(i => (i.toLong, (0 until 16).map(d => f(i, d)))).toDF("vec_id", "embedding")
+    def ind(b: Boolean): Float = if (b) 1f else 0f
+    // block 1 copies block 0: the perfect pairs land CROSS-block
+    // (cross mean = (8·1 + 56·(1/7))/64 = 1/4 > within mean 1/7)
+    val crossTwins = embed((i, d) => ind(i % 8 == d % 8))
+    val crossRow = Pq.subspaceCoherence(crossTwins, subDims = 8).head()
+    assert(crossRow.getAs[Long]("within_pairs") === 56L
+      && crossRow.getAs[Long]("cross_pairs") === 64L)
+    assert(crossRow.getAs[Boolean]("rotation_indicated"),
+      s"cross-block structure not flagged: $crossRow")
+    // blocks one-hot on INDEPENDENT digits of i (i%8 vs i/8): all
+    // structure within blocks (mean 1/7), zero across — contiguous
+    // slicing is already right, no rotation
+    val withinTwins = embed((i, d) => if (d < 8) ind(i % 8 == d) else ind(i / 8 == d - 8))
+    val withinRow = Pq.subspaceCoherence(withinTwins, subDims = 8).head()
+    assert(withinRow.getAs[Double]("cross_mean_abs_corr") === 0.0)
+    assert(!withinRow.getAs[Boolean]("rotation_indicated"),
+      s"within-block structure misread as rotation case: $withinRow")
+  }
+
+  test("persisted PQ index replays the in-memory probe bit-for-bit; margin only widens") {
+    // the production seam: train once, persist centroids + codebooks
+    // + the 16 B/doc code index as tables, probe through the daily
+    // functions — at margin 0 every row (including the recovered
+    // cosine doubles) must equal the self-contained registered
+    // query's, so nothing in the parquet round-trip or the bucketed
+    // layout perturbs a bit; with the default margin the candidate
+    // set can only WIDEN (the exact arm prunes it), never lose
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val flagged = embs.select(col("vec_id"), col("embedding"),
+      (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
+    val corpus = flagged.filter(!col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val delta = flagged.filter(col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Pq.writeSemanticIndexPq(corpus, "graft_spec_sem_pq", deterministic = true)
+    def probe(margin: Double) = Pq.incrementalSemanticMatchesPq(delta,
+      spark.table("graft_spec_sem_pq"), spark.table("graft_spec_sem_pq__centroids"),
+      spark.table("graft_spec_sem_pq__codebooks"), margin = margin)
+    val persisted = probe(0.0).select("delta_doc", "corpus_doc", "approx_cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val inMemory = Pq.semanticProbePq(embs, deterministic = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(persisted === inMemory, "persisted round-trip perturbed the probe")
+    val widened = probe(0.05).select("delta_doc", "corpus_doc")
+      .as[(Long, Long)].collect().toSet
+    val exact = Ann.semanticProbe(embs, trainIters = 3, deterministic = true)
+      .select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(persisted.map(r => (r._1, r._2)).subsetOf(widened))
+    assert((exact -- widened).isEmpty,
+      s"margin probe lost exact hits: ${exact -- widened}")
+  }
 }
