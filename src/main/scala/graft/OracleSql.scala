@@ -742,6 +742,27 @@ object OracleSql {
        |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
        |FROM agg""".stripMargin
 
+  /** Mirrors [[graft.operators.Corpus.packSequencesBpe]]: the
+    * [[bpeEncodeSql]] encoder chain reduced to per-doc BPE token
+    * counts, then [[graft.SparkEntry]]'s pack_sequences window form
+    * re-rooted on it (same `//` integer division, same
+    * 1-PRECEDING running sum). */
+  def packSequencesBpeSql(merges: Int = 8, windowTokens: Long = 2048L,
+                          domains: Int = 256): String =
+    s"""WITH ${bpeTrainCtes(merges)},
+       |wl AS (SELECT word, CAST(len(seg) AS BIGINT) AS toks FROM seg$merges),
+       |dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+       |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) >= 1),
+       |enc AS (SELECT doc_id, CAST(SUM(COALESCE(toks, 1)) AS BIGINT) AS n_tokens
+       |        FROM dwf LEFT JOIN wl USING (word) GROUP BY 1),
+       |t AS (SELECT doc_id, doc_id % $domains AS domain, n_tokens FROM enc)
+       |SELECT doc_id, domain, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $windowTokens AS BIGINT) AS bin
+       |FROM t""".stripMargin
+
   private def bpeTrainCtes(merges: Int): String = {
     val base =
       """bw AS (SELECT word, COUNT(*) AS freq FROM

@@ -650,6 +650,16 @@ object SparkEntry {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
              |FROM t""".stripMargin)),
 
+    ("pack_sequences_bpe",
+      // packing against the budget the trainer actually consumes:
+      // per-doc BPE token counts (train 8 merges on the corpus,
+      // encode = replay — the proven bpe_encode chain) drive the
+      // same per-domain concat-and-split bins as pack_sequences;
+      // whitespace packing over-fills windows wherever words
+      // fragment into multiple BPE tokens
+      (s: SparkSession, d: String) => Corpus.packSequencesBpe(docs(s, d)),
+      Some(OracleSql.packSequencesBpeSql())),
+
     ("corpus_overview",
       // the dataset card header: one combinable aggregate pass
       (s: SparkSession, d: String) => Corpus.corpusOverview(docs(s, d)),
@@ -1686,6 +1696,56 @@ object SparkEntry {
              |      * CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*)) / COUNT(*) AS cov
              |FROM px GROUP BY 1, 2""".stripMargin)),
 
+    ("pq_opq_check",
+      // the OPQ decision, data-driven: mean |correlation| within vs
+      // across the PQ's contiguous 8-dim blocks, from the SAME exact
+      // int8 moments embedding_covariance publishes; the verdict
+      // boolean says whether a learned rotation (OPQ) would repack
+      // cross-block structure the independent codebooks cannot use.
+      // Means are sorted folds over the fixed 2016 pair rows — no
+      // unordered double sums — so the whole report replays
+      (s: SparkSession, d: String) => Pq.subspaceCoherence(Tables.embeddings(s, d)),
+      Some("""WITH e0 AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |          FROM embeddings),
+             |m AS (SELECT vec_id, emb,
+             |        list_max(list_transform(emb, x -> abs(x))) AS ma FROM e0),
+             |qz AS (SELECT vec_id,
+             |        CASE WHEN ma = 0 THEN emb
+             |             ELSE list_transform(emb, x -> floor(x * 127.0 / ma + 0.5)) END AS q
+             |      FROM m),
+             |px AS (SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+             |         q[CAST(i AS INT)] AS x, q[CAST(j AS INT)] AS y
+             |       FROM qz, UNNEST(range(1, 65)) AS t1(i), UNNEST(range(1, 65)) AS t2(j)
+             |       WHERE j >= i),
+             |mom AS (SELECT dim_i, dim_j,
+             |  (CAST(SUM(CAST(x * y AS BIGINT)) AS DOUBLE)
+             |    - CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE)
+             |      * CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*)) / COUNT(*) AS cov
+             |  FROM px GROUP BY 1, 2),
+             |diag AS (SELECT dim_i AS d, cov AS v FROM mom WHERE dim_i = dim_j),
+             |off AS (SELECT mom.dim_i, mom.dim_j,
+             |    CASE WHEN vi.v * vj.v > 0 THEN mom.cov / sqrt(vi.v * vj.v)
+             |         ELSE CAST(0 AS DOUBLE) END AS corr,
+             |    ((mom.dim_i - 1) // 8 = (mom.dim_j - 1) // 8) AS same_block,
+             |    CAST(mom.dim_i AS BIGINT) * 1000 + mom.dim_j AS k
+             |  FROM mom JOIN diag vi ON mom.dim_i = vi.d
+             |           JOIN diag vj ON mom.dim_j = vj.d
+             |  WHERE mom.dim_i < mom.dim_j),
+             |agg AS (SELECT
+             |  CAST(SUM(CASE WHEN same_block THEN 1 ELSE 0 END) AS BIGINT) AS within_pairs,
+             |  CAST(SUM(CASE WHEN same_block THEN 0 ELSE 1 END) AS BIGINT) AS cross_pairs,
+             |  list_reduce(list(CASE WHEN same_block THEN abs(corr)
+             |    ELSE CAST(0 AS DOUBLE) END ORDER BY k), (a, b) -> a + b) AS ws,
+             |  list_reduce(list(CASE WHEN same_block THEN CAST(0 AS DOUBLE)
+             |    ELSE abs(corr) END ORDER BY k), (a, b) -> a + b) AS cs
+             |  FROM off)
+             |SELECT within_pairs, cross_pairs,
+             |  ws / within_pairs AS within_mean_abs_corr,
+             |  cs / cross_pairs AS cross_mean_abs_corr,
+             |  cs / cross_pairs > ws / within_pairs AS rotation_indicated
+             |FROM agg""".stripMargin)),
+
     ("ann_quantized",
       // int8 quantization is exact floor arithmetic and quantized dots
       // are integer-valued doubles ≤ 127²·64 — the whole quantized ANN
@@ -2561,6 +2621,44 @@ object SparkEntry {
       // the cosine-recovery arithmetic
       (s: SparkSession, d: String) => Pq.semanticProbePq(
         Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.semanticProbePqSql())),
+
+    ("semantic_probe_pq_persisted",
+      // the PRODUCTION seam of the PQ probe, registered: train ONCE,
+      // persist coarse centroids + codebooks + the 16 B/doc code
+      // index as tables, then probe through the LITERAL daily-ingest
+      // functions (Pq.writeSemanticIndexPq →
+      // Pq.incrementalSemanticMatchesPq at margin 0) — bit-identical
+      // rows to semantic_probe_pq, so the SAME oracle replays the
+      // whole persisted round-trip; what this row proves beyond its
+      // in-memory twin is that nothing in the
+      // train→persist→read→probe seam (parquet round-trips,
+      // collect_list orders, the bucketed cell layout) perturbs a
+      // bit, licensing runIncremental's codebooks-never-retrain path
+      (s: SparkSession, d: String) => {
+        // a FRESH session has an empty in-memory catalog but the
+        // managed-table locations persist in the warehouse dir — drop
+        // both, or the second run ever dies on LOCATION_ALREADY_EXISTS
+        Seq("graft_reg_sem_pq", "graft_reg_sem_pq__centroids",
+          "graft_reg_sem_pq__codebooks").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val flagged = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
+        Pq.writeSemanticIndexPq(
+          flagged.filter(!col("is_delta"))
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "graft_reg_sem_pq", deterministic = true)
+        Pq.incrementalSemanticMatchesPq(
+          flagged.filter(col("is_delta"))
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          s.table("graft_reg_sem_pq"), s.table("graft_reg_sem_pq__centroids"),
+          s.table("graft_reg_sem_pq__codebooks"), margin = 0.0)
+          .drop("cell")
+      },
       Some(OracleSql.semanticProbePqSql())),
 
     ("bpe_pair_stats",

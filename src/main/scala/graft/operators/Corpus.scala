@@ -521,6 +521,38 @@ object Corpus {
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("tok_offset"), col("bin"))
   }
 
+  /** BPE-BUDGET sequence packing — [[packSequences]] with the token
+    * count a trainer ACTUALLY consumes: whitespace tokens budget the
+    * context window only as a proxy, but the loader materializes BPE
+    * sequences, so a corpus of long compound words (agglutinative
+    * languages, URLs, code) silently overfills whitespace-budgeted
+    * windows. Composes the two proven oracles: per-doc
+    * `n_bpe_tokens` from [[bpeEncodeStats]] (train `merges` merges
+    * on the corpus itself, encode = replay), then the identical
+    * per-domain running-sum bin assignment — a doc belongs to the
+    * window its FIRST BPE token falls in.
+    *
+    * Membership contract: docs with no words (empty/whitespace text)
+    * carry no BPE tokens, occupy no budget, and are absent from the
+    * map — mirrored in the oracle. Scale shape: the encoder is one
+    * join from exploded doc words to the vocab-bounded token-count
+    * table on top of the driver-bounded training loop; the packing
+    * window is per-domain, never global — identical to
+    * [[packSequences]]'s. */
+  def packSequencesBpe(documents: DataFrame, windowTokens: Long = 2048L,
+                       domains: Int = 256, merges: Int = 8): DataFrame = {
+    require(windowTokens >= 1 && domains >= 1)
+    val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bpeEncodeStats(documents, merges)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(domains.toLong)).as("domain"),
+        col("n_bpe_tokens").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"tok_offset div $windowTokens"))
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("tok_offset"), col("bin"))
+  }
+
   /** Deterministic global shuffle + shard assignment — the LAST step
     * of every pretraining data pipeline: training must read the
     * corpus in a random-but-REPRODUCIBLE order, split across N shard

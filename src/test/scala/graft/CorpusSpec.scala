@@ -213,6 +213,29 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq((1L, 0L, 0L), (2L, 6L, 0L), (3L, 12L, 1L), (4L, 18L, 1L)))
   }
 
+  test("packSequencesBpe bins by the BPE budget, not the whitespace one") {
+    val d = docs(
+      (1L, "wxyz wxyz", "en", "s"), (2L, "wxyz wxyz", "en", "s"),
+      (3L, "wxyz wxyz", "en", "s"), (4L, "wxyz wxyz", "en", "s"))
+    // one merge fuses "wx" (pairs wx/xy/yz tie at 8, lexicographic
+    // min wins): wxyz -> [wx, y, z], 3 BPE tokens per word, 6 per
+    // doc -> offsets 0,6,12,18, bins 0,0,1,1 — while WHITESPACE
+    // packing (2 tokens/doc) would keep all four docs in bin 0: the
+    // budget divergence this operator exists for
+    val out = Corpus.packSequencesBpe(d, windowTokens = 10L, domains = 1, merges = 1)
+      .orderBy("doc_id").select("doc_id", "n_tokens", "tok_offset", "bin")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 6L, 0L, 0L), (2L, 6L, 6L, 0L),
+      (3L, 6L, 12L, 1L), (4L, 6L, 18L, 1L)))
+    assert(Corpus.packSequences(d, windowTokens = 10L, domains = 1)
+      .select("bin").distinct().as[Long].collect().toSeq === Seq(0L))
+    // membership contract: a wordless doc carries no BPE tokens,
+    // occupies no budget, and is absent from the map
+    val withEmpty = docs((1L, "wxyz", "en", "s"), (2L, "", "en", "s"))
+    assert(Corpus.packSequencesBpe(withEmpty, 10L, 1, 1)
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("packFill reports per-window fill and overflow exactly") {
     // domain 0 stream: 6+6+6+6 tokens, window 10 -> bins 0 (docs 1,2:
     // 12 tokens, overflow 2) and 1 (docs 3,4: 12 tokens, overflow 2)
