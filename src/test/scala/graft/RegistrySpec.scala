@@ -139,7 +139,11 @@ class RegistrySpec extends SparkSpec {
     "pq_codes", "ann_pq", "ann_pq_recall", "ann_ivf_pq",
     "ann_ivf_pq_residual", "semantic_probe_pq", "entity_pagerank",
     "entity_communities", "curriculum_assign", "curriculum_stats",
-    "heavy_hitters_audit", "bloom_filter_audit")
+    "heavy_hitters_audit", "bloom_filter_audit",
+    // round-14: the persisted PQ seam (same oracle as its
+    // self-contained twin), BPE-budget packing, and the data-driven
+    // OPQ rotate-before-PQ verdict
+    "semantic_probe_pq_persisted", "pack_sequences_bpe", "pq_opq_check")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
