@@ -491,7 +491,8 @@ object OracleSql {
     * the shared double-widened `e`. */
   def pqCtes(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
              iters: Int = 2, withE: Boolean = true,
-             src: String = "e", rankSeed: Boolean = false): String = {
+             src: String = "e", rankSeed: Boolean = false,
+             tag: String = ""): String = {
     val l2 = l2sqExpr(subDims) _
     val e = if (withE)
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),\n"
@@ -502,36 +503,99 @@ object OracleSql {
       val seedCte = if (rankSeed)
         // [[graft.operators.Pq.codebook]] rankSeed: the ksub lowest
         // ids become cells 0..ksub-1 in id order (sparse id spaces)
-        s"""p${j}c0 AS (SELECT rn - 1 AS cell, semb AS cemb FROM (
-           |  SELECT semb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM s$j) WHERE rn <= $ksub)""".stripMargin
+        s"""p$tag${j}c0 AS (SELECT rn - 1 AS cell, semb AS cemb FROM (
+           |  SELECT semb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM s$tag$j) WHERE rn <= $ksub)""".stripMargin
       else
-        s"p${j}c0 AS (SELECT vec_id AS cell, semb AS cemb FROM s$j WHERE vec_id < $ksub)"
+        s"p$tag${j}c0 AS (SELECT vec_id AS cell, semb AS cemb FROM s$tag$j WHERE vec_id < $ksub)"
       val seed =
-        s"""s$j AS (SELECT vec_id, emb[$lo:$hi] AS semb FROM $src),
+        s"""s$tag$j AS (SELECT vec_id, emb[$lo:$hi] AS semb FROM $src),
            |$seedCte""".stripMargin
       val rounds = (0 until iters).map { i =>
-        s"""p${j}a$i AS (SELECT vec_id, semb, cell FROM (
+        s"""p$tag${j}a$i AS (SELECT vec_id, semb, cell FROM (
            |  SELECT s.vec_id, s.semb, c.cell,
            |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${l2("s.semb", "c.cemb")}, c.cell) AS rn
-           |  FROM s$j s CROSS JOIN p${j}c$i c) WHERE rn = 1),
-           |p${j}m$i AS (SELECT cell, p.pos AS pos,
+           |  FROM s$tag$j s CROSS JOIN p$tag${j}c$i c) WHERE rn = 1),
+           |p$tag${j}m$i AS (SELECT cell, p.pos AS pos,
            |    list_reduce(list(semb[p.pos] ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mn
-           |  FROM p${j}a$i CROSS JOIN (SELECT unnest(range(1, ${subDims + 1})) AS pos) p
+           |  FROM p$tag${j}a$i CROSS JOIN (SELECT unnest(range(1, ${subDims + 1})) AS pos) p
            |  GROUP BY cell, p.pos),
-           |p${j}n$i AS (SELECT cell, list(mn ORDER BY pos) AS cemb FROM p${j}m$i GROUP BY cell),
-           |p${j}c${i + 1} AS (SELECT p.cell, COALESCE(nc.cemb, p.cemb) AS cemb
-           |  FROM p${j}c$i p LEFT JOIN p${j}n$i nc ON p.cell = nc.cell)""".stripMargin
+           |p$tag${j}n$i AS (SELECT cell, list(mn ORDER BY pos) AS cemb FROM p$tag${j}m$i GROUP BY cell),
+           |p$tag${j}c${i + 1} AS (SELECT p.cell, COALESCE(nc.cemb, p.cemb) AS cemb
+           |  FROM p$tag${j}c$i p LEFT JOIN p$tag${j}n$i nc ON p.cell = nc.cell)""".stripMargin
       }
       val code =
-        s"""p${j}code AS (SELECT vec_id, CAST($j AS INTEGER) AS sub, cell AS code FROM (
+        s"""p$tag${j}code AS (SELECT vec_id, CAST($j AS INTEGER) AS sub, cell AS code FROM (
            |  SELECT s.vec_id, c.cell,
            |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${l2("s.semb", "c.cemb")}, c.cell) AS rn
-           |  FROM s$j s CROSS JOIN p${j}c$iters c) WHERE rn = 1)""".stripMargin
+           |  FROM s$tag$j s CROSS JOIN p$tag${j}c$iters c) WHERE rn = 1)""".stripMargin
       (seed +: rounds :+ code).mkString(",\n")
     }
-    val codes = (0 until m).map(j => s"SELECT vec_id, sub, code FROM p${j}code")
+    val codes = (0 until m).map(j => s"SELECT vec_id, sub, code FROM p$tag${j}code")
       .mkString("\n  UNION ALL ")
-    e + (subs :+ s"codes AS (\n  $codes)").mkString(",\n")
+    e + (subs :+ s"codes$tag AS (\n  $codes)").mkString(",\n")
+  }
+
+  /** Mirrors [[graft.operators.Pq.opqGain]] end-to-end: the int8
+    * diagonal variances (the proven quantize chain), the total
+    * variance ranking, the snake position map, the permuted
+    * embedding relation, BOTH deterministic PQ training chains
+    * ([[pqCtes]] twice — the identity layout untagged, the permuted
+    * layout under tag `o`), per-vector quantization errors as
+    * subspace-ordered folds of per-subspace MIN distances, and the
+    * win/loss counting. */
+  def opqGainSql(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
+                 iters: Int = 2, dims: Int = 64): String = {
+    val l2 = l2sqExpr(subDims) _
+    def qerrCtes(tag: String): String = {
+      val per = (0 until m).map { j =>
+        s"""qe$tag$j AS (SELECT s.vec_id, CAST($j AS INTEGER) AS sub,
+           |    MIN(${l2("s.semb", "c.cemb")}) AS d2
+           |  FROM s$tag$j s CROSS JOIN p$tag${j}c$iters c GROUP BY s.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val un = (0 until m).map(j => s"SELECT vec_id, sub, d2 FROM qe$tag$j")
+        .mkString("\n  UNION ALL ")
+      s"""$per,
+         |qerr$tag AS (SELECT vec_id,
+         |    list_reduce(list(d2 ORDER BY sub), (a, b) -> a + b) AS qerr
+         |  FROM (
+         |  $un) GROUP BY vec_id)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |qm AS (SELECT vec_id, emb,
+       |       list_max(list_transform(emb, x -> abs(x))) AS ma FROM e),
+       |qz AS (SELECT vec_id, CASE WHEN ma = 0 THEN emb
+       |         ELSE list_transform(emb, x -> floor(x * 127.0 / ma + 0.5)) END AS q
+       |       FROM qm),
+       |dv AS (SELECT CAST(i AS INT) AS dim, q[CAST(i AS INT)] AS x
+       |       FROM qz, UNNEST(range(1, ${dims + 1})) AS t(i)),
+       |vr AS (SELECT dim,
+       |    (CAST(SUM(CAST(x * x AS BIGINT)) AS DOUBLE)
+       |      - CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE)
+       |        * CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) / COUNT(*)) / COUNT(*) AS v
+       |  FROM dv GROUP BY 1),
+       |rk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1 AS r FROM vr),
+       |pd AS (SELECT CASE WHEN (r // $m) % 2 = 0 THEN r % $m
+       |         ELSE ${m - 1} - (r % $m) END * $subDims + (r // $m) + 1 AS pos, dim
+       |       FROM rk),
+       |pe AS (SELECT e.vec_id, list(e.emb[pd.dim] ORDER BY pd.pos) AS emb
+       |       FROM e, pd GROUP BY e.vec_id),
+       |${pqCtes(m, subDims, ksub, iters, withE = false, src = "e")},
+       |${pqCtes(m, subDims, ksub, iters, withE = false, src = "pe", tag = "o")},
+       |${qerrCtes("")},
+       |${qerrCtes("o")},
+       |agg AS (SELECT COUNT(*) AS docs,
+       |    SUM(CASE WHEN o.qerr < q.qerr THEN 1 ELSE 0 END) AS improved,
+       |    SUM(CASE WHEN o.qerr > q.qerr THEN 1 ELSE 0 END) AS regressed,
+       |    SUM(CASE WHEN o.qerr = q.qerr THEN 1 ELSE 0 END) AS tied
+       |  FROM qerr q JOIN qerro o USING (vec_id))
+       |SELECT CAST(docs AS BIGINT) AS docs,
+       |  CAST(improved AS BIGINT) AS improved_docs,
+       |  CAST(regressed AS BIGINT) AS regressed_docs,
+       |  CAST(tied AS BIGINT) AS tied_docs,
+       |  CAST(improved AS DOUBLE) / docs AS improved_frac,
+       |  improved > regressed AS opq_wins
+       |FROM agg""".stripMargin
   }
 
   /** Mirrors [[graft.operators.Pq.pqCodes]] end-to-end. */

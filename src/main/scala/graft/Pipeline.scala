@@ -127,7 +127,13 @@ object Pipeline {
     // by the no-false-negatives contract operators.Corpus
     // .bloomFilterAudit pins
     Dedup.writeHashBloom(corpus.sparkSession, hashTable)
-    chunkTable.foreach(t => Dedup.writeChunkPostings(corpus, t))
+    chunkTable.foreach { t =>
+      Dedup.writeChunkPostings(corpus, t)
+      // same summary for the chunk index: the substring probe drops
+      // definitely-novel delta chunks map-side (inner join — a plain
+      // prefilter, no union-bypass needed)
+      Dedup.writeHashBloom(corpus.sparkSession, t, hashCol = "chunk_hash")
+    }
     // semantic arm: trained-quantizer cell index over the corpus
     // vectors ((doc_id, embedding) — the embedder's output for the
     // accepted docs); training runs ONCE here, daily runs only probe.
@@ -199,6 +205,12 @@ object Pipeline {
         Sinks.appendBucketed(
           Dedup.chunkPostings(text.join(broadcast(chunkedIds), Seq("doc_id"), "left_anti")),
           t, Seq("chunk_hash"))
+        // chunk-bloom re-merge, unconditional + idempotent (same rule
+        // as the exact arm's): recompute the whole manifest's chunk
+        // hashes — delta-sized — and OR them in
+        Dedup.mergeHashBloom(spark, t,
+          Dedup.chunkPostings(text).select(col("chunk_hash")).distinct(),
+          hashCol = "chunk_hash")
       }
       // semantic arm: the manifest carries each accepted doc's vector
       // (null when the doc had none), so the cell-index append replays
@@ -447,7 +459,8 @@ object Pipeline {
     // probe the chunk index with the SAME destructive bar as the full
     // prep's substringDupPairs pass, corpus wins
     val substrHits = chunkTable.map { t =>
-      Dedup.incrementalSubstringMatches(text, spark.table(t), minSharedTokens = 64L)
+      Dedup.incrementalSubstringMatches(text, spark.table(t), minSharedTokens = 64L,
+        bloom = Dedup.readHashBloom(spark, t))
         .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
     }
     // semantic arm (optional): a PARAPHRASED re-delivery shares no
@@ -576,6 +589,12 @@ object Pipeline {
     val deltaChunks = chunkTable.map { t =>
       val c = Dedup.chunkPostings(acceptedText).localCheckpoint()
       Sinks.appendBucketed(c, t, Seq("chunk_hash"))
+      // chunk-index bloom stays current under the same crash rules as
+      // the exact arm's (after the append, before the manifest drop,
+      // re-merged idempotently by repair)
+      if (acceptedN > 0)
+        Dedup.mergeHashBloom(spark, t,
+          c.select(col("chunk_hash")).distinct(), hashCol = "chunk_hash")
       c
     }
     // semantic index append: the accepted docs' vectors, assigned to
@@ -682,7 +701,8 @@ object Pipeline {
                       hashTable: Option[String] = None,
                       chunkTable: Option[String] = None,
                       charlmRareFracMax: Option[Double] = None,
-                      charlmRareBelow: Double = 0.001): Summary = {
+                      charlmRareBelow: Double = 0.001,
+                      bpePackingMerges: Option[Int] = None): Summary = {
     val silver = Cleaning.silver(Tables.documents(spark, sourceDir))
     val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     // optional CORPUS-RELATIVE quality arm ([[TextOps.charlmScore]]):
@@ -776,7 +796,10 @@ object Pipeline {
       // exact arm's map-side prefilter starts live immediately
       Dedup.writeHashBloom(spark, t)
     }
-    chunkTable.foreach(t => Dedup.writeChunkPostings(indexSource, t))
+    chunkTable.foreach { t =>
+      Dedup.writeChunkPostings(indexSource, t)
+      Dedup.writeHashBloom(spark, t, hashCol = "chunk_hash")
+    }
 
     def written(path: String): Long =
       spark.read.schema(prepared.schema).parquet(path).count()
@@ -799,6 +822,20 @@ object Pipeline {
     Sinks.writeParquet(packed, s"$outDir/train_packing", Seq())
     val bins = spark.read.parquet(s"$outDir/train_packing")
       .select(col("domain"), col("bin")).distinct().count()
+    // optional BPE-budget packing map next to the whitespace one
+    // (`bpePackingMerges` = the tokenizer's merge count): the map a
+    // loader consuming BPE sequences budgets windows with — the
+    // whitespace map over-fills wherever words fragment into
+    // multiple BPE tokens. Same domain-keyed, re-read-stable
+    // assignment contract as train_packing.
+    bpePackingMerges.foreach { merges =>
+      Sinks.writeParquet(
+        operators.Corpus.packSequencesBpe(
+          spark.read.schema(prepared.schema).parquet(s"$outDir/train")
+            .select(col("doc_id"), col("content").as("text")),
+          merges = merges),
+        s"$outDir/train_packing_bpe", Seq())
+    }
 
     // curriculum map over the SAME written train split: quality-
     // quantile bucket per doc (Corpus.curriculumAssign — sample-
@@ -845,6 +882,10 @@ object Pipeline {
       "train" -> trainN,
       "test" -> testN,
       "train_bins" -> bins,
+      // 0 when the optional BPE map is off — summary keys stay stable
+      "train_bpe_bins" -> bpePackingMerges.map(_ =>
+        spark.read.parquet(s"$outDir/train_packing_bpe")
+          .select(col("domain"), col("bin")).distinct().count()).getOrElse(0L),
       "curriculum_buckets" -> curriculumBuckets,
       "train_shards" -> shardN)
     } finally split.unpersist()

@@ -1746,6 +1746,21 @@ object SparkEntry {
              |  cs / cross_pairs > ws / within_pairs AS rotation_indicated
              |FROM agg""".stripMargin)),
 
+    ("pq_opq_gain",
+      // the OPQ permutation APPLIED, not just advised: rank dims by
+      // exact int8 variance, snake-deal them into the m subspaces
+      // (balanced variance — the eigen-free member of the OPQ
+      // family), train codebooks under BOTH layouts and count
+      // per-vector quantization-error wins. Win/loss counts of
+      // strict double comparisons — no unordered double sums, no
+      // tolerance; a false opq_wins is the documented negative
+      // result (this corpus is already contiguity-balanced). The
+      // oracle replays variances, ranking, permutation and both
+      // full training chains
+      (s: SparkSession, d: String) => Pq.opqGain(
+        Tables.embeddings(s, d), deterministic = true),
+      Some(OracleSql.opqGainSql())),
+
     ("ann_quantized",
       // int8 quantization is exact floor arithmetic and quantized dots
       // are integer-valued doubles ≤ 127²·64 — the whole quantized ANN

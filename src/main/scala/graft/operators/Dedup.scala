@@ -166,12 +166,19 @@ object Dedup {
 
   /** (Re)build the persisted bloom from the CURRENT hash table — the
     * bootstrap call, and the geometric-rebuild step. One single-column
-    * scan of the bucketed hash table. */
+    * scan of the bucketed table. `hashCol` generalizes the summary to
+    * any md5-keyed index: the exact-dup hash set (`content_md5`) and
+    * the CDC chunk index (`chunk_hash` — there the bloom prefilters an
+    * INNER join, so over-approximation after a df-cap recap removes
+    * postings is harmless: stale maybes just find no match). Distinct
+    * row count over-states distinct hashes on multi-doc postings
+    * tables — only padding the capacity, never the correctness. */
   def writeHashBloom(spark: SparkSession, hashTable: String,
-                     fpp: Double = 0.03, minCapacity: Long = 1L << 20): Unit = {
-    val items = spark.table(hashTable).count()
+                     fpp: Double = 0.03, minCapacity: Long = 1L << 20,
+                     hashCol: String = "content_md5"): Unit = {
+    val items = spark.table(hashTable).select(col(hashCol)).distinct().count()
     val capacity = math.max(minCapacity, 4L * items)
-    val bf = spark.table(hashTable).stat.bloomFilter("content_md5", capacity, fpp)
+    val bf = spark.table(hashTable).stat.bloomFilter(hashCol, capacity, fpp)
     persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp, items)
   }
 
@@ -192,7 +199,8 @@ object Dedup {
     * Idempotent under replay: re-merging the same hashes sets the
     * same bits. */
   def mergeHashBloom(spark: SparkSession, hashTable: String,
-                     dayHashes: DataFrame): Unit =
+                     dayHashes: DataFrame,
+                     hashCol: String = "content_md5"): Unit =
     if (spark.catalog.tableExists(bloomTableOf(hashTable))) {
       val row = spark.table(bloomTableOf(hashTable))
         .select(col("bloom"), col("capacity"), col("fpp"), col("items")).first()
@@ -200,11 +208,11 @@ object Dedup {
         (row.getAs[Array[Byte]](0), row.getLong(1), row.getDouble(2), row.getLong(3))
       val dayCount = dayHashes.count()
       if (items + dayCount > capacity)
-        writeHashBloom(spark, hashTable, fpp)
+        writeHashBloom(spark, hashTable, fpp, hashCol = hashCol)
       else {
         val bf = org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(bytes))
-        bf.mergeInPlace(dayHashes.stat.bloomFilter("content_md5", capacity, fpp))
+        bf.mergeInPlace(dayHashes.stat.bloomFilter(hashCol, capacity, fpp))
         persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp,
           items + dayCount)
       }
@@ -577,10 +585,24 @@ object Dedup {
     * key is `chunk_hash`, the index's bucket key, so the corpus side
     * joins without an exchange; only the delta's chunks shuffle. */
   def incrementalSubstringMatches(newDocs: DataFrame, chunkPostings: DataFrame,
-                                  minSharedTokens: Long = 16L): DataFrame = {
+                                  minSharedTokens: Long = 16L,
+                                  bloom: Option[Array[Byte]] = None): DataFrame = {
     require(minSharedTokens >= 1)
-    val delta = uniqueChunks(newDocs)
+    // `bloom` (the chunk index's persisted summary — [[writeHashBloom]]
+    // on `chunk_hash`): chunks the corpus definitely never indexed are
+    // dropped MAP-SIDE before they shuffle into the bucketed probe
+    // join. Unlike the exact arm's anti-join, this is an INNER join,
+    // so a plain prefilter is sound (a pruned chunk cannot match) and
+    // over-approximation (stale hashes after a df-cap recap) is
+    // harmless — stale maybes just find no postings. In the steady
+    // state most delta chunks are novel, so the probe's shuffle drops
+    // to the ~fpp sliver plus true passage copies.
+    val chunks = uniqueChunks(newDocs)
       .select(col("doc_id").as("delta_doc"), col("chunk_hash"), col("n_tokens"))
+    val delta = bloom.fold(chunks) { b =>
+      graft.GraftExtensions.register(newDocs.sparkSession)
+      chunks.filter(call_function("graft_might_contain", lit(b), col("chunk_hash")))
+    }
     chunkPostings
       .select(col("doc_id").as("corpus_doc"), col("chunk_hash"))
       .join(delta, Seq("chunk_hash"))

@@ -527,8 +527,100 @@ object Pq {
       .join(broadcast(packCodebooks(codebooks)), Seq("sub"))
       .withColumn("d2", element_at(array_sort(scored), 1).getField("d2"))
       .groupBy(col("vec_id"))
-      .agg(sum(col("d2")).as("qerr"))
+      // subspace-ordered fold, not an unordered double sum: per-vec
+      // qerr must be bit-stable under any partitioning because
+      // [[opqGain]] COMPARES the two arms' values row by row (m
+      // entries per group — bounded buffer)
+      .agg(call_function("graft_sorted_fold_sum",
+        col("sub").cast("long"), col("d2")).as("qerr"))
       .select(col("vec_id").as("doc_id"), col("qerr"))
+  }
+
+  /** Per-dimension variance of the int8-quantized embedding — the
+    * diagonal of [[Ann.quantizedMoments]] computed without the other
+    * 2016 pairs: exact integer sums (combinable, replayable), one
+    * mirrored double expression. The variance ORDERING is all the
+    * permutation below consumes. */
+  private[graft] def dimVariances(embeddings: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    embeddings.select(Ann.quantize(col("embedding")).as("q"))
+      .select(posexplode(col("q")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") * col("x")).cast("long")).as("sxx"),
+        sum(col("x").cast("long")).as("sx"))
+      .select(col("dim"),
+        ((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / col("n")).as("v"))
+  }
+
+  /** OPQ-LITE: the balanced-variance dimension PERMUTATION — the
+    * eigen-free member of the optimized-PQ family (Ge et al. 2014's
+    * OPQ learns a full rotation; its cheapest useful ancestor is
+    * reordering dimensions so each subspace receives a balanced
+    * share of the variance instead of whatever contiguity the
+    * embedder happened to emit). Rank dims by quantized variance
+    * (desc, dim-ascending ties), deal rank r to subspace
+    * `snake(r)` — boustrophedon over the m groups, so the top-m
+    * dims land in m DIFFERENT subspaces and each group's variance
+    * mass stays balanced — and to slot r/m within the group.
+    * Returns the 1-based position→dim map as a plain array (a
+    * dims-sized driver constant — same license as the centroid
+    * collect). Deterministic end-to-end: exact variances, total
+    * ranking order, pure arithmetic on the rank. */
+  private[graft] def opqPosToDim(embeddings: DataFrame, m: Int, subDims: Int): Array[Int] = {
+    val ranked = dimVariances(embeddings)
+      .orderBy(col("v").desc, col("dim"))
+      .select(col("dim")).collect().map(_.getInt(0))
+    require(ranked.length == m * subDims,
+      s"OPQ permutation needs dims == m*subDims: ${ranked.length} != ${m * subDims}")
+    val posToDim = new Array[Int](ranked.length)
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      val c = r / m
+      val j = r % m
+      val g = if (c % 2 == 0) j else m - 1 - j
+      posToDim(g * subDims + c) = dim
+    }
+    posToDim
+  }
+
+  /** The OPQ GAIN REPORT — does the balanced-variance permutation
+    * actually encode THIS corpus better? Train codebooks twice
+    * (identity layout vs permuted), quantize every vector with both,
+    * and count per-vector self-quantization-error wins: one row
+    * `(docs, improved_docs, regressed_docs, tied_docs,
+    * improved_frac, opq_wins)`. Counts of strict double comparisons
+    * — order-free, combinable, exactly replayable (the per-vec
+    * errors are subspace-ordered folds) — so the report needs no
+    * unordered double sums and no tolerance. A FALSE `opq_wins` is
+    * the documented negative result: this corpus's variance is
+    * already contiguity-balanced, keep identity layout.
+    * [[subspaceCoherence]] answers the covariance half of the
+    * rotate-before-PQ question; this row answers the variance half
+    * with the permutation actually applied. */
+  def opqGain(embeddings: DataFrame, m: Int = 8, subDims: Int = 8,
+              ksub: Int = 16, iters: Int = 2,
+              deterministic: Boolean = false): DataFrame = {
+    graft.GraftExtensions.register(embeddings.sparkSession)
+    val e = embCol(embeddings)
+    val posToDim = opqPosToDim(embeddings, m, subDims)
+    val pe = e.select(col("vec_id"),
+      transform(lit(posToDim), d => element_at(col("emb"), d)).as("emb"))
+    def cbRows(cb: DataFrame) = cb.select(col("sub"), explode(col("cents")).as("c"))
+      .select(col("sub"), col("c.cell").as("cell"), col("c.cemb").as("cemb"))
+    def qerrOf(src: DataFrame) = quantizationError(
+      src.select(col("vec_id").as("doc_id"), col("emb").as("embedding")),
+      cbRows(trainCodebooks(src, m, subDims, ksub, iters, deterministic)))
+    qerrOf(e).select(col("doc_id"), col("qerr").as("qp"))
+      .join(qerrOf(pe).select(col("doc_id"), col("qerr").as("qo")), Seq("doc_id"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("qo") < col("qp"), 1L).otherwise(0L)).as("improved_docs"),
+        sum(when(col("qo") > col("qp"), 1L).otherwise(0L)).as("regressed_docs"),
+        sum(when(col("qo") === col("qp"), 1L).otherwise(0L)).as("tied_docs"))
+      .withColumn("improved_frac",
+        col("improved_docs").cast("double") / col("docs").cast("double"))
+      .withColumn("opq_wins", col("improved_docs") > col("regressed_docs"))
   }
 
   /** The daily semantic probe against the PERSISTED PQ index — the

@@ -61,6 +61,16 @@ class PipelineSpec extends SparkSpec {
     // (domain, bin) distinct pair counted once
     assert(s1("train_bins") >= 1L && s1("train_bins") <= s1("train"))
     assert(spark.read.parquet(s"$out/train_packing").count() === s1("train"))
+    assert(s1("train_bpe_bins") === 0L) // the optional BPE map is off
+    // with the BPE arm on, the second packing map lands next to the
+    // whitespace one and covers the same train docs
+    val outB = Files.createTempDirectory("graft_prep_outB").toString
+    val sB = Pipeline.runTrainingPrep(spark, src, outB, bpePackingMerges = Some(1))
+    assert(sB("train_bpe_bins") >= 1L)
+    assert(spark.read.parquet(s"$outB/train_packing_bpe")
+      .select("doc_id").as[Long].collect().sorted.toSeq ===
+      spark.read.parquet(s"$outB/train_packing")
+        .select("doc_id").as[Long].collect().sorted.toSeq)
     // the shard layout holds every train doc exactly once, in the
     // deterministic shuffle order (dense per-shard positions)
     val shards = spark.read.parquet(s"$out/train_shards")
@@ -375,6 +385,20 @@ class PipelineSpec extends SparkSpec {
       chunkTable = Some("graft_chk_chunks"))
     assert(s2("substring_vs_corpus_dropped") === 1L)
     assert(s2("accepted") === 0L)
+    // the chunk index carries its bloom summary (bootstrapped, then
+    // merged per accepted day) and the probe's PLAN runs the map-side
+    // prefilter — an inner join, so the prune is a plain filter, and
+    // day-1/day-2 drops above already prove hits survive it
+    assert(spark.catalog.tableExists("graft_chk_chunks__bloom"))
+    val probed = graft.operators.Dedup.incrementalSubstringMatches(
+      Seq((70L, cleanDoc)).toDF("doc_id", "text"),
+      spark.table("graft_chk_chunks"), minSharedTokens = 64L,
+      bloom = graft.operators.Dedup.readHashBloom(spark, "graft_chk_chunks"))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain"), s"no chunk prefilter in plan:\n$plan")
+    // parity: accepted doc 51's chunks are IN the merged bloom, so the
+    // probe still finds the full passage overlap through the prefilter
+    assert(probed.select("delta_doc").as[Long].collect().toSet === Set(70L))
   }
 
   test("runIncremental semantic arm: a paraphrased re-delivery drops via the embedding probe") {

@@ -223,6 +223,35 @@ class PqSpec extends SparkSpec {
       s"within-block structure misread as rotation case: $withinRow")
   }
 
+  test("opqPosToDim: a bijection that snake-balances variance across subspaces") {
+    // dims 1..8 carry variance (value = i-dependent), dims 9..16 are
+    // constant: identity layout puts ALL variance in block 0; the
+    // snake must deal the 8 high-variance dims one per... with m=2
+    // groups of 8: ranks 0,1 -> groups 0,1; ranks 2,3 -> 1,0 (snake);
+    // so the 8 high-variance dims split 4/4 between the two groups
+    // flat dims are exactly 0 so their quantized variance is exactly
+    // 0 whatever each row's scale (a nonzero constant would quantize
+    // to row-dependent values and leak variance)
+    val embs = (0 until 32).map(i => (i.toLong,
+      (0 until 16).map(d => if (d < 8) ((i * (d + 2)) % 101).toFloat else 0f)))
+      .toDF("vec_id", "embedding")
+    val p = Pq.opqPosToDim(embs, m = 2, subDims = 8)
+    assert(p.sorted.toSeq === (1 to 16))
+    val highPerGroup = p.grouped(8).map(_.count(_ <= 8)).toSeq
+    assert(highPerGroup === Seq(4, 4),
+      s"variance not balanced: $highPerGroup (posToDim ${p.toSeq})")
+  }
+
+  test("opqGain counts every vector exactly once and is deterministic") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Pq.opqGain(embs, deterministic = true).head()
+    val (docs, imp, reg, tied) = (r.getAs[Long]("docs"), r.getAs[Long]("improved_docs"),
+      r.getAs[Long]("regressed_docs"), r.getAs[Long]("tied_docs"))
+    assert(docs > 0 && imp + reg + tied === docs, s"partition broken: $r")
+    val r2 = Pq.opqGain(embs.repartition(13), deterministic = true).head()
+    assert(r2 === r, s"not partition-stable: $r vs $r2")
+  }
+
   test("persisted PQ index replays the in-memory probe bit-for-bit; margin only widens") {
     // the production seam: train once, persist centroids + codebooks
     // + the 16 B/doc code index as tables, probe through the daily

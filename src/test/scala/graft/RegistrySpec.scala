@@ -143,7 +143,10 @@ class RegistrySpec extends SparkSpec {
     // round-14: the persisted PQ seam (same oracle as its
     // self-contained twin), BPE-budget packing, and the data-driven
     // OPQ rotate-before-PQ verdict
-    "semantic_probe_pq_persisted", "pack_sequences_bpe", "pq_opq_check")
+    "semantic_probe_pq_persisted", "pack_sequences_bpe", "pq_opq_check",
+    // round-14: the balanced-variance permutation APPLIED — both
+    // training chains replayed, win/loss counted exactly
+    "pq_opq_gain")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
