@@ -941,6 +941,77 @@ object OracleSql {
        |WHERE approx_cos >= $threshold""".stripMargin
   }
 
+  /** Mirrors the PERSISTED probe
+    * ([[graft.operators.Pq.writeSemanticIndexPq]] →
+    * [[graft.operators.Pq.incrementalSemanticMatchesPq]] at
+    * margin 0): [[semanticProbePqSql]]'s chain plus the per-corpus-
+    * doc reconstruction error (per-subspace MIN distance to the
+    * final codebook, summed in subspace order) and the CERTIFIED
+    * candidate filter — approx_cos plus the triangle-inequality
+    * slack e·(2·√adist + e)/(2‖q‖‖x‖) must clear the threshold. */
+  def semanticProbePqPersistedSql(k: Int = 64, iters: Int = 3,
+                                  threshold: Double = 0.35,
+                                  deltaHex: String = "0ccd", m: Int = 8,
+                                  subDims: Int = 8, ksub: Int = 16,
+                                  pqIters: Int = 2, dims: Int = 64): String = {
+    val dot = dotExpr(dims) _
+    val l2 = l2sqExpr(subDims) _
+    val split = s"substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)"
+    val dt = (0 until m).map { j =>
+      val lo = j * subDims + 1
+      val hi = (j + 1) * subDims
+      s"""SELECT d.vec_id AS query_id, CAST($j AS INTEGER) AS sub, cb.cell,
+         |    ${l2(s"(d.emb[$lo:$hi])", "cb.cemb")} AS d2
+         |  FROM dn d CROSS JOIN p${j}c$pqIters cb""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val qe = (0 until m).map { j =>
+      s"""qe$j AS (SELECT s.vec_id, CAST($j AS INTEGER) AS sub,
+         |    MIN(${l2("s.semb", "c.cemb")}) AS d2
+         |  FROM s$j s CROSS JOIN p${j}c$pqIters c GROUP BY s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val qeUnion = (0 until m).map(j => s"SELECT vec_id, sub, d2 FROM qe$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims,
+          where = Some(s"$split >= '$deltaHex'"), rankSeed = true)},
+       |${trainedAssignmentCtes(iters, dims)},
+       |${pqCtes(m, subDims, ksub, pqIters, withE = false, rankSeed = true)},
+       |ca AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM codes GROUP BY vec_id),
+       |$qe,
+       |qerr AS (SELECT vec_id,
+       |    list_reduce(list(d2 ORDER BY sub), (a, b) -> a + b) AS qerr
+       |  FROM (
+       |  $qeUnion) GROUP BY vec_id),
+       |de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings WHERE $split < '$deltaHex'),
+       |dn AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM de),
+       |dasg AS (SELECT vec_id, nrm, cell FROM (
+       |  SELECT dn.vec_id, dn.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY dn.vec_id ORDER BY
+       |      (${dot("dn.emb", "c.cemb")} / (dn.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM dn CROSS JOIN cents$iters c) WHERE rn = 1),
+       |dt AS (
+       |  $dt),
+       |cnd AS (SELECT d.vec_id AS query_id, a.vec_id, d.nrm AS qn, a.nrm AS xn
+       |        FROM dasg d JOIN fasg a ON d.cell = a.cell
+       |        WHERE a.vec_id <> d.vec_id),
+       |ad AS (SELECT c.query_id, c.vec_id, c.qn, c.xn,
+       |    list_reduce(list(d.d2 ORDER BY d.sub), (x, y) -> x + y) AS adist
+       |  FROM cnd c
+       |  JOIN ca ON ca.vec_id = c.vec_id
+       |  JOIN dt d ON d.query_id = c.query_id AND d.cell = ca.codes[d.sub + 1]
+       |  GROUP BY c.query_id, c.vec_id, c.qn, c.xn)
+       |SELECT query_id AS delta_doc, vec_id AS corpus_doc, approx_cos FROM (
+       |  SELECT a.query_id, a.vec_id,
+       |    (a.qn * a.qn + a.xn * a.xn - a.adist)
+       |      / (CAST(2 AS DOUBLE) * a.qn * a.xn) AS approx_cos,
+       |    (a.qn * a.qn + a.xn * a.xn - a.adist)
+       |      / (CAST(2 AS DOUBLE) * a.qn * a.xn)
+       |      + (sqrt(e.qerr) * (CAST(2 AS DOUBLE) * sqrt(a.adist) + sqrt(e.qerr)))
+       |        / (CAST(2 AS DOUBLE) * a.qn * a.xn) AS cos_ub
+       |  FROM ad a JOIN qerr e ON a.vec_id = e.vec_id) t
+       |WHERE cos_ub >= $threshold""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.Ann.semanticDecontam]] with a TRAINED
     * deterministic quantizer: replayed training, then the green
     * `decontam_semantic` oracle's cross-set (train×holdout) logic

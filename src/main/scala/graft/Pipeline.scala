@@ -279,11 +279,19 @@ object Pipeline {
     val out = Dedup.readHashBloom(spark, hashTable) match {
       case Some(bloom) =>
         graft.GraftExtensions.register(spark)
-        val might = call_function("graft_might_contain", lit(bloom), col("__content_md5"))
-        val base = hashed.localCheckpoint()
-        base.filter(!might).unionByName(
-          base.filter(might).join(spark.table(hashTable),
+        // probe ONCE into a boolean column and checkpoint: the two
+        // branches then filter a materialized boolean, so the (large)
+        // serialized bloom rides the plan exactly once — the literal
+        // in two Filter branches would double it, and at the sizing
+        // note's ~0.9 GB ceiling a doubled literal stops shipping
+        // long before the documented scale
+        val base = hashed.withColumn("__maybe",
+          call_function("graft_might_contain", lit(bloom), col("__content_md5")))
+          .localCheckpoint()
+        base.filter(!col("__maybe")).unionByName(
+          base.filter(col("__maybe")).join(spark.table(hashTable),
             col("__content_md5") === col("content_md5"), "left_anti"))
+          .drop("__maybe")
       case None =>
         hashed.join(spark.table(hashTable),
           col("__content_md5") === col("content_md5"), "left_anti")
@@ -572,17 +580,19 @@ object Pipeline {
     }
     Sinks.appendBucketed(Dedup.bandPostings(acceptedText), postingsTable,
       Seq("band", "band_hash"))
-    Sinks.appendBucketed(
-      acceptedText.select(md5(col("text")).as("content_md5")).distinct(),
-      hashTable, Seq("content_md5"))
+    // ONE distinct-hash frame feeds both the table append and the
+    // bloom merge (which itself reads it twice: count + day bloom) —
+    // checkpointed so the day pays the md5+distinct exactly once
+    val dayHashes = acceptedText.select(md5(col("text")).as("content_md5"))
+      .distinct().localCheckpoint()
+    Sinks.appendBucketed(dayHashes, hashTable, Seq("content_md5"))
     // keep the persisted exact-dup bloom current (no-op when none is
     // maintained). AFTER the table append — a saturation rebuild
     // re-reads the table and must see today; BEFORE the manifest drop
     // — a crash in between replays the merge idempotently (bloom puts
     // set the same bits) via repairPendingAppends, so the prefilter
     // can never hold false negatives against the indexed corpus.
-    if (acceptedN > 0) Dedup.mergeHashBloom(spark, hashTable,
-      acceptedText.select(md5(col("text")).as("content_md5")).distinct())
+    if (acceptedN > 0) Dedup.mergeHashBloom(spark, hashTable, dayHashes)
     // Delta chunks materialize once (delta-sized): the append consumes
     // them, then the df-cap breach check probes the index with their
     // distinct hashes.

@@ -2640,16 +2640,18 @@ object SparkEntry {
 
     ("semantic_probe_pq_persisted",
       // the PRODUCTION seam of the PQ probe, registered: train ONCE,
-      // persist coarse centroids + codebooks + the 16 B/doc code
+      // persist coarse centroids + codebooks + the 24 B/doc code
       // index as tables, then probe through the LITERAL daily-ingest
       // functions (Pq.writeSemanticIndexPq →
-      // Pq.incrementalSemanticMatchesPq at margin 0) — bit-identical
-      // rows to semantic_probe_pq, so the SAME oracle replays the
-      // whole persisted round-trip; what this row proves beyond its
-      // in-memory twin is that nothing in the
-      // train→persist→read→probe seam (parquet round-trips,
-      // collect_list orders, the bucketed cell layout) perturbs a
-      // bit, licensing runIncremental's codebooks-never-retrain path
+      // Pq.incrementalSemanticMatchesPq at margin 0). The emitted
+      // candidate set is the CERTIFIED one — approx_cos plus the
+      // stored-reconstruction-error triangle bound clears the
+      // threshold (a theorem, not a margin guess), so this row
+      // additionally proves the persisted qerr column and the bound
+      // arithmetic replay bit-for-bit; the train→persist→read→probe
+      // seam (parquet round-trips, collect_list orders, the bucketed
+      // cell layout) perturbs nothing, licensing runIncremental's
+      // codebooks-never-retrain path
       (s: SparkSession, d: String) => {
         // a FRESH session has an empty in-memory catalog but the
         // managed-table locations persist in the warehouse dir — drop
@@ -2674,7 +2676,7 @@ object SparkEntry {
           s.table("graft_reg_sem_pq__codebooks"), margin = 0.0)
           .drop("cell")
       },
-      Some(OracleSql.semanticProbePqSql())),
+      Some(OracleSql.semanticProbePqPersistedSql())),
 
     ("bpe_pair_stats",
       // the BPE trainer's inner-loop statistic: adjacent-pair counts

@@ -183,12 +183,17 @@ object Dedup {
   }
 
   /** The serialized corpus bloom, or None when no bloom is maintained
-    * for this hash table (pre-bloom bootstrap, or a lost table) —
-    * callers fall back to the plain anti-join. */
+    * for this hash table — callers fall back to the plain anti-join.
+    * None covers BOTH degraded states: a fully-absent table
+    * (pre-bloom bootstrap, lost table) and a registered-but-EMPTY one
+    * (a crash inside the daily overwrite can commit the catalog entry
+    * with no row) — `.take(1)`, never `.first()`, so a half-written
+    * table downgrades the prefilter instead of aborting every
+    * subsequent ingest. */
   def readHashBloom(spark: SparkSession, hashTable: String): Option[Array[Byte]] =
     if (!spark.catalog.tableExists(bloomTableOf(hashTable))) None
-    else Some(spark.table(bloomTableOf(hashTable))
-      .select(col("bloom")).first().getAs[Array[Byte]](0))
+    else spark.table(bloomTableOf(hashTable))
+      .select(col("bloom")).take(1).headOption.map(_.getAs[Array[Byte]](0))
 
   /** Fold an accepted day's hashes into the persisted bloom —
     * delta-sized work only (a compatible-parameter day bloom built
@@ -202,19 +207,26 @@ object Dedup {
                      dayHashes: DataFrame,
                      hashCol: String = "content_md5"): Unit =
     if (spark.catalog.tableExists(bloomTableOf(hashTable))) {
-      val row = spark.table(bloomTableOf(hashTable))
-        .select(col("bloom"), col("capacity"), col("fpp"), col("items")).first()
-      val (bytes, capacity, fpp, items) =
-        (row.getAs[Array[Byte]](0), row.getLong(1), row.getDouble(2), row.getLong(3))
-      val dayCount = dayHashes.count()
-      if (items + dayCount > capacity)
-        writeHashBloom(spark, hashTable, fpp, hashCol = hashCol)
-      else {
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-        bf.mergeInPlace(dayHashes.stat.bloomFilter(hashCol, capacity, fpp))
-        persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp,
-          items + dayCount)
+      spark.table(bloomTableOf(hashTable))
+        .select(col("bloom"), col("capacity"), col("fpp"), col("items"))
+        .take(1).headOption match {
+        // registered-but-empty table (crash inside a prior overwrite):
+        // rebuild from the full hash table — the one corpus scan that
+        // restores the summary, instead of aborting the ingest
+        case None => writeHashBloom(spark, hashTable, hashCol = hashCol)
+        case Some(row) =>
+          val (bytes, capacity, fpp, items) =
+            (row.getAs[Array[Byte]](0), row.getLong(1), row.getDouble(2), row.getLong(3))
+          val dayCount = dayHashes.count()
+          if (items + dayCount > capacity)
+            writeHashBloom(spark, hashTable, fpp, hashCol = hashCol)
+          else {
+            val bf = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+            bf.mergeInPlace(dayHashes.stat.bloomFilter(hashCol, capacity, fpp))
+            persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp,
+              items + dayCount)
+          }
       }
     }
 

@@ -390,11 +390,13 @@ object Pq {
     *     whose per-probe RETRAINING the registered query pays by
     *     design and production must not;
     *   - `<table>` — one row per corpus doc `(doc_id, cell, codes,
-    *     nrm)`, BUCKETED on `cell`: the 16 B/doc payload (m code
-    *     bytes + one stored norm — the norm is what lets a probe
-    *     recover cosine from ADC distance by the law of cosines)
-    *     that stays holdable in cluster memory at any corpus size
-    *     the full-vector index has long outgrown. */
+    *     nrm, qerr)`, BUCKETED on `cell`: the 24 B/doc payload (m
+    *     code bytes + the stored norm that lets a probe recover
+    *     cosine from ADC distance by the law of cosines + the
+    *     stored reconstruction error that makes the candidate set
+    *     certified — see [[semanticIndexRowsPq]]) that stays
+    *     holdable in cluster memory at any corpus size the
+    *     full-vector index has long outgrown. */
   def writeSemanticIndexPq(vectors: DataFrame, table: String,
                            numCentroids: Int = 64, trainIters: Int = 3,
                            m: Int = 8, subDims: Int = 8, ksub: Int = 16,
@@ -403,6 +405,17 @@ object Pq {
                            sharedCentroids: Option[DataFrame] = None): Unit = {
     val spark = vectors.sparkSession
     graft.GraftExtensions.register(spark)
+    // CRASH CONSISTENCY: the code index must never outlive a codebook
+    // overwrite — old codes ADC-scanned against new codebooks are
+    // silently wrong distances, the one failure mode worse than no
+    // index. Drop the index FIRST (and its stale location, so a crash
+    // mid-recreate cannot leave LOCATION_ALREADY_EXISTS): every crash
+    // window then leaves "no PQ table", which downgrades the probe to
+    // the exact one-tier arm, never corrupts it.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", Ann.norm(col("emb")))
     // `sharedCentroids`: reuse an already-persisted coarse quantizer
@@ -434,10 +447,18 @@ object Pq {
 
   /** PQ index rows for a batch of vectors against the PERSISTED
     * centroids + codebooks — the shape [[writeSemanticIndexPq]]
-    * writes and a daily append adds: `(doc_id, cell, codes, nrm)`,
-    * cell by the broadcast coarse argmin, codes by the broadcast
-    * per-subspace argmin — zero shuffles on the batch side beyond
-    * the codes rollup. */
+    * writes and a daily append adds:
+    * `(doc_id, cell, codes, nrm, qerr)` — cell by the broadcast
+    * coarse argmin, codes by the broadcast per-subspace argmin, and
+    * `qerr` = the vector's own reconstruction error
+    * Σ_j ‖x_j − c_{j,code_j}‖² taken from the SAME argmin pass (the
+    * fused (cell, d²) pick — one encode pass, not two). Storing qerr
+    * costs 8 bytes/doc (16 → 24 B — still >10× under fp32) and is
+    * what makes the probe's candidate set CERTIFIED: the triangle
+    * inequality bounds how far ADC distance can sit from the true
+    * distance by this exact per-doc error, so
+    * [[incrementalSemanticMatchesPq]] filters on a provable cosine
+    * upper bound instead of a hopeful fixed margin. */
   def semanticIndexRowsPq(vectors: DataFrame, centroids: DataFrame,
                           codebooks: DataFrame): DataFrame = {
     graft.GraftExtensions.register(vectors.sparkSession)
@@ -448,10 +469,22 @@ object Pq {
       .withColumn("nrm", Ann.norm(col("emb")))
     val cells = Ann.nearestCells(e, cents, "emb", "nrm", keep = 1)
       .select(col("vec_id"), col("cell"), col("nrm"))
-    codesArr(codesFor(e.select(col("vec_id"), col("emb")),
-        packCodebooks(codebooks), m, subDims))
+    val scored = transform(col("cents"), c =>
+      struct(l2sq(col("semb"), c.getField("cemb")).as("d2"),
+        c.getField("cell").as("cell")))
+    subRows(e.select(col("vec_id"), col("emb")), m, subDims)
+      .join(broadcast(packCodebooks(codebooks)), Seq("sub"))
+      .withColumn("b", element_at(array_sort(scored), 1))
+      .select(col("vec_id"), col("sub"), col("b.cell").as("code"), col("b.d2").as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          p => p.getField("code")).as("codes"),
+        // subspace-ordered fold — bit-identical to quantizationError's
+        call_function("graft_sorted_fold_sum",
+          col("sub").cast("long"), col("d2")).as("qerr"))
       .join(cells, Seq("vec_id"))
-      .select(col("vec_id").as("doc_id"), col("cell"), col("codes"), col("nrm"))
+      .select(col("vec_id").as("doc_id"), col("cell"), col("codes"),
+        col("nrm"), col("qerr"))
   }
 
   /** The OPQ DECISION REPORT — connects the measured embedding
@@ -475,6 +508,13 @@ object Pq {
     * corpus moments pass (shared with `embedding_covariance`), then
     * constant-size (≤ 2016 rows at 64 dims) arithmetic. */
   def subspaceCoherence(embeddings: DataFrame, subDims: Int = 8): DataFrame = {
+    // a single block (subDims = dims) has no cross pairs and
+    // one-dim blocks have no within pairs — either way one mean is
+    // 0/0 and the verdict null; fail loudly instead (subDims ≥ 2 is
+    // checkable here; the ≥ 2 blocks half surfaces as a null-free
+    // require below the aggregate, which the registered 64/8 layout
+    // never trips)
+    require(subDims >= 2, s"subspaceCoherence needs subDims >= 2, got $subDims")
     graft.GraftExtensions.register(embeddings.sparkSession)
     val mom = Ann.quantizedMoments(embeddings)
     val diag = mom.filter(col("dim_i") === col("dim_j"))
@@ -498,7 +538,14 @@ object Pq {
           when(!col("same_block"), abs(col("corr"))).otherwise(lit(0.0))).as("cs"))
       .select(col("within_pairs"), col("cross_pairs"),
         (col("ws") / col("within_pairs")).as("within_mean_abs_corr"),
-        (col("cs") / col("cross_pairs")).as("cross_mean_abs_corr"))
+        // the ≥ 2 blocks half of the degenerate-layout guard: a
+        // single block (dims ≤ subDims) has no cross pairs — raise
+        // instead of emitting a null mean and a null verdict
+        when(col("cross_pairs") > 0, col("cs") / col("cross_pairs"))
+          .otherwise(raise_error(
+            lit("subspaceCoherence needs at least 2 blocks (dims > subDims)"))
+            .cast("double"))
+          .as("cross_mean_abs_corr"))
       .withColumn("rotation_indicated",
         col("cross_mean_abs_corr") > col("within_mean_abs_corr"))
   }
@@ -628,22 +675,33 @@ object Pq {
     * when the PQ tables exist: each delta vector gets its coarse
     * cell (broadcast argmin over the persisted centroids), ONE
     * m × ksub ADC table (persisted codebooks — never retrained), and
-    * scans only its cell's 16 B/doc code rows; cosine is recovered
+    * scans only its cell's 24 B/doc code rows; cosine is recovered
     * from the ADC distance by the law of cosines exactly as
-    * [[semanticProbePq]] does. Emits candidate pairs at
-    * `threshold − margin`: PQ cosines carry quantization error, so
-    * the probe deliberately over-collects by `margin` and the caller
-    * confirms with EXACT cosine on just the candidate pairs (the
-    * two-tier shape that keeps corpus-wide work on codes and
-    * full-vector work candidate-sized). `margin = 0` reproduces the
-    * registered query's rows bit-for-bit (same arithmetic path).
+    * [[semanticProbePq]] does.
+    *
+    * The candidate set is CERTIFIED, not margin-guessed: with
+    * d̂ = ADC distance (= the exact distance to the doc's
+    * reconstruction x̂, since the query side of ADC is exact) and
+    * e = ‖x − x̂‖ (stored per doc as `qerr` = e²), the triangle
+    * inequality gives |d̂² − d²| ≤ e·(2d̂ + e), so
+    *   true_cos ≤ approx_cos + e·(2d̂ + e) / (2‖q‖‖x‖)
+    * and filtering on that UPPER bound keeps every pair whose true
+    * cosine clears the threshold — within-cell candidate
+    * completeness is a theorem, not a tuning outcome (the r14
+    * self-review found the fixed 0.05 margin could silently miss
+    * in-distribution dups whose qerr sat below the retrain bar).
+    * Out-of-distribution corpus docs get large stored e and simply
+    * become candidates for more queries — the exact confirm prunes
+    * them; the drift retrain is an EFFICIENCY lever now, not a
+    * correctness one. `margin` remains as optional extra slack
+    * (float-rounding paranoia), default 0.
     * Output: (delta_doc, corpus_doc, cell, approx_cos) — cell kept
     * so the confirm scan can prune the full-vector index to the
     * touched cells. */
   def incrementalSemanticMatchesPq(newVecs: DataFrame, pqIndex: DataFrame,
                                    centroids: DataFrame, codebooks: DataFrame,
                                    threshold: Double = 0.35,
-                                   margin: Double = 0.05,
+                                   margin: Double = 0.0,
                                    nprobe: Int = 1): DataFrame = {
     graft.GraftExtensions.register(newVecs.sparkSession)
     val (_, subDims) = codebookShape(codebooks)
@@ -655,13 +713,16 @@ object Pq {
     val qt = queryTables(q, packCodebooks(codebooks), subDims)
     qt.select(col("query_id"), col("qnrm"), col("cell"), col("dtab"))
       .join(pqIndex.select(col("doc_id").as("corpus_doc"), col("cell"),
-        col("codes"), col("nrm")), Seq("cell"))
+        col("codes"), col("nrm"), col("qerr")), Seq("cell"))
       .filter(col("corpus_doc") =!= col("query_id"))
       .withColumn("adist", adcDist)
       .withColumn("approx_cos",
         (col("qnrm") * col("qnrm") + col("nrm") * col("nrm") - col("adist"))
           / (lit(2.0) * col("qnrm") * col("nrm")))
-      .filter(col("approx_cos") >= threshold - margin)
+      .filter(col("approx_cos")
+        + (sqrt(col("qerr")) * (lit(2.0) * sqrt(col("adist")) + sqrt(col("qerr"))))
+          / (lit(2.0) * col("qnrm") * col("nrm"))
+        >= threshold - margin)
       .select(col("query_id").as("delta_doc"), col("corpus_doc"),
         col("cell"), col("approx_cos"))
   }

@@ -285,7 +285,16 @@ object Streams {
     * snapshot of a source is its max-trigger row set, deterministic
     * for any consumer; [[graft.sources.Sinks.streamingGroupReplaceSink]]
     * applies exactly that rule to keep a persisted one-row-set-per-
-    * source snapshot table live across restarts. */
+    * source snapshot table live across restarts.
+    *
+    * STATE-SCHEMA MIGRATION: adding the trigger counter changed the
+    * state type from `Map[String, Long]` to `(Map[String, Long],
+    * Long)` — a checkpoint written by the pre-trigger build fails
+    * Spark's state-schema compatibility check on restart. Restarting
+    * an old query on this build means a fresh checkpointLocation
+    * (the sketch rebuilds from the stream; MG totals restart from
+    * the cutover, which the trigger column makes visible
+    * downstream). */
   def heavyHittersStream(rawDocuments: DataFrame, k: Int = 32): Dataset[HeavyHitter] = {
     import rawDocuments.sparkSession.implicits._
     rawDocuments

@@ -222,14 +222,15 @@ class PipelineSpec extends SparkSpec {
     val freshText = (1 to 40).map(i => s"br$i").mkString(" ")
     val delta = Seq((10L, corpusText), (11L, freshText)).toDF("doc_id", "content")
     val framed = Pipeline.exactNewVsCorpus(spark, delta, "graft_bloomarm_hash")
-    // PLAN WALK: the prefilter is IN the executed plan — the native
-    // probe on the definite-new branch (both filter branches carry
-    // it), i.e. delta rows are classified map-side before any join
+    // PLAN WALK: the probe itself runs ONCE inside the checkpointed
+    // base (so the serialized bloom rides the plan exactly once —
+    // the probe expression's plan shape is pinned in DedupSpec and
+    // the chunk arm's walk); the OUTER plan must show the bypass:
+    // a Union of the two checkpoint-scan branches where only ONE
+    // branch carries the LeftAnti probe join
     val plan = framed.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_might_contain"), s"no bloom probe in plan:\n$plan")
-    // and the anti-join consumes only the maybe branch: exactly one
-    // LeftAnti join node, fed by a Filter on the probe
     assert("LeftAnti".r.findAllIn(plan).length === 1, s"join shape wrong:\n$plan")
+    assert(plan.contains("Union"), s"no union bypass in plan:\n$plan")
     // rows: the corpus dup drops, the fresh doc survives — identical
     // to the plain anti-join once the bloom is gone
     assert(framed.select("doc_id").as[Long].collect().toSet === Set(11L))
@@ -419,7 +420,7 @@ class PipelineSpec extends SparkSpec {
     assert(spark.catalog.tableExists("graft_sem_cells__pq") &&
       spark.catalog.tableExists("graft_sem_cells__pq__codebooks"))
     assert(spark.table("graft_sem_cells__pq").columns.sorted.toSeq
-      === Seq("cell", "codes", "doc_id", "nrm"))
+      === Seq("cell", "codes", "doc_id", "nrm", "qerr"))
 
     def writeDelta(rows: (Long, String)*): String = {
       val dir = Files.createTempDirectory("graft_sem_delta").toString

@@ -252,14 +252,16 @@ class PqSpec extends SparkSpec {
     assert(r2 === r, s"not partition-stable: $r vs $r2")
   }
 
-  test("persisted PQ index replays the in-memory probe bit-for-bit; margin only widens") {
+  test("persisted PQ probe: certified candidates ⊇ exact hits ⊇ nothing lost, values replay") {
     // the production seam: train once, persist centroids + codebooks
-    // + the 16 B/doc code index as tables, probe through the daily
-    // functions — at margin 0 every row (including the recovered
-    // cosine doubles) must equal the self-contained registered
-    // query's, so nothing in the parquet round-trip or the bucketed
-    // layout perturbs a bit; with the default margin the candidate
-    // set can only WIDEN (the exact arm prunes it), never lose
+    // + the 24 B/doc code index (codes + norm + reconstruction
+    // error), probe through the daily functions. The candidate set
+    // is CERTIFIED (triangle-inequality upper bound on true cosine),
+    // so three contracts hold: (a) it contains every pair the plain
+    // ADC-threshold probe emits, with bit-identical approx_cos on
+    // the shared pairs (the persisted round-trip perturbs nothing);
+    // (b) it contains EVERY within-cell pair the exact probe finds —
+    // a theorem now, not a tuning outcome; (c) margin only widens.
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val flagged = embs.select(col("vec_id"), col("embedding"),
       (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
@@ -271,17 +273,20 @@ class PqSpec extends SparkSpec {
     def probe(margin: Double) = Pq.incrementalSemanticMatchesPq(delta,
       spark.table("graft_spec_sem_pq"), spark.table("graft_spec_sem_pq__centroids"),
       spark.table("graft_spec_sem_pq__codebooks"), margin = margin)
-    val persisted = probe(0.0).select("delta_doc", "corpus_doc", "approx_cos")
-      .as[(Long, Long, Double)].collect().toSet
+    val certified = probe(0.0).select("delta_doc", "corpus_doc", "approx_cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val inMemory = Pq.semanticProbePq(embs, deterministic = true)
-      .as[(Long, Long, Double)].collect().toSet
-    assert(persisted === inMemory, "persisted round-trip perturbed the probe")
-    val widened = probe(0.05).select("delta_doc", "corpus_doc")
-      .as[(Long, Long)].collect().toSet
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(inMemory.keySet.subsetOf(certified.keySet),
+      s"certified set lost plain-ADC hits: ${inMemory.keySet -- certified.keySet}")
+    inMemory.foreach { case (k, v) =>
+      assert(certified(k) === v, s"approx_cos drifted through persistence at $k") }
     val exact = Ann.semanticProbe(embs, trainIters = 3, deterministic = true)
       .select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
-    assert(persisted.map(r => (r._1, r._2)).subsetOf(widened))
-    assert((exact -- widened).isEmpty,
-      s"margin probe lost exact hits: ${exact -- widened}")
+    assert((exact -- certified.keySet).isEmpty,
+      s"certified probe lost exact hits: ${exact -- certified.keySet}")
+    val widened = probe(0.05).select("delta_doc", "corpus_doc")
+      .as[(Long, Long)].collect().toSet
+    assert(certified.keySet.subsetOf(widened))
   }
 }
