@@ -92,9 +92,18 @@ object Bench {
     * the line off in rounds 7 AND 8 (`parsed: null` both times). */
   private[graft] def renderDetail(timings: collection.Map[String, Double],
                                   errors: collection.Map[String, String],
-                                  sfDir: String): String = {
+                                  sfDir: String,
+                                  steady: collection.Map[String, Double] = Map.empty): String = {
     val qs = timings.map { case (k, v) => s"${Json.str(k)}:${ms(v)}" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${ms(timings.values.sum)},"unit":"sec","queries":$qs,"errors":${Json.obj(errors)},"sf":${Json.str(sfDir)}}"""
+    // `steady_state`: measurements that deliberately EXCLUDE one-time
+    // setup (index builds) — reported next to, never inside, the
+    // queries map so the guardrail parser and the total stay
+    // untouched. Empty map → field omitted (baseline files from
+    // before the field parse unchanged).
+    val ss = if (steady.isEmpty) ""
+    else steady.map { case (k, v) => s"${Json.str(k)}:${ms(v)}" }
+      .mkString(""","steady_state":{""", ",", "}")
+    s"""{"metric":"total","value":${ms(timings.values.sum)},"unit":"sec","queries":$qs,"errors":${Json.obj(errors)}$ss,"sf":${Json.str(sfDir)}}"""
   }
 
   /** Bounded stdout summary — `queries` is a COUNT, not a map (the
@@ -194,11 +203,49 @@ object Bench {
     regs.foreach { case (n, (p, c)) =>
       System.err.println(f"BENCH REGRESSION $n: $p%.2fs -> $c%.2fs (${c / p}%.1fx)")
     }
+    // STEADY-STATE PQ probe: the registered PQ rows re-train per run
+    // BY ORACLE-REPLAY DESIGN, so their timings price training +
+    // encoding + probe. Production never retrains — bootstraps build
+    // the index once and every day only probes. This measurement
+    // builds the persisted index OUTSIDE the clock (production
+    // parameters, same tables the registered seam query uses) and
+    // times the daily probe alone — the number a capacity plan
+    // actually needs, reported under `steady_state` so it never
+    // mixes into the oracle-replay totals the guardrail tracks.
+    val steady = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (only.isEmpty) try {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val flagged = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"),
+          (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
+      graft.operators.Pq.writeSemanticIndexPq(
+        flagged.filter(!col("is_delta"))
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        "graft_bench_sem_pq") // untimed: the once-per-corpus build
+      val delta = flagged.filter(col("is_delta"))
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      def probe() = graft.operators.Pq.incrementalSemanticMatchesPq(
+        delta, spark.table("graft_bench_sem_pq"),
+        spark.table("graft_bench_sem_pq__centroids"),
+        spark.table("graft_bench_sem_pq__codebooks"))
+        .write.format("noop").mode("overwrite").save()
+      System.gc()
+      probe() // warm-up, same discipline as the main loop
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        probe()
+        (System.nanoTime() - t0) / 1e9
+      }
+      steady("semantic_probe_pq_daily") = runs.min
+      System.err.println(f"BENCH STEADY semantic_probe_pq_daily: ${runs.min}%.3fs (index build untimed)")
+    } catch {
+      case e: Throwable => errors("semantic_probe_pq_daily") = Json.errorSummary(e)
+    }
     // Per-query timings leave stdout ENTIRELY (r7 and r8 both lost the
     // driver's headline number to stdout-tail truncation): the full map
     // goes to BENCH_DETAIL.json (committed per round — next round's
     // guardrail baseline) and stderr (visible in local runs).
-    val detail = renderDetail(timings, errors, sfDir)
+    val detail = renderDetail(timings, errors, sfDir, steady)
     // Two clobber guards on the committed baseline: a SPARK_GRAFT_ONLY
     // run must not replace the full map with a partial one, and a
     // local iteration at a DIFFERENT scale factor must not replace the

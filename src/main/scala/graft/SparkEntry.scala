@@ -2653,16 +2653,8 @@ object SparkEntry {
       // cell layout) perturbs nothing, licensing runIncremental's
       // codebooks-never-retrain path
       (s: SparkSession, d: String) => {
-        // a FRESH session has an empty in-memory catalog but the
-        // managed-table locations persist in the warehouse dir — drop
-        // both, or the second run ever dies on LOCATION_ALREADY_EXISTS
-        Seq("graft_reg_sem_pq", "graft_reg_sem_pq__centroids",
-          "graft_reg_sem_pq__codebooks").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val p = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir") + "/" + t)
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        }
+        // fresh-session stale warehouse locations are swept inside
+        // writeSemanticIndexPq itself (its crash-consistency block)
         val flagged = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
           (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
         Pq.writeSemanticIndexPq(

@@ -408,14 +408,22 @@ object Pq {
     // CRASH CONSISTENCY: the code index must never outlive a codebook
     // overwrite — old codes ADC-scanned against new codebooks are
     // silently wrong distances, the one failure mode worse than no
-    // index. Drop the index FIRST (and its stale location, so a crash
-    // mid-recreate cannot leave LOCATION_ALREADY_EXISTS): every crash
-    // window then leaves "no PQ table", which downgrades the probe to
-    // the exact one-tier arm, never corrupts it.
+    // index. Drop the index FIRST: every crash window then leaves
+    // "no PQ table", which downgrades the probe to the exact one-tier
+    // arm, never corrupts it.
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    // Stale-location sweep for all three names: a managed-table
+    // LOCATION can survive without its catalog entry (fresh session
+    // over a shared warehouse, or a crash mid-create) and then kills
+    // the recreate with LOCATION_ALREADY_EXISTS — clear any location
+    // whose table is NOT in the catalog (never live data).
+    Seq(table, table + "__centroids", table + "__codebooks").foreach { t =>
+      if (!spark.catalog.tableExists(t)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+    }
     val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", Ann.norm(col("emb")))
     // `sharedCentroids`: reuse an already-persisted coarse quantizer
