@@ -488,10 +488,17 @@ object OracleSql {
     * relations `s$j` (subvectors) and `p${j}c$iters` (trained
     * codebook) stay visible for the query replays. `withE = false`
     * composes after [[kmeansCentroidsCtes]], which already defines
-    * the shared double-widened `e`. */
+    * the shared double-widened `e`.
+    *
+    * `rankSeed` DEFAULTS TO TRUE to match
+    * [[graft.operators.Pq.trainCodebooks]]'s default — the two
+    * seedings coincide only on dense 0-based vec_ids, so a default
+    * mismatch would keep oracles green on generated data while
+    * silently diverging on any sparse or 1-based id space (r14
+    * ADVICE). Keep the defaults aligned when either side changes. */
   def pqCtes(m: Int = 8, subDims: Int = 8, ksub: Int = 16,
              iters: Int = 2, withE: Boolean = true,
-             src: String = "e", rankSeed: Boolean = false,
+             src: String = "e", rankSeed: Boolean = true,
              tag: String = ""): String = {
     val l2 = l2sqExpr(subDims) _
     val e = if (withE)
@@ -1009,6 +1016,81 @@ object OracleSql {
        |      + (sqrt(e.qerr) * (CAST(2 AS DOUBLE) * sqrt(a.adist) + sqrt(e.qerr)))
        |        / (CAST(2 AS DOUBLE) * a.qn * a.xn) AS cos_ub
        |  FROM ad a JOIN qerr e ON a.vec_id = e.vec_id) t
+       |WHERE cos_ub >= $threshold""".stripMargin
+  }
+
+  /** Mirrors the persisted probe at `tight = true`
+    * ([[graft.operators.Pq.incrementalSemanticMatchesPq]]'s
+    * per-subspace certified bound): instead of the scalar-qerr
+    * triangle slack, the true-distance floor
+    * d² ≥ Σ_j max(0, d_j − √e_j)² is folded per subspace (each d_j
+    * from the SAME ADC lookup, each e_j the stored per-subspace
+    * reconstruction error), and the candidate filter keeps a pair
+    * when (‖q‖² + ‖x‖² − floor) / (2‖q‖‖x‖) clears the threshold.
+    * Emitted approx_cos is still the plain ADC recovery — identical
+    * to [[semanticProbePqPersistedSql]]'s on shared pairs. */
+  def semanticProbePqTightSql(k: Int = 64, iters: Int = 3,
+                              threshold: Double = 0.35,
+                              deltaHex: String = "0ccd", m: Int = 8,
+                              subDims: Int = 8, ksub: Int = 16,
+                              pqIters: Int = 2, dims: Int = 64): String = {
+    val dot = dotExpr(dims) _
+    val l2 = l2sqExpr(subDims) _
+    val split = s"substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)"
+    val dt = (0 until m).map { j =>
+      val lo = j * subDims + 1
+      val hi = (j + 1) * subDims
+      s"""SELECT d.vec_id AS query_id, CAST($j AS INTEGER) AS sub, cb.cell,
+         |    ${l2(s"(d.emb[$lo:$hi])", "cb.cemb")} AS d2
+         |  FROM dn d CROSS JOIN p${j}c$pqIters cb""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val qe = (0 until m).map { j =>
+      s"""qe$j AS (SELECT s.vec_id, CAST($j AS INTEGER) AS sub,
+         |    MIN(${l2("s.semb", "c.cemb")}) AS d2
+         |  FROM s$j s CROSS JOIN p${j}c$pqIters c GROUP BY s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val qeUnion = (0 until m).map(j => s"SELECT vec_id, sub, d2 FROM qe$j")
+      .mkString("\n  UNION ALL ")
+    // per-subspace floor term: max(0, d_j − √e_j)² with g*g (not
+    // pow) so the arithmetic matches Spark's `s * s` bit-for-bit
+    val floorTerm =
+      s"""greatest(CAST(0 AS DOUBLE), sqrt(d.d2) - sqrt(e.d2))
+         |        * greatest(CAST(0 AS DOUBLE), sqrt(d.d2) - sqrt(e.d2))""".stripMargin
+    s"""WITH ${kmeansCentroidsCtes(k, iters, dims,
+          where = Some(s"$split >= '$deltaHex'"), rankSeed = true)},
+       |${trainedAssignmentCtes(iters, dims)},
+       |${pqCtes(m, subDims, ksub, pqIters, withE = false, rankSeed = true)},
+       |ca AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM codes GROUP BY vec_id),
+       |$qe,
+       |qes AS (
+       |  $qeUnion),
+       |de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings WHERE $split < '$deltaHex'),
+       |dn AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM de),
+       |dasg AS (SELECT vec_id, nrm, cell FROM (
+       |  SELECT dn.vec_id, dn.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY dn.vec_id ORDER BY
+       |      (${dot("dn.emb", "c.cemb")} / (dn.nrm * c.cnrm)) DESC, c.cell) AS rn
+       |  FROM dn CROSS JOIN cents$iters c) WHERE rn = 1),
+       |dt AS (
+       |  $dt),
+       |cnd AS (SELECT d.vec_id AS query_id, a.vec_id, d.nrm AS qn, a.nrm AS xn
+       |        FROM dasg d JOIN fasg a ON d.cell = a.cell
+       |        WHERE a.vec_id <> d.vec_id),
+       |ad AS (SELECT c.query_id, c.vec_id, c.qn, c.xn,
+       |    list_reduce(list(d.d2 ORDER BY d.sub), (x, y) -> x + y) AS adist,
+       |    list_reduce(list($floorTerm
+       |      ORDER BY d.sub), (x, y) -> x + y) AS dlb
+       |  FROM cnd c
+       |  JOIN ca ON ca.vec_id = c.vec_id
+       |  JOIN dt d ON d.query_id = c.query_id AND d.cell = ca.codes[d.sub + 1]
+       |  JOIN qes e ON e.vec_id = c.vec_id AND e.sub = d.sub
+       |  GROUP BY c.query_id, c.vec_id, c.qn, c.xn)
+       |SELECT query_id AS delta_doc, vec_id AS corpus_doc, approx_cos FROM (
+       |  SELECT query_id, vec_id,
+       |    (qn * qn + xn * xn - adist) / (CAST(2 AS DOUBLE) * qn * xn) AS approx_cos,
+       |    (qn * qn + xn * xn - dlb) / (CAST(2 AS DOUBLE) * qn * xn) AS cos_ub
+       |  FROM ad) t
        |WHERE cos_ub >= $threshold""".stripMargin
   }
 

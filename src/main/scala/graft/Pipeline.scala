@@ -116,7 +116,8 @@ object Pipeline {
                            chunkTable: Option[String] = None,
                            semanticTable: Option[String] = None,
                            corpusEmbeddings: Option[org.apache.spark.sql.DataFrame] = None,
-                           charlmTable: Option[String] = None): Unit = {
+                           charlmTable: Option[String] = None,
+                           bloomShards: Int = 1): Unit = {
     Dedup.writeBandPostings(corpus, postingsTable)
     Sinks.writeBucketed(
       corpus.select(md5(col("text")).as("content_md5")).distinct(),
@@ -125,8 +126,15 @@ object Pipeline {
     // daily exact arm drops definite non-members map-side before the
     // index anti-join ([[runIncremental]]'s union-bypass), licensed
     // by the no-false-negatives contract operators.Corpus
-    // .bloomFilterAudit pins
-    Dedup.writeHashBloom(corpus.sparkSession, hashTable)
+    // .bloomFilterAudit pins. `bloomShards > 1` chooses the
+    // prefix-sharded form (same probe semantics, broadcast-delivered
+    // instead of a plan literal) — the shape for corpora past the
+    // single filter's ~0.9 GB serialized ceiling; the daily merge and
+    // the probe dispatch on the persisted table's shape automatically.
+    if (bloomShards > 1)
+      Dedup.writeHashBloomSharded(corpus.sparkSession, hashTable, bloomShards)
+    else
+      Dedup.writeHashBloom(corpus.sparkSession, hashTable)
     chunkTable.foreach { t =>
       Dedup.writeChunkPostings(corpus, t)
       // same summary for the chunk index: the substring probe drops
@@ -276,25 +284,33 @@ object Pipeline {
   private[graft] def exactNewVsCorpus(spark: SparkSession, exactWithin: org.apache.spark.sql.DataFrame,
                                       hashTable: String): org.apache.spark.sql.DataFrame = {
     val hashed = exactWithin.withColumn("__content_md5", md5(col("content")))
-    val out = Dedup.readHashBloom(spark, hashTable) match {
-      case Some(bloom) =>
-        graft.GraftExtensions.register(spark)
-        // probe ONCE into a boolean column and checkpoint: the two
-        // branches then filter a materialized boolean, so the (large)
-        // serialized bloom rides the plan exactly once — the literal
-        // in two Filter branches would double it, and at the sizing
-        // note's ~0.9 GB ceiling a doubled literal stops shipping
-        // long before the documented scale
-        val base = hashed.withColumn("__maybe",
-          call_function("graft_might_contain", lit(bloom), col("__content_md5")))
-          .localCheckpoint()
-        base.filter(!col("__maybe")).unionByName(
-          base.filter(col("__maybe")).join(spark.table(hashTable),
-            col("__content_md5") === col("content_md5"), "left_anti"))
-          .drop("__maybe")
-      case None =>
-        hashed.join(spark.table(hashTable),
-          col("__content_md5") === col("content_md5"), "left_anti")
+    // union-bypass with either bloom form: probe ONCE into a boolean
+    // column and checkpoint, so whatever carries the filter (the
+    // single-form plan literal, or the sharded form's broadcast
+    // handle) rides the plan exactly once; the two branches then
+    // filter a materialized boolean.
+    def bypass(maybeCol: org.apache.spark.sql.Column) = {
+      val base = hashed.withColumn("__maybe", maybeCol).localCheckpoint()
+      base.filter(!col("__maybe")).unionByName(
+        base.filter(col("__maybe")).join(spark.table(hashTable),
+          col("__content_md5") === col("content_md5"), "left_anti"))
+        .drop("__maybe")
+    }
+    // sharded form first (the past-the-literal-ceiling shape): N
+    // prefix-sharded filters via a real torrent broadcast, one shard
+    // probe per row ([[graft.functions.ShardedBloomMightContain]])
+    val out = Dedup.readHashBloomSharded(spark, hashTable) match {
+      case Some(shards) =>
+        bypass(graft.functions.ShardedBloomMightContain.probe(
+          spark.sparkContext.broadcast(shards), col("__content_md5")))
+      case None => Dedup.readHashBloom(spark, hashTable) match {
+        case Some(bloom) =>
+          graft.GraftExtensions.register(spark)
+          bypass(call_function("graft_might_contain", lit(bloom), col("__content_md5")))
+        case None =>
+          hashed.join(spark.table(hashTable),
+            col("__content_md5") === col("content_md5"), "left_anti")
+      }
     }
     out.drop("__content_md5")
   }
@@ -494,9 +510,26 @@ object Pipeline {
         Seq("doc_id"), "left_semi")
       val hits =
         if (spark.catalog.tableExists(t + "__pq")) {
+          // margin 1e-9: the certified bound is exact mathematics but
+          // double sqrt/divide arithmetic — a pair whose true cosine
+          // sits EXACTLY at the threshold can round a few ULPs under
+          // it and be dropped by this tier while the one-tier exact
+          // arm would keep it. The epsilon makes the PQ-present and
+          // PQ-absent deployments' accept/drop decisions identical;
+          // the exact confirm below re-applies the true threshold.
+          //
+          // tight = per-subspace certified bound when the persisted
+          // index carries `qerrs` (the 32 B/doc form this code
+          // writes) — strictly smaller candidate sets at the same m
+          // lookups, completeness still a theorem. Dispatching on
+          // the column keeps a pre-qerrs 24 B/doc index probing
+          // correctly (scalar bound) until its next retrain rewrites
+          // the wider schema.
+          val pqIdx = spark.table(t + "__pq")
           val cand = graft.operators.Pq.incrementalSemanticMatchesPq(
-              deltaVecs, spark.table(t + "__pq"), spark.table(t + "__centroids"),
-              spark.table(t + "__pq__codebooks"), threshold = semThreshold)
+              deltaVecs, pqIdx, spark.table(t + "__centroids"),
+              spark.table(t + "__pq__codebooks"), threshold = semThreshold,
+              margin = 1e-9, tight = pqIdx.columns.contains("qerrs"))
             .localCheckpoint()
           val cells = cand.select(col("cell")).distinct()
             .collect().map(_.getLong(0)).toSeq
@@ -623,13 +656,31 @@ object Pipeline {
     // auto-triggered, and a crash mid-rewrite only loses the PQ
     // table, which downgrades the probe to the exact one-tier arm,
     // never to wrong answers.
+    var pqRepaired = false
     val pqRetrained = semArm.exists { case (t, embs) =>
       val dayVecs = embs.join(broadcast(accepted.select(col("doc_id"))),
         Seq("doc_id"), "left_semi")
       Sinks.appendBucketed(
         graft.operators.Ann.semanticIndexRows(dayVecs, spark.table(t + "__centroids")),
         t, Seq("cell"))
-      if (!spark.catalog.tableExists(t + "__pq")) false
+      // DEGRADED-TIER REPAIR: a crash mid-retrain leaves codebooks
+      // without their code index (writeSemanticIndexPq drops the index
+      // FIRST, by design — see its crash-consistency note). Without
+      // this check the probe would silently stay one-tier forever:
+      // nothing below recreates an absent __pq table. The surviving
+      // codebooks' generation is unknowable (crash before vs after the
+      // codebook overwrite), so the repair is the full retrain +
+      // re-encode the interrupted run was attempting — AFTER today's
+      // full-vector append above, so the rebuilt index includes today.
+      if (!spark.catalog.tableExists(t + "__pq") &&
+          spark.catalog.tableExists(t + "__pq__codebooks")) {
+        graft.operators.Pq.writeSemanticIndexPq(
+          spark.table(t).select(col("doc_id"), col("emb").as("embedding")),
+          t + "__pq",
+          sharedCentroids = Some(spark.table(t + "__centroids")))
+        pqRepaired = true
+        true
+      } else if (!spark.catalog.tableExists(t + "__pq")) false
       else {
         val worst = graft.operators.Pq.quantizationError(
             dayVecs, spark.table(t + "__pq__codebooks"))
@@ -681,6 +732,10 @@ object Pipeline {
     Map(
       "chunk_recap" -> (if (recapped) 1L else 0L),
       "semantic_pq_retrain" -> (if (pqRetrained) 1L else 0L),
+      // 1 when this run found codebooks WITHOUT their code index (a
+      // crash window mid-retrain) and rebuilt the PQ tier — the loud
+      // signal that the previous run died degraded
+      "semantic_pq_repair" -> (if (pqRepaired) 1L else 0L),
       "input" -> Tables.documents(spark, sourceDir).count(),
       "quality" -> quality.count(),
       // the dropped-id set is checkpointed — this count does not

@@ -1029,6 +1029,28 @@ object SparkEntry {
               |  MAX(quality_score) AS max_score
               |FROM casg GROUP BY bucket""".stripMargin)),
 
+    ("curriculum_mix_by_source",
+      // the per-FEED curriculum mix against bounds trained once
+      // (Corpus.curriculumBounds — the fixed boundary set the live
+      // view assigns against; the collect is k−1 rows, driver-safe):
+      // which quality buckets each source fills. Map-side bucket
+      // expression over the (k−1)-element literal — no joins, one
+      // sources×k aggregate; the streaming face
+      // (Streams.curriculumMixStream → streamingGroupReplaceSink) is
+      // spec-pinned to converge to exactly these rows
+      (s: SparkSession, d: String) => {
+        val bounds = Corpus.curriculumBounds(docs(s, d))
+          .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+        Corpus.curriculumMixBySource(docs(s, d), bounds)
+      },
+      Some(s"""WITH $curriculumCtes
+              |SELECT d.source, casg.bucket,
+              |  CAST(COUNT(*) AS BIGINT) AS docs,
+              |  MIN(casg.quality_score) AS min_score,
+              |  MAX(casg.quality_score) AS max_score
+              |FROM casg JOIN documents d USING (doc_id)
+              |GROUP BY 1, 2""".stripMargin)),
+
     ("stratified_sample",
       // rebalance a language-skewed corpus: keep 10% of en (410/4096),
       // 25% of everything else — deterministic per (stratum, key)
@@ -1145,6 +1167,24 @@ object SparkEntry {
              |  FROM documents)
              |SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
              |  CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+             |  TRUE AS no_false_negatives, TRUE AS fp_ok
+             |FROM f""".stripMargin)),
+
+    ("bloom_filter_audit_sharded",
+      // the SHARDED bloom contract (the past-the-literal-ceiling
+      // prefilter form): N md5-prefix shards built distributed,
+      // probed through the broadcast-fed codegen'd
+      // graft_sharded_might_contain — one shard probe per row.
+      // Shard-wise no-false-negatives is what licenses
+      // runIncremental's exact-arm bypass once a corpus bloom
+      // outgrows the single plan literal
+      (s: SparkSession, d: String) => Corpus.bloomFilterAuditSharded(docs(s, d)),
+      Some("""WITH f AS (SELECT doc_id,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS in_corpus
+             |  FROM documents)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+             |  CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+             |  8 AS n_shards,
              |  TRUE AS no_false_negatives, TRUE AS fp_ok
              |FROM f""".stripMargin)),
 
@@ -2669,6 +2709,35 @@ object SparkEntry {
           .drop("cell")
       },
       Some(OracleSql.semanticProbePqPersistedSql())),
+
+    ("semantic_probe_pq_tight",
+      // the persisted probe's TIGHT certified bound: the stored
+      // per-subspace reconstruction errors (`qerrs`, 32 B/doc)
+      // decompose the triangle inequality per subspace —
+      // d² ≥ Σ_j max(0, d_j − √e_j)², provably ≥ the scalar-qerr
+      // floor by Cauchy–Schwarz — so the candidate set this row
+      // emits is a SUBSET of semantic_probe_pq_persisted's while
+      // still containing every true hit (PqSpec pins both
+      // directions); the exact confirm downstream pays for fewer
+      // candidates at the same m table lookups. Fully
+      // oracle-replayed including the per-subspace floor fold
+      (s: SparkSession, d: String) => {
+        val flagged = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
+        Pq.writeSemanticIndexPq(
+          flagged.filter(!col("is_delta"))
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "graft_reg_sem_pq_tight", deterministic = true)
+        Pq.incrementalSemanticMatchesPq(
+          flagged.filter(col("is_delta"))
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          s.table("graft_reg_sem_pq_tight"),
+          s.table("graft_reg_sem_pq_tight__centroids"),
+          s.table("graft_reg_sem_pq_tight__codebooks"),
+          margin = 0.0, tight = true)
+          .drop("cell")
+      },
+      Some(OracleSql.semanticProbePqTightSql())),
 
     ("bpe_pair_stats",
       // the BPE trainer's inner-loop statistic: adjacent-pair counts

@@ -241,6 +241,49 @@ object Corpus {
           .as("fp_ok"))
   }
 
+  /** The SHARDED bloom contract as a gate row, next to
+    * [[bloomFilterAudit]]: the same corpus split, but the summary is
+    * N md5-prefix-sharded filters probed through the PRODUCTION
+    * machinery — [[graft.operators.Dedup.buildShardRows]] builds the
+    * shard filters distributed (the [[graft.operators.Dedup
+    * .writeHashBloomSharded]] core), the probe is the broadcast-fed
+    * codegen'd [[graft.functions.ShardedBloomMightContain]] (one
+    * shard probe per row, shard picked by the key's hex prefix).
+    * Contract audited: no false negatives SHARD-WISE (every member
+    * key probes true through its own shard — the property that
+    * licenses the sharded prefilter in
+    * [[graft.Pipeline.runIncremental]]'s exact arm past the single
+    * filter's ~0.9 GB literal ceiling), fp rate within the generous
+    * bound, and every shard row under its declared capacity. */
+  def bloomFilterAuditSharded(documents: DataFrame, shards: Int = 8,
+                              fpp: Double = 0.03): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val flagged = documents.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("key"),
+      (substring(md5(col("doc_id").cast("string")), 1, 4) < "8000").as("in_corpus"))
+      .localCheckpoint() // the shard build and the probe must see ONE split
+    val members = flagged.filter(col("in_corpus")).select(col("key")).as[String]
+    val capacity = math.max(64L, 4L * members.count() / shards.toLong)
+    val rows = Dedup.buildShardRows(members, shards, capacity, fpp)
+      .select(col("shard"), col("bloom")).collect()
+    val arr = Array.fill[Array[Byte]](shards)(Array.emptyByteArray)
+    rows.foreach(r => arr(r.getInt(0)) = r.getAs[Array[Byte]](1))
+    val probe = graft.functions.ShardedBloomMightContain.probe(
+      spark.sparkContext.broadcast(arr), col("key"))
+    flagged.withColumn("hit", probe)
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("in_corpus") && col("hit"), 1L).otherwise(0L)).as("mf"),
+        sum(when(!col("in_corpus") && col("hit"), 1L).otherwise(0L)).as("fp"))
+      .select(col("n_probed"), col("n_members"), lit(shards).as("n_shards"),
+        (col("mf") === col("n_members")).as("no_false_negatives"),
+        (col("fp").cast("double") <=
+          (col("n_probed") - col("n_members")).cast("double") * fpp * 3 + 1.0)
+          .as("fp_ok"))
+  }
+
   /** The per-source heavy-hitters SNAPSHOT — what
     * [[graft.Pipeline.runIncremental]] materializes per ingest day
     * (`outDir/heavy_hitters`): the k sketch rows per source plus the
@@ -1016,6 +1059,67 @@ object Corpus {
                       sampleHexLt: String = "1"): DataFrame =
     curriculumAssign(documents, k, sampleHexLt)
       .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+
+  /** The sample-quantile bucket boundaries [[curriculumAssign]]
+    * derives, as a standalone (k−1)-row frame `(bs, bid)` — the
+    * FIXED boundary set a live curriculum view assigns against
+    * ([[graft.streaming.Streams.curriculumMixStream]] and its batch
+    * twin [[curriculumMixBySource]]): boundaries are trained once on
+    * the bootstrap corpus exactly like the semantic quantizer's
+    * centroids, because a per-trigger re-quantile would silently
+    * move documents between buckets mid-stream. Same arithmetic as
+    * the inline derivation (type-1 sample quantile at ranks
+    * ceil(i·S/k), (score, doc_id) ties). */
+  def curriculumBounds(documents: DataFrame, k: Int = 10,
+                       sampleHexLt: String = "1"): DataFrame = {
+    val scores = TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val sample = scores.filter(
+      substring(md5(col("doc_id").cast("string")), 1, sampleHexLt.length) < sampleHexLt)
+    val ranked = sample.withColumn("rn",
+      row_number().over(Window.orderBy(col("quality_score"), col("doc_id"))))
+    val s = sample.count()
+    val cuts = (1 until k).map(i => (i.toLong * s + k - 1) / k).distinct
+    ranked.filter(col("rn").isin(cuts: _*))
+      .select(col("quality_score").as("bs"), col("doc_id").as("bid"))
+  }
+
+  /** The bucket of a scored row against a FIXED boundary list, as
+    * one map-side column: count of boundaries beneath
+    * `(quality_score, doc_id)` — the SAME (score, doc_id)
+    * lexicographic rule as [[curriculumAssign]]'s broadcast-join
+    * form, folded over the (k−1)-element literal so it rides any
+    * scan (batch or streaming) without a join. Shared by
+    * [[curriculumMixBySource]] and
+    * [[graft.streaming.Streams.curriculumMixStream]] so the two
+    * sides can never disagree on a doc's bucket. */
+  def curriculumBucketCol(bounds: Seq[(Double, Long)]): org.apache.spark.sql.Column =
+    bounds.map { case (bs, bid) =>
+      when(col("quality_score") > bs ||
+        (col("quality_score") === bs && col("doc_id") > bid), 1L).otherwise(0L) }
+      .reduceOption(_ + _).getOrElse(lit(0L))
+
+  /** Per-SOURCE curriculum mix against a FIXED boundary set — the
+    * batch twin of the live view
+    * ([[graft.streaming.Streams.curriculumMixStream]] →
+    * [[graft.sources.Sinks.streamingGroupReplaceSink]]): which
+    * quality buckets each feed is filling, the drift signal a
+    * training-data pipeline watches per ingest source. One map-side
+    * pass (score + bucket ride the scan; boundaries are a (k−1)-
+    * element literal from [[curriculumBounds]], trained once at
+    * bootstrap) into one sources×k-row aggregate — no joins, no
+    * per-doc shuffle, at any corpus size. */
+  def curriculumMixBySource(documents: DataFrame,
+                            bounds: Seq[(Double, Long)]): DataFrame =
+    documents
+      .select(col("source"), col("doc_id"),
+        TextOps.qualityScoreCol.as("quality_score"))
+      .select(col("source"), curriculumBucketCol(bounds).as("bucket"),
+        col("quality_score"))
+      .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("docs"),
         min(col("quality_score")).as("min_score"),
         max(col("quality_score")).as("max_score"))

@@ -167,20 +167,204 @@ object Dedup {
   /** (Re)build the persisted bloom from the CURRENT hash table — the
     * bootstrap call, and the geometric-rebuild step. One single-column
     * scan of the bucketed table. `hashCol` generalizes the summary to
-    * any md5-keyed index: the exact-dup hash set (`content_md5`) and
-    * the CDC chunk index (`chunk_hash` — there the bloom prefilters an
+    * any md5-keyed index: the exact-dup hash set (`content_md5`), the
+    * CDC chunk index (`chunk_hash` — there the bloom prefilters an
     * INNER join, so over-approximation after a df-cap recap removes
-    * postings is harmless: stale maybes just find no match). Distinct
+    * postings is harmless: stale maybes just find no match), and —
+    * as a SQL EXPRESSION over the table's columns — the composite
+    * band key of the minhash postings index ([[bandKeySql]]). Distinct
     * row count over-states distinct hashes on multi-doc postings
     * tables — only padding the capacity, never the correctness. */
   def writeHashBloom(spark: SparkSession, hashTable: String,
                      fpp: Double = 0.03, minCapacity: Long = 1L << 20,
                      hashCol: String = "content_md5"): Unit = {
-    val items = spark.table(hashTable).select(col(hashCol)).distinct().count()
+    val items = spark.table(hashTable).select(expr(hashCol)).distinct().count()
     val capacity = math.max(minCapacity, 4L * items)
-    val bf = spark.table(hashTable).stat.bloomFilter(hashCol, capacity, fpp)
+    val bf = spark.table(hashTable).stat.bloomFilter(expr(hashCol), capacity, fpp)
     persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp, items)
   }
+
+  // ---- SHARDED corpus bloom (past the single-literal ceiling) -----------
+  //
+  // The single-filter summary above is the right shape up to the
+  // sizing note's ~0.9 GB / 1 B-hash ceiling; past it, one serialized
+  // array marches toward the JVM's 2 GB limit and re-ships inside
+  // every plan. The sharded form splits the hash space by md5 prefix
+  // into N independent filters: built DISTRIBUTED (one shuffle of the
+  // distinct hashes, each shard's filter assembled executor-side —
+  // no driver pass ever holds the corpus), merged DISTRIBUTED (the
+  // day's per-shard filters OR into the persisted rows shard-by-
+  // shard), and probed through a REAL Spark broadcast
+  // ([[graft.functions.ShardedBloomMightContain]] — torrent blocks,
+  // fetched once per executor, plan carries only the handle). Each
+  // row still pays exactly ONE bloom probe: its prefix picks the
+  // shard. Same no-false-negatives license as the single filter,
+  // shard-wise: a hash's shard is deterministic, and its shard's
+  // filter saw every member hash with that prefix. The remaining
+  // scale honesty: the DRIVER still materializes all shard bytes
+  // once to create the broadcast (~total bloom size); past
+  // broadcastable sizes the prefilter is simply dropped in favor of
+  // the plain bucketed anti-join, which it only ever accelerates.
+
+  /** Shard id of a lowercase-hex hash, SQL side: first two hex chars
+    * as an int, mod n. The JVM twin is
+    * [[graft.functions.ShardedBloomMightContain.shardOf]] — the spec
+    * pins their agreement; divergence would probe the wrong shard and
+    * break the no-false-negatives contract. */
+  def shardOfCol(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    (conv(substring(c, 1, 2), 16, 10).cast("int") % n).cast("int")
+
+  private[graft] def shardOfString(h: String, n: Int): Int =
+    Integer.parseInt(h.substring(0, 2), 16) % n
+
+  private[graft] def buildShardRows(hashes: org.apache.spark.sql.Dataset[String],
+                                    shards: Int, capacity: Long, fpp: Double) = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val n = shards
+    val cap = capacity
+    val f = fpp
+    hashes.groupByKey(h => Dedup.shardOfString(h, n))
+      .mapGroups { (shard, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(cap, f)
+        var count = 0L
+        it.foreach { h =>
+          bf.putBinary(h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          count += 1L
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (shard, bos.toByteArray, count)
+      }.toDF("shard", "bloom", "items")
+  }
+
+  /** (Re)build the SHARDED persisted bloom from the current hash
+    * table: N prefix-sharded filters of `capacity = max(min,
+    * 4·items/shards)` each, schema `(shard, nshards, bloom, capacity,
+    * fpp, items)` — one row per NON-EMPTY shard (readers treat a
+    * missing shard as memberless, which probes definitely-new).
+    * Readers dispatch on the `shard` column's presence, so a sharded
+    * table and a single-filter table share the `<hashTable>__bloom`
+    * name and the same maintenance entry points. */
+  def writeHashBloomSharded(spark: SparkSession, hashTable: String, shards: Int,
+                            fpp: Double = 0.03, minShardCapacity: Long = 1L << 17,
+                            hashCol: String = "content_md5"): Unit = {
+    require(shards >= 1 && shards <= 256,
+      s"shards must be in [1, 256] (two-hex-char prefix space), got $shards")
+    val hashes = distinctHashes(spark.table(hashTable), hashCol)
+    val items = hashes.count()
+    val capacity = math.max(minShardCapacity, 4L * items / shards.toLong)
+    buildShardRows(hashes, shards, capacity, fpp)
+      .withColumn("nshards", lit(shards))
+      .withColumn("capacity", lit(capacity))
+      .withColumn("fpp", lit(fpp))
+      .select(col("shard"), col("nshards"), col("bloom"),
+        col("capacity"), col("fpp"), col("items"))
+      .write.mode("overwrite").format("parquet").saveAsTable(bloomTableOf(hashTable))
+  }
+
+  private def distinctHashes(table: org.apache.spark.sql.DataFrame, hashCol: String) = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    // expr, not col: `hashCol` may be a derived key (bandKeySql)
+    table.select(expr(hashCol)).distinct().as[String]
+  }
+
+  /** All shard filters of a SHARDED bloom table as a dense array
+    * indexed by shard id (missing shards → empty bytes), or None when
+    * the table is absent, single-filter-shaped, or empty (the
+    * crash-degraded state — same downgrade-not-abort rule as
+    * [[readHashBloom]]). The caller broadcasts the array once and
+    * probes via [[graft.functions.ShardedBloomMightContain]]. */
+  def readHashBloomSharded(spark: SparkSession, hashTable: String): Option[Array[Array[Byte]]] =
+    if (!spark.catalog.tableExists(bloomTableOf(hashTable))) None
+    else {
+      val t = spark.table(bloomTableOf(hashTable))
+      if (!t.columns.contains("shard")) None
+      else {
+        val rows = t.select(col("shard"), col("nshards"), col("bloom")).collect()
+        rows.headOption.map { first =>
+          val n = first.getInt(1)
+          val arr = Array.fill[Array[Byte]](n)(Array.emptyByteArray)
+          rows.foreach(r => arr(r.getInt(0)) = r.getAs[Array[Byte]](2))
+          arr
+        }
+      }
+    }
+
+  /** Fold an accepted day's hashes into the SHARDED persisted bloom —
+    * delta-sized, fully distributed: the day's hashes shard-group
+    * into day filters at the persisted (capacity, fpp), then each
+    * shard's existing+day filters OR together executor-side (bloom
+    * merge is bitwise-OR; a shard seen only today keeps its day
+    * filter). Geometric rebuild when ANY shard's tracked occupancy
+    * outgrows the per-shard capacity — per-shard, not total, because
+    * each shard's fpp degrades on its own items regardless of how
+    * empty its siblings are; same amortization as the single path.
+    * Idempotent under replay (re-merging sets the same bits; the
+    * items metadata overcounts, which only rebuilds early). */
+  private def mergeHashBloomSharded(spark: SparkSession, hashTable: String,
+                                    dayHashes: DataFrame, hashCol: String): Unit = {
+    import spark.implicits._
+    val existing = spark.table(bloomTableOf(hashTable))
+      .select(col("shard"), col("nshards"), col("bloom"),
+        col("capacity"), col("fpp"), col("items"))
+    val meta = existing.select(col("nshards"), col("capacity"), col("fpp")).take(1)
+    meta.headOption match {
+      // registered-but-empty (crash inside a prior overwrite): the
+      // shard count is lost with the rows — rebuild at the default
+      // fan-out, the one corpus scan that restores the summary
+      case None => writeHashBloomSharded(spark, hashTable, defaultShards, hashCol = hashCol)
+      case Some(m) =>
+        val (n, capacity, fpp) = (m.getInt(0), m.getLong(1), m.getDouble(2))
+        val day = distinctHashes(dayHashes, hashCol)
+        // saturation is PER-SHARD: each filter's fpp degrades on its
+        // own occupancy. Day counts are a delta-sized groupBy; the
+        // existing side is ≤ n metadata rows
+        val maxShardItems = existing.select(col("shard"), col("items"))
+          .unionByName(day.toDF("h")
+            .groupBy(shardOfCol(col("h"), n).as("shard"))
+            .agg(count(lit(1)).as("items")))
+          .groupBy(col("shard")).agg(sum(col("items")).as("t"))
+          .agg(max(col("t"))).first().getLong(0)
+        if (maxShardItems > capacity)
+          writeHashBloomSharded(spark, hashTable, n, fpp, hashCol = hashCol)
+        else {
+          val dayRows = buildShardRows(day, n, capacity, fpp)
+          val merged = existing.select(col("shard"), col("bloom"), col("items"))
+            .unionByName(dayRows)
+            .as[(Int, Array[Byte], Long)]
+            .groupByKey(_._1)
+            .mapGroups { (shard, it) =>
+              var bf: org.apache.spark.util.sketch.BloomFilter = null
+              var items = 0L
+              it.foreach { case (_, bytes, c) =>
+                val f = org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(bytes))
+                if (bf == null) bf = f else bf.mergeInPlace(f)
+                items += c
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              bf.writeTo(bos)
+              (shard, bos.toByteArray, items)
+            }.toDF("shard", "bloom", "items")
+            .withColumn("nshards", lit(n))
+            .withColumn("capacity", lit(capacity))
+            .withColumn("fpp", lit(fpp))
+            .select(col("shard"), col("nshards"), col("bloom"),
+              col("capacity"), col("fpp"), col("items"))
+            // the union source reads the table being overwritten:
+            // materialize before the overwrite truncates it
+            .localCheckpoint()
+          merged.write.mode("overwrite").format("parquet")
+            .saveAsTable(bloomTableOf(hashTable))
+        }
+    }
+  }
+
+  /** Default fan-out when a crash-emptied sharded table must rebuild
+    * without its recorded shard count. */
+  private val defaultShards = 16
 
   /** The serialized corpus bloom, or None when no bloom is maintained
     * for this hash table — callers fall back to the plain anti-join.
@@ -192,6 +376,13 @@ object Dedup {
     * subsequent ingest. */
   def readHashBloom(spark: SparkSession, hashTable: String): Option[Array[Byte]] =
     if (!spark.catalog.tableExists(bloomTableOf(hashTable))) None
+    // a SHARDED table must never serve the single-filter reader: one
+    // shard's filter treated as the whole corpus summary would skip
+    // rows whose hashes live in OTHER shards — exactly the false
+    // negatives the contract forbids. Sharded consumers go through
+    // [[readHashBloomSharded]]; dispatching callers (exactNewVsCorpus)
+    // try that first.
+    else if (spark.table(bloomTableOf(hashTable)).columns.contains("shard")) None
     else spark.table(bloomTableOf(hashTable))
       .select(col("bloom")).take(1).headOption.map(_.getAs[Array[Byte]](0))
 
@@ -207,6 +398,13 @@ object Dedup {
                      dayHashes: DataFrame,
                      hashCol: String = "content_md5"): Unit =
     if (spark.catalog.tableExists(bloomTableOf(hashTable))) {
+      // sharded tables (schema carries `shard`) take the distributed
+      // per-shard merge; single-filter tables keep the original path —
+      // one maintenance entry point either way, so runIncremental
+      // never cares which form the bootstrap chose
+      if (spark.table(bloomTableOf(hashTable)).columns.contains("shard"))
+        mergeHashBloomSharded(spark, hashTable, dayHashes, hashCol)
+      else
       spark.table(bloomTableOf(hashTable))
         .select(col("bloom"), col("capacity"), col("fpp"), col("items"))
         .take(1).headOption match {

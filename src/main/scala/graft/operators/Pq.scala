@@ -412,18 +412,16 @@ object Pq {
     // "no PQ table", which downgrades the probe to the exact one-tier
     // arm, never corrupts it.
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // Stale-location sweep for all three names: a managed-table
-    // LOCATION can survive without its catalog entry (fresh session
-    // over a shared warehouse, or a crash mid-create) and then kills
-    // the recreate with LOCATION_ALREADY_EXISTS — clear any location
-    // whose table is NOT in the catalog (never live data).
-    Seq(table, table + "__centroids", table + "__codebooks").foreach { t =>
-      if (!spark.catalog.tableExists(t)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
-        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-      }
-    }
+    // Stale locations (a managed-table LOCATION surviving its catalog
+    // entry — fresh session over a shared warehouse, crash mid-create)
+    // are handled REACTIVELY per write below via
+    // [[graft.sources.Sinks.writeTableRecoveringStaleLocation]]: only
+    // an actual LOCATION_ALREADY_EXISTS failure triggers a sweep, the
+    // path comes from the catalog (qualified-name-safe), and the
+    // directory must look like an orphaned Spark table — a proactive
+    // delete-on-catalog-absence could hit live or unrelated data.
+    def recovering(t: String)(w: => Unit): Unit =
+      graft.sources.Sinks.writeTableRecoveringStaleLocation(spark, t)(w)
     val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", Ann.norm(col("emb")))
     // `sharedCentroids`: reuse an already-persisted coarse quantizer
@@ -436,37 +434,45 @@ object Pq {
     if (sharedCentroids.isEmpty) {
       val cents = Ann.kmeansCentroids(e, numCentroids, trainIters, deterministic,
         seed = Some(Ann.seedCentroidsByRank(e, numCentroids)))
-      cents.select(explode(col("cents")).as("c"))
-        .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"),
-          col("c.cnrm").as("cnrm"))
-        .write.mode("overwrite").format("parquet").saveAsTable(table + "__centroids")
+      recovering(table + "__centroids") {
+        cents.select(explode(col("cents")).as("c"))
+          .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"),
+            col("c.cnrm").as("cnrm"))
+          .write.mode("overwrite").format("parquet").saveAsTable(table + "__centroids")
+      }
     }
     val centroidRows = sharedCentroids.getOrElse(spark.table(table + "__centroids"))
     val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
       m, subDims, ksub, iters, deterministic)
-    cb.select(col("sub"), explode(col("cents")).as("c"))
-      .select(col("sub"), col("c.cell").as("cell"), col("c.cemb").as("cemb"))
-      .write.mode("overwrite").format("parquet").saveAsTable(table + "__codebooks")
-    graft.sources.Sinks.writeBucketed(
-      semanticIndexRowsPq(vectors, centroidRows,
-        spark.table(table + "__codebooks")),
-      table, Seq("cell"), buckets)
+    recovering(table + "__codebooks") {
+      cb.select(col("sub"), explode(col("cents")).as("c"))
+        .select(col("sub"), col("c.cell").as("cell"), col("c.cemb").as("cemb"))
+        .write.mode("overwrite").format("parquet").saveAsTable(table + "__codebooks")
+    }
+    recovering(table) {
+      graft.sources.Sinks.writeBucketed(
+        semanticIndexRowsPq(vectors, centroidRows,
+          spark.table(table + "__codebooks")),
+        table, Seq("cell"), buckets)
+    }
   }
 
   /** PQ index rows for a batch of vectors against the PERSISTED
     * centroids + codebooks — the shape [[writeSemanticIndexPq]]
     * writes and a daily append adds:
-    * `(doc_id, cell, codes, nrm, qerr)` — cell by the broadcast
-    * coarse argmin, codes by the broadcast per-subspace argmin, and
-    * `qerr` = the vector's own reconstruction error
+    * `(doc_id, cell, codes, nrm, qerr, qerrs)` — cell by the
+    * broadcast coarse argmin, codes by the broadcast per-subspace
+    * argmin, `qerr` = the vector's own reconstruction error
     * Σ_j ‖x_j − c_{j,code_j}‖² taken from the SAME argmin pass (the
-    * fused (cell, d²) pick — one encode pass, not two). Storing qerr
-    * costs 8 bytes/doc (16 → 24 B — still >10× under fp32) and is
-    * what makes the probe's candidate set CERTIFIED: the triangle
+    * fused (cell, d²) pick — one encode pass, not two), and `qerrs`
+    * its per-subspace decomposition. Storing the errors is what
+    * makes the probe's candidate set CERTIFIED: the triangle
     * inequality bounds how far ADC distance can sit from the true
     * distance by this exact per-doc error, so
     * [[incrementalSemanticMatchesPq]] filters on a provable cosine
-    * upper bound instead of a hopeful fixed margin. */
+    * upper bound instead of a hopeful fixed margin — and the
+    * per-subspace form tightens that bound (see the `qerrs` note
+    * in the body for the sizing story). */
   def semanticIndexRowsPq(vectors: DataFrame, centroids: DataFrame,
                           codebooks: DataFrame): DataFrame = {
     graft.GraftExtensions.register(vectors.sparkSession)
@@ -489,10 +495,22 @@ object Pq {
           p => p.getField("code")).as("codes"),
         // subspace-ordered fold — bit-identical to quantizationError's
         call_function("graft_sorted_fold_sum",
-          col("sub").cast("long"), col("d2")).as("qerr"))
+          col("sub").cast("long"), col("d2")).as("qerr"),
+        // per-SUBSPACE reconstruction errors, subspace-ordered: the
+        // tight certified bound decomposes the triangle inequality
+        // per subspace (d_true² ≥ Σ_j max(0, d_j − √e_j)², which
+        // Cauchy-Schwarz proves ≥ the scalar-qerr bound), shrinking
+        // the candidate sets the exact confirm pays for. Stored as
+        // exact doubles so the bound replays bit-for-bit in the
+        // oracle; a production deployment past memory pressure
+        // quantizes each √e_j UP to one byte against a per-table
+        // scale (any stored s_j ≥ √e_j keeps the bound certified),
+        // putting the index at 24+m = 32 B/doc
+        transform(array_sort(collect_list(struct(col("sub"), col("d2")))),
+          p => p.getField("d2")).as("qerrs"))
       .join(cells, Seq("vec_id"))
       .select(col("vec_id").as("doc_id"), col("cell"), col("codes"),
-        col("nrm"), col("qerr"))
+        col("nrm"), col("qerr"), col("qerrs"))
   }
 
   /** The OPQ DECISION REPORT — connects the measured embedding
@@ -703,14 +721,23 @@ object Pq {
     * them; the drift retrain is an EFFICIENCY lever now, not a
     * correctness one. `margin` remains as optional extra slack
     * (float-rounding paranoia), default 0.
-    * Output: (delta_doc, corpus_doc, cell, approx_cos) — cell kept
-    * so the confirm scan can prune the full-vector index to the
-    * touched cells. */
+    *
+    * `tight = true` certifies PER SUBSPACE instead: ADC already
+    * computes the per-subspace distances d_j = ‖q_j − x̂_j‖, and
+    * with the stored per-subspace errors e_j (`qerrs`) the true
+    * distance obeys d² = Σ_j ‖q_j − x_j‖² ≥ Σ_j max(0, d_j − √e_j)²
+    * — Cauchy–Schwarz (Σ d_j √e_j ≤ √(Σd_j²)·√(Σe_j)) proves this
+    * lower bound ≥ the scalar one, so the cosine upper bound is
+    * TIGHTER and the candidate set a subset of the scalar-qerr
+    * set while still provably containing every true hit
+    * (spec-pinned both ways). Same m lookups; the extra work is m
+    * subtract/max per scanned code row. */
   def incrementalSemanticMatchesPq(newVecs: DataFrame, pqIndex: DataFrame,
                                    centroids: DataFrame, codebooks: DataFrame,
                                    threshold: Double = 0.35,
                                    margin: Double = 0.0,
-                                   nprobe: Int = 1): DataFrame = {
+                                   nprobe: Int = 1,
+                                   tight: Boolean = false): DataFrame = {
     graft.GraftExtensions.register(newVecs.sparkSession)
     val (_, subDims) = codebookShape(codebooks)
     val cents = centroids
@@ -719,20 +746,40 @@ object Pq {
       .withColumn("qnrm", Ann.norm(col("qemb")))
     val q = Ann.nearestCells(d, cents, "qemb", "qnrm", keep = nprobe)
     val qt = queryTables(q, packCodebooks(codebooks), subDims)
-    qt.select(col("query_id"), col("qnrm"), col("cell"), col("dtab"))
-      .join(pqIndex.select(col("doc_id").as("corpus_doc"), col("cell"),
-        col("codes"), col("nrm"), col("qerr")), Seq("cell"))
+    val idxCols = Seq(col("doc_id").as("corpus_doc"), col("cell"),
+      col("codes"), col("nrm"), col("qerr")) ++
+      (if (tight) Seq(col("qerrs")) else Nil)
+    val scanned = qt.select(col("query_id"), col("qnrm"), col("cell"), col("dtab"))
+      .join(pqIndex.select(idxCols: _*), Seq("cell"))
       .filter(col("corpus_doc") =!= col("query_id"))
       .withColumn("adist", adcDist)
       .withColumn("approx_cos",
         (col("qnrm") * col("qnrm") + col("nrm") * col("nrm") - col("adist"))
           / (lit(2.0) * col("qnrm") * col("nrm")))
-      .filter(col("approx_cos")
-        + (sqrt(col("qerr")) * (lit(2.0) * sqrt(col("adist")) + sqrt(col("qerr"))))
-          / (lit(2.0) * col("qnrm") * col("nrm"))
-        >= threshold - margin)
-      .select(col("query_id").as("delta_doc"), col("corpus_doc"),
-        col("cell"), col("approx_cos"))
+    val kept =
+      if (tight) {
+        // d_j² per subspace: the SAME m table lookups adcDist folds,
+        // kept elementwise; then the per-subspace triangle floor.
+        // Subspace-ordered fold from 0.0 — bit-stable like adcDist
+        val dsub = zip_with(col("dtab"), col("codes"),
+          (t, c) => element_at(t, (c + 1).cast("int")))
+        val dlb = aggregate(
+          zip_with(dsub, col("qerrs"), (d2, e2) => {
+            val s = greatest(lit(0.0), sqrt(d2) - sqrt(e2))
+            s * s
+          }),
+          lit(0.0), (acc, v) => acc + v)
+        scanned.filter(
+          (col("qnrm") * col("qnrm") + col("nrm") * col("nrm") - dlb)
+            / (lit(2.0) * col("qnrm") * col("nrm"))
+          >= threshold - margin)
+      } else
+        scanned.filter(col("approx_cos")
+          + (sqrt(col("qerr")) * (lit(2.0) * sqrt(col("adist")) + sqrt(col("qerr"))))
+            / (lit(2.0) * col("qnrm") * col("nrm"))
+          >= threshold - margin)
+    kept.select(col("query_id").as("delta_doc"), col("corpus_doc"),
+      col("cell"), col("approx_cos"))
   }
 
   /** The PQ-COMPRESSED daily-ingest semantic probe — what the

@@ -44,6 +44,21 @@ object TextOps {
         Seq(chain.as("predicted_lang"), col("lang").as("meta_lang"))): _*)
   }
 
+  /** [[qualityScore]]'s score as a bare column over `(text,
+    * n_chars)` — for consumers that must keep OTHER columns on the
+    * same scan (the streaming curriculum view can't afford a
+    * stream-stream self-join just to reattach `source`). One
+    * definition, so a stream-side score can never drift from the
+    * batch/oracle one. */
+  def qualityScoreCol: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("double") / nTok
+    val lenScore = least(col("n_chars").cast("double") / lit(500.0), lit(1.0))
+    lenScore * 0.4 + uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3
+  }
+
   /** Document quality scoring: length saturation, lexical diversity,
     * stopword density (the reference's length/flag heuristics,
     * `/root/reference/airflow_home/dags/sql/process_silver_to_gold.sql:39-41`,
@@ -59,7 +74,8 @@ object TextOps {
     // identical IEEE value for this expression order, while ROUND(x, 6)
     // introduces decimal half-way boundaries (e.g. 0.6746625) where
     // Spark's and DuckDB's rounding modes disagree by one ulp.
-    val score = lenScore * 0.4 + uniqRatio * 0.3 + (lit(1.0) - stopRatio) * 0.3
+    // Same expression tree as [[qualityScoreCol]].
+    val score = qualityScoreCol
     documents.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),

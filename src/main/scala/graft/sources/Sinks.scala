@@ -193,6 +193,54 @@ object Sinks {
     }
   }
 
+  /** Run a `saveAsTable`-shaped write, recovering from the one
+    * failure a managed table can inherit from a previous life: the
+    * catalog entry is gone but its warehouse LOCATION survived (a
+    * fresh session over a shared warehouse, or a crash between DROP
+    * and CREATE), so the recreate dies with LOCATION_ALREADY_EXISTS.
+    *
+    * Recovery is deliberately NOT proactive. Deleting a path merely
+    * because the catalog doesn't list the table can destroy live
+    * data — another session mid-CREATE, an external table parked at
+    * the path, or a database-qualified name whose real location is
+    * `<db>.db/<table>` rather than the naively computed one. So:
+    *  1. run the write — only an ACTUAL `LOCATION_ALREADY_EXISTS`
+    *     failure triggers recovery (anything else propagates);
+    *  2. resolve the path the CATALOG would assign via
+    *     `defaultTablePath` (correct for qualified names);
+    *  3. refuse unless every entry in the directory looks like an
+    *     orphaned Spark-written table (`part-*`, `_SUCCESS`/`_temporary`,
+    *     dot-files, `key=value` partition dirs) — anything else fails
+    *     loudly for a human to inspect;
+    *  4. delete and retry the write ONCE. */
+  def writeTableRecoveringStaleLocation(spark: org.apache.spark.sql.SparkSession,
+                                        table: String)(write: => Unit): Unit = {
+    def staleLoc(e: Throwable): Boolean = e != null && (
+      Option(e.getMessage).exists(_.contains("LOCATION_ALREADY_EXISTS")) ||
+        (e.getCause ne e) && staleLoc(e.getCause))
+    try write
+    catch {
+      case e: Throwable if staleLoc(e) =>
+        val catalog = spark.sessionState.catalog
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        if (catalog.tableExists(ident)) throw e // a live table owns the path
+        val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val entries = if (fs.exists(loc)) fs.listStatus(loc).toSeq else Seq.empty
+        val foreign = entries.filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("part-") || n.startsWith("_") || n.startsWith(".") ||
+            (s.isDirectory && n.contains("="))
+        }
+        if (foreign.nonEmpty) throw new IllegalStateException(
+          s"$table failed with LOCATION_ALREADY_EXISTS but $loc holds entries that " +
+            s"are not a Spark-written table (${foreign.map(_.getPath.getName).take(5).mkString(", ")}) " +
+            "— refusing to sweep; inspect and remove manually", e)
+        fs.delete(loc, true)
+        write
+    }
+  }
+
   /** JDBC writer configured like the reference's batched PG loader:
     * rewriteBatchedStatements + explicit batch size. Returned
     * unexecuted (no database in this environment) — callers `.save()`. */
@@ -390,13 +438,50 @@ object Sinks {
         }
         val merged =
           if (fs.exists(target))
-            spark.read.schema(batch.schema).parquet(path)
+            readSnapshotValidated(spark, path, batch.schema, "streamingGroupReplaceSink")
               .join(latest.select(keyCols: _*).distinct(), groupKeys, "left_anti")
               .unionByName(latest)
           else latest
         merged.write.mode("overwrite").parquet(staging.toString)
         swapInto(fs, staging, target)
       }
+  }
+
+  /** Read a snapshot layer for a merge, FAILING LOUDLY on schema
+    * drift instead of force-pinning the stream's schema over it.
+    * `spark.read.schema(expected)` would silently null-fill columns
+    * the persisted rows predate (e.g. a later-added version/trigger
+    * column — the latest-wins max then misreads null-version legacy
+    * rows) and silently drop columns the stream no longer carries.
+    * Schema evolution of a snapshot is a MIGRATION (rewrite the layer
+    * with the new column backfilled, or start a fresh path +
+    * checkpoint), mirroring the explicit state-schema-migration note
+    * on [[graft.streaming.Streams.heavyHittersStream]]. Nullability
+    * is ignored (parquet round-trips relax it); names + types must
+    * match exactly. */
+  private def readSnapshotValidated(spark: org.apache.spark.sql.SparkSession,
+                                    path: String,
+                                    expected: org.apache.spark.sql.types.StructType,
+                                    sink: String): DataFrame = {
+    val disk = spark.read.parquet(path).schema
+      .fields.map(f => f.name -> f.dataType.sql).toMap
+    val want = expected.fields.map(f => f.name -> f.dataType.sql).toMap
+    val missing = (want.keySet -- disk.keySet).toSeq.sorted
+    val extra = (disk.keySet -- want.keySet).toSeq.sorted
+    val retyped = want.keySet.intersect(disk.keySet)
+      .filter(k => want(k) != disk(k)).toSeq.sorted
+    if (missing.nonEmpty || extra.nonEmpty || retyped.nonEmpty)
+      throw new IllegalStateException(
+        s"$sink: persisted snapshot at $path does not match the stream's schema — " +
+          (if (missing.nonEmpty) s"snapshot lacks [${missing.mkString(", ")}]; " else "") +
+          (if (extra.nonEmpty) s"snapshot has dropped-from-stream [${extra.mkString(", ")}]; " else "") +
+          (if (retyped.nonEmpty)
+            retyped.map(k => s"$k is ${disk(k)} on disk vs ${want(k)} in the stream").mkString("", "; ", "; ")
+          else "") +
+          "schema evolution of a snapshot layer is a migration: rewrite the layer " +
+          "with the change backfilled (or start a fresh path + checkpoint), " +
+          "don't let a forced read schema null-fill or drop it silently")
+    spark.read.schema(expected).parquet(path)
   }
 
   def streamingUpsertSink(stream: DataFrame, path: String, checkpoint: String,
@@ -417,7 +502,9 @@ object Sinks {
         val updates = batch.dropDuplicates(keys)
         val merged =
           if (fs.exists(target))
-            mergeUpsert(spark.read.schema(batch.schema).parquet(path), updates, keys)
+            mergeUpsert(
+              readSnapshotValidated(spark, path, batch.schema, "streamingUpsertSink"),
+              updates, keys)
           else updates
         merged.write.mode("overwrite").parquet(staging.toString)
         swapInto(fs, staging, target)

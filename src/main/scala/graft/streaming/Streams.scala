@@ -315,6 +315,66 @@ object Streams {
         })
   }
 
+  case class CurriculumMix(source: String, bucket: Long, docs: Long,
+                           min_score: Double, max_score: Double, trigger: Long)
+
+  /** Continuous per-source curriculum mix — the streaming face of
+    * [[graft.operators.Corpus.curriculumMixBySource]]: which quality
+    * buckets each feed is filling, live at ingest (a crawler gone
+    * boilerplate drags its source's mass into the low buckets within
+    * one trigger — the drift signal the nightly report only shows a
+    * day late). Bucket boundaries are FIXED (trained once on the
+    * bootstrap corpus via
+    * [[graft.operators.Corpus.curriculumBounds]], exactly like the
+    * semantic quantizer's centroids): assignment is the SAME pure
+    * (score, doc_id) row function as the batch side, map-side
+    * against the (k−1)-element literal, so stream and batch can
+    * never disagree on a doc's bucket and a re-quantile can never
+    * move documents between buckets mid-stream.
+    *
+    * State per source is ≤ k (docs, min, max) triples FOREVER —
+    * bounded by construction on an unbounded stream, the same shape
+    * guarantee as [[heavyHittersStream]]'s sketch; counts are exact
+    * running totals and min/max are order-independent, so the
+    * emitted snapshot equals the batch twin on any delivered prefix
+    * (spec-pinned through a kill/restart). Each trigger re-emits the
+    * touched source's FULL bucket row set with a state-persisted
+    * `trigger` counter — the row-set-per-group shape
+    * [[graft.sources.Sinks.streamingGroupReplaceSink]] persists as a
+    * live snapshot table (latest-wins on `trigger`). */
+  def curriculumMixStream(rawDocuments: DataFrame,
+                          bounds: Seq[(Double, Long)]): Dataset[CurriculumMix] = {
+    import rawDocuments.sparkSession.implicits._
+    rawDocuments
+      // score + bucket ride the ingest scan map-side — no join, no
+      // extra pass; the SAME shared expressions as the batch twin
+      .select(col("source"), col("doc_id"),
+        graft.operators.TextOps.qualityScoreCol.as("quality_score"))
+      .select(col("source"),
+        graft.operators.Corpus.curriculumBucketCol(bounds).as("bucket"),
+        col("quality_score"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (source: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Map[Long, (Long, Double, Double)], Long)]) => {
+          val (prev, prevTrigger) = state.getOption
+            .getOrElse((Map.empty[Long, (Long, Double, Double)], 0L))
+          val m = scala.collection.mutable.HashMap.empty[Long, (Long, Double, Double)]
+          prev.foreach { case (b, s) => m.update(b, s) }
+          rows.foreach { case (_, b, score) =>
+            m.updateWith(b) {
+              case Some((n, mn, mx)) => Some((n + 1L, math.min(mn, score), math.max(mx, score)))
+              case None => Some((1L, score, score))
+            }
+          }
+          val trigger = prevTrigger + 1L
+          state.update((m.toMap, trigger))
+          m.toArray.sortBy(_._1).iterator.map { case (b, (n, mn, mx)) =>
+            CurriculumMix(source, b, n, mn, mx, trigger) }
+        })
+  }
+
   /** Micro-batch bronze ingest — the reference's consumer loop
     * (`pipeline/consumer_pipeline.py`) lands each poll as a PG upsert;
     * the file-native equivalent is append-only bronze plus exact dedup

@@ -118,4 +118,48 @@ class BenchGuardSpec extends AnyFunSuite {
     val updated = Bench.withRetries(prev, cur, _ => 8.0)
     assert(updated("q") === 3.0, "min-of-runs keeps the best observation")
   }
+
+  test("sentinel: fixed work is deterministic, timing is positive") {
+    val (t1, acc1) = Bench.sentinelWork(1000000L)
+    val (t2, acc2) = Bench.sentinelWork(1000000L)
+    assert(acc1 === acc2, "pinned-iteration checksum must be pure")
+    assert(t1 > 0 && t2 > 0)
+  }
+
+  test("sentinel: detail line carries start/end + normalized map, raw parser unaffected") {
+    val detail = Bench.renderDetail(
+      scala.collection.immutable.ListMap("q_a" -> 1.0, "q_b" -> 3.0),
+      Map.empty, "/d/sf0.1", sentinel = Some((0.4, 0.6)))
+    // the raw queries map is still what the guardrail parser reads
+    assert(Bench.parseBaselineQueries(detail) === Map("q_a" -> 1.0, "q_b" -> 3.0))
+    assert(Bench.parseSentinel(detail) === Some(0.5))
+    // normalized = raw / mean-sentinel -> sentinel units
+    assert(detail.contains(""""queries_norm":{"q_a":2.000,"q_b":6.000}"""))
+    // a pre-r15 baseline without the field parses to None (no scaling)
+    assert(Bench.parseSentinel("""{"queries":{"a":1.0},"sf":"/d/sf0.1"}""") === None)
+  }
+
+  test("sentinel guardrail: a uniformly slower host does not flag, a code regression still does") {
+    val prev = Map("q" -> 2.0, "hot" -> 1.0)
+    // host is 1.5x slower now (sentinel 0.5 -> 0.75): q at 3.1s is the
+    // same code at load, hot at 4.6s is a real code regression on top
+    val cur = Map("q" -> 3.1, "hot" -> 4.6)
+    val scaled = Bench.normalizeBaseline(prev, Some(0.5), Some(0.75))
+    assert(scaled === Map("q" -> 3.0, "hot" -> 1.5))
+    assert(Bench.regressions(scaled, cur) === Map("hot" -> (1.5, 4.6)))
+    // without sentinel data the un-scaled compare would have cried
+    // wolf on q too
+    assert(Bench.regressions(prev, cur).keySet === Set("q", "hot"))
+  }
+
+  test("sentinel guardrail: scaling clamps at 2x so a real slowdown cannot hide behind load") {
+    val prev = Map("q" -> 1.0)
+    // host claims 5x slower; a 4x query slowdown must still flag
+    val scaled = Bench.normalizeBaseline(prev, Some(0.2), Some(1.0))
+    assert(scaled === Map("q" -> 2.0), "clamped to 2x, not 5x")
+    assert(Bench.regressions(scaled, Map("q" -> 4.0)) === Map("q" -> (2.0, 4.0)))
+    // and missing data on either side is a no-op
+    assert(Bench.normalizeBaseline(prev, None, Some(1.0)) === prev)
+    assert(Bench.normalizeBaseline(prev, Some(0.5), None) === prev)
+  }
 }

@@ -538,4 +538,94 @@ class DedupSpec extends SparkSpec {
     Dedup.mergeHashBloom(spark, t, hashesDf(Seq("zz"))) // no-op
     assert(Dedup.readHashBloom(spark, t).isEmpty)
   }
+
+  test("sharded bloom: SQL and JVM shard pickers agree on md5 keys") {
+    // divergence here would probe the wrong shard and break the
+    // shard-wise no-false-negatives contract — pin the two rules
+    // against each other across the whole two-hex-char prefix space
+    val keys = (1 to 512).map(i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"key$i"))
+    for (n <- Seq(1, 3, 8, 16, 256)) {
+      val sqlSide = keys.toDF("k")
+        .select(col("k"), Dedup.shardOfCol(col("k"), n).as("shard"))
+        .as[(String, Int)].collect().toMap
+      keys.foreach { k =>
+        val jvm = graft.functions.ShardedBloomMightContain.shardOf(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k), n)
+        assert(jvm === sqlSide(k), s"shard rules diverge on $k at n=$n")
+        assert(jvm >= 0 && jvm < n)
+      }
+    }
+  }
+
+  test("sharded bloom lifecycle: distributed build, per-shard probe, daily merge, saturation rebuild") {
+    val t = "graft_bloomshard_hash"
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val corpus = (1 to 40).map(i => h(s"c$i"))
+    graft.sources.Sinks.writeBucketed(corpus.toDF("content_md5"), t, Seq("content_md5"))
+    // tiny per-shard capacity so the saturation path is reachable
+    Dedup.writeHashBloomSharded(spark, t, shards = 8, minShardCapacity = 8L)
+    val rows = spark.table(t + "__bloom")
+    assert(rows.columns.sorted.toSeq ===
+      Seq("bloom", "capacity", "fpp", "items", "nshards", "shard"))
+    assert(rows.select("nshards").distinct().as[Int].collect().toSeq === Seq(8))
+    assert(rows.agg(org.apache.spark.sql.functions.sum(col("items")))
+      .as[Long].head() === 40L)
+    // the single-filter reader REFUSES the sharded table (one shard
+    // treated as the whole summary would yield false negatives)
+    assert(Dedup.readHashBloom(spark, t).isEmpty)
+    def probeHits(keys: Seq[String]): Long = {
+      val arr = Dedup.readHashBloomSharded(spark, t).get
+      val bcast = spark.sparkContext.broadcast(arr)
+      keys.toDF("k").filter(
+        graft.functions.ShardedBloomMightContain.probe(bcast, col("k"))).count()
+    }
+    // shard-wise no false negatives: every member probes true
+    assert(probeHits(corpus) === 40L)
+    // fp sanity on non-members
+    val others = (1 to 400).map(i => h(s"n$i"))
+    assert(probeHits(others) <= 400 * 0.03 * 3 + 1)
+    // day merge: under capacity -> distributed per-shard OR-merge
+    val day1 = (1 to 5).map(i => h(s"d$i"))
+    graft.sources.Sinks.appendBucketed(day1.toDF("content_md5"), t, Seq("content_md5"))
+    Dedup.mergeHashBloom(spark, t, day1.toDF("content_md5"))
+    assert(probeHits(corpus ++ day1) === 45L)
+    assert(spark.table(t + "__bloom")
+      .agg(org.apache.spark.sql.functions.sum(col("items"))).as[Long].head() === 45L)
+    // replaying the same day is harmless (puts set the same bits);
+    // the items metadata overcounts, which only pads capacity
+    Dedup.mergeHashBloom(spark, t, day1.toDF("content_md5"))
+    assert(probeHits(corpus ++ day1) === 45L)
+    // a day that saturates a shard (per-shard occupancy > capacity)
+    // -> geometric rebuild from the (already appended) table,
+    // sharding preserved. 200 keys over 8 shards at capacity 20 is
+    // ~25/shard — some shard deterministically overflows
+    val capBefore = spark.table(t + "__bloom").select("capacity").as[Long].head()
+    val day2 = (1 to 200).map(i => h(s"x$i"))
+    graft.sources.Sinks.appendBucketed(day2.toDF("content_md5"), t, Seq("content_md5"))
+    Dedup.mergeHashBloom(spark, t, day2.toDF("content_md5"))
+    val after = spark.table(t + "__bloom")
+    assert(after.select("capacity").as[Long].head() > capBefore, "no rebuild")
+    assert(after.select("nshards").distinct().as[Int].collect().toSeq === Seq(8))
+    assert(probeHits(corpus ++ day1 ++ day2) === 245L)
+    // a shard no member hash maps to probes FALSE (definitely new):
+    // build over keys pinned to one shard and probe another
+    val oneShard = corpus.filter(k =>
+      graft.functions.ShardedBloomMightContain.shardOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k), 8) == corpus.headOption.map(c =>
+          graft.functions.ShardedBloomMightContain.shardOf(
+            org.apache.spark.unsafe.types.UTF8String.fromString(c), 8)).get)
+    graft.sources.Sinks.writeBucketed(oneShard.toDF("content_md5"), t + "_one", Seq("content_md5"))
+    Dedup.writeHashBloomSharded(spark, t + "_one", shards = 8, minShardCapacity = 8L)
+    val arrOne = Dedup.readHashBloomSharded(spark, t + "_one").get
+    assert(arrOne.count(_.nonEmpty) < 8, "expected missing shards in the dense array")
+    val bcastOne = spark.sparkContext.broadcast(arrOne)
+    val otherShardKeys = others.filterNot(k => oneShard.map(_.substring(0, 2)).contains(k.substring(0, 2)))
+      .filter(k => arrOne(graft.functions.ShardedBloomMightContain.shardOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k), 8)).isEmpty)
+    assert(otherShardKeys.nonEmpty)
+    assert(otherShardKeys.toDF("k").filter(
+      graft.functions.ShardedBloomMightContain.probe(bcastOne, col("k"))).count() === 0L,
+      "an empty shard must probe definitely-new")
+  }
 }

@@ -420,7 +420,7 @@ class PipelineSpec extends SparkSpec {
     assert(spark.catalog.tableExists("graft_sem_cells__pq") &&
       spark.catalog.tableExists("graft_sem_cells__pq__codebooks"))
     assert(spark.table("graft_sem_cells__pq").columns.sorted.toSeq
-      === Seq("cell", "codes", "doc_id", "nrm", "qerr"))
+      === Seq("cell", "codes", "doc_id", "nrm", "qerr", "qerrs"))
 
     def writeDelta(rows: (Long, String)*): String = {
       val dir = Files.createTempDirectory("graft_sem_delta").toString
@@ -749,5 +749,119 @@ class PipelineSpec extends SparkSpec {
     val kept = spark.read.parquet(s"$out/bronze").select("doc_id")
       .as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("runIncremental repairs a crash-degraded PQ tier: codebooks without their index") {
+    import spark.implicits._
+    // bootstrap a semantic corpus with its PQ twin
+    Pipeline.bootstrapIncremental(
+      Seq((1L, (1 to 40).map(i => s"pqr$i").mkString(" ")),
+          (2L, (1 to 40).map(i => s"pqs$i").mkString(" "))).toDF("doc_id", "text"),
+      "graft_pqrep_post", "graft_pqrep_hash",
+      semanticTable = Some("graft_pqrep_cells"),
+      corpusEmbeddings = Some(Seq(
+        (1L, Seq(1f, 0f, 0f, 0f)),
+        (2L, Seq(0f, 1f, 0f, 0f))).toDF("doc_id", "embedding")))
+    assert(spark.catalog.tableExists("graft_pqrep_cells__pq"))
+    // simulate the crash window writeSemanticIndexPq documents: the
+    // index is dropped FIRST, so a death before the rewrite leaves
+    // codebooks with no code table — the probe silently one-tier
+    spark.sql("DROP TABLE graft_pqrep_cells__pq")
+    assert(spark.catalog.tableExists("graft_pqrep_cells__pq__codebooks"))
+
+    val dir = Files.createTempDirectory("graft_pqrep_delta").toString
+    Seq((50L, (1 to 40).map(i => s"fresh$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Files.createTempDirectory("graft_pqrep_out").toString
+    val s1 = Pipeline.runIncremental(spark, dir, out, "graft_pqrep_post", "graft_pqrep_hash",
+      semanticTable = Some("graft_pqrep_cells"),
+      deltaEmbeddings = Some(Seq((50L, Seq(0f, 0f, 1f, 0f))).toDF("doc_id", "embedding")))
+    // the run detects the degraded tier, rebuilds it, and says so
+    assert(s1("semantic_pq_repair") === 1L, s"repair did not fire: $s1")
+    assert(s1("accepted") === 1L)
+    assert(spark.catalog.tableExists("graft_pqrep_cells__pq"))
+    // the rebuilt index covers the WHOLE corpus including today
+    assert(spark.table("graft_pqrep_cells__pq").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L, 50L))
+    assert(spark.table("graft_pqrep_cells__pq").columns.sorted.toSeq
+      === Seq("cell", "codes", "doc_id", "nrm", "qerr", "qerrs"))
+
+    // the repaired tier is LIVE again: a paraphrase of the corpus doc
+    // drops via the two-tier probe on the very next day, and a healthy
+    // run reports no repair
+    val dir2 = Files.createTempDirectory("graft_pqrep_delta2").toString
+    Seq((60L, (1 to 40).map(i => s"para$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out2 = Files.createTempDirectory("graft_pqrep_out2").toString
+    val s2 = Pipeline.runIncremental(spark, dir2, out2, "graft_pqrep_post", "graft_pqrep_hash",
+      semanticTable = Some("graft_pqrep_cells"),
+      deltaEmbeddings = Some(Seq((60L, Seq(0.97f, 0.24f, 0f, 0f))).toDF("doc_id", "embedding")))
+    assert(s2("semantic_pq_repair") === 0L)
+    assert(s2("semantic_vs_corpus_dropped") === 1L)
+    assert(s2("accepted") === 0L)
+  }
+
+  test("sharded bloom prefilter: end-to-end exact arm — same rows, one shard probe per row, merge keeps the shape") {
+    import spark.implicits._
+    val corpusText = (1 to 40).map(i => s"sb$i").mkString(" ")
+    val otherText = (1 to 40).map(i => s"sc$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusText), (2L, otherText)).toDF("doc_id", "text"),
+      "graft_shardarm_post", "graft_shardarm_hash", bloomShards = 8)
+    val bloomRows = spark.table("graft_shardarm_hash__bloom")
+    assert(bloomRows.columns.contains("shard"), "bootstrap did not write the sharded form")
+    assert(bloomRows.select("nshards").distinct().as[Int].collect().toSeq === Seq(8))
+    val freshText = (1 to 40).map(i => s"sd$i").mkString(" ")
+    val delta = Seq((10L, corpusText), (11L, freshText)).toDF("doc_id", "content")
+    val framed = Pipeline.exactNewVsCorpus(spark, delta, "graft_shardarm_hash")
+    // PLAN WALK: the same union-bypass as the single-filter arm, with
+    // the SHARDED probe — one graft_sharded_might_contain per row
+    // (probed once into the checkpointed boolean), exactly one
+    // LeftAnti on the maybe branch, and NO single-filter probe
+    val plan = framed.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).length === 1, s"join shape wrong:\n$plan")
+    assert(plan.contains("Union"), s"no union bypass:\n$plan")
+    assert(!plan.contains("graft_might_contain("), s"single-filter probe leaked in:\n$plan")
+    val checkpointed = delta.withColumn("__content_md5",
+        org.apache.spark.sql.functions.md5(col("content")))
+      .withColumn("__maybe", graft.functions.ShardedBloomMightContain.probe(
+        spark.sparkContext.broadcast(
+          graft.operators.Dedup.readHashBloomSharded(spark, "graft_shardarm_hash").get),
+        col("__content_md5")))
+    // analyzed, not executed: the local-Seq delta collapses to a
+    // LocalTableScan under ConvertToLocalRelation, which EVALUATES the
+    // probe away; the probed-once property is structural either way
+    assert("graft_sharded_might_contain".r
+      .findAllIn(checkpointed.queryExecution.analyzed.toString).length === 1,
+      "the probe must appear exactly once in the probing plan")
+    // rows: identical to the plain anti-join
+    assert(framed.select("doc_id").as[Long].collect().toSet === Set(11L))
+    // a full day through runIncremental: the merge dispatches to the
+    // sharded path and KEEPS the sharded shape; a re-delivery of the
+    // accepted day drops tomorrow
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_shardarm_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val s1 = Pipeline.runIncremental(spark, writeDelta((20L, freshText)),
+      Files.createTempDirectory("graft_shardarm_out1").toString,
+      "graft_shardarm_post", "graft_shardarm_hash")
+    assert(s1("accepted") === 1L)
+    val merged = spark.table("graft_shardarm_hash__bloom")
+    assert(merged.columns.contains("shard"), "daily merge demoted the sharded table")
+    assert(merged.agg(org.apache.spark.sql.functions.sum(col("items")))
+      .as[Long].head() === 3L)
+    val s2 = Pipeline.runIncremental(spark, writeDelta((30L, freshText)),
+      Files.createTempDirectory("graft_shardarm_out2").toString,
+      "graft_shardarm_post", "graft_shardarm_hash")
+    assert(s2("exact_new") === 0L, s"sharded bloom lost day 1's hash: $s2")
+    assert(s2("accepted") === 0L)
   }
 }

@@ -289,4 +289,70 @@ class PqSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(certified.keySet.subsetOf(widened))
   }
+
+  test("tight per-subspace bound: candidates(tight) ⊆ candidates(scalar), exact hits kept") {
+    // the 32 B/doc form: per-subspace reconstruction errors tighten
+    // the certified bound (d² ≥ Σ_j max(0, d_j − √e_j)², which
+    // Cauchy–Schwarz proves ≥ the scalar-qerr floor), so the tight
+    // candidate set must be a SUBSET of the scalar-certified one —
+    // the exact confirm pays for less — while the theorem side
+    // still holds: no within-cell exact hit may be lost, and
+    // approx_cos on surviving pairs is bit-identical (same ADC).
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val flagged = embs.select(col("vec_id"), col("embedding"),
+      (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
+    val corpus = flagged.filter(!col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val delta = flagged.filter(col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Pq.writeSemanticIndexPq(corpus, "graft_spec_sem_pq_t", deterministic = true)
+    def probe(tight: Boolean) = Pq.incrementalSemanticMatchesPq(delta,
+      spark.table("graft_spec_sem_pq_t"), spark.table("graft_spec_sem_pq_t__centroids"),
+      spark.table("graft_spec_sem_pq_t__codebooks"), tight = tight)
+      .select("delta_doc", "corpus_doc", "approx_cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val scalarSet = probe(tight = false)
+    val tightSet = probe(tight = true)
+    assert(tightSet.keySet.subsetOf(scalarSet.keySet),
+      s"tight bound ADMITTED pairs the scalar bound rejects: ${tightSet.keySet -- scalarSet.keySet}")
+    tightSet.foreach { case (k, v) =>
+      assert(scalarSet(k) === v, s"approx_cos diverged between bounds at $k") }
+    val exact = Ann.semanticProbe(embs, trainIters = 3, deterministic = true)
+      .select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert((exact -- tightSet.keySet).isEmpty,
+      s"tight bound lost exact hits: ${exact -- tightSet.keySet}")
+    // NOTE: on the gate corpus the two sets coincide (reconstruction
+    // errors are small against the threshold slack, so no borderline
+    // pair sits between the two bounds) — strict pruning is proven
+    // on the planted-error corpus below, where it is arithmetic.
+  }
+
+  test("tight bound strictness: concentrated subspace error prunes what the scalar slack admits") {
+    // Hand-built single-cell index (m=2, subDims=2) where the two
+    // bounds provably disagree. Codebook reconstructs x̂=(1,0,1,0);
+    // corpus x=(1,0.2,1,0) puts ALL its error in subspace 0
+    // (e=(0.04,0)); query q=(1,0,0,1) puts ALL its ADC distance in
+    // subspace 1 (d²=(0,2)). Then:
+    //   approx_cos = (2+2.04−2)/(2·√2·√2.04) ≈ 0.5050
+    //   scalar ub  = approx_cos + 0.2(2√2+0.2)/(2√2√2.04) ≈ 0.6549
+    //   tight floor: sub0 max(0,0−0.2)²=0, sub1 max(0,√2−0)²=2 ⇒
+    //   tight ub   = approx_cos ≈ 0.5050
+    // At threshold 0.6 the scalar slack admits the pair, the
+    // per-subspace floor rejects it — and correctly: true cosine is
+    // 1/(√2·√2.04) ≈ 0.495 < 0.6, so pruning loses nothing.
+    val centroids = Seq((0L, Seq(1.0, 0.0, 1.0, 0.0), math.sqrt(2.0)))
+      .toDF("cell", "cemb", "cnrm")
+    val codebooks = Seq((0, 0L, Seq(1.0, 0.0)), (1, 0L, Seq(1.0, 0.0)))
+      .toDF("sub", "cell", "cemb")
+    val idx = Seq((1L, 0L, Seq(0L, 0L), math.sqrt(2.04), 0.04, Seq(0.04, 0.0)))
+      .toDF("doc_id", "cell", "codes", "nrm", "qerr", "qerrs")
+    val delta = Seq((100L, Seq(1.0, 0.0, 0.0, 1.0))).toDF("doc_id", "embedding")
+    def run(tight: Boolean) = Pq.incrementalSemanticMatchesPq(delta, idx,
+      centroids, codebooks, threshold = 0.6, tight = tight)
+      .select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(run(tight = false) === Set((100L, 1L)),
+      "scalar slack should admit the planted pair")
+    assert(run(tight = true) === Set.empty,
+      "per-subspace floor should prune the planted pair")
+  }
 }

@@ -146,7 +146,19 @@ class RegistrySpec extends SparkSpec {
     "semantic_probe_pq_persisted", "pack_sequences_bpe", "pq_opq_check",
     // round-14: the balanced-variance permutation APPLIED — both
     // training chains replayed, win/loss counted exactly
-    "pq_opq_gain")
+    "pq_opq_gain",
+    // round-15: the sharded corpus bloom (SURVEY 37i2) — the
+    // past-the-literal-ceiling prefilter form, audited through the
+    // production build/probe machinery
+    "bloom_filter_audit_sharded",
+    // round-15: the persisted probe's tight per-subspace certified
+    // bound (SURVEY 32g2) — candidates(tight) ⊆ candidates(scalar),
+    // completeness still a theorem
+    "semantic_probe_pq_tight",
+    // round-15: per-feed curriculum mix against bootstrap-fixed
+    // bounds (SURVEY 37f2) — the batch twin of the live
+    // curriculumMixStream view
+    "curriculum_mix_by_source")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

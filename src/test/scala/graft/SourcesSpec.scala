@@ -444,4 +444,47 @@ class SourcesSpec extends SparkSpec {
     // nothing lost across the layout
     assert(spark.read.parquet(dir).select("doc_id").distinct().count() === 300L)
   }
+
+  test("Sinks.writeTableRecoveringStaleLocation sweeps only a real orphaned table location") {
+    import org.apache.hadoop.fs.Path
+    val catalog = spark.sessionState.catalog
+    def locOf(t: String) = new Path(
+      catalog.defaultTablePath(spark.sessionState.sqlParser.parseTableIdentifier(t)))
+    val fs = locOf("x").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 1. orphaned Spark-written files at the default location, table NOT
+    //    in the catalog: the first save dies with LOCATION_ALREADY_EXISTS,
+    //    recovery verifies the contents, sweeps, and the retry lands
+    val ok = "stale_loc_recovered"
+    spark.sql(s"DROP TABLE IF EXISTS $ok")
+    Seq((1L, "orphan")).toDF("doc_id", "text").write.parquet(locOf(ok).toString)
+    Sinks.writeTableRecoveringStaleLocation(spark, ok) {
+      Seq((2L, "live")).toDF("doc_id", "text")
+        .write.mode("overwrite").format("parquet").saveAsTable(ok)
+    }
+    assert(spark.table(ok).as[(Long, String)].collect().toSeq === Seq((2L, "live")))
+
+    // 2. a foreign file at the location: refuse loudly, leave it intact
+    val bad = "stale_loc_foreign"
+    spark.sql(s"DROP TABLE IF EXISTS $bad")
+    val marker = new Path(locOf(bad), "README.txt")
+    val out = fs.create(marker); out.writeBytes("not a spark table"); out.close()
+    val e = intercept[IllegalStateException] {
+      Sinks.writeTableRecoveringStaleLocation(spark, bad) {
+        Seq((3L, "x")).toDF("doc_id", "text")
+          .write.mode("overwrite").format("parquet").saveAsTable(bad)
+      }
+    }
+    assert(e.getMessage.contains("refusing to sweep"))
+    assert(fs.exists(marker), "foreign content must survive a refused sweep")
+    fs.delete(locOf(bad), true)
+
+    // 3. unrelated failures propagate untouched (no sweep attempted)
+    val boom = intercept[IllegalArgumentException] {
+      Sinks.writeTableRecoveringStaleLocation(spark, "whatever") {
+        throw new IllegalArgumentException("unrelated")
+      }
+    }
+    assert(boom.getMessage === "unrelated")
+  }
 }
