@@ -135,6 +135,19 @@ object Pipeline {
       Dedup.writeHashBloomSharded(corpus.sparkSession, hashTable, bloomShards)
     else
       Dedup.writeHashBloom(corpus.sparkSession, hashTable)
+    // band-key bloom over the postings index — the LAST incremental
+    // arm to gain a prefilter: the minhash probe's delta side carries
+    // the full signature array on every banding row (by far the
+    // widest rows any daily arm shuffles), and in the steady state
+    // most of those bands are novel. Same key-uniformity note as the
+    // content bloom, but the key space is ~bands× the doc count —
+    // which is exactly why the sharded form matters here first.
+    if (bloomShards > 1)
+      Dedup.writeHashBloomSharded(corpus.sparkSession, postingsTable, bloomShards,
+        hashCol = Dedup.bandKeySql)
+    else
+      Dedup.writeHashBloom(corpus.sparkSession, postingsTable,
+        hashCol = Dedup.bandKeySql)
     chunkTable.foreach { t =>
       Dedup.writeChunkPostings(corpus, t)
       // same summary for the chunk index: the substring probe drops
@@ -197,6 +210,14 @@ object Pipeline {
       Sinks.appendBucketed(
         Dedup.bandPostings(text.join(broadcast(postedIds), Seq("doc_id"), "left_anti")),
         postingsTable, Seq("band", "band_hash"))
+      // band-key bloom re-merge, unconditional + idempotent (same
+      // rule as the exact/chunk arms'): recompute the whole
+      // manifest's banding rows — delta-sized — and OR their keys in,
+      // so the minhash prefilter provably covers every posted band
+      Dedup.mergeHashBloom(spark, postingsTable,
+        Dedup.bandPostings(text)
+          .select(expr(Dedup.bandKeySql).as("band_key")).distinct(),
+        hashCol = "band_key")
       val hashTable = p.select(col("hash_table")).first().getString(0)
       Sinks.appendBucketed(
         p.select(col("content_md5")).distinct()
@@ -296,21 +317,14 @@ object Pipeline {
           col("__content_md5") === col("content_md5"), "left_anti"))
         .drop("__maybe")
     }
-    // sharded form first (the past-the-literal-ceiling shape): N
-    // prefix-sharded filters via a real torrent broadcast, one shard
-    // probe per row ([[graft.functions.ShardedBloomMightContain]])
-    val out = Dedup.readHashBloomSharded(spark, hashTable) match {
-      case Some(shards) =>
-        bypass(graft.functions.ShardedBloomMightContain.probe(
-          spark.sparkContext.broadcast(shards), col("__content_md5")))
-      case None => Dedup.readHashBloom(spark, hashTable) match {
-        case Some(bloom) =>
-          graft.GraftExtensions.register(spark)
-          bypass(call_function("graft_might_contain", lit(bloom), col("__content_md5")))
-        case None =>
-          hashed.join(spark.table(hashTable),
-            col("__content_md5") === col("content_md5"), "left_anti")
-      }
+    // one dispatch for both bloom forms ([[operators.Dedup
+    // .bloomProbeFor]]): the sharded shape probes through a real
+    // torrent broadcast, the single shape through the plan literal
+    val out = Dedup.bloomProbeFor(spark, hashTable) match {
+      case Some(probe) => bypass(probe(col("__content_md5")))
+      case None =>
+        hashed.join(spark.table(hashTable),
+          col("__content_md5") === col("content_md5"), "left_anti")
     }
     out.drop("__content_md5")
   }
@@ -468,7 +482,12 @@ object Pipeline {
     val text = exactNew.select(col("doc_id"), col("content").as("text"))
 
     val deltaIds = text.select(col("doc_id"))
-    val pairs = Dedup.incrementalMinhashCandidates(text, spark.table(postingsTable))
+    // band-key bloom (maintained since bootstrap; None on a pre-bloom
+    // postings table → plain probe): delta banding rows with
+    // definitely-novel (band, band_hash) drop map-side before the
+    // sig-carrying shuffle into the bucketed corpus join
+    val pairs = Dedup.incrementalMinhashCandidates(text, spark.table(postingsTable),
+        bandPrefilter = Dedup.bloomProbeFor(spark, postingsTable))
       .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_1"),
         lit(true).as("in1"))), Seq("doc_id_1"), "left")
       .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_2"),
@@ -611,8 +630,20 @@ object Pipeline {
         .write.mode("overwrite").format("parquet")
         .saveAsTable(postingsTable + "__pending")
     }
-    Sinks.appendBucketed(Dedup.bandPostings(acceptedText), postingsTable,
-      Seq("band", "band_hash"))
+    // the day's banding rows materialize once: the append consumes
+    // them, then the band-key bloom merge re-reads them (count + day
+    // bloom) — same single-materialization rule as dayHashes below
+    val dayBands = Dedup.bandPostings(acceptedText).localCheckpoint()
+    Sinks.appendBucketed(dayBands, postingsTable, Seq("band", "band_hash"))
+    // band-key bloom stays current under the same crash rules as the
+    // exact arm's (after the append, before the manifest drop,
+    // re-merged idempotently by repair); no-op when none is
+    // maintained. Distinct day KEYS (not banding rows) so the items
+    // metadata counts what actually occupies the filter
+    if (acceptedN > 0)
+      Dedup.mergeHashBloom(spark, postingsTable,
+        dayBands.select(expr(Dedup.bandKeySql).as("band_key")).distinct(),
+        hashCol = "band_key")
     // ONE distinct-hash frame feeds both the table append and the
     // bloom merge (which itself reads it twice: count + day bloom) —
     // checkpointed so the day pays the md5+distinct exactly once

@@ -421,10 +421,46 @@ object Dedup {
           else {
             val bf = org.apache.spark.util.sketch.BloomFilter
               .readFrom(new java.io.ByteArrayInputStream(bytes))
-            bf.mergeInPlace(dayHashes.stat.bloomFilter(hashCol, capacity, fpp))
+            bf.mergeInPlace(dayHashes.stat.bloomFilter(expr(hashCol), capacity, fpp))
             persistHashBloom(spark, hashTable, serializeBloom(bf), capacity, fpp,
               items + dayCount)
           }
+      }
+    }
+
+  /** Composite key of a band-postings row for the bloom family:
+    * `md5(band ':' band_hash)`. md5-hexed — not because the bloom
+    * needs it (it hashes internally), but so the SHARDED form's
+    * two-hex-char prefix shard rule ([[shardOfCol]] /
+    * [[graft.functions.ShardedBloomMightContain.shardOf]]) applies to
+    * band keys unchanged, and key distribution across shards is
+    * uniform regardless of how band hashes cluster. A SQL expression
+    * (not a physical column) — the whole bloom family accepts
+    * expressions since the `expr(hashCol)` generalization. */
+  val bandKeySql: String =
+    "md5(concat_ws(':', CAST(band AS STRING), CAST(band_hash AS STRING)))"
+
+  /** The persisted bloom's probe as a key→boolean column function,
+    * whichever form the `<hashTable>__bloom` table holds — the ONE
+    * dispatch every prefiltered arm shares (exact anti-join bypass,
+    * chunk probe, band-postings probe): sharded tables probe through
+    * the broadcast-fed [[graft.functions.ShardedBloomMightContain]]
+    * (filters torrent-delivered once per executor, plan carries only
+    * the handle), single-filter tables through the codegen'd
+    * `graft_might_contain` plan literal. None in every degraded
+    * state (absent table, empty table, wrong-shape reader) — callers
+    * fall back to the unfiltered join, which the prefilter only ever
+    * accelerates. */
+  def bloomProbeFor(spark: SparkSession, hashTable: String):
+      Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+    readHashBloomSharded(spark, hashTable) match {
+      case Some(shards) =>
+        val bc = spark.sparkContext.broadcast(shards)
+        Some(k => graft.functions.ShardedBloomMightContain.probe(bc, k))
+      case None => readHashBloom(spark, hashTable).map { b =>
+        graft.GraftExtensions.register(spark)
+        (k: org.apache.spark.sql.Column) =>
+          call_function("graft_might_contain", lit(b), k)
       }
     }
 
@@ -443,16 +479,35 @@ object Dedup {
     * Union-then-estimate (not estimate-per-arm) so the output is
     * definitionally the same rows [[minhashPairs]] on the grown corpus
     * would emit for those pairs — pinned by spec: prior full-run pairs
-    * ∪ incremental pairs == full recompute on corpus+delta. */
+    * ∪ incremental pairs == full recompute on corpus+delta.
+    *
+    * `bandPrefilter` (the postings index's persisted band-key bloom —
+    * [[writeHashBloom]]/[[writeHashBloomSharded]] on [[bandKeySql]],
+    * dispatched by [[bloomProbeFor]]): delta banding rows whose
+    * (band, band_hash) the corpus definitely never posted are dropped
+    * MAP-SIDE before they shuffle into the bucketed corpus×delta
+    * probe. Sound for the same reason as the chunk arm's prefilter —
+    * an INNER join, a pruned row cannot have a partner, and bloom
+    * false positives just find no postings. Applied to the
+    * corpus×delta arm ONLY: a delta×delta pair's shared band need
+    * not exist in the corpus, so the self-join sees every row. In
+    * the steady state most delta bands are novel, so the probe's
+    * delta-side shuffle (the sig-carrying rows — by far the widest
+    * in this arm) drops to the ~fpp sliver plus true near-dup bands. */
   def incrementalMinhashCandidates(newDocs: DataFrame, postings: DataFrame,
                                    threshold: Double = 0.5,
-                                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                                   bands: Int = 16, rowsPerBand: Int = 4,
+                                   bandPrefilter: Option[
+                                     org.apache.spark.sql.Column =>
+                                       org.apache.spark.sql.Column] = None): DataFrame = {
     val newBanded = bandPostings(newDocs, bands, rowsPerBand)
+    val probeSide = bandPrefilter.fold(newBanded)(p =>
+      newBanded.filter(p(expr(bandKeySql))))
     val orderedSigs = Seq(
       when(col("l.doc_id") < col("r.doc_id"), col("l.sig")).otherwise(col("r.sig")).as("sig1"),
       when(col("l.doc_id") < col("r.doc_id"), col("r.sig")).otherwise(col("l.sig")).as("sig2"))
     val corpusDelta = postings.as("l")
-      .join(newBanded.as("r"),
+      .join(probeSide.as("r"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") =!= col("r.doc_id"))
       .select(Seq(least(col("l.doc_id"), col("r.doc_id")).as("doc_id_1"),

@@ -864,4 +864,77 @@ class PipelineSpec extends SparkSpec {
     assert(s2("exact_new") === 0L, s"sharded bloom lost day 1's hash: $s2")
     assert(s2("accepted") === 0L)
   }
+
+  test("band bloom prefilter: minhash arm — same pairs, probe in plan, delta-delta untouched, merge keeps coverage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val corpusText = (1 to 40).map(i => s"bb$i").mkString(" ")
+    val otherText = (1 to 40).map(i => s"bc$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusText), (2L, otherText)).toDF("doc_id", "text"),
+      "graft_bandarm_post", "graft_bandarm_hash")
+    // bootstrap maintains a band-key bloom NEXT TO the postings index,
+    // sized by the table's actual distinct band keys
+    assert(spark.catalog.tableExists("graft_bandarm_post__bloom"))
+    val expectedKeys = spark.table("graft_bandarm_post")
+      .select(expr(graft.operators.Dedup.bandKeySql)).distinct().count()
+    assert(spark.table("graft_bandarm_post__bloom")
+      .select("items").as[Long].head() === expectedKeys)
+    // the probe arm: near-dup of corpus 1, one novel doc, and a
+    // novel delta-delta near-dup pair that shares NO bands with the
+    // corpus — the prefilter must drop only corpus-probe rows, never
+    // self-join rows
+    val fresh = (1 to 40).map(i => s"bd$i").mkString(" ")
+    val delta = Seq(
+      (10L, ((1 to 39).map(i => s"bb$i") :+ "changed").mkString(" ")),
+      (11L, fresh),
+      (12L, ((1 to 39).map(i => s"bd$i") :+ "altered").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = graft.operators.Dedup.bloomProbeFor(spark, "graft_bandarm_post")
+    assert(probe.nonEmpty, "no band bloom to probe")
+    def pairs(p: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      graft.operators.Dedup.incrementalMinhashCandidates(
+        delta, spark.table("graft_bandarm_post"), bandPrefilter = p)
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val filtered = pairs(probe)
+    val plain = pairs(None)
+    // identical candidate pairs: the corpus near-dup (1,10) AND the
+    // delta-delta near-dup (11,12) — the latter proves the self-join
+    // side is unfiltered
+    assert(filtered === plain, s"prefilter changed the pair set: $filtered vs $plain")
+    assert(filtered.contains((1L, 10L)) && filtered.contains((11L, 12L)), s"$filtered")
+    // the probe rides the corpus-arm plan exactly once (one filter on
+    // the delta banding rows feeding the postings join); analyzed
+    // plan, same LocalRelation caveat as the sharded walk
+    assert("graft_might_contain".r.findAllIn(
+      graft.operators.Dedup.incrementalMinhashCandidates(
+        delta, spark.table("graft_bandarm_post"), bandPrefilter = probe)
+        .queryExecution.analyzed.toString).length === 1)
+    // a full day: the accepted doc's bands merge into the postings
+    // bloom, so a near-dup of the ACCEPTED doc still drops tomorrow
+    // (false negatives here would silently skip the corpus probe)
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_bandarm_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val s1 = Pipeline.runIncremental(spark, writeDelta((20L, fresh)),
+      Files.createTempDirectory("graft_bandarm_out1").toString,
+      "graft_bandarm_post", "graft_bandarm_hash")
+    assert(s1("accepted") === 1L)
+    val grown = spark.table("graft_bandarm_post")
+      .select(expr(graft.operators.Dedup.bandKeySql)).distinct().count()
+    assert(grown > expectedKeys)
+    assert(spark.table("graft_bandarm_post__bloom")
+      .select("items").as[Long].head() >= grown,
+      "daily merge under-counts the band bloom")
+    val s2 = Pipeline.runIncremental(spark,
+      writeDelta((30L, ((1 to 39).map(i => s"bd$i") :+ "tweaked").mkString(" "))),
+      Files.createTempDirectory("graft_bandarm_out2").toString,
+      "graft_bandarm_post", "graft_bandarm_hash")
+    assert(s2("neardup_vs_corpus_dropped") === 1L, s"band bloom lost day 1's bands: $s2")
+    assert(s2("accepted") === 0L)
+  }
 }
