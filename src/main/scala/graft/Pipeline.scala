@@ -421,7 +421,15 @@ object Pipeline {
                      charlmTable: Option[String] = None,
                      charlmRareFracMax: Option[Double] = None,
                      charlmRareBelow: Double = 0.001,
-                     pqRetrainQerr: Double = 0.5): Summary = {
+                     pqRetrainQerr: Double = 0.5,
+                     compactFilesPerBucket: Int = 64): Summary = {
+    // Swap recovery FIRST-FIRST: a compaction (or chunk recap) crash
+    // between its DROP and RENAME leaves the only copy of an index
+    // under __staging — promote it before ANYTHING reads the tables
+    // (metadata-only, no-op in every healthy state).
+    (Seq(postingsTable, hashTable) ++ chunkTable ++ semanticTable ++
+      semanticTable.map(_ + "__pq") ++ charlmTable)
+      .foreach(Sinks.recoverTableSwap(spark, _))
     // Crash recovery FIRST: a leftover pending manifest means a prior
     // run died between its index appends — complete them before any
     // decision reads the tables. If the crashed run was THIS outDir's,
@@ -760,7 +768,37 @@ object Pipeline {
       if (breached) Dedup.recapChunkPostings(spark, t, chunkMaxDocFreq)
       breached
     }
+    // Small-files maintenance, AUTO-TRIGGERED: every maintained index
+    // gains one file per bucket per accepted day (appendBucketed's
+    // one-file-per-bucket contract), so after ~compactFilesPerBucket
+    // days a probe opens that many footers per bucket. Each table
+    // compacts independently through the durable staging swap (crash
+    // mid-swap → the recovery sweep at the top of this method);
+    // content-neutral, so the persisted blooms and every probe stay
+    // valid across it. Freshly rewritten tables (a chunk recap, a PQ
+    // retrain) have one file per bucket already and no-op here. Runs
+    // AFTER the manifest drop: a compaction crash can never leave the
+    // day's appends half-replayed.
+    val compacted: Seq[(String, Option[String])] = Seq(
+      postingsTable -> Some(Dedup.bandKeySql),
+      hashTable -> Some("content_md5")) ++
+      chunkTable.map(_ -> Some("chunk_hash")) ++
+      semanticTable.map(_ -> None) ++
+      semanticTable.map(_ + "__pq" -> None)
+        .filter(p => spark.catalog.tableExists(p._1)) ++
+      charlmTable.map(_ -> None)
+    val compactedN = compacted.count { case (t, bloomKey) =>
+      val did = Sinks.compactBucketedIfFragmented(spark, t,
+        maxFilesPerBucket = compactFilesPerBucket)
+      // piggyback on the compaction's index-sized pass: re-pin the
+      // table's bloom items metadata to the exact distinct count, so
+      // the saturation trigger stops compounding the daily merges'
+      // over-approximation (sound but early-rebuilding)
+      if (did) bloomKey.foreach(Dedup.recountBloomItems(spark, t, _))
+      did
+    }
     Map(
+      "compacted_indexes" -> compactedN.toLong,
       "chunk_recap" -> (if (recapped) 1L else 0L),
       "semantic_pq_retrain" -> (if (pqRetrained) 1L else 0L),
       // 1 when this run found codebooks WITHOUT their code index (a

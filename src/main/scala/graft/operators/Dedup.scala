@@ -428,6 +428,52 @@ object Dedup {
       }
     }
 
+  /** Re-pin the persisted bloom's `items` metadata to the EXACT
+    * distinct key count of its hash table. The counter drives only
+    * the saturation rebuild trigger: daily merges add the day's
+    * distinct keys WITHOUT knowing how many the filter already held
+    * (band keys especially repeat across days, and crash-repair
+    * re-merges count twice), so `items` over-approximates true
+    * occupancy — sound (rebuilds only fire EARLY) but compounding.
+    * Called after a compaction, which just paid an index-sized pass
+    * anyway: for an append-only key set, the table's distinct keys
+    * ARE the filter's occupancy, so the recount is exact, the
+    * filter bytes stay untouched, and the next saturation decision
+    * reads reality instead of an inflated running sum. Idempotent;
+    * a crash inside the overwrite leaves the registered-but-empty
+    * state every reader already downgrades on and the next merge
+    * rebuilds from. No-op when no bloom is maintained. */
+  def recountBloomItems(spark: SparkSession, hashTable: String,
+                        hashCol: String = "content_md5"): Unit =
+    if (spark.catalog.tableExists(bloomTableOf(hashTable))) {
+      val t = spark.table(bloomTableOf(hashTable))
+      if (t.columns.contains("shard")) {
+        import spark.implicits._
+        val n = t.select(col("nshards")).take(1).headOption.map(_.getInt(0))
+        n.foreach { shards =>
+          val exact = distinctHashes(spark.table(hashTable), hashCol).toDF("h")
+            .groupBy(shardOfCol(col("h"), shards).as("shard"))
+            .agg(count(lit(1)).as("items"))
+          val updated = t.drop("items")
+            .join(exact, Seq("shard"), "left")
+            .na.fill(0L, Seq("items"))
+            .select(col("shard"), col("nshards"), col("bloom"),
+              col("capacity"), col("fpp"), col("items"))
+            // reads the table being overwritten — materialize first
+            .localCheckpoint()
+          updated.write.mode("overwrite").format("parquet")
+            .saveAsTable(bloomTableOf(hashTable))
+        }
+      } else {
+        t.select(col("bloom"), col("capacity"), col("fpp")).take(1).headOption
+          .foreach { row =>
+            val exact = distinctHashes(spark.table(hashTable), hashCol).count()
+            persistHashBloom(spark, hashTable, row.getAs[Array[Byte]](0),
+              row.getLong(1), row.getDouble(2), exact)
+          }
+      }
+    }
+
   /** Composite key of a band-postings row for the bloom family:
     * `md5(band ':' band_hash)`. md5-hexed — not because the bloom
     * needs it (it hashes internally), but so the SHARDED form's

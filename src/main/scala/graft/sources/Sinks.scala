@@ -74,14 +74,110 @@ object Sinks {
     * shuffle-free after every append — the daily-increment write for
     * a [[writeBucketed]] index. The bucket spec must match the
     * existing table's (Spark validates; a mismatch is the
-    * [[ensureBucketedTable]] change-the-shard-count error). */
+    * [[ensureBucketedTable]] change-the-shard-count error).
+    *
+    * The repartition makes each append write EXACTLY ONE file per
+    * non-empty bucket: Spark's bucket-id expression is
+    * `HashPartitioning(bucketCols, buckets).partitionIdExpression` —
+    * the same pmod(murmur3) hash `repartition(buckets, cols)`
+    * shuffles by — so every post-shuffle task holds exactly one
+    * bucket's rows. Without it a bucketed append writes one file per
+    * (writing task × bucket it touches): a 32-task delta over a
+    * 64-bucket table can land 2048 files IN ONE DAY, and a year of
+    * daily appends turns every index probe into a footer-reading
+    * storm. The price is one delta-sized shuffle per append —
+    * bounded by day size, never corpus size. Fragmentation still
+    * accrues at one file per bucket per day; the ceiling is
+    * [[compactBucketedIfFragmented]]'s job. */
   def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                      buckets: Int = 64): Unit =
-    df.write.mode("append")
+    df.repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Number of DATA files under a catalog table's location (hidden
+    * and metadata files excluded) — the fragmentation measure
+    * [[compactBucketedIfFragmented]] triggers on. A recursive listing
+    * of the index table's directory: metadata-only, never reads a
+    * row. */
+  def tableDataFileCount(spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0L
+    else {
+      val it = fs.listFiles(loc, true)
+      var n = 0L
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1L
+      }
+      n
+    }
+  }
+
+  /** Compact a bucketed index table when daily appends have
+    * fragmented it past `maxFilesPerBucket` files per bucket — the
+    * small-files ceiling for the ingest's ever-growing probe tables.
+    * [[appendBucketed]] adds one file per bucket per day, so after N
+    * days every bucketed probe opens N footers per bucket; this
+    * rewrite collapses the table back to ONE file per bucket (the
+    * repartition is the compaction) through [[rewriteBucketed]]'s
+    * durable staging swap — the live table stays readable until two
+    * metadata ops replace it, and a crash mid-swap is recovered by
+    * [[recoverTableSwap]] on the next entry. Content-neutral by
+    * construction (same rows, same layout), so persisted bloom
+    * summaries and every probe stay valid across it.
+    *
+    * Cost honesty: each triggered rewrite reads the WHOLE index
+    * (index-sized, not corpus-sized — these tables hold hashes and
+    * signatures, not documents). At one new file per bucket per day
+    * the trigger fires every ~`maxFilesPerBucket` days, so the
+    * amortized daily cost is index/maxFilesPerBucket — the same
+    * bounded-maintenance class as the bloom's geometric rebuild and
+    * the chunk df-cap recap. Returns whether a rewrite ran. */
+  def compactBucketedIfFragmented(spark: org.apache.spark.sql.SparkSession,
+                                  table: String,
+                                  maxFilesPerBucket: Int = 64): Boolean = {
+    recoverTableSwap(spark, table)
+    // the layout comes from the CATALOG, not from caller arguments: a
+    // compaction must reproduce the table's declared bucketing
+    // exactly — a drifted buckets/cols argument here would silently
+    // rewrite every file into the wrong hash placement
+    spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec match {
+      case None => false // not bucketed — nothing whose layout this owns
+      case Some(spec) =>
+        val buckets = spec.numBuckets
+        val cols = spec.bucketColumnNames
+        if (tableDataFileCount(spark, table) <= maxFilesPerBucket.toLong * buckets) false
+        else {
+          // force the BUCKETED scan for the rewrite: the planner
+          // otherwise drops both the bucket-aware read (no operator
+          // demands the distribution) AND any explicit repartition
+          // (redundant against the relation's declared partitioning),
+          // leaving arbitrary scan tasks that each write one file per
+          // bucket they touch — reproducing the very fragmentation
+          // being fixed. With the bucketed scan pinned, each task
+          // reads exactly ONE bucket's files and writes exactly ONE
+          // file: a per-bucket merge with ZERO shuffle — strictly
+          // cheaper than a repartition-based compaction.
+          val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+          val saved = spark.conf.getOption(key)
+          spark.conf.set(key, "false")
+          try rewriteBucketed(spark.table(table), table, cols, buckets)
+          finally saved match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+          true
+        }
+    }
+  }
 
   /** Restore a half-completed [[rewriteBucketed]]: a crash between its
     * DROP and RENAME leaves the only copy under `__staging` and no

@@ -628,4 +628,50 @@ class DedupSpec extends SparkSpec {
       graft.functions.ShardedBloomMightContain.probe(bcastOne, col("k"))).count() === 0L,
       "an empty shard must probe definitely-new")
   }
+
+  test("recountBloomItems re-pins items to the exact distinct count; filter bytes untouched") {
+    // single-filter form: a crash-repair replay double-counts the day
+    val t = "graft_recount_hash"
+    def hashesDf(hs: Seq[String]) = hs.toDF("content_md5")
+    graft.sources.Sinks.writeBucketed(hashesDf(Seq("a", "b", "c")), t, Seq("content_md5"))
+    Dedup.writeHashBloom(spark, t, minCapacity = 64L)
+    graft.sources.Sinks.appendBucketed(hashesDf(Seq("d", "e")), t, Seq("content_md5"))
+    Dedup.mergeHashBloom(spark, t, hashesDf(Seq("d", "e")))
+    Dedup.mergeHashBloom(spark, t, hashesDf(Seq("d", "e"))) // repair replay
+    def meta(c: String) = spark.table(t + "__bloom").select(c).as[Long].head()
+    assert(meta("items") === 7L, "over-count expected before recount")
+    val bytesBefore = Dedup.readHashBloom(spark, t).get.toSeq
+    Dedup.recountBloomItems(spark, t)
+    assert(meta("items") === 5L)
+    assert(meta("capacity") === 64L)
+    assert(Dedup.readHashBloom(spark, t).get.toSeq === bytesBefore,
+      "recount must never touch the filter bytes")
+    // sharded form: per-shard exact counts, empty shards stay absent
+    val ts = "graft_recount_shard"
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val corpus = (1 to 30).map(i => h(s"r$i"))
+    graft.sources.Sinks.writeBucketed(corpus.toDF("content_md5"), ts, Seq("content_md5"))
+    Dedup.writeHashBloomSharded(spark, ts, shards = 4, minShardCapacity = 64L)
+    val day = (1 to 10).map(i => h(s"s$i"))
+    graft.sources.Sinks.appendBucketed(day.toDF("content_md5"), ts, Seq("content_md5"))
+    Dedup.mergeHashBloom(spark, ts, day.toDF("content_md5"))
+    Dedup.mergeHashBloom(spark, ts, day.toDF("content_md5")) // replay
+    def totalItems = spark.table(ts + "__bloom")
+      .agg(org.apache.spark.sql.functions.sum(col("items"))).as[Long].head()
+    assert(totalItems === 50L)
+    Dedup.recountBloomItems(spark, ts)
+    assert(totalItems === 40L)
+    // per-shard counts match the exact per-shard distincts
+    val exact = corpus ++ day
+    val got = spark.table(ts + "__bloom").select("shard", "items")
+      .as[(Int, Long)].collect().toMap
+    val want = exact.groupBy(k => Dedup.shardOfString(k, 4)).view.mapValues(_.size.toLong).toMap
+    assert(got === want, s"$got vs $want")
+    // every member still probes true through the untouched filters
+    val shards = Dedup.readHashBloomSharded(spark, ts).get
+    val bc = spark.sparkContext.broadcast(shards)
+    assert(exact.toDF("k").filter(
+      graft.functions.ShardedBloomMightContain.probe(bc, col("k"))).count() === 40L)
+    Seq(t, ts).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
 }

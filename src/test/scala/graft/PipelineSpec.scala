@@ -937,4 +937,46 @@ class PipelineSpec extends SparkSpec {
     assert(s2("neardup_vs_corpus_dropped") === 1L, s"band bloom lost day 1's bands: $s2")
     assert(s2("accepted") === 0L)
   }
+
+  test("runIncremental compacts fragmented indexes; a compaction crash mid-swap recovers next run") {
+    import spark.implicits._
+    val post = "graft_cmpidx_post"; val hash = "graft_cmpidx_hash"
+    Pipeline.bootstrapIncremental(
+      Seq((1L, (1 to 40).map(i => s"cf$i").mkString(" "))).toDF("doc_id", "text"),
+      post, hash)
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_cmpidx_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // threshold 0 forces the trigger at toy scale: both maintained
+    // indexes compact at end of run, AFTER the day's appends
+    val fresh = (1 to 40).map(i => s"cg$i").mkString(" ")
+    val s1 = Pipeline.runIncremental(spark, writeDelta((10L, fresh)),
+      Files.createTempDirectory("graft_cmpidx_out1").toString, post, hash,
+      compactFilesPerBucket = 0)
+    assert(s1("accepted") === 1L)
+    assert(s1("compacted_indexes") === 2L, s"expected postings+hash compaction: $s1")
+    // compacted = at most one file per (64-)bucket, and the swap left
+    // no staging behind
+    assert(graft.sources.Sinks.tableDataFileCount(spark, post) <= 64)
+    assert(graft.sources.Sinks.tableDataFileCount(spark, hash) <= 64)
+    assert(!spark.catalog.tableExists(post + "__staging"))
+    // the compacted indexes still answer: an exact re-delivery of the
+    // accepted day-1 doc drops against the rewritten hash set
+    val s2 = Pipeline.runIncremental(spark, writeDelta((20L, fresh)),
+      Files.createTempDirectory("graft_cmpidx_out2").toString, post, hash,
+      compactFilesPerBucket = 0)
+    assert(s2("exact_new") === 0L && s2("accepted") === 0L, s"$s2")
+    // crash between the compaction swap's DROP and RENAME: the hash
+    // table is gone, only __staging holds the copy — the entry sweep
+    // must promote it before anything probes
+    spark.sql(s"ALTER TABLE $hash RENAME TO ${hash}__staging")
+    val s3 = Pipeline.runIncremental(spark, writeDelta((30L, fresh)),
+      Files.createTempDirectory("graft_cmpidx_out3").toString, post, hash)
+    assert(s3("exact_new") === 0L, s"recovered hash table lost members: $s3")
+    assert(s3("accepted") === 0L)
+  }
 }

@@ -487,4 +487,37 @@ class SourcesSpec extends SparkSpec {
     }
     assert(boom.getMessage === "unrelated")
   }
+
+  test("appendBucketed lands one file per bucket; compaction restores the ceiling and the layout") {
+    val rows = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.writeBucketed(rows, "graft_cmp_t", Seq("id"), 4)
+    val base = Sinks.tableDataFileCount(spark, "graft_cmp_t")
+    // each append writes EXACTLY one file per bucket, however the
+    // delta was partitioned upstream — the repartition's bucket-id
+    // hash agrees with the writer's, which this count proves
+    (1 to 3).foreach { d =>
+      Sinks.appendBucketed(
+        (1L to 100L).map(i => (d * 10000L + i, "x")).toDF("id", "v").repartition(13),
+        "graft_cmp_t", Seq("id"), 4)
+    }
+    assert(Sinks.tableDataFileCount(spark, "graft_cmp_t") === base + 3 * 4)
+    // under the ceiling: metadata check only, no rewrite
+    assert(!Sinks.compactBucketedIfFragmented(spark, "graft_cmp_t", maxFilesPerBucket = 100))
+    assert(Sinks.tableDataFileCount(spark, "graft_cmp_t") === base + 3 * 4)
+    // over the ceiling: one rewrite back to one file per bucket —
+    // same rows, declared bucket layout intact
+    val before = spark.table("graft_cmp_t").as[(Long, String)].collect().toSet
+    assert(Sinks.compactBucketedIfFragmented(spark, "graft_cmp_t", maxFilesPerBucket = 2))
+    assert(Sinks.tableDataFileCount(spark, "graft_cmp_t") === 4)
+    assert(spark.table("graft_cmp_t").as[(Long, String)].collect().toSet === before)
+    assert(Sinks.ensureBucketedTable(spark, "graft_cmp_t",
+      spark.table("graft_cmp_t").schema, Seq("id"), 4) === "unchanged")
+    assert(!spark.catalog.tableExists("graft_cmp_t__staging"))
+    // a non-bucketed table is refused, never rewritten — compaction
+    // only owns layouts it can reproduce from the catalog
+    rows.write.saveAsTable("graft_cmp_plain")
+    assert(!Sinks.compactBucketedIfFragmented(spark, "graft_cmp_plain", maxFilesPerBucket = 0))
+    spark.sql("DROP TABLE graft_cmp_t")
+    spark.sql("DROP TABLE graft_cmp_plain")
+  }
 }
