@@ -362,11 +362,17 @@ object Bench {
       val embs = Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val corpusDocs = docs.filter(col("__h") >= "0c").drop("__h")
+      // bloomShards = 16: the measured daily face runs the SHARDED
+      // bloom shape (torrent-broadcast probe, per-shard merge) — the
+      // form a corpus past the single plan literal's ceiling uses, so
+      // the steady-state number prices the at-scale machinery, not
+      // the small-corpus shortcut
       Pipeline.bootstrapIncremental(
         corpusDocs.select(col("doc_id"), col("text")), post, hash,
         chunkTable = Some(chunk), semanticTable = Some(sem),
         corpusEmbeddings =
-          Some(embs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")))
+          Some(embs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
+        bloomShards = 16)
       val base = java.nio.file.Files.createTempDirectory("graft_bench_inc")
       val days = Seq(("00", "04"), ("04", "08"), ("08", "0c")).zipWithIndex.map {
         case ((lo, hi), i) =>

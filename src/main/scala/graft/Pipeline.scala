@@ -152,8 +152,14 @@ object Pipeline {
       Dedup.writeChunkPostings(corpus, t)
       // same summary for the chunk index: the substring probe drops
       // definitely-novel delta chunks map-side (inner join — a plain
-      // prefilter, no union-bypass needed)
-      Dedup.writeHashBloom(corpus.sparkSession, t, hashCol = "chunk_hash")
+      // prefilter, no union-bypass needed). Chunk keys are several
+      // per doc, so past the literal ceiling the sharded form applies
+      // here exactly like the band keys'.
+      if (bloomShards > 1)
+        Dedup.writeHashBloomSharded(corpus.sparkSession, t, bloomShards,
+          hashCol = "chunk_hash")
+      else
+        Dedup.writeHashBloom(corpus.sparkSession, t, hashCol = "chunk_hash")
     }
     // semantic arm: trained-quantizer cell index over the corpus
     // vectors ((doc_id, embedding) — the embedder's output for the
@@ -511,7 +517,7 @@ object Pipeline {
     // prep's substringDupPairs pass, corpus wins
     val substrHits = chunkTable.map { t =>
       Dedup.incrementalSubstringMatches(text, spark.table(t), minSharedTokens = 64L,
-        bloom = Dedup.readHashBloom(spark, t))
+        bloomProbe = Dedup.bloomProbeFor(spark, t))
         .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
     }
     // semantic arm (optional): a PARAPHRASED re-delivery shares no

@@ -897,23 +897,23 @@ object Dedup {
     * joins without an exchange; only the delta's chunks shuffle. */
   def incrementalSubstringMatches(newDocs: DataFrame, chunkPostings: DataFrame,
                                   minSharedTokens: Long = 16L,
-                                  bloom: Option[Array[Byte]] = None): DataFrame = {
+                                  bloomProbe: Option[
+                                    org.apache.spark.sql.Column =>
+                                      org.apache.spark.sql.Column] = None): DataFrame = {
     require(minSharedTokens >= 1)
-    // `bloom` (the chunk index's persisted summary — [[writeHashBloom]]
-    // on `chunk_hash`): chunks the corpus definitely never indexed are
-    // dropped MAP-SIDE before they shuffle into the bucketed probe
-    // join. Unlike the exact arm's anti-join, this is an INNER join,
-    // so a plain prefilter is sound (a pruned chunk cannot match) and
+    // `bloomProbe` (the chunk index's persisted summary on
+    // `chunk_hash`, EITHER form, dispatched by [[bloomProbeFor]]):
+    // chunks the corpus definitely never indexed are dropped MAP-SIDE
+    // before they shuffle into the bucketed probe join. Unlike the
+    // exact arm's anti-join, this is an INNER join, so a plain
+    // prefilter is sound (a pruned chunk cannot match) and
     // over-approximation (stale hashes after a df-cap recap) is
     // harmless — stale maybes just find no postings. In the steady
     // state most delta chunks are novel, so the probe's shuffle drops
     // to the ~fpp sliver plus true passage copies.
     val chunks = uniqueChunks(newDocs)
       .select(col("doc_id").as("delta_doc"), col("chunk_hash"), col("n_tokens"))
-    val delta = bloom.fold(chunks) { b =>
-      graft.GraftExtensions.register(newDocs.sparkSession)
-      chunks.filter(call_function("graft_might_contain", lit(b), col("chunk_hash")))
-    }
+    val delta = bloomProbe.fold(chunks)(p => chunks.filter(p(col("chunk_hash"))))
     chunkPostings
       .select(col("doc_id").as("corpus_doc"), col("chunk_hash"))
       .join(delta, Seq("chunk_hash"))

@@ -394,7 +394,7 @@ class PipelineSpec extends SparkSpec {
     val probed = graft.operators.Dedup.incrementalSubstringMatches(
       Seq((70L, cleanDoc)).toDF("doc_id", "text"),
       spark.table("graft_chk_chunks"), minSharedTokens = 64L,
-      bloom = graft.operators.Dedup.readHashBloom(spark, "graft_chk_chunks"))
+      bloomProbe = graft.operators.Dedup.bloomProbeFor(spark, "graft_chk_chunks"))
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("graft_might_contain"), s"no chunk prefilter in plan:\n$plan")
     // parity: accepted doc 51's chunks are IN the merged bloom, so the
