@@ -490,6 +490,52 @@ object Sinks {
     * with a transactional format the same [[mergeUpsert]] plan becomes
     * a partition-scoped MERGE. Returned unstarted — callers
     * `.start()`. */
+  /** Streaming exact-dup guard against the STANDING corpus — the
+    * stream face of `graft.Pipeline.exactNewVsCorpus`'s union-bypass,
+    * the one incremental arm that had no continuous form (the
+    * in-stream dedup is [[graft.streaming.Streams.dedupStream]]'s
+    * job; THIS answers "does the corpus already have it" at ingest).
+    * Each micro-batch runs the BATCH arm itself — one definition, so
+    * the stream and the daily ingest can never disagree on who is
+    * novel — which re-reads the persisted bloom and the bucketed hash
+    * table fresh per trigger: a doc accepted into the corpus between
+    * triggers is visible to the next batch's probe. That freshness is
+    * WHY this is a foreachBatch sink and not a stream-static
+    * transform — a transform would bake the bloom into the unbounded
+    * plan once, and a definitely-new verdict from a stale bloom is a
+    * duplicate leak against the grown table (the batch arm reads
+    * both in the same run, so they cannot skew).
+    *
+    * Novel rows land under `path/batch_id=N/`, OVERWRITTEN per batch:
+    * at-least-once replay rewrites the same directory — with the
+    * corpus possibly grown, fewer rows, never appended duplicates —
+    * the same directory-grain idempotence as [[backfillParquet]].
+    * READ-ONLY against the corpus: indexing accepted docs stays
+    * `runIncremental`'s job with its crash manifest. Input must carry
+    * the `content` column the batch arm hashes. Returned unstarted —
+    * callers `.start()`. */
+  def streamingCorpusGuardSink(stream: DataFrame, hashTable: String,
+                               path: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        // the micro-batch runs on the stream's CLONED session, whose
+        // relation cache can still hold the previous trigger's file
+        // listing for tables the daily ingest maintains — the bloom
+        // is OVERWRITTEN per merge, so a stale listing is not just
+        // old data but FAILED_READ_FILE on vanished files. Refresh
+        // both (metadata-only) so "fresh per trigger" holds in the
+        // clone, not just in the session that did the maintenance.
+        Seq(hashTable, hashTable + "__bloom")
+          .filter(spark.catalog.tableExists)
+          .foreach(spark.catalog.refreshTable)
+        graft.Pipeline.exactNewVsCorpus(spark, batch, hashTable)
+          .write.mode("overwrite")
+          .option("compression", "zstd")
+          .parquet(s"$path/batch_id=$id")
+      }
+
   /** Streaming GROUP-replace upsert — the snapshot-table sink for
     * streams that re-emit a whole row SET per key each trigger
     * (e.g. [[graft.streaming.Streams.heavyHittersStream]]'s k

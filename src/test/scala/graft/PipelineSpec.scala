@@ -938,6 +938,34 @@ class PipelineSpec extends SparkSpec {
     assert(s2("accepted") === 0L)
   }
 
+  test("sharded chunk bloom: bootstrap(bloomShards) shards all three key spaces; the passage probe rides the sharded form") {
+    import spark.implicits._
+    val passage = (1 to 160).map(i => s"shpass$i").mkString(" ")
+    val corpusDoc = (1 to 200).map(i => s"shcorp$i").mkString(" ") + " " + passage
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusDoc)).toDF("doc_id", "text"),
+      "graft_shchk_post", "graft_shchk_hash",
+      chunkTable = Some("graft_shchk_chunks"), bloomShards = 4)
+    // all three blooms took the sharded shape
+    Seq("graft_shchk_post", "graft_shchk_hash", "graft_shchk_chunks").foreach { t =>
+      assert(spark.table(t + "__bloom").columns.contains("shard"),
+        s"$t bloom is not sharded")
+    }
+    // the chunk probe dispatches to the SHARDED probe for a passage
+    // copy (padding pushes whole-doc Jaccard under the banding bar)
+    val copy = (1 to 400).map(i => s"shpad$i").mkString(" ") + " " + passage
+    val probed = graft.operators.Dedup.incrementalSubstringMatches(
+      Seq((70L, copy)).toDF("doc_id", "text"),
+      spark.table("graft_shchk_chunks"), minSharedTokens = 64L,
+      bloomProbe = graft.operators.Dedup.bloomProbeFor(spark, "graft_shchk_chunks"))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sharded_might_contain"), s"no sharded prefilter:\n$plan")
+    assert(!plan.contains("graft_might_contain("), s"single-form probe leaked in:\n$plan")
+    // the hit survives the prefilter (shard-wise no-false-negatives)
+    assert(probed.select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+      === Set((70L, 1L)))
+  }
+
   test("runIncremental compacts fragmented indexes; a compaction crash mid-swap recovers next run") {
     import spark.implicits._
     val post = "graft_cmpidx_post"; val hash = "graft_cmpidx_hash"

@@ -585,4 +585,41 @@ class StreamingSpec extends SparkSpec {
       .select("source", "term", "est").as[(String, String, Long)].collect().toSeq
     assert(kept === Seq(("s1", "a", 2L)))
   }
+
+  test("streamingCorpusGuardSink: novel-only lands, verdict reads the corpus fresh each trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val hash = "graft_guard_hash"
+    def hashesOf(texts: String*) = texts.toDF("content")
+      .select(md5(col("content")).as("content_md5")).distinct()
+    graft.sources.Sinks.writeBucketed(hashesOf("old doc one", "old doc two"),
+      hash, Seq("content_md5"))
+    graft.operators.Dedup.writeHashBloom(spark, hash)
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    val q = graft.sources.Sinks.streamingCorpusGuardSink(
+      input.toDF().toDF("doc_id", "content"), hash, s"$dir/out", s"$dir/chk").start()
+    try {
+      input.addData((1L, "old doc one"), (2L, "fresh doc"))
+      q.processAllAvailable()
+      def landed = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed === Set(2L), "corpus member leaked or novel doc dropped")
+      // the corpus GROWS between triggers (the daily ingest indexed a
+      // doc); the guard's next verdict must see it — a stream-static
+      // transform with a baked bloom literal would leak doc 3 as
+      // definitely-new, exactly the staleness this sink exists to avoid
+      graft.sources.Sinks.appendBucketed(hashesOf("indexed later"),
+        hash, Seq("content_md5"))
+      graft.operators.Dedup.mergeHashBloom(spark, hash, hashesOf("indexed later"))
+      input.addData((3L, "indexed later"), (4L, "still novel"))
+      q.processAllAvailable()
+      assert(landed === Set(2L, 4L), "stale corpus view leaked a duplicate")
+      // batch-twin parity: the batch arm over the same delivered docs
+      // against the same corpus state lands the same verdicts
+      val twin = graft.Pipeline.exactNewVsCorpus(spark,
+        Seq((3L, "indexed later"), (4L, "still novel")).toDF("doc_id", "content"), hash)
+        .select("doc_id").as[Long].collect().toSet
+      assert(twin === Set(4L))
+    } finally q.stop()
+  }
 }
