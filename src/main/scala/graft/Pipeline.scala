@@ -220,10 +220,15 @@ object Pipeline {
       // rule as the exact/chunk arms'): recompute the whole
       // manifest's banding rows — delta-sized — and OR their keys in,
       // so the minhash prefilter provably covers every posted band
+      // the day frame carries RAW (band, band_hash) and hashCol stays
+      // the key EXPRESSION: mergeHashBloom's rebuild paths (saturation,
+      // crash-emptied table) apply the same hashCol to the postings
+      // TABLE, which has no materialized band_key column — a
+      // pre-computed-column day frame would wedge every rebuild
       Dedup.mergeHashBloom(spark, postingsTable,
         Dedup.bandPostings(text)
-          .select(expr(Dedup.bandKeySql).as("band_key")).distinct(),
-        hashCol = "band_key")
+          .select(col("band"), col("band_hash")).distinct(),
+        hashCol = Dedup.bandKeySql)
       val hashTable = p.select(col("hash_table")).first().getString(0)
       Sinks.appendBucketed(
         p.select(col("content_md5")).distinct()
@@ -266,9 +271,10 @@ object Pipeline {
           val pqIds = spark.table(t + "__pq").select(col("doc_id")).distinct()
             .join(broadcast(ids), Seq("doc_id"), "left_semi")
           Sinks.appendBucketed(
-            graft.operators.Pq.semanticIndexRowsPq(
+            projectToTable(spark, graft.operators.Pq.semanticIndexRowsPq(
               manifestVecs.join(broadcast(pqIds), Seq("doc_id"), "left_anti"),
               spark.table(t + "__centroids"), spark.table(t + "__pq__codebooks")),
+              t + "__pq"),
             t + "__pq", Seq("cell"))
         }
       }
@@ -291,6 +297,18 @@ object Pipeline {
     }
   }
 
+  /** Project `rows` down to `table`'s persisted columns — the append
+    * form of backward schema compatibility: a producer that LEARNED a
+    * new column (the PQ index's per-subspace `qerrs`) must keep
+    * appending to tables written before it existed, carrying only
+    * what the table holds; consumers already dispatch on column
+    * presence. Refuses (via the subsequent write's own validation) to
+    * paper over a table with columns the producer CANNOT supply —
+    * this only ever narrows, never null-fills. */
+  private def projectToTable(spark: SparkSession, rows: org.apache.spark.sql.DataFrame,
+                             table: String): org.apache.spark.sql.DataFrame =
+    rows.select(spark.table(table).columns.map(col): _*)
+
   /** The exact-dup-vs-corpus gate with the BLOOM UNION-BYPASS: when
     * the hash table carries its persisted bloom summary
     * ([[operators.Dedup.writeHashBloom]] — bootstrapped once, merged
@@ -309,7 +327,11 @@ object Pipeline {
     * Without a bloom (pre-bloom bootstrap, lost table): the plain
     * anti-join, same rows. */
   private[graft] def exactNewVsCorpus(spark: SparkSession, exactWithin: org.apache.spark.sql.DataFrame,
-                                      hashTable: String): org.apache.spark.sql.DataFrame = {
+                                      hashTable: String,
+                                      probeOverride: Option[Option[
+                                        org.apache.spark.sql.Column =>
+                                          org.apache.spark.sql.Column]] = None)
+    : org.apache.spark.sql.DataFrame = {
     val hashed = exactWithin.withColumn("__content_md5", md5(col("content")))
     // union-bypass with either bloom form: probe ONCE into a boolean
     // column and checkpoint, so whatever carries the filter (the
@@ -325,8 +347,12 @@ object Pipeline {
     }
     // one dispatch for both bloom forms ([[operators.Dedup
     // .bloomProbeFor]]): the sharded shape probes through a real
-    // torrent broadcast, the single shape through the plan literal
-    val out = Dedup.bloomProbeFor(spark, hashTable) match {
+    // torrent broadcast, the single shape through the plan literal.
+    // `probeOverride` lets a caller that already HOLDS a probe (the
+    // streaming guard's per-query cache — the bloom changes at most
+    // once per daily ingest, not per trigger) skip re-reading and
+    // re-broadcasting the filter bytes per call.
+    val out = probeOverride.getOrElse(Dedup.bloomProbeFor(spark, hashTable)) match {
       case Some(probe) => bypass(probe(col("__content_md5")))
       case None =>
         hashed.join(spark.table(hashTable),
@@ -654,10 +680,13 @@ object Pipeline {
     // re-merged idempotently by repair); no-op when none is
     // maintained. Distinct day KEYS (not banding rows) so the items
     // metadata counts what actually occupies the filter
+    // raw (band, band_hash) day keys + the key EXPRESSION as hashCol:
+    // the merge's saturation/crash rebuild paths re-apply hashCol to
+    // the postings TABLE itself, so it must be derivable there too
     if (acceptedN > 0)
       Dedup.mergeHashBloom(spark, postingsTable,
-        dayBands.select(expr(Dedup.bandKeySql).as("band_key")).distinct(),
-        hashCol = "band_key")
+        dayBands.select(col("band"), col("band_hash")).distinct(),
+        hashCol = Dedup.bandKeySql)
     // ONE distinct-hash frame feeds both the table append and the
     // bloom merge (which itself reads it twice: count + day bloom) —
     // checkpointed so the day pays the md5+distinct exactly once
@@ -737,9 +766,15 @@ object Pipeline {
             t + "__pq",
             sharedCentroids = Some(spark.table(t + "__centroids")))
         else
+          // projected to the PERSISTED index's columns: a pre-qerrs
+          // table (24 B/doc) keeps taking appends — and keeps probing
+          // on the scalar bound — until its next retrain writes the
+          // 32 B/doc form; appending the wider frame verbatim would
+          // fail the very first post-upgrade day and wedge on replay
           Sinks.appendBucketed(
-            graft.operators.Pq.semanticIndexRowsPq(dayVecs,
+            projectToTable(spark, graft.operators.Pq.semanticIndexRowsPq(dayVecs,
               spark.table(t + "__centroids"), spark.table(t + "__pq__codebooks")),
+              t + "__pq"),
             t + "__pq", Seq("cell"))
         breach
       }

@@ -92,8 +92,20 @@ object ShardedBloomMightContain {
     * (`conv(substring(key, 1, 2), 16, 10) % n`); the two MUST agree
     * or build-side and probe-side shards diverge (spec-pinned). */
   def shardOf(value: UTF8String, n: Int): Int = {
-    val s = value.toString
-    java.lang.Integer.parseInt(s.substring(0, 2), 16) % n
+    // allocation-free: this runs once per row inside whole-stage
+    // codegen for every prefiltered arm — a String + substring copy
+    // of a 32-char key per probe is GC pressure at exactly the scale
+    // the sharded form exists for. Hex chars are single-byte UTF-8,
+    // so the first two bytes ARE the prefix.
+    if (value.numBytes() < 2)
+      throw new IllegalArgumentException(
+        s"sharded bloom key '${value.toString}' is shorter than the 2-hex-char shard prefix")
+    val hi = Character.digit(value.getByte(0), 16)
+    val lo = Character.digit(value.getByte(1), 16)
+    if (hi < 0 || lo < 0)
+      throw new NumberFormatException(
+        s"sharded bloom key '${value.toString}' does not start with two hex chars")
+    (hi * 16 + lo) % n
   }
 
   /** Column-API entry: the broadcast handle cannot flow through a SQL

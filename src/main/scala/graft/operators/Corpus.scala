@@ -1031,15 +1031,11 @@ object Corpus {
                        sampleHexLt: String = "1"): DataFrame = {
     val scores = TextOps.qualityScore(documents)
       .select(col("doc_id"), col("quality_score"))
-    val sample = scores.filter(
-      substring(md5(col("doc_id").cast("string")), 1, sampleHexLt.length) < sampleHexLt)
-    val ranked = sample.withColumn("rn",
-      row_number().over(Window.orderBy(col("quality_score"), col("doc_id"))))
-    val s = sample.count()
-    // boundary i sits at rank ceil(i*S/k): the type-1 sample quantile
-    val cuts = (1 until k).map(i => (i.toLong * s + k - 1) / k).distinct
-    val bounds = ranked.filter(col("rn").isin(cuts: _*))
-      .select(col("quality_score").as("bs"), col("doc_id").as("bid"))
+    // ONE boundary derivation ([[curriculumBounds]]) shared with the
+    // live view's fixed-bounds path: the spec contract says stream
+    // and batch can never disagree on a doc's bucket, which requires
+    // the cut arithmetic to exist exactly once
+    val bounds = curriculumBounds(documents, k, sampleHexLt)
     // left join on TRUE (not crossJoin): an empty boundary set —
     // the sample missed every doc — degrades to one bucket 0, not
     // to an empty result

@@ -139,7 +139,14 @@ object Sinks {
     * the trigger fires every ~`maxFilesPerBucket` days, so the
     * amortized daily cost is index/maxFilesPerBucket — the same
     * bounded-maintenance class as the bloom's geometric rebuild and
-    * the chunk df-cap recap. Returns whether a rewrite ran. */
+    * the chunk df-cap recap. Parallelism honesty: one output file
+    * per bucket means the rewrite runs at BUCKET-COUNT parallelism
+    * (each task merges one bucket) — which is exactly why the
+    * cluster-sizing rule pins bucket counts to a multiple of
+    * cluster cores (README "Sizing rules"): an index bucketed for
+    * its cluster compacts at full width; 64 buckets on a
+    * 1000-core cluster would compact 64-wide, so size the layout,
+    * not this function. Returns whether a rewrite ran. */
   def compactBucketedIfFragmented(spark: org.apache.spark.sql.SparkSession,
                                   table: String,
                                   maxFilesPerBucket: Int = 64): Boolean = {
@@ -515,7 +522,18 @@ object Sinks {
     * the `content` column the batch arm hashes. Returned unstarted —
     * callers `.start()`. */
   def streamingCorpusGuardSink(stream: DataFrame, hashTable: String,
-                               path: String, checkpoint: String): DataStreamWriter[Row] =
+                               path: String, checkpoint: String): DataStreamWriter[Row] = {
+    // per-QUERY probe cache: the bloom changes at most once per daily
+    // ingest, while triggers can be seconds apart — rebuilding the
+    // probe per batch would collect the full filter byte set to the
+    // driver and (sharded form) re-broadcast gigabytes per trigger
+    // for an unchanged filter. Keyed on the bloom table's file set:
+    // any merge/rebuild/recount lands new files, so the key changes
+    // exactly when the filter content can. The rare superseded
+    // broadcast is reclaimed by the ContextCleaner — one per corpus
+    // maintenance event, not one per trigger.
+    var probeSig: String = null
+    var probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -530,11 +548,21 @@ object Sinks {
         Seq(hashTable, hashTable + "__bloom")
           .filter(spark.catalog.tableExists)
           .foreach(spark.catalog.refreshTable)
-        graft.Pipeline.exactNewVsCorpus(spark, batch, hashTable)
+        val sig =
+          if (spark.catalog.tableExists(hashTable + "__bloom"))
+            spark.table(hashTable + "__bloom").inputFiles.sorted.mkString("\n")
+          else ""
+        if (sig != probeSig) {
+          probe = graft.operators.Dedup.bloomProbeFor(spark, hashTable)
+          probeSig = sig
+        }
+        graft.Pipeline.exactNewVsCorpus(spark, batch, hashTable,
+            probeOverride = Some(probe))
           .write.mode("overwrite")
           .option("compression", "zstd")
           .parquet(s"$path/batch_id=$id")
       }
+  }
 
   /** Streaming GROUP-replace upsert — the snapshot-table sink for
     * streams that re-emit a whole row SET per key each trigger

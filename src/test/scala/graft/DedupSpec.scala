@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 /** Near-duplicate detection (SURVEY §2 #27-29). */
 class DedupSpec extends SparkSpec {
@@ -627,6 +627,45 @@ class DedupSpec extends SparkSpec {
     assert(otherShardKeys.toDF("k").filter(
       graft.functions.ShardedBloomMightContain.probe(bcastOne, col("k"))).count() === 0L,
       "an empty shard must probe definitely-new")
+  }
+
+  test("band-key bloom rebuild paths derive the key from the postings TABLE (saturation + crash-empty)") {
+    // regression: the daily merge passes hashCol = bandKeySql (an
+    // EXPRESSION) precisely so the merge's internal rebuild paths —
+    // which re-apply hashCol to the persisted table — resolve on a
+    // table that has no materialized band_key column; a
+    // pre-computed-column day frame wedged every rebuild
+    val t = "graft_bandkey_post"
+    def postRows(ids: Range) = ids.map(i => (i.toLong, i % 16, i.toLong * 7L))
+      .toDF("doc_id", "band", "band_hash")
+    graft.sources.Sinks.writeBucketed(postRows(1 to 3), t, Seq("band", "band_hash"))
+    Dedup.writeHashBloom(spark, t, minCapacity = 8L, hashCol = Dedup.bandKeySql)
+    val cap0 = spark.table(t + "__bloom").select("capacity").as[Long].head()
+    // SATURATION rebuild: the day overflows capacity, so mergeHashBloom
+    // rebuilds from the TABLE via expr(bandKeySql) — append first, as
+    // the production call order does
+    graft.sources.Sinks.appendBucketed(postRows(10 to 30), t, Seq("band", "band_hash"))
+    Dedup.mergeHashBloom(spark, t,
+      postRows(10 to 30).select(col("band"), col("band_hash")).distinct(),
+      hashCol = Dedup.bandKeySql)
+    assert(spark.table(t + "__bloom").select("capacity").as[Long].head() > cap0,
+      "saturation rebuild did not fire")
+    val probe = Dedup.bloomProbeFor(spark, t).get
+    assert(postRows(1 to 3).unionByName(postRows(10 to 30))
+      .filter(probe(expr(Dedup.bandKeySql))).count() === 24L,
+      "rebuild lost members")
+    // CRASH-EMPTY rebuild: a registered-but-empty bloom table rebuilds
+    // from the postings table with the same expression
+    val schema = spark.table(t + "__bloom").schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").format("parquet").saveAsTable(t + "__bloom")
+    Dedup.mergeHashBloom(spark, t,
+      postRows(40 to 41).select(col("band"), col("band_hash")).distinct(),
+      hashCol = Dedup.bandKeySql)
+    val probe2 = Dedup.bloomProbeFor(spark, t).get
+    assert(postRows(1 to 3).filter(probe2(expr(Dedup.bandKeySql))).count() === 3L,
+      "crash-empty rebuild lost the table's members")
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE ${t}__bloom")
   }
 
   test("recountBloomItems re-pins items to the exact distinct count; filter bytes untouched") {

@@ -938,6 +938,57 @@ class PipelineSpec extends SparkSpec {
     assert(s2("accepted") === 0L)
   }
 
+  test("pre-qerrs PQ index keeps taking appends (scalar bound) until its next retrain") {
+    import spark.implicits._
+    // a __pq table written BEFORE the per-subspace qerrs column
+    // existed: the daily append must narrow to the persisted columns
+    // (appending the wider frame verbatim fails the first
+    // post-upgrade day, and the manifest repair replays the failure)
+    val corpusText = (1 to 40).map(i => s"pqup$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusText)).toDF("doc_id", "text"),
+      "graft_pqup_post", "graft_pqup_hash",
+      semanticTable = Some("graft_pqup_cells"),
+      corpusEmbeddings = Some(Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("doc_id", "embedding")))
+    // simulate the pre-qerrs deployment: same rows, 24 B/doc schema
+    graft.sources.Sinks.rewriteBucketed(
+      spark.table("graft_pqup_cells__pq").drop("qerrs"),
+      "graft_pqup_cells__pq", Seq("cell"))
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_pqup_delta").toString
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // a NO-BREACH accepted day (retrain bar lifted so the APPEND path
+    // runs — a retrain would sidestep it by rewriting the new schema):
+    // doc 90 is orthogonal to the corpus (accepted), projected to the
+    // old schema on append
+    val s1 = Pipeline.runIncremental(spark,
+      writeDelta((90L, (1 to 40).map(i => s"pqnew$i").mkString(" "))),
+      Files.createTempDirectory("graft_pqup_out1").toString,
+      "graft_pqup_post", "graft_pqup_hash",
+      semanticTable = Some("graft_pqup_cells"),
+      deltaEmbeddings = Some(Seq((90L, Seq(0f, 1f, 0f, 0f))).toDF("doc_id", "embedding")),
+      pqRetrainQerr = 10.0)
+    assert(s1("accepted") === 1L && s1("semantic_pq_retrain") === 0L, s"$s1")
+    assert(!spark.table("graft_pqup_cells__pq").columns.contains("qerrs"),
+      "append must not widen a pre-qerrs index")
+    assert(spark.table("graft_pqup_cells__pq").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 90L))
+    // the grown old-schema index still answers: a paraphrase of the
+    // APPENDED doc drops through the scalar-bound two-tier probe
+    val s2 = Pipeline.runIncremental(spark,
+      writeDelta((91L, (1 to 40).map(i => s"pqpara$i").mkString(" "))),
+      Files.createTempDirectory("graft_pqup_out2").toString,
+      "graft_pqup_post", "graft_pqup_hash",
+      semanticTable = Some("graft_pqup_cells"),
+      deltaEmbeddings = Some(Seq((91L, Seq(0.05f, 0.95f, 0f, 0f))).toDF("doc_id", "embedding")),
+      pqRetrainQerr = 10.0)
+    assert(s2("semantic_vs_corpus_dropped") === 1L && s2("accepted") === 0L, s"$s2")
+  }
+
   test("sharded chunk bloom: bootstrap(bloomShards) shards all three key spaces; the passage probe rides the sharded form") {
     import spark.implicits._
     val passage = (1 to 160).map(i => s"shpass$i").mkString(" ")
