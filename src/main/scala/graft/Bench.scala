@@ -392,6 +392,23 @@ object Bench {
       steady("run_incremental_daily") = dayTimes.drop(1).min
       System.err.println(f"BENCH STEADY run_incremental_daily: ${dayTimes.drop(1).min}%.3fs " +
         s"(bootstrap untimed; days ${dayTimes.map(t => f"$t%.2f").mkString("s, ")}s)")
+      // SATURATION-REBUILD surcharge (r15 VERDICT #6): the bootstrap
+      // sizes per-shard capacity at 4× items, so no gate-SF bench day
+      // crosses a shard's capacity and the rebuild-day cost stayed a
+      // doc estimate. Pin it instead of estimating: time the exact
+      // rebuild a breach triggers — the form-preserving sharded
+      // rebuild of the LARGEST key space (the band-postings index,
+      // ~bands× the doc count, the filter that saturates first) —
+      // against the fully grown post-3-day index. A saturation day
+      // costs a normal day plus this; the other arms' rebuilds are
+      // strictly smaller key spaces.
+      val tR0 = System.nanoTime()
+      graft.operators.Dedup.rebuildHashBloom(spark, post,
+        graft.operators.Dedup.bandKeySql)
+      steady("bloom_saturation_rebuild") = (System.nanoTime() - tR0) / 1e9
+      System.err.println(
+        f"BENCH STEADY bloom_saturation_rebuild: ${steady("bloom_saturation_rebuild")}%.3fs " +
+          "(sharded band-postings bloom, full rebuild)")
     } catch {
       case e: Throwable => errors("run_incremental_daily") = Json.errorSummary(e)
     }

@@ -211,46 +211,44 @@ object Pipeline {
       val p = spark.table(pending).localCheckpoint()
       val ids = p.select(col("doc_id"))
       val text = p.select(col("doc_id"), col("text"))
+      // Bloom re-merges run UNCONDITIONAL + idempotent (re-merging
+      // keys the bloom already holds sets the same bits) and BEFORE
+      // their table appends — the same bloom ⊇ table invariant as
+      // the live path (r15 ADVICE): a streaming guard reading
+      // mid-repair must never see a table key the bloom lacks. Each
+      // merge recomputes the WHOLE manifest's keys (delta-sized), so
+      // after repair the prefilter provably covers every indexed key
+      // wherever the crash hit.
+      // Band arm: the day frame carries RAW (band, band_hash) and
+      // hashCol stays the key EXPRESSION — mergeHashBloom's rebuild
+      // paths (saturation, crash-emptied table) apply the same
+      // hashCol to the postings TABLE, which has no materialized
+      // band_key column; a pre-computed-column day frame would wedge
+      // every rebuild.
+      Dedup.mergeHashBloom(spark, postingsTable,
+        Dedup.bandPostings(text)
+          .select(col("band"), col("band_hash")).distinct(),
+        hashCol = Dedup.bandKeySql)
       val postedIds = spark.table(postingsTable).select(col("doc_id")).distinct()
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
       Sinks.appendBucketed(
         Dedup.bandPostings(text.join(broadcast(postedIds), Seq("doc_id"), "left_anti")),
         postingsTable, Seq("band", "band_hash"))
-      // band-key bloom re-merge, unconditional + idempotent (same
-      // rule as the exact/chunk arms'): recompute the whole
-      // manifest's banding rows — delta-sized — and OR their keys in,
-      // so the minhash prefilter provably covers every posted band
-      // the day frame carries RAW (band, band_hash) and hashCol stays
-      // the key EXPRESSION: mergeHashBloom's rebuild paths (saturation,
-      // crash-emptied table) apply the same hashCol to the postings
-      // TABLE, which has no materialized band_key column — a
-      // pre-computed-column day frame would wedge every rebuild
-      Dedup.mergeHashBloom(spark, postingsTable,
-        Dedup.bandPostings(text)
-          .select(col("band"), col("band_hash")).distinct(),
-        hashCol = Dedup.bandKeySql)
       val hashTable = p.select(col("hash_table")).first().getString(0)
+      Dedup.mergeHashBloom(spark, hashTable, p.select(col("content_md5")).distinct())
       Sinks.appendBucketed(
         p.select(col("content_md5")).distinct()
           .join(spark.table(hashTable), Seq("content_md5"), "left_anti"),
         hashTable, Seq("content_md5"))
-      // bloom re-merge, UNCONDITIONAL: the crash may have hit between
-      // the hash append and the bloom merge, and re-merging hashes the
-      // bloom already holds is a no-op (idempotent puts) — so after
-      // repair the prefilter provably covers every indexed hash
-      Dedup.mergeHashBloom(spark, hashTable, p.select(col("content_md5")).distinct())
       Option(p.select(col("chunk_table")).first().getString(0)).foreach { t =>
+        Dedup.mergeHashBloom(spark, t,
+          Dedup.chunkPostings(text).select(col("chunk_hash")).distinct(),
+          hashCol = "chunk_hash")
         val chunkedIds = spark.table(t).select(col("doc_id")).distinct()
           .join(broadcast(ids), Seq("doc_id"), "left_semi")
         Sinks.appendBucketed(
           Dedup.chunkPostings(text.join(broadcast(chunkedIds), Seq("doc_id"), "left_anti")),
           t, Seq("chunk_hash"))
-        // chunk-bloom re-merge, unconditional + idempotent (same rule
-        // as the exact arm's): recompute the whole manifest's chunk
-        // hashes — delta-sized — and OR them in
-        Dedup.mergeHashBloom(spark, t,
-          Dedup.chunkPostings(text).select(col("chunk_hash")).distinct(),
-          hashCol = "chunk_hash")
       }
       // semantic arm: the manifest carries each accepted doc's vector
       // (null when the doc had none), so the cell-index append replays
@@ -454,7 +452,8 @@ object Pipeline {
                      charlmRareFracMax: Option[Double] = None,
                      charlmRareBelow: Double = 0.001,
                      pqRetrainQerr: Double = 0.5,
-                     compactFilesPerBucket: Int = 64): Summary = {
+                     compactFilesPerBucket: Int = 64,
+                     compactFilesPerBucketByTable: Map[String, Int] = Map.empty): Summary = {
     // Swap recovery FIRST-FIRST: a compaction (or chunk recap) crash
     // between its DROP and RENAME leaves the only copy of an index
     // under __staging — promote it before ANYTHING reads the tables
@@ -670,50 +669,46 @@ object Pipeline {
         .write.mode("overwrite").format("parquet")
         .saveAsTable(postingsTable + "__pending")
     }
-    // the day's banding rows materialize once: the append consumes
-    // them, then the band-key bloom merge re-reads them (count + day
-    // bloom) — same single-materialization rule as dayHashes below
+    // the day's banding rows / distinct hashes / chunk rows each
+    // materialize ONCE (checkpointed): the bloom merge reads them
+    // first, then the appends and the df-cap check consume them
     val dayBands = Dedup.bandPostings(acceptedText).localCheckpoint()
-    Sinks.appendBucketed(dayBands, postingsTable, Seq("band", "band_hash"))
-    // band-key bloom stays current under the same crash rules as the
-    // exact arm's (after the append, before the manifest drop,
-    // re-merged idempotently by repair); no-op when none is
-    // maintained. Distinct day KEYS (not banding rows) so the items
-    // metadata counts what actually occupies the filter
-    // raw (band, band_hash) day keys + the key EXPRESSION as hashCol:
-    // the merge's saturation/crash rebuild paths re-apply hashCol to
-    // the postings TABLE itself, so it must be derivable there too
-    if (acceptedN > 0)
-      Dedup.mergeHashBloom(spark, postingsTable,
-        dayBands.select(col("band"), col("band_hash")).distinct(),
-        hashCol = Dedup.bandKeySql)
-    // ONE distinct-hash frame feeds both the table append and the
-    // bloom merge (which itself reads it twice: count + day bloom) —
-    // checkpointed so the day pays the md5+distinct exactly once
     val dayHashes = acceptedText.select(md5(col("text")).as("content_md5"))
       .distinct().localCheckpoint()
+    val deltaChunks = chunkTable.map { _ =>
+      Dedup.chunkPostings(acceptedText).localCheckpoint() }
+    // ALL maintained blooms merge in ONE batched call (r15 VERDICT:
+    // three sequential sharded merges cost ~5 s/day of pure job
+    // overhead — batching keys every step by (arm, shard) so the
+    // three key spaces share one metadata collect, one day-key
+    // aggregate, one day-filter shuffle and one OR-merge pass), and
+    // they merge BEFORE the table appends (r15 ADVICE, medium): the
+    // streaming corpus guard reads bloom + table concurrently, and
+    // merge-first keeps bloom ⊇ table at every instant — a doc in
+    // the bloom but not yet the table is an extra maybe (harmless
+    // anti-join work); the reverse order had a window where an
+    // already-appended doc probed definitely-new, a duplicate leak.
+    // Rebuild paths fired mid-merge union the day frames explicitly
+    // (the tables don't hold them yet). Crash rules unchanged: any
+    // crash before the manifest drop re-merges idempotently via
+    // repairPendingAppends (bloom puts set the same bits).
+    // Band arm: raw (band, band_hash) day keys + the key EXPRESSION
+    // as hashCol — the merge's saturation/crash rebuild paths
+    // re-apply hashCol to the postings TABLE itself, so it must be
+    // derivable there too. Distinct day KEYS (not banding rows) so
+    // the items metadata counts what actually occupies the filter.
+    if (acceptedN > 0)
+      Dedup.mergeHashBlooms(spark, Seq(
+        (postingsTable,
+          dayBands.select(col("band"), col("band_hash")).distinct(),
+          Dedup.bandKeySql),
+        (hashTable, dayHashes, "content_md5")) ++
+        chunkTable.zip(deltaChunks).map { case (t, c) =>
+          (t, c.select(col("chunk_hash")).distinct(), "chunk_hash") })
+    Sinks.appendBucketed(dayBands, postingsTable, Seq("band", "band_hash"))
     Sinks.appendBucketed(dayHashes, hashTable, Seq("content_md5"))
-    // keep the persisted exact-dup bloom current (no-op when none is
-    // maintained). AFTER the table append — a saturation rebuild
-    // re-reads the table and must see today; BEFORE the manifest drop
-    // — a crash in between replays the merge idempotently (bloom puts
-    // set the same bits) via repairPendingAppends, so the prefilter
-    // can never hold false negatives against the indexed corpus.
-    if (acceptedN > 0) Dedup.mergeHashBloom(spark, hashTable, dayHashes)
-    // Delta chunks materialize once (delta-sized): the append consumes
-    // them, then the df-cap breach check probes the index with their
-    // distinct hashes.
-    val deltaChunks = chunkTable.map { t =>
-      val c = Dedup.chunkPostings(acceptedText).localCheckpoint()
-      Sinks.appendBucketed(c, t, Seq("chunk_hash"))
-      // chunk-index bloom stays current under the same crash rules as
-      // the exact arm's (after the append, before the manifest drop,
-      // re-merged idempotently by repair)
-      if (acceptedN > 0)
-        Dedup.mergeHashBloom(spark, t,
-          c.select(col("chunk_hash")).distinct(), hashCol = "chunk_hash")
-      c
-    }
+    chunkTable.zip(deltaChunks).foreach { case (t, c) =>
+      Sinks.appendBucketed(c, t, Seq("chunk_hash")) }
     // semantic index append: the accepted docs' vectors, assigned to
     // their persisted-centroid cells — tomorrow's probe must see
     // today. The PQ twin appends the same docs' code rows (persisted
@@ -806,7 +801,17 @@ object Pipeline {
         .groupBy(col("chunk_hash")).agg(count(lit(1)).as("df"))
         .filter(col("df") > chunkMaxDocFreq)
         .limit(1).count() > 0
-      if (breached) Dedup.recapChunkPostings(spark, t, chunkMaxDocFreq)
+      if (breached) {
+        Dedup.recapChunkPostings(spark, t, chunkMaxDocFreq)
+        // the recap REMOVED keys whose bits stay set in the chunk
+        // bloom: a later items recount against the shrunk table
+        // would UNDER-state occupancy and delay the saturation
+        // rebuild past the declared fpp (r15 ADVICE) — rebuild the
+        // filter from the recapped table (form-preserving,
+        // index-sized, paid only on recap days) so filter == table
+        // and the compaction recount's exactness claim holds again
+        Dedup.rebuildHashBloom(spark, t, "chunk_hash")
+      }
       breached
     }
     // Small-files maintenance, AUTO-TRIGGERED: every maintained index
@@ -820,6 +825,16 @@ object Pipeline {
     // retrain) have one file per bucket already and no-op here. Runs
     // AFTER the manifest drop: a compaction crash can never leave the
     // day's appends half-replayed.
+    //
+    // `compactFilesPerBucketByTable` staggers the cadence per table
+    // (r15 VERDICT #4): every index gains files at the same one-per-
+    // bucket-per-day rate, so ONE global ceiling makes every rewrite
+    // fire on the SAME day — and the rewrites are index-sized, with
+    // the band-postings index ~bands× the hash set, so the
+    // maintenance cost clusters into a spike day instead of
+    // spreading. Distinct ceilings (e.g. postings at 48, hash at 64)
+    // put each table's rewrite on its own day; unlisted tables keep
+    // the global knob.
     val compacted: Seq[(String, Option[String])] = Seq(
       postingsTable -> Some(Dedup.bandKeySql),
       hashTable -> Some("content_md5")) ++
@@ -830,7 +845,7 @@ object Pipeline {
       charlmTable.map(_ -> None)
     val compactedN = compacted.count { case (t, bloomKey) =>
       val did = Sinks.compactBucketedIfFragmented(spark, t,
-        maxFilesPerBucket = compactFilesPerBucket)
+        maxFilesPerBucket = compactFilesPerBucketByTable.getOrElse(t, compactFilesPerBucket))
       // piggyback on the compaction's index-sized pass: re-pin the
       // table's bloom items metadata to the exact distinct count, so
       // the saturation trigger stops compounding the daily merges'

@@ -1188,6 +1188,25 @@ object SparkEntry {
              |  TRUE AS no_false_negatives, TRUE AS fp_ok
              |FROM f""".stripMargin)),
 
+    ("bloom_filter_audit_merge_batched",
+      // the BATCHED daily bloom merge as a gate row (r16): both
+      // sharded key spaces (content hash set, CDC chunk index —
+      // real bucketed catalog tables) folded through ONE
+      // mergeHashBlooms call in the production order (merge BEFORE
+      // the table append — bloom ⊇ table at every instant), then
+      // audited through bloomProbeFor: no key the grown tables hold
+      // may probe definitely-new, fp within bound. n_keys per arm is
+      // exact-side (distinct md5 text hashes; distinct CDC chunk
+      // hashes), so a merge that loses an arm's day keys fails the
+      // boolean and a chunking/hashing drift fails the count
+      (s: SparkSession, d: String) => Corpus.bloomFilterAuditMergeBatched(docs(s, d)),
+      Some(s"""WITH $cdcChunksCtes
+              |SELECT 'chunk' AS arm, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_keys,
+              |  TRUE AS no_false_negatives, TRUE AS fp_ok FROM uch
+              |UNION ALL
+              |SELECT 'content' AS arm, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_keys,
+              |  TRUE AS no_false_negatives, TRUE AS fp_ok FROM documents""".stripMargin)),
+
     ("char_budget_sample",
       // per-source keep fraction = budget/total in 65536ths (exact DIV),
       // applied as the md5-prefix rule; under-budget sources keep all

@@ -284,6 +284,80 @@ object Corpus {
           .as("fp_ok"))
   }
 
+  /** The BATCHED daily bloom merge as a gate row, completing the
+    * bloom contract family ([[bloomFilterAudit]]: single-filter
+    * build+probe; [[bloomFilterAuditSharded]]: distributed sharded
+    * build + codegen'd probe; THIS: the daily MAINTENANCE seam).
+    * Drives the production machinery end-to-end in the r16 order:
+    * two sharded key spaces (the exact-content hash set and the CDC
+    * chunk index — real catalog tables, bucketed like the daily
+    * ingest's) bootstrap over a deterministic ~75% doc split, a
+    * "day" of the remaining docs' keys folds into BOTH summaries
+    * through ONE [[graft.operators.Dedup.mergeHashBlooms]] call —
+    * the batched merge `runIncremental` runs, placed BEFORE the
+    * table appends so bloom ⊇ table at every instant — then the
+    * tables append and each arm audits through
+    * [[graft.operators.Dedup.bloomProbeFor]], the production
+    * dispatch. Contract per arm: EVERY key the grown table holds
+    * probes true (no false negatives — merge-day keys included,
+    * which is exactly what the batched merge must not lose), and
+    * derived non-member probes stay within the generous fp bound.
+    * Exact-side pinnable: `n_keys` is the distinct key count of the
+    * whole corpus (both splits), replayed by the oracle from the
+    * same md5-derived chunking/hashing. */
+  def bloomFilterAuditMergeBatched(documents: DataFrame,
+                                   shards: Int = 8,
+                                   fpp: Double = 0.03): DataFrame = {
+    val spark = documents.sparkSession
+    val hashT = "graft_audit_bmb_hash"; val chunkT = "graft_audit_bmb_chunk"
+    Seq(hashT, chunkT, hashT + "__bloom", chunkT + "__bloom")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def recovering(t: String)(w: => Unit): Unit =
+      graft.sources.Sinks.writeTableRecoveringStaleLocation(spark, t)(w)
+    val flagged = documents.select(col("doc_id"), col("text"),
+      (substring(md5(col("doc_id").cast("string")), 1, 4) < "c000").as("in_corpus"))
+      .localCheckpoint() // build, merge and audit must see ONE split
+    val corpusDocs = flagged.filter(col("in_corpus"))
+    val dayDocs = flagged.filter(!col("in_corpus"))
+    recovering(hashT)(graft.sources.Sinks.writeBucketed(
+      corpusDocs.select(md5(col("text")).as("content_md5")).distinct(),
+      hashT, Seq("content_md5")))
+    recovering(hashT + "__bloom")(
+      Dedup.writeHashBloomSharded(spark, hashT, shards, fpp))
+    recovering(chunkT)(graft.sources.Sinks.writeBucketed(
+      Dedup.chunkPostings(corpusDocs), chunkT, Seq("chunk_hash")))
+    recovering(chunkT + "__bloom")(
+      Dedup.writeHashBloomSharded(spark, chunkT, shards, fpp, hashCol = "chunk_hash"))
+    // the day's keys materialize once; merge FIRST, append second —
+    // the ingest's ordering, so the probe audit below would catch a
+    // batched merge that lost an arm's day keys as a false negative
+    val dayHashes = dayDocs.select(md5(col("text")).as("content_md5"))
+      .distinct().localCheckpoint()
+    val dayChunks = Dedup.chunkPostings(dayDocs).localCheckpoint()
+    Dedup.mergeHashBlooms(spark, Seq(
+      (hashT, dayHashes, "content_md5"),
+      (chunkT, dayChunks.select(col("chunk_hash")).distinct(), "chunk_hash")))
+    graft.sources.Sinks.appendBucketed(dayHashes, hashT, Seq("content_md5"))
+    graft.sources.Sinks.appendBucketed(dayChunks, chunkT, Seq("chunk_hash"))
+    def arm(name: String, table: String, keyCol: String): DataFrame = {
+      val probe = Dedup.bloomProbeFor(spark, table).get
+      spark.table(table).select(col(keyCol).as("k")).distinct()
+        .select(probe(col("k")).as("hit"),
+          // derived 32-hex non-member keys (md5 of key + '~'): same
+          // count as the members, valid under the prefix shard rule
+          probe(md5(concat(col("k"), lit("~")))).as("fp_hit"))
+        .agg(count(lit(1)).as("n_keys"),
+          min(col("hit")).as("no_false_negatives"),
+          sum(when(col("fp_hit"), 1L).otherwise(0L)).as("fp"))
+        .select(lit(name).as("arm"), col("n_keys"),
+          col("no_false_negatives"),
+          (col("fp").cast("double") <=
+            col("n_keys").cast("double") * fpp * 3 + 1.0).as("fp_ok"))
+    }
+    arm("chunk", chunkT, "chunk_hash")
+      .unionByName(arm("content", hashT, "content_md5"))
+  }
+
   /** The per-source heavy-hitters SNAPSHOT — what
     * [[graft.Pipeline.runIncremental]] materializes per ingest day
     * (`outDir/heavy_hitters`): the k sketch rows per source plus the

@@ -173,14 +173,32 @@ object Sinks {
           // reads exactly ONE bucket's files and writes exactly ONE
           // file: a per-bucket merge with ZERO shuffle — strictly
           // cheaper than a repartition-based compaction.
+          //
+          // Pinned on a CONF-ISOLATED session, not by flipping the
+          // caller's conf around the rewrite (r15 ADVICE): a
+          // concurrent job on the same session would otherwise run
+          // with bucketed scans forced off-policy for the whole
+          // compaction window. `newSession` shares the SparkContext
+          // and the catalog (SharedState) — the DROP/RENAME swap is
+          // visible to every session — but owns its SQLConf; runtime
+          // confs are copied over because newSession starts from the
+          // builder's statics, not the parent's runtime state (the
+          // rewrite must see the caller's shuffle/AQE settings).
           val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-          val saved = spark.conf.getOption(key)
-          spark.conf.set(key, "false")
-          try rewriteBucketed(spark.table(table), table, cols, buckets)
-          finally saved match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
+          val scoped = spark.newSession()
+          spark.conf.getAll.foreach { case (k, v) =>
+            // static/core entries reject runtime set — skip them, the
+            // new session already inherited them from the context
+            try scoped.conf.set(k, v) catch { case _: Exception => () }
           }
+          scoped.conf.set(key, "false")
+          rewriteBucketed(scoped.table(table), table, cols, buckets)
+          // the DROP/RENAME swap ran through the scoped session's
+          // catalog: refresh the CALLER's relation cache or its next
+          // read of the table lists the pre-compaction files
+          // (FAILED_READ_FILE) — the same stale-cache rule as the
+          // streaming guard's cloned foreachBatch session
+          spark.catalog.refreshTable(table)
           true
         }
     }
@@ -311,10 +329,11 @@ object Sinks {
     *     failure triggers recovery (anything else propagates);
     *  2. resolve the path the CATALOG would assign via
     *     `defaultTablePath` (correct for qualified names);
-    *  3. refuse unless every entry in the directory looks like an
-    *     orphaned Spark-written table (`part-*`, `_SUCCESS`/`_temporary`,
-    *     dot-files, `key=value` partition dirs) — anything else fails
-    *     loudly for a human to inspect;
+    *  3. refuse if `_temporary` is present (another writer may be IN
+    *     FLIGHT — the catalog only shows committed tables), and refuse
+    *     unless every other entry looks like an orphaned Spark-written
+    *     table (`part-*`, `_SUCCESS`, dot-files, `key=value` partition
+    *     dirs) — anything else fails loudly for a human to inspect;
     *  4. delete and retry the write ONCE. */
   def writeTableRecoveringStaleLocation(spark: org.apache.spark.sql.SparkSession,
                                         table: String)(write: => Unit): Unit = {
@@ -330,6 +349,17 @@ object Sinks {
         val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val entries = if (fs.exists(loc)) fs.listStatus(loc).toSeq else Seq.empty
+        // `_temporary` is the FileOutputCommitter's in-flight marker:
+        // another session may be mid-CREATE at this path right now —
+        // the catalog-absence check above only sees COMMITTED tables,
+        // so it cannot clear that writer. Refuse the sweep outright
+        // (r15 ADVICE): deleting under an active committer destroys
+        // its pending output. A genuinely orphaned `_temporary` needs
+        // a human (or the other session's own retry) to resolve.
+        if (entries.exists(_.getPath.getName == "_temporary"))
+          throw new IllegalStateException(
+            s"$table failed with LOCATION_ALREADY_EXISTS and $loc contains _temporary — " +
+              "a write may be IN FLIGHT at this path; refusing to sweep", e)
         val foreign = entries.filterNot { s =>
           val n = s.getPath.getName
           n.startsWith("part-") || n.startsWith("_") || n.startsWith(".") ||
@@ -510,8 +540,15 @@ object Sinks {
     * WHY this is a foreachBatch sink and not a stream-static
     * transform — a transform would bake the bloom into the unbounded
     * plan once, and a definitely-new verdict from a stale bloom is a
-    * duplicate leak against the grown table (the batch arm reads
-    * both in the same run, so they cannot skew).
+    * duplicate leak against the grown table. Against a CONCURRENT
+    * `runIncremental`, the no-leak guarantee rests on the ingest's
+    * merge-before-append ordering (r15 ADVICE): the daily run folds
+    * a day's keys into the bloom BEFORE appending them to the hash
+    * table, so at every instant bloom ⊇ table — a trigger landing
+    * mid-ingest can see extra maybes (they take the exact anti-join
+    * branch and resolve correctly) but never a table member the
+    * bloom lacks, which is the ordering that would have minted a
+    * false definitely-new.
     *
     * Novel rows land under `path/batch_id=N/`, OVERWRITTEN per batch:
     * at-least-once replay rewrites the same directory — with the
@@ -558,6 +595,80 @@ object Sinks {
         }
         graft.Pipeline.exactNewVsCorpus(spark, batch, hashTable,
             probeOverride = Some(probe))
+          .write.mode("overwrite")
+          .option("compression", "zstd")
+          .parquet(s"$path/batch_id=$id")
+      }
+  }
+
+  /** Streaming NEAR-dup guard against the STANDING corpus — the
+    * minhash twin of [[streamingCorpusGuardSink]], closing the r15
+    * round's last batch-only verdict: "is this doc a near-duplicate
+    * of something the corpus already holds (or of this batch)" at
+    * stream latency instead of at the daily run. Each micro-batch
+    * runs the BATCH arm itself —
+    * `graft.operators.Dedup.incrementalMinhashCandidates`, the exact
+    * function `runIncremental`'s near-dup probe calls — against the
+    * bucketed band-postings index re-read fresh per trigger, with
+    * the SAME band-key bloom prefilter the daily arm uses (corpus×
+    * delta side only; the in-batch self-join sees every row). One
+    * definition, so stream and daily ingest can never disagree on a
+    * candidate pair.
+    *
+    * The same two concurrency rules as the exact guard, inherited
+    * not re-proven: freshness per trigger (foreachBatch, never a
+    * stream-static transform — a baked postings/bloom snapshot would
+    * miss every doc the corpus gained since the stream started), and
+    * the ingest's merge-before-append ordering making the bloom a
+    * SUPERSET of the postings table at every instant — here the
+    * prefilter guards an INNER join, so the fatal skew is a table
+    * band key the bloom lacks (the corpus arm would silently drop a
+    * true candidate); superset-always makes that unreachable, at
+    * worst letting fpp extra rows shuffle into the probe.
+    *
+    * Candidate pairs (doc_id_1, doc_id_2, est_jaccard — batch doc
+    * ids paired with corpus ids or with each other) land under
+    * `path/batch_id=N/`, OVERWRITTEN per batch: at-least-once replay
+    * rewrites the same directory against the possibly-grown corpus —
+    * same directory-grain idempotence as the exact guard. READ-ONLY
+    * against the index: posting accepted docs stays `runIncremental`'s
+    * job. Input must carry `doc_id` and `text` (the banding
+    * functions' input contract). Returned unstarted — callers
+    * `.start()`. */
+  def streamingNearDupGuardSink(stream: DataFrame, postingsTable: String,
+                                path: String, checkpoint: String,
+                                threshold: Double = 0.5,
+                                bands: Int = 16, rowsPerBand: Int = 4): DataStreamWriter[Row] = {
+    // per-QUERY probe cache keyed on the bloom table's file set —
+    // identical rationale to the exact guard's: the band bloom
+    // changes once per daily ingest, triggers can be seconds apart,
+    // and the sharded form re-broadcasts gigabytes if rebuilt per
+    // trigger. Any merge/rebuild/recount lands new files, so the key
+    // changes exactly when the filter content can.
+    var probeSig: String = null
+    var probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        // cloned-session relation caches: the postings table is
+        // APPENDED daily (stale listing = silently missing the
+        // newest corpus bands) and the bloom OVERWRITTEN (stale
+        // listing = FAILED_READ_FILE) — refresh both, metadata-only
+        Seq(postingsTable, postingsTable + "__bloom")
+          .filter(spark.catalog.tableExists)
+          .foreach(spark.catalog.refreshTable)
+        val sig =
+          if (spark.catalog.tableExists(postingsTable + "__bloom"))
+            spark.table(postingsTable + "__bloom").inputFiles.sorted.mkString("\n")
+          else ""
+        if (sig != probeSig) {
+          probe = graft.operators.Dedup.bloomProbeFor(spark, postingsTable)
+          probeSig = sig
+        }
+        graft.operators.Dedup.incrementalMinhashCandidates(
+            batch, spark.table(postingsTable), threshold, bands, rowsPerBand,
+            bandPrefilter = probe)
           .write.mode("overwrite")
           .option("compression", "zstd")
           .parquet(s"$path/batch_id=$id")

@@ -642,12 +642,14 @@ class DedupSpec extends SparkSpec {
     Dedup.writeHashBloom(spark, t, minCapacity = 8L, hashCol = Dedup.bandKeySql)
     val cap0 = spark.table(t + "__bloom").select("capacity").as[Long].head()
     // SATURATION rebuild: the day overflows capacity, so mergeHashBloom
-    // rebuilds from the TABLE via expr(bandKeySql) — append first, as
-    // the production call order does
-    graft.sources.Sinks.appendBucketed(postRows(10 to 30), t, Seq("band", "band_hash"))
+    // rebuilds from the TABLE via expr(bandKeySql) UNIONED with the
+    // day frame — merge FIRST, as the production call order does
+    // since r16 (bloom ⊇ table at every instant), so the rebuild
+    // must cover day keys the table does not hold yet
     Dedup.mergeHashBloom(spark, t,
       postRows(10 to 30).select(col("band"), col("band_hash")).distinct(),
       hashCol = Dedup.bandKeySql)
+    graft.sources.Sinks.appendBucketed(postRows(10 to 30), t, Seq("band", "band_hash"))
     assert(spark.table(t + "__bloom").select("capacity").as[Long].head() > cap0,
       "saturation rebuild did not fire")
     val probe = Dedup.bloomProbeFor(spark, t).get
@@ -665,6 +667,8 @@ class DedupSpec extends SparkSpec {
     val probe2 = Dedup.bloomProbeFor(spark, t).get
     assert(postRows(1 to 3).filter(probe2(expr(Dedup.bandKeySql))).count() === 3L,
       "crash-empty rebuild lost the table's members")
+    assert(postRows(40 to 41).filter(probe2(expr(Dedup.bandKeySql))).count() === 2L,
+      "crash-empty rebuild lost the (not yet appended) day keys")
     spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE ${t}__bloom")
   }
 
@@ -712,5 +716,169 @@ class DedupSpec extends SparkSpec {
     assert(exact.toDF("k").filter(
       graft.functions.ShardedBloomMightContain.probe(bc, col("k"))).count() === 40L)
     Seq(t, ts).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("merge BEFORE append: rebuild paths union the un-appended day (bloom ⊇ table invariant)") {
+    // r15 ADVICE (medium): runIncremental now folds a day's keys into
+    // the bloom BEFORE appending them to the table, so a concurrent
+    // streaming guard can never read a table member the bloom lacks.
+    // The price: a rebuild fired INSIDE the merge (saturation,
+    // crash-empty) reads a table that does not hold the day yet and
+    // must union the day frame — exactly what these four paths force.
+    def hashesDf(hs: Seq[String]) = hs.toDF("content_md5")
+
+    // SINGLE form, saturation rebuild pre-append
+    val t = "graft_mb_single"
+    graft.sources.Sinks.writeBucketed(hashesDf(Seq("a", "b", "c")), t, Seq("content_md5"))
+    Dedup.writeHashBloom(spark, t, minCapacity = 8L) // capacity 12
+    val day = (1 to 20).map(i => s"m$i")
+    Dedup.mergeHashBloom(spark, t, hashesDf(day)) // table has NO day rows yet
+    val probe1 = Dedup.bloomProbeFor(spark, t).get
+    assert(hashesDf(Seq("a", "b", "c") ++ day)
+      .filter(probe1(col("content_md5"))).count() === 23L,
+      "saturation rebuild from the table alone lost the un-appended day")
+    assert(spark.table(t + "__bloom").select("items").as[Long].head() === 23L)
+    graft.sources.Sinks.appendBucketed(hashesDf(day), t, Seq("content_md5"))
+
+    // SINGLE form, crash-empty rebuild pre-append
+    val schema1 = spark.table(t + "__bloom").schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema1)
+      .write.mode("overwrite").format("parquet").saveAsTable(t + "__bloom")
+    val day2 = Seq("q1", "q2")
+    Dedup.mergeHashBloom(spark, t, hashesDf(day2))
+    val probe2 = Dedup.bloomProbeFor(spark, t).get
+    assert(hashesDf(Seq("a", "b", "c") ++ day ++ day2)
+      .filter(probe2(col("content_md5"))).count() === 25L,
+      "crash-empty rebuild lost table members or the un-appended day")
+
+    // SHARDED form, saturation rebuild pre-append
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val ts = "graft_mb_shard"
+    val corpus = (1 to 20).map(i => h(s"c$i"))
+    graft.sources.Sinks.writeBucketed(corpus.toDF("content_md5"), ts, Seq("content_md5"))
+    Dedup.writeHashBloomSharded(spark, ts, shards = 4, minShardCapacity = 8L)
+    val bigDay = (1 to 120).map(i => h(s"d$i")) // ~30/shard: breaches per-shard capacity
+    Dedup.mergeHashBloom(spark, ts, bigDay.toDF("content_md5")) // merge first
+    def shardHits(keys: Seq[String]): Long = {
+      val bcast = spark.sparkContext.broadcast(Dedup.readHashBloomSharded(spark, ts).get)
+      keys.toDF("k").filter(
+        graft.functions.ShardedBloomMightContain.probe(bcast, col("k"))).count()
+    }
+    assert(shardHits(corpus ++ bigDay) === 140L,
+      "sharded saturation rebuild lost the un-appended day")
+    graft.sources.Sinks.appendBucketed(bigDay.toDF("content_md5"), ts, Seq("content_md5"))
+
+    // SHARDED form, crash-empty rebuild pre-append (shard count lost
+    // with the rows — rebuilds at the default fan-out, day unioned)
+    val schema2 = spark.table(ts + "__bloom").schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema2)
+      .write.mode("overwrite").format("parquet").saveAsTable(ts + "__bloom")
+    val day3 = Seq(h("z1"), h("z2"))
+    Dedup.mergeHashBloom(spark, ts, day3.toDF("content_md5"))
+    assert(shardHits(corpus ++ bigDay ++ day3) === 142L,
+      "sharded crash-empty rebuild lost table members or the un-appended day")
+    Seq(t, ts).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    Seq(t, ts).foreach(x => spark.sql(s"DROP TABLE IF EXISTS ${x}__bloom"))
+  }
+
+  test("mergeHashBlooms: one batched call over mixed arms == sequential merges, bit-identical") {
+    // the daily batching seam (r15 VERDICT #2): three sharded key
+    // spaces share one set of merge jobs. Semantics must be EXACTLY
+    // the per-arm merge's — same filters bit-for-bit, same items,
+    // same saturation rule — across the full dispatch matrix: two
+    // in-place sharded merges, one sharded arm whose day breaches a
+    // shard (rebuild inside the batch), a single-filter arm, and an
+    // arm with no bloom at all (no-op).
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    def mk(table: String, keys: Seq[String], shards: Int, cap: Long): Unit = {
+      graft.sources.Sinks.writeBucketed(keys.toDF("content_md5"), table, Seq("content_md5"))
+      if (shards > 1) Dedup.writeHashBloomSharded(spark, table, shards, minShardCapacity = cap)
+      else Dedup.writeHashBloom(spark, table, minCapacity = cap)
+    }
+    val aKeys = (1 to 30).map(i => h(s"a$i")); val aDay = (1 to 6).map(i => h(s"ad$i"))
+    val bKeys = (1 to 24).map(i => h(s"b$i")); val bDay = (1 to 4).map(i => h(s"bd$i"))
+    val cKeys = (1 to 20).map(i => h(s"c$i")); val cDay = (1 to 120).map(i => h(s"cd$i")) // breach
+    val dKeys = (1 to 10).map(i => h(s"d$i")); val dDay = (1 to 3).map(i => h(s"dd$i"))
+    // twins: same content, merged sequentially through mergeHashBloom
+    for (suffix <- Seq("bat", "seq")) {
+      mk(s"graft_mm_a_$suffix", aKeys, 4, 64L)
+      mk(s"graft_mm_b_$suffix", bKeys, 8, 64L)
+      mk(s"graft_mm_c_$suffix", cKeys, 4, 8L)
+      mk(s"graft_mm_d_$suffix", dKeys, 1, 64L)
+      graft.sources.Sinks.writeBucketed(
+        (1 to 5).map(i => h(s"e$i")).toDF("content_md5"),
+        s"graft_mm_e_$suffix", Seq("content_md5")) // no bloom maintained
+    }
+    val days = Seq("a" -> aDay, "b" -> bDay, "c" -> cDay, "d" -> dDay,
+      "e" -> Seq(h("ed1")))
+    Dedup.mergeHashBlooms(spark, days.map { case (n, d) =>
+      (s"graft_mm_${n}_bat", d.toDF("content_md5"), "content_md5") })
+    days.foreach { case (n, d) =>
+      Dedup.mergeHashBloom(spark, s"graft_mm_${n}_seq", d.toDF("content_md5")) }
+    def dump(table: String): Seq[(Int, Int, Long, Double, Long, String)] =
+      spark.table(table + "__bloom")
+        .select(
+          (if (spark.table(table + "__bloom").columns.contains("shard")) col("shard") else lit(-1)).as("shard"),
+          (if (spark.table(table + "__bloom").columns.contains("nshards")) col("nshards") else lit(-1)).as("nshards"),
+          col("capacity"), col("fpp"), col("items"),
+          org.apache.spark.sql.functions.base64(col("bloom")).as("b"))
+        .as[(Int, Int, Long, Double, Long, String)].collect().sortBy(_._1).toSeq
+    for (n <- Seq("a", "b", "c", "d")) {
+      assert(dump(s"graft_mm_${n}_bat") === dump(s"graft_mm_${n}_seq"),
+        s"batched and sequential merges diverged on arm $n")
+    }
+    // the breach arm actually rebuilt (capacity outgrew the bootstrap 8)
+    assert(spark.table("graft_mm_c_bat__bloom").select("capacity").as[Long].head() > 8L)
+    // the no-bloom arm stayed bloom-less — a silent bootstrap here
+    // would freeze a never-maintained filter into the probe path
+    assert(!spark.catalog.tableExists("graft_mm_e_bat__bloom"))
+    days.foreach { case (n, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_mm_${n}_bat")
+      spark.sql(s"DROP TABLE IF EXISTS graft_mm_${n}_seq")
+      spark.sql(s"DROP TABLE IF EXISTS graft_mm_${n}_bat__bloom")
+      spark.sql(s"DROP TABLE IF EXISTS graft_mm_${n}_seq__bloom")
+    }
+  }
+
+  test("rebuildHashBloom: form-preserving rebuild restores filter == table after a shrink") {
+    // the df-cap recap REMOVES keys; their bits cannot be cleared in
+    // place, so recountBloomItems would under-state occupancy (r15
+    // ADVICE) — the pipeline rebuilds instead. Pin: both forms keep
+    // their bootstrap parameters (fpp; shard fan-out) and re-pin
+    // items to exactly the shrunk table's distinct keys.
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // single form
+    val t = "graft_rb_single"
+    graft.sources.Sinks.writeBucketed(
+      (1 to 30).map(i => h(s"k$i")).toDF("content_md5"), t, Seq("content_md5"))
+    Dedup.writeHashBloom(spark, t, fpp = 0.01)
+    val kept = (1 to 10).map(i => h(s"k$i"))
+    graft.sources.Sinks.rewriteBucketed(kept.toDF("content_md5"), t, Seq("content_md5"))
+    Dedup.rebuildHashBloom(spark, t)
+    val m = spark.table(t + "__bloom").select("fpp", "items")
+      .as[(Double, Long)].head()
+    assert(m === ((0.01, 10L)))
+    val probe = Dedup.bloomProbeFor(spark, t).get
+    assert(kept.toDF("content_md5").filter(probe(col("content_md5"))).count() === 10L)
+    // sharded form
+    val ts = "graft_rb_shard"
+    graft.sources.Sinks.writeBucketed(
+      (1 to 40).map(i => h(s"s$i")).toDF("content_md5"), ts, Seq("content_md5"))
+    Dedup.writeHashBloomSharded(spark, ts, shards = 8, fpp = 0.05, minShardCapacity = 16L)
+    val keptS = (1 to 15).map(i => h(s"s$i"))
+    graft.sources.Sinks.rewriteBucketed(keptS.toDF("content_md5"), ts, Seq("content_md5"))
+    Dedup.rebuildHashBloom(spark, ts)
+    val rows = spark.table(ts + "__bloom")
+    assert(rows.select("nshards").distinct().as[Int].collect().toSeq === Seq(8))
+    assert(rows.select("fpp").distinct().as[Double].collect().toSeq === Seq(0.05))
+    assert(rows.agg(org.apache.spark.sql.functions.sum(col("items")))
+      .as[Long].head() === 15L)
+    val bcast = spark.sparkContext.broadcast(Dedup.readHashBloomSharded(spark, ts).get)
+    assert(keptS.toDF("k").filter(
+      graft.functions.ShardedBloomMightContain.probe(bcast, col("k"))).count() === 15L)
+    Seq(t, ts).foreach { x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x")
+      spark.sql(s"DROP TABLE IF EXISTS ${x}__bloom")
+    }
   }
 }

@@ -611,6 +611,21 @@ class PipelineSpec extends SparkSpec {
       .groupBy("chunk_hash").count()
     assert(dfs.filter(col("count") > 2).count() === 0L, "recap must restore the df cap")
     assert(dfs.count() > 0L, "per-doc prefix chunks must survive the recap")
+    // r15 ADVICE: the recap REMOVED keys whose bits stay set in the
+    // chunk bloom, so the pipeline rebuilds the filter right after —
+    // items must read exactly the recapped table's distinct keys
+    // (a mere recount here would UNDER-state occupancy and delay the
+    // saturation rebuild past the declared fpp), and every surviving
+    // key must still probe true
+    val chunkDistinct = spark.table("graft_recap_chunks")
+      .select("chunk_hash").distinct().count()
+    assert(spark.table("graft_recap_chunks__bloom")
+      .agg(org.apache.spark.sql.functions.sum(col("items")))
+      .as[Long].head() === chunkDistinct,
+      "recap must rebuild the chunk bloom to filter == table")
+    val chunkProbe = graft.operators.Dedup.bloomProbeFor(spark, "graft_recap_chunks").get
+    assert(spark.table("graft_recap_chunks").select("chunk_hash").distinct()
+      .filter(chunkProbe(col("chunk_hash"))).count() === chunkDistinct)
 
     // day 2: the same passage arrives again — its chunks were recapped
     // away as boilerplate, so they carry no dedup evidence (df restarts
@@ -1057,5 +1072,19 @@ class PipelineSpec extends SparkSpec {
       Files.createTempDirectory("graft_cmpidx_out3").toString, post, hash)
     assert(s3("exact_new") === 0L, s"recovered hash table lost members: $s3")
     assert(s3("accepted") === 0L)
+    // PER-TABLE cadence (r15 VERDICT #4): every index fragments at
+    // the same one-file-per-bucket-per-day rate, so one global
+    // ceiling clusters every rewrite onto the same day — a per-table
+    // ceiling puts each index's rewrite on its own day. Postings at
+    // ceiling 0 with the global knob huge: exactly ONE index
+    // compacts this run
+    val s4 = Pipeline.runIncremental(spark,
+      writeDelta((40L, (1 to 40).map(i => s"ch$i").mkString(" "))),
+      Files.createTempDirectory("graft_cmpidx_out4").toString, post, hash,
+      compactFilesPerBucket = 10000,
+      compactFilesPerBucketByTable = Map(post -> 0))
+    assert(s4("accepted") === 1L)
+    assert(s4("compacted_indexes") === 1L,
+      s"per-table cadence must compact ONLY the postings index: $s4")
   }
 }

@@ -486,6 +486,24 @@ class SourcesSpec extends SparkSpec {
       }
     }
     assert(boom.getMessage === "unrelated")
+
+    // 4. `_temporary` at the location (r15 ADVICE): the
+    //    FileOutputCommitter's in-flight marker — another session may
+    //    be mid-CREATE, invisible to the catalog-absence check, so the
+    //    sweep must refuse even though every entry is Spark-shaped
+    val inflight = "stale_loc_inflight"
+    spark.sql(s"DROP TABLE IF EXISTS $inflight")
+    val tmp = new Path(locOf(inflight), "_temporary")
+    fs.mkdirs(new Path(tmp, "0"))
+    val e2 = intercept[IllegalStateException] {
+      Sinks.writeTableRecoveringStaleLocation(spark, inflight) {
+        Seq((4L, "x")).toDF("doc_id", "text")
+          .write.mode("overwrite").format("parquet").saveAsTable(inflight)
+      }
+    }
+    assert(e2.getMessage.contains("IN FLIGHT"))
+    assert(fs.exists(tmp), "an in-flight writer's _temporary must survive the refusal")
+    fs.delete(locOf(inflight), true)
   }
 
   test("appendBucketed lands one file per bucket; compaction restores the ceiling and the layout") {
@@ -505,9 +523,16 @@ class SourcesSpec extends SparkSpec {
     assert(!Sinks.compactBucketedIfFragmented(spark, "graft_cmp_t", maxFilesPerBucket = 100))
     assert(Sinks.tableDataFileCount(spark, "graft_cmp_t") === base + 3 * 4)
     // over the ceiling: one rewrite back to one file per bucket —
-    // same rows, declared bucket layout intact
+    // same rows, declared bucket layout intact. The rewrite pins the
+    // bucketed scan on a CONF-ISOLATED session (r15 ADVICE): the
+    // caller's autoBucketedScan policy must never flip, even
+    // transiently, under a concurrent job on this session
+    val abKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(abKey, "true")
     val before = spark.table("graft_cmp_t").as[(Long, String)].collect().toSet
     assert(Sinks.compactBucketedIfFragmented(spark, "graft_cmp_t", maxFilesPerBucket = 2))
+    assert(spark.conf.get(abKey) === "true",
+      "compaction leaked its scan-policy override into the caller's session")
     assert(Sinks.tableDataFileCount(spark, "graft_cmp_t") === 4)
     assert(spark.table("graft_cmp_t").as[(Long, String)].collect().toSet === before)
     assert(Sinks.ensureBucketedTable(spark, "graft_cmp_t",

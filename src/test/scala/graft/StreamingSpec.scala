@@ -622,4 +622,55 @@ class StreamingSpec extends SparkSpec {
       assert(twin === Set(4L))
     } finally q.stop()
   }
+
+  test("streamingNearDupGuardSink: pairs == batch arm; corpus grown between triggers is pairable") {
+    implicit val sqlCtx = spark.sqlContext
+    val post = "graft_guard_post"
+    def tok(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    def nearOf(p: String) = (1 to 39).map(i => s"$p$i").mkString(" ") + " changed"
+    val corpus = Seq((100L, tok("a"))).toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandPostings(corpus, post)
+    graft.operators.Dedup.writeHashBloom(spark, post,
+      hashCol = graft.operators.Dedup.bandKeySql)
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_nd").toString
+    val q = graft.sources.Sinks.streamingNearDupGuardSink(
+      input.toDF().toDF("doc_id", "text"), post, s"$dir/out", s"$dir/chk").start()
+    try {
+      // trigger 1: a corpus near-dup, an unrelated doc, an in-batch
+      // near-dup pair (the delta×delta arm the prefilter must NOT see)
+      val day1 = Seq((10L, nearOf("a")), (11L, tok("z")),
+        (12L, tok("b")), (13L, nearOf("b")))
+      input.addData(day1: _*)
+      q.processAllAvailable()
+      def landed = spark.read.parquet(s"$dir/out")
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      // the stream's verdict IS the batch arm's — same function, same
+      // prefilter, same corpus state
+      val twin1 = graft.operators.Dedup.incrementalMinhashCandidates(
+        day1.toDF("doc_id", "text"), spark.table(post),
+        bandPrefilter = graft.operators.Dedup.bloomProbeFor(spark, post))
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      assert(landed === twin1, "stream and batch arm disagree on candidates")
+      assert(landed.contains((10L, 100L)), "corpus near-dup missed")
+      assert(landed.contains((12L, 13L)), "in-batch near-dup pair missed")
+      assert(!landed.exists(p => p._1 == 11L || p._2 == 11L),
+        "unrelated doc must pair with nothing")
+      // the corpus GROWS between triggers (the daily ingest posted a
+      // doc) — production order: band bloom merged FIRST, postings
+      // appended second (bloom ⊇ table throughout, so the guard's
+      // prefilter can never drop a posted band) — and the next
+      // trigger must pair against the new doc
+      val grownBands = graft.operators.Dedup.bandPostings(
+        Seq((200L, tok("c"))).toDF("doc_id", "text"))
+      graft.operators.Dedup.mergeHashBloom(spark, post,
+        grownBands.select(col("band"), col("band_hash")).distinct(),
+        hashCol = graft.operators.Dedup.bandKeySql)
+      graft.sources.Sinks.appendBucketed(grownBands, post, Seq("band", "band_hash"))
+      input.addData((20L, nearOf("c")))
+      q.processAllAvailable()
+      assert(landed.contains((20L, 200L)),
+        "a corpus doc indexed between triggers must be pairable")
+    } finally q.stop()
+  }
 }
