@@ -402,13 +402,20 @@ object Bench {
       // against the fully grown post-3-day index. A saturation day
       // costs a normal day plus this; the other arms' rebuilds are
       // strictly smaller key spaces.
-      val tR0 = System.nanoTime()
-      graft.operators.Dedup.rebuildHashBloom(spark, post,
-        graft.operators.Dedup.bandKeySql)
-      steady("bloom_saturation_rebuild") = (System.nanoTime() - tR0) / 1e9
-      System.err.println(
-        f"BENCH STEADY bloom_saturation_rebuild: ${steady("bloom_saturation_rebuild")}%.3fs " +
-          "(sharded band-postings bloom, full rebuild)")
+      // own try: a rebuild failure must land under its OWN error key,
+      // not retroactively mark the (already recorded) daily number
+      // as errored (self-review r16)
+      try {
+        val tR0 = System.nanoTime()
+        graft.operators.Dedup.rebuildHashBloom(spark, post,
+          graft.operators.Dedup.bandKeySql)
+        steady("bloom_saturation_rebuild") = (System.nanoTime() - tR0) / 1e9
+        System.err.println(
+          f"BENCH STEADY bloom_saturation_rebuild: ${steady("bloom_saturation_rebuild")}%.3fs " +
+            "(sharded band-postings bloom, full rebuild)")
+      } catch {
+        case e: Throwable => errors("bloom_saturation_rebuild") = Json.errorSummary(e)
+      }
     } catch {
       case e: Throwable => errors("run_incremental_daily") = Json.errorSummary(e)
     }

@@ -310,8 +310,21 @@ object Corpus {
                                    fpp: Double = 0.03): DataFrame = {
     val spark = documents.sparkSession
     val hashT = "graft_audit_bmb_hash"; val chunkT = "graft_audit_bmb_chunk"
-    Seq(hashT, chunkT, hashT + "__bloom", chunkT + "__bloom")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(hashT, chunkT, hashT + "__bloom", chunkT + "__bloom").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // audit-owned fixed names: PROACTIVELY clear a leftover
+      // location. A run killed mid-write leaves `_temporary` +
+      // partials with no catalog entry, which the reactive sweep now
+      // rightly REFUSES (it cannot tell a crash's leftovers from a
+      // live concurrent writer) — but these names are owned by this
+      // audit by construction, so here the proactive delete is safe
+      // and keeps the gate self-healing (same rationale as the bench
+      // harness's pre-clean; self-review r16)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     def recovering(t: String)(w: => Unit): Unit =
       graft.sources.Sinks.writeTableRecoveringStaleLocation(spark, t)(w)
     val flagged = documents.select(col("doc_id"), col("text"),

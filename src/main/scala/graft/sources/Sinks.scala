@@ -191,6 +191,11 @@ object Sinks {
             // new session already inherited them from the context
             try scoped.conf.set(k, v) catch { case _: Exception => () }
           }
+          // current database is CATALOG state, not a conf — a fresh
+          // session starts in 'default', so without this a caller
+          // that ran USE <db> would have its unqualified table name
+          // resolved against the wrong database (self-review r16)
+          scoped.catalog.setCurrentDatabase(spark.catalog.currentDatabase)
           scoped.conf.set(key, "false")
           rewriteBucketed(scoped.table(table), table, cols, buckets)
           // the DROP/RENAME swap ran through the scoped session's
@@ -558,6 +563,36 @@ object Sinks {
     * `runIncremental`'s job with its crash manifest. Input must carry
     * the `content` column the batch arm hashes. Returned unstarted —
     * callers `.start()`. */
+  /** Run a guard trigger's body, healing the one benign race a
+    * concurrent maintenance job can cause (self-review r16): the
+    * bucketed-index compaction and the chunk recap swap tables via
+    * DROP + RENAME — two metadata ops — so a trigger landing inside
+    * that window (or holding a file listing taken just before the
+    * swap) fails with TABLE_OR_VIEW_NOT_FOUND / FAILED_READ_FILE and
+    * would otherwise TERMINATE the streaming query over a transient
+    * state. Heal: promote a half-completed swap if the maintenance
+    * job died inside it, refresh the relation caches, retry ONCE —
+    * after a completed swap the second attempt reads the renamed
+    * table. A second failure is a real error (lost table, bad name)
+    * and propagates; content correctness is unaffected either way
+    * (both maintenance jobs are content-neutral). */
+  private def retryAcrossTableSwap(spark: org.apache.spark.sql.SparkSession,
+                                   tables: Seq[String])(body: => Unit): Unit = {
+    def swapRace(e: Throwable): Boolean = e != null && (
+      Option(e.getMessage).exists(m =>
+        m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("FAILED_READ_FILE") ||
+          m.contains("FileNotFoundException")) ||
+        ((e.getCause ne e) && swapRace(e.getCause)))
+    try body catch {
+      case e: Exception if swapRace(e) =>
+        tables.foreach { t =>
+          recoverTableSwap(spark, t)
+          if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+        }
+        body
+    }
+  }
+
   def streamingCorpusGuardSink(stream: DataFrame, hashTable: String,
                                path: String, checkpoint: String): DataStreamWriter[Row] = {
     // per-QUERY probe cache: the bloom changes at most once per daily
@@ -575,29 +610,34 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        // the micro-batch runs on the stream's CLONED session, whose
-        // relation cache can still hold the previous trigger's file
-        // listing for tables the daily ingest maintains — the bloom
-        // is OVERWRITTEN per merge, so a stale listing is not just
-        // old data but FAILED_READ_FILE on vanished files. Refresh
-        // both (metadata-only) so "fresh per trigger" holds in the
-        // clone, not just in the session that did the maintenance.
-        Seq(hashTable, hashTable + "__bloom")
-          .filter(spark.catalog.tableExists)
-          .foreach(spark.catalog.refreshTable)
-        val sig =
-          if (spark.catalog.tableExists(hashTable + "__bloom"))
-            spark.table(hashTable + "__bloom").inputFiles.sorted.mkString("\n")
-          else ""
-        if (sig != probeSig) {
-          probe = graft.operators.Dedup.bloomProbeFor(spark, hashTable)
-          probeSig = sig
+        // retry-once: a concurrent compaction's DROP+RENAME swap (or
+        // its file deletions racing a pre-swap listing) must not
+        // terminate the guard query — see [[retryAcrossTableSwap]]
+        retryAcrossTableSwap(spark, Seq(hashTable, hashTable + "__bloom")) {
+          // the micro-batch runs on the stream's CLONED session, whose
+          // relation cache can still hold the previous trigger's file
+          // listing for tables the daily ingest maintains — the bloom
+          // is OVERWRITTEN per merge, so a stale listing is not just
+          // old data but FAILED_READ_FILE on vanished files. Refresh
+          // both (metadata-only) so "fresh per trigger" holds in the
+          // clone, not just in the session that did the maintenance.
+          Seq(hashTable, hashTable + "__bloom")
+            .filter(spark.catalog.tableExists)
+            .foreach(spark.catalog.refreshTable)
+          val sig =
+            if (spark.catalog.tableExists(hashTable + "__bloom"))
+              spark.table(hashTable + "__bloom").inputFiles.sorted.mkString("\n")
+            else ""
+          if (sig != probeSig) {
+            probe = graft.operators.Dedup.bloomProbeFor(spark, hashTable)
+            probeSig = sig
+          }
+          graft.Pipeline.exactNewVsCorpus(spark, batch, hashTable,
+              probeOverride = Some(probe))
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(s"$path/batch_id=$id")
         }
-        graft.Pipeline.exactNewVsCorpus(spark, batch, hashTable,
-            probeOverride = Some(probe))
-          .write.mode("overwrite")
-          .option("compression", "zstd")
-          .parquet(s"$path/batch_id=$id")
       }
   }
 
@@ -651,27 +691,31 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        // cloned-session relation caches: the postings table is
-        // APPENDED daily (stale listing = silently missing the
-        // newest corpus bands) and the bloom OVERWRITTEN (stale
-        // listing = FAILED_READ_FILE) — refresh both, metadata-only
-        Seq(postingsTable, postingsTable + "__bloom")
-          .filter(spark.catalog.tableExists)
-          .foreach(spark.catalog.refreshTable)
-        val sig =
-          if (spark.catalog.tableExists(postingsTable + "__bloom"))
-            spark.table(postingsTable + "__bloom").inputFiles.sorted.mkString("\n")
-          else ""
-        if (sig != probeSig) {
-          probe = graft.operators.Dedup.bloomProbeFor(spark, postingsTable)
-          probeSig = sig
+        // retry-once across a concurrent compaction swap — same
+        // availability rule as the exact guard
+        retryAcrossTableSwap(spark, Seq(postingsTable, postingsTable + "__bloom")) {
+          // cloned-session relation caches: the postings table is
+          // APPENDED daily (stale listing = silently missing the
+          // newest corpus bands) and the bloom OVERWRITTEN (stale
+          // listing = FAILED_READ_FILE) — refresh both, metadata-only
+          Seq(postingsTable, postingsTable + "__bloom")
+            .filter(spark.catalog.tableExists)
+            .foreach(spark.catalog.refreshTable)
+          val sig =
+            if (spark.catalog.tableExists(postingsTable + "__bloom"))
+              spark.table(postingsTable + "__bloom").inputFiles.sorted.mkString("\n")
+            else ""
+          if (sig != probeSig) {
+            probe = graft.operators.Dedup.bloomProbeFor(spark, postingsTable)
+            probeSig = sig
+          }
+          graft.operators.Dedup.incrementalMinhashCandidates(
+              batch, spark.table(postingsTable), threshold, bands, rowsPerBand,
+              bandPrefilter = probe)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(s"$path/batch_id=$id")
         }
-        graft.operators.Dedup.incrementalMinhashCandidates(
-            batch, spark.table(postingsTable), threshold, bands, rowsPerBand,
-            bandPrefilter = probe)
-          .write.mode("overwrite")
-          .option("compression", "zstd")
-          .parquet(s"$path/batch_id=$id")
       }
   }
 

@@ -158,7 +158,11 @@ class RegistrySpec extends SparkSpec {
     // round-15: per-feed curriculum mix against bootstrap-fixed
     // bounds (SURVEY 37f2) — the batch twin of the live
     // curriculumMixStream view
-    "curriculum_mix_by_source")
+    "curriculum_mix_by_source",
+    // round-16: the batched daily bloom merge driven end-to-end
+    // through catalog tables in the production merge-before-append
+    // order (SURVEY 37i3)
+    "bloom_filter_audit_merge_batched")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

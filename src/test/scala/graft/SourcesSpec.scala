@@ -545,4 +545,27 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_cmp_t")
     spark.sql("DROP TABLE graft_cmp_plain")
   }
+
+  test("compaction resolves unqualified names against the CALLER's current database") {
+    // self-review r16: the conf-isolated rewrite session starts in
+    // 'default' — without copying the caller's current database, a
+    // pipeline that ran USE <db> would have its unqualified index
+    // name resolved against the wrong database on compaction day
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cmp_db")
+    spark.catalog.setCurrentDatabase("graft_cmp_db")
+    try {
+      val rows = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      Sinks.writeBucketed(rows, "graft_cmp_dbt", Seq("id"), 4)
+      (1 to 2).foreach { d =>
+        Sinks.appendBucketed(
+          (1L to 50L).map(i => (d * 10000L + i, "x")).toDF("id", "v"),
+          "graft_cmp_dbt", Seq("id"), 4)
+      }
+      val before = spark.table("graft_cmp_dbt").count()
+      assert(Sinks.compactBucketedIfFragmented(spark, "graft_cmp_dbt", maxFilesPerBucket = 1))
+      assert(spark.table("graft_cmp_dbt").count() === before)
+      assert(Sinks.tableDataFileCount(spark, "graft_cmp_dbt") <= 4)
+      spark.sql("DROP TABLE graft_cmp_dbt")
+    } finally spark.catalog.setCurrentDatabase("default")
+  }
 }

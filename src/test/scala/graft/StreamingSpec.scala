@@ -673,4 +673,40 @@ class StreamingSpec extends SparkSpec {
         "a corpus doc indexed between triggers must be pairable")
     } finally q.stop()
   }
+
+  test("corpus guard survives a maintenance table swap: trigger heals mid-swap state, query stays alive") {
+    // self-review r16: the bucketed-index compaction swaps tables via
+    // DROP + RENAME; a trigger landing inside the window (or after a
+    // maintenance crash left the only copy under __staging) read
+    // TABLE_OR_VIEW_NOT_FOUND and TERMINATED the streaming query. The
+    // guard now promotes the half-swap, refreshes, and retries once —
+    // the mid-swap state below is exactly what a crashed compaction
+    // leaves and stands in for the live two-metadata-op window.
+    implicit val sqlCtx = spark.sqlContext
+    val hash = "graft_guard_swap_hash"
+    def hashesOf(texts: String*) = texts.toDF("content")
+      .select(md5(col("content")).as("content_md5")).distinct()
+    graft.sources.Sinks.writeBucketed(hashesOf("swap corpus doc"), hash, Seq("content_md5"))
+    graft.operators.Dedup.writeHashBloom(spark, hash)
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_swap").toString
+    val q = graft.sources.Sinks.streamingCorpusGuardSink(
+      input.toDF().toDF("doc_id", "content"), hash, s"$dir/out", s"$dir/chk").start()
+    try {
+      input.addData((1L, "swap corpus doc"), (2L, "novel one"))
+      q.processAllAvailable()
+      def landed = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed === Set(2L))
+      // a compaction crashed between its DROP and RENAME: only
+      // __staging holds the table when the next trigger fires
+      spark.sql(s"ALTER TABLE $hash RENAME TO ${hash}__staging")
+      input.addData((3L, "swap corpus doc"), (4L, "novel two"))
+      q.processAllAvailable() // must NOT throw — retry heals the swap
+      assert(landed === Set(2L, 4L),
+        "post-swap trigger must probe the recovered table")
+      assert(spark.catalog.tableExists(hash), "the swap must be promoted")
+      assert(q.isActive, "the guard query must survive the swap window")
+    } finally q.stop()
+  }
 }
