@@ -307,6 +307,65 @@ object Pipeline {
                              table: String): org.apache.spark.sql.DataFrame =
     rows.select(spark.table(table).columns.map(col): _*)
 
+  /** The semantic corpus probe — "is this delta vector a paraphrase
+    * of an indexed doc" — as ONE definition shared by
+    * [[runIncremental]]'s daily arm and the streaming semantic guard
+    * ([[sources.Sinks.streamingSemanticGuardSink]]), so the stream
+    * and the daily ingest can never disagree on a hit. TWO-TIER when
+    * the PQ twin exists: candidates from the 16–32 B/doc code index
+    * under the certified cosine bound, then EXACT cosine on just the
+    * candidate pairs against the full-vector index, scanning only
+    * the cells the candidates touched (the collect is bounded by the
+    * quantizer's k — a driver-safe constant). Corpus-scale work
+    * reads codes; vectors surface candidate-sized. Without the PQ
+    * twin: the one-tier exact cell probe, same hits.
+    *
+    * margin 1e-9: the certified bound is exact mathematics but
+    * double sqrt/divide arithmetic — a pair whose true cosine sits
+    * EXACTLY at the threshold can round a few ULPs under it and be
+    * dropped by the PQ tier while the one-tier exact arm would keep
+    * it. The epsilon makes the PQ-present and PQ-absent deployments'
+    * accept/drop decisions identical; the exact confirm re-applies
+    * the true threshold.
+    *
+    * tight = per-subspace certified bound when the persisted index
+    * carries `qerrs` (the 32 B/doc form this code writes) — strictly
+    * smaller candidate sets at the same m lookups, completeness
+    * still a theorem. Dispatching on the column keeps a pre-qerrs
+    * 24 B/doc index probing correctly (scalar bound) until its next
+    * retrain rewrites the wider schema.
+    *
+    * Input: `deltaVecs` carries (doc_id, embedding). Returns
+    * DISTINCT (delta_doc, corpus_doc) pairs at `threshold`. */
+  private[graft] def semanticCorpusHits(spark: SparkSession,
+                                        deltaVecs: org.apache.spark.sql.DataFrame,
+                                        t: String,
+                                        threshold: Double = 0.35): org.apache.spark.sql.DataFrame = {
+    val hits =
+      if (spark.catalog.tableExists(t + "__pq")) {
+        val pqIdx = spark.table(t + "__pq")
+        val cand = graft.operators.Pq.incrementalSemanticMatchesPq(
+            deltaVecs, pqIdx, spark.table(t + "__centroids"),
+            spark.table(t + "__pq__codebooks"), threshold = threshold,
+            margin = 1e-9, tight = pqIdx.columns.contains("qerrs"))
+          .localCheckpoint()
+        val cells = cand.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        spark.table(t).filter(col("cell").isin(cells: _*))
+          .select(col("doc_id").as("corpus_doc"), col("emb").as("c_emb"),
+            col("nrm").as("c_nrm"))
+          .join(cand.select(col("delta_doc"), col("corpus_doc")), Seq("corpus_doc"))
+          .join(deltaVecs.select(col("doc_id").as("delta_doc"),
+            col("embedding")), Seq("delta_doc"))
+          .filter(graft.operators.Ann.dot(col("embedding"), col("c_emb")) /
+            (graft.operators.Ann.norm(col("embedding")) * col("c_nrm")) >= threshold)
+      } else
+        graft.operators.Ann.incrementalSemanticMatches(
+          deltaVecs, spark.table(t), spark.table(t + "__centroids"),
+          threshold = threshold)
+    hits.select(col("delta_doc"), col("corpus_doc")).distinct()
+  }
+
   /** The exact-dup-vs-corpus gate with the BLOOM UNION-BYPASS: when
     * the hash table carries its persisted bloom summary
     * ([[operators.Dedup.writeHashBloom]] — bootstrapped once, merged
@@ -566,44 +625,8 @@ object Pipeline {
     val semHits = semanticTable.zip(deltaEmbeddings).map { case (t, embs) =>
       val deltaVecs = embs.join(broadcast(exactNew.select(col("doc_id"))),
         Seq("doc_id"), "left_semi")
-      val hits =
-        if (spark.catalog.tableExists(t + "__pq")) {
-          // margin 1e-9: the certified bound is exact mathematics but
-          // double sqrt/divide arithmetic — a pair whose true cosine
-          // sits EXACTLY at the threshold can round a few ULPs under
-          // it and be dropped by this tier while the one-tier exact
-          // arm would keep it. The epsilon makes the PQ-present and
-          // PQ-absent deployments' accept/drop decisions identical;
-          // the exact confirm below re-applies the true threshold.
-          //
-          // tight = per-subspace certified bound when the persisted
-          // index carries `qerrs` (the 32 B/doc form this code
-          // writes) — strictly smaller candidate sets at the same m
-          // lookups, completeness still a theorem. Dispatching on
-          // the column keeps a pre-qerrs 24 B/doc index probing
-          // correctly (scalar bound) until its next retrain rewrites
-          // the wider schema.
-          val pqIdx = spark.table(t + "__pq")
-          val cand = graft.operators.Pq.incrementalSemanticMatchesPq(
-              deltaVecs, pqIdx, spark.table(t + "__centroids"),
-              spark.table(t + "__pq__codebooks"), threshold = semThreshold,
-              margin = 1e-9, tight = pqIdx.columns.contains("qerrs"))
-            .localCheckpoint()
-          val cells = cand.select(col("cell")).distinct()
-            .collect().map(_.getLong(0)).toSeq
-          spark.table(t).filter(col("cell").isin(cells: _*))
-            .select(col("doc_id").as("corpus_doc"), col("emb").as("c_emb"),
-              col("nrm").as("c_nrm"))
-            .join(cand.select(col("delta_doc"), col("corpus_doc")), Seq("corpus_doc"))
-            .join(deltaVecs.select(col("doc_id").as("delta_doc"),
-              col("embedding")), Seq("delta_doc"))
-            .filter(graft.operators.Ann.dot(col("embedding"), col("c_emb")) /
-              (graft.operators.Ann.norm(col("embedding")) * col("c_nrm")) >= semThreshold)
-        } else
-          graft.operators.Ann.incrementalSemanticMatches(
-            deltaVecs, spark.table(t), spark.table(t + "__centroids"),
-            threshold = semThreshold)
-      hits.select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
+      semanticCorpusHits(spark, deltaVecs, t, semThreshold)
+        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
     }
     val survivors = (substrHits.toSeq ++ semHits.toSeq).foldLeft(
       exactNew.join(corpusHits, Seq("doc_id"), "left_anti"))(

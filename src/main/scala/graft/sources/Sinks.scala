@@ -719,6 +719,106 @@ object Sinks {
       }
   }
 
+  /** Streaming SUBSTRING guard against the STANDING corpus — the CDC
+    * chunk arm's continuous face, next to the exact (40g) and
+    * near-dup (40h) guards: "does this doc share a long passage with
+    * something the corpus already holds" at stream latency. Each
+    * micro-batch runs `graft.operators.Dedup
+    * .incrementalSubstringMatches` — the LITERAL function
+    * `runIncremental`'s chunk probe calls, chunk-bloom prefilter
+    * included (sound on this INNER join exactly as in the daily arm:
+    * a pruned chunk cannot match, over-approximation after a df-cap
+    * recap just finds no postings) — against the bucketed chunk
+    * index re-read fresh per trigger. The same inherited concurrency
+    * rules as the other guards: freshness per trigger, the ingest's
+    * merge-before-append bloom ⊇ table invariant, and the
+    * retry-once swap healing.
+    *
+    * `minSharedTokens` defaults to the daily arm's destructive bar
+    * (64). Match rows (delta_doc, corpus_doc, shared_chunks,
+    * shared_tokens) land under `path/batch_id=N/`, overwritten per
+    * batch. Input must carry `doc_id` and `text`. Returned
+    * unstarted — callers `.start()`. */
+  def streamingSubstringGuardSink(stream: DataFrame, chunkTable: String,
+                                  path: String, checkpoint: String,
+                                  minSharedTokens: Long = 64L): DataStreamWriter[Row] = {
+    var probeSig: String = null
+    var probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        retryAcrossTableSwap(spark, Seq(chunkTable, chunkTable + "__bloom")) {
+          Seq(chunkTable, chunkTable + "__bloom")
+            .filter(spark.catalog.tableExists)
+            .foreach(spark.catalog.refreshTable)
+          val sig =
+            if (spark.catalog.tableExists(chunkTable + "__bloom"))
+              spark.table(chunkTable + "__bloom").inputFiles.sorted.mkString("\n")
+            else ""
+          if (sig != probeSig) {
+            probe = graft.operators.Dedup.bloomProbeFor(spark, chunkTable)
+            probeSig = sig
+          }
+          graft.operators.Dedup.incrementalSubstringMatches(
+              batch, spark.table(chunkTable), minSharedTokens, bloomProbe = probe)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(s"$path/batch_id=$id")
+        }
+      }
+  }
+
+  /** Streaming SEMANTIC guard against the STANDING corpus — the
+    * paraphrase arm's continuous face, completing the guard family
+    * (exact 40g, near-dup 40h, substring 40i): "is this doc's
+    * EMBEDDING a near-duplicate of an indexed doc's" at stream
+    * latency — the verdict both text guards are structurally blind
+    * to. Each micro-batch runs `graft.Pipeline.semanticCorpusHits`,
+    * the ONE definition `runIncremental`'s daily semantic arm calls:
+    * two-tier when the PQ twin exists (certified-bound candidates
+    * from the code index, exact cosine confirm on just the touched
+    * cells), one-tier exact cell probe otherwise, including the
+    * qerrs/tight dispatch and the degraded-tier downgrade — a crash
+    * that lost the PQ table downgrades the stream's probe the same
+    * way it downgrades the daily run's, never to wrong answers.
+    *
+    * All four index tables (cell index, centroids, PQ codes,
+    * codebooks) re-read fresh per trigger: the daily ingest appends
+    * accepted vectors and the drift tripwire can RETRAIN codebooks +
+    * re-encode — a baked snapshot would probe new vectors against
+    * codebooks that no longer encode the index. Centroids/codebooks
+    * are broadcast-scale tables, so per-trigger re-reads cost
+    * metadata + a small broadcast, not a corpus pass; the
+    * candidate-cell collect is bounded by the quantizer's k per
+    * trigger. Same retry-once swap healing as the other guards
+    * (the PQ retrain rewrites tables mid-flight).
+    *
+    * Input must carry `doc_id` and `embedding` (the daily arm's
+    * delta-vector contract — the embedder runs at the stream edge).
+    * DISTINCT hit pairs (delta_doc, corpus_doc) land under
+    * `path/batch_id=N/`, overwritten per batch. Returned unstarted —
+    * callers `.start()`. */
+  def streamingSemanticGuardSink(stream: DataFrame, semanticTable: String,
+                                 path: String, checkpoint: String,
+                                 threshold: Double = 0.35): DataStreamWriter[Row] = {
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val tables = Seq(semanticTable, semanticTable + "__centroids",
+          semanticTable + "__pq", semanticTable + "__pq__codebooks")
+        retryAcrossTableSwap(spark, tables) {
+          tables.filter(spark.catalog.tableExists)
+            .foreach(spark.catalog.refreshTable)
+          graft.Pipeline.semanticCorpusHits(spark, batch, semanticTable, threshold)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(s"$path/batch_id=$id")
+        }
+      }
+  }
+
   /** Streaming GROUP-replace upsert — the snapshot-table sink for
     * streams that re-emit a whole row SET per key each trigger
     * (e.g. [[graft.streaming.Streams.heavyHittersStream]]'s k
