@@ -709,4 +709,183 @@ class StreamingSpec extends SparkSpec {
       assert(q.isActive, "the guard query must survive the swap window")
     } finally q.stop()
   }
+
+  test("streamingSubstringGuardSink: matches == batch arm; growth, recap and swap between triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val chunkT = "graft_guard_chunk"
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // a long shared passage: its INTERIOR CDC chunks hash identically
+    // in every doc that carries it, whatever surrounds it
+    val passage1 = toks("pa", 120)
+    val passage2 = toks("pb", 120)
+    val corpus = Seq((100L, toks("ca", 30) + " " + passage1)).toDF("doc_id", "text")
+    graft.operators.Dedup.writeChunkPostings(corpus, chunkT)
+    graft.operators.Dedup.writeHashBloom(spark, chunkT, hashCol = "chunk_hash")
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_sub").toString
+    val q = graft.sources.Sinks.streamingSubstringGuardSink(
+      input.toDF().toDF("doc_id", "text"), chunkT, s"$dir/out", s"$dir/chk",
+      minSharedTokens = 16L).start()
+    def landed = spark.read.parquet(s"$dir/out")
+      .select("delta_doc", "corpus_doc", "shared_chunks", "shared_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def twin(day: Seq[(Long, String)]) = graft.operators.Dedup.incrementalSubstringMatches(
+      day.toDF("doc_id", "text"), spark.table(chunkT), minSharedTokens = 16L,
+      bloomProbe = graft.operators.Dedup.bloomProbeFor(spark, chunkT))
+      .select("delta_doc", "corpus_doc", "shared_chunks", "shared_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    try {
+      // trigger 1: a passage copy under a different preamble, and an
+      // unrelated doc — the stream's verdict IS the batch arm's
+      // (same function, same chunk-bloom prefilter, same corpus state)
+      val day1 = Seq((10L, toks("da", 30) + " " + passage1), (11L, toks("z", 60)))
+      input.addData(day1: _*)
+      q.processAllAvailable()
+      val t1 = twin(day1)
+      assert(landed === t1, "stream and batch arm disagree on substring matches")
+      assert(t1.nonEmpty && t1.forall(r => r._1 == 10L && r._2 == 100L),
+        "the passage copy must match doc 100 and nothing else")
+      // the corpus GROWS between triggers, in the PRODUCTION order:
+      // chunk bloom merged FIRST, postings appended second (bloom ⊇
+      // table throughout — the prefilter can never drop an indexed
+      // chunk) — and the next trigger must match against the new doc
+      val grown = graft.operators.Dedup.chunkPostings(
+        Seq((200L, toks("cb", 30) + " " + passage2)).toDF("doc_id", "text"))
+      graft.operators.Dedup.mergeHashBloom(spark, chunkT,
+        grown.select(col("chunk_hash")).distinct(), hashCol = "chunk_hash")
+      graft.sources.Sinks.appendBucketed(grown, chunkT, Seq("chunk_hash"))
+      val day2 = Seq((20L, toks("db", 30) + " " + passage2))
+      input.addData(day2: _*)
+      q.processAllAvailable()
+      assert(landed.intersect(twin(day2)) === twin(day2), "stream missed grown-corpus matches")
+      assert(landed.exists(r => r._1 == 20L && r._2 == 200L),
+        "a corpus doc indexed between triggers must be matchable")
+      // the df-cap RECAP between triggers (the one path that SHRINKS
+      // the index), production order: staged rewrite + bloom rebuild.
+      // A third copy of passage2 pushes its chunks' df to 2; recap at
+      // cap 1 removes them. The guard's next trigger must re-read the
+      // recapped table AND refresh its probe cache (the rebuilt bloom
+      // landed new files), still equal to the batch arm: passage2
+      // finds nothing now, passage1 (df 1) still matches.
+      graft.sources.Sinks.appendBucketed(graft.operators.Dedup.chunkPostings(
+        Seq((300L, toks("cc", 5) + " " + passage2)).toDF("doc_id", "text")),
+        chunkT, Seq("chunk_hash"))
+      graft.operators.Dedup.recapChunkPostings(spark, chunkT, maxDocFreq = 1L)
+      graft.operators.Dedup.rebuildHashBloom(spark, chunkT, "chunk_hash")
+      val day3 = Seq((21L, toks("dc", 30) + " " + passage2),
+        (22L, toks("dd", 30) + " " + passage1))
+      input.addData(day3: _*)
+      q.processAllAvailable()
+      val t3 = twin(day3)
+      assert(landed.intersect(t3) === t3, "stream disagrees with batch arm after the recap")
+      assert(!landed.exists(r => r._1 == 21L), "recapped (boilerplate) chunks must not match")
+      assert(landed.exists(r => r._1 == 22L && r._2 == 100L),
+        "a surviving passage must still match after the recap")
+      // a compaction crashed between its DROP and RENAME: only
+      // __staging holds the table — the trigger must heal and survive
+      spark.sql(s"ALTER TABLE $chunkT RENAME TO ${chunkT}__staging")
+      val day4 = Seq((23L, toks("de", 30) + " " + passage1))
+      input.addData(day4: _*)
+      q.processAllAvailable() // must NOT throw
+      assert(landed.exists(r => r._1 == 23L && r._2 == 100L),
+        "post-swap trigger must probe the recovered table")
+      assert(spark.catalog.tableExists(chunkT), "the swap must be promoted")
+      assert(q.isActive, "the guard query must survive the swap window")
+    } finally q.stop()
+  }
+
+  test("streamingSemanticGuardSink: hits == daily arm; growth, PQ retrain, PQ loss and swap between triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = "graft_guard_sem"
+    // the gate corpus split, as in the PQ specs: deterministic md5
+    // flag carves a small delta out of the embeddings table
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val flagged = embs.select(col("vec_id"), col("embedding"),
+      (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
+    val corpus = flagged.filter(!col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val deltaRows = flagged.filter(col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    // bootstrap exactly as the pipeline does: shared coarse centroids,
+    // full-vector cell index + the PQ twin (32 B/doc, qerrs form)
+    graft.operators.Ann.writeSemanticIndex(corpus, t)
+    graft.operators.Pq.writeSemanticIndexPq(corpus, t + "__pq", deterministic = true,
+      sharedCentroids = Some(spark.table(t + "__centroids")))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_semx").toString
+    val q = graft.sources.Sinks.streamingSemanticGuardSink(
+      input.toDF().toDF("doc_id", "embedding"), t, s"$dir/out", s"$dir/chk").start()
+    def landed = spark.read.parquet(s"$dir/out")
+      .select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    def twin(day: Seq[(Long, Seq[Float])]) = graft.Pipeline.semanticCorpusHits(
+      spark, day.toDF("doc_id", "embedding"), t)
+      .as[(Long, Long)].collect().toSet
+    try {
+      // trigger 1: the full delta — the stream's verdict IS the daily
+      // arm's (same two-tier dispatch, same tight bound, same margin)
+      val day1 = deltaRows
+      input.addData(day1: _*)
+      q.processAllAvailable()
+      val t1 = twin(day1)
+      assert(landed === t1, "stream and daily semantic arm disagree")
+      assert(t1.nonEmpty, "fixture must produce at least one semantic hit")
+      // the corpus GROWS between triggers via the production append
+      // shapes (cell rows + projected PQ rows); a delta vector
+      // re-delivered under a new id is cosine-1 with the appended
+      // copy, so the next trigger MUST pair them — a baked snapshot
+      // would miss the growth
+      val (d0id, d0emb) = deltaRows.head
+      val grown = Seq((900000L, d0emb)).toDF("doc_id", "embedding")
+      graft.sources.Sinks.appendBucketed(
+        graft.operators.Ann.semanticIndexRows(grown, spark.table(t + "__centroids")),
+        t, Seq("cell"))
+      graft.sources.Sinks.appendBucketed(
+        graft.operators.Pq.semanticIndexRowsPq(grown, spark.table(t + "__centroids"),
+          spark.table(t + "__pq__codebooks")),
+        t + "__pq", Seq("cell"))
+      val day2 = Seq((d0id, d0emb))
+      input.addData(day2: _*)
+      q.processAllAvailable()
+      assert(landed.contains((d0id, 900000L)),
+        "a corpus vector indexed between triggers must be pairable")
+      assert(landed.intersect(twin(day2)) === twin(day2),
+        "stream disagrees with the daily arm on the grown corpus")
+      // PQ RETRAIN between triggers — the drift tripwire's rewrite:
+      // codebooks + code index replaced wholesale mid-stream. The
+      // guard's per-trigger re-read must probe new codes against new
+      // codebooks (old codes × new codebooks would be silently wrong
+      // distances) and still equal the daily arm on the same state.
+      graft.operators.Pq.writeSemanticIndexPq(
+        spark.table(t).select(col("doc_id"), col("emb").as("embedding")),
+        t + "__pq", deterministic = true,
+        sharedCentroids = Some(spark.table(t + "__centroids")))
+      val day3 = deltaRows.take(5)
+      input.addData(day3: _*)
+      q.processAllAvailable()
+      val t3 = twin(day3)
+      assert(landed.intersect(t3) === t3,
+        "stream disagrees with the daily arm after a PQ retrain")
+      // PQ LOSS between triggers — a crash took the code index (and
+      // its codebooks): the dispatch must DOWNGRADE to the one-tier
+      // exact cell probe, same hits as the daily arm's downgrade,
+      // never a failure and never wrong answers
+      spark.sql(s"DROP TABLE ${t}__pq")
+      spark.sql(s"DROP TABLE ${t}__pq__codebooks")
+      val day4 = deltaRows.take(3)
+      input.addData(day4: _*)
+      q.processAllAvailable()
+      val t4 = twin(day4)
+      assert(landed.intersect(t4) === t4,
+        "stream disagrees with the daily arm's one-tier downgrade")
+      assert(t4.nonEmpty, "one-tier downgrade must still find the hits")
+      // a compaction crashed between DROP and RENAME on the cell
+      // index: only __staging holds it — the trigger must heal
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}__staging")
+      input.addData(deltaRows.take(2): _*)
+      q.processAllAvailable() // must NOT throw
+      assert(spark.catalog.tableExists(t), "the swap must be promoted")
+      assert(q.isActive, "the guard query must survive the swap window")
+    } finally q.stop()
+  }
 }
