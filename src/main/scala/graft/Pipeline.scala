@@ -295,6 +295,217 @@ object Pipeline {
     }
   }
 
+
+  /** Everything [[runIncremental]] DECIDES about a delta, as data —
+    * one frame per gate stage (each checkpointed where the batch run
+    * checkpoints) plus the surviving rows. Extracted so the decision
+    * chain has exactly ONE definition with two faces: the daily
+    * ingest (which goes on to write the output and grow the indexes)
+    * and the read-only streaming accept-preview
+    * ([[sources.Sinks.streamingAcceptPreviewSink]]) — the stream and
+    * the batch run can never disagree on who would be accepted. */
+  private[graft] final case class DeltaDecision(
+      input: org.apache.spark.sql.DataFrame,
+      quality: org.apache.spark.sql.DataFrame,
+      charlmDropped: Option[org.apache.spark.sql.DataFrame],
+      corpusIds: org.apache.spark.sql.DataFrame,
+      idSafe: org.apache.spark.sql.DataFrame,
+      exactWithin: org.apache.spark.sql.DataFrame,
+      exactNew: org.apache.spark.sql.DataFrame,
+      corpusHits: org.apache.spark.sql.DataFrame,
+      substrHits: Option[org.apache.spark.sql.DataFrame],
+      semHits: Option[org.apache.spark.sql.DataFrame],
+      survivors: org.apache.spark.sql.DataFrame,
+      deduped: org.apache.spark.sql.DataFrame,
+      contaminated: Option[org.apache.spark.sql.DataFrame],
+      accepted: org.apache.spark.sql.DataFrame) {
+
+    /** Per-doc attribution over the WHOLE input delta: every doc_id
+      * mapped to its gate outcome — `accepted`, or the FIRST gate
+      * that dropped it in pipeline order (`low_quality`,
+      * `charlm_dropped`, `id_collision`, `exact_dup_within`,
+      * `exact_dup_corpus`, `near_dup_corpus`, `substring_dup_corpus`,
+      * `semantic_dup_corpus`, `near_dup_within`, `contaminated`).
+      * A doc several corpus arms hit carries the first arm's verdict
+      * (the order the batch run applies them); the sets the summary
+      * counts are the raw per-arm frames, which may overlap. All
+      * joins are delta-sized id frames off the checkpointed stages —
+      * no gate re-runs. */
+    def verdicts: org.apache.spark.sql.DataFrame = {
+      def flag(df: org.apache.spark.sql.DataFrame, name: String) =
+        broadcast(df.select(col("doc_id")).distinct().withColumn(name, lit(true)))
+      val none = input.limit(0)
+      input.select(col("doc_id"))
+        .join(flag(accepted, "f_accepted"), Seq("doc_id"), "left")
+        .join(flag(contaminated.getOrElse(none), "f_contaminated"), Seq("doc_id"), "left")
+        .join(flag(survivors.join(deduped.select(col("doc_id")),
+          Seq("doc_id"), "left_anti"), "f_near_within"), Seq("doc_id"), "left")
+        .join(flag(corpusHits, "f_near"), Seq("doc_id"), "left")
+        .join(flag(substrHits.getOrElse(none), "f_substr"), Seq("doc_id"), "left")
+        .join(flag(semHits.getOrElse(none), "f_sem"), Seq("doc_id"), "left")
+        .join(flag(exactWithin.join(exactNew.select(col("doc_id")),
+          Seq("doc_id"), "left_anti"), "f_exact_corpus"), Seq("doc_id"), "left")
+        .join(flag(idSafe.join(exactWithin.select(col("doc_id")),
+          Seq("doc_id"), "left_anti"), "f_exact_within"), Seq("doc_id"), "left")
+        .join(flag(corpusIds, "f_id_collision"), Seq("doc_id"), "left")
+        .join(flag(charlmDropped.getOrElse(none), "f_charlm"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("f_accepted").isNotNull, "accepted")
+            .when(col("f_contaminated").isNotNull, "contaminated")
+            .when(col("f_near_within").isNotNull, "near_dup_within")
+            .when(col("f_near").isNotNull, "near_dup_corpus")
+            .when(col("f_substr").isNotNull, "substring_dup_corpus")
+            .when(col("f_sem").isNotNull, "semantic_dup_corpus")
+            .when(col("f_exact_corpus").isNotNull, "exact_dup_corpus")
+            .when(col("f_exact_within").isNotNull, "exact_dup_within")
+            .when(col("f_id_collision").isNotNull, "id_collision")
+            .when(col("f_charlm").isNotNull, "charlm_dropped")
+            .otherwise("low_quality").as("verdict"))
+    }
+  }
+
+  /** The daily accept decision over a delta, READ-ONLY — the chain
+    * [[runIncremental]] runs between its crash recovery and its
+    * writes, verbatim (this IS the extracted code, not a replica):
+    * silver clean → rule quality → optional corpus-charlm gate → id
+    * collision → exact within/vs-corpus (bloom union-bypass) →
+    * near-dup vs corpus + within-delta clusters → optional substring
+    * and semantic arms → optional holdout decontamination. Mutates
+    * nothing; the caller decides whether to write and index
+    * ([[runIncremental]]) or only report
+    * ([[sources.Sinks.streamingAcceptPreviewSink]]).
+    *
+    * `probeOverrides` (keyed by index table name) substitutes cached
+    * bloom probes for the per-call [[operators.Dedup.bloomProbeFor]]
+    * dispatch — the streaming preview re-reads filters only when a
+    * bloom's file set changes, exactly like the single-arm guards;
+    * the daily run passes nothing and reads them fresh. */
+  private[graft] def decideDelta(spark: SparkSession,
+      rawDelta: org.apache.spark.sql.DataFrame,
+      postingsTable: String, hashTable: String,
+      holdout: Option[org.apache.spark.sql.DataFrame] = None,
+      chunkTable: Option[String] = None,
+      semanticTable: Option[String] = None,
+      deltaEmbeddings: Option[org.apache.spark.sql.DataFrame] = None,
+      charlmTable: Option[String] = None,
+      charlmRareFracMax: Option[Double] = None,
+      charlmRareBelow: Double = 0.001,
+      probeOverrides: Map[String, Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column]] = Map.empty): DeltaDecision = {
+    val silver = Cleaning.silver(rawDelta)
+    val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+    // charlm arm, gate side (optional): score the delta against the
+    // CORPUS-TRAINED model — the persisted per-ingest count table
+    // summed back to (tri, c3) — and drop LM-improbable docs, the
+    // same corpus-relative quality bar [[runTrainingPrep]] applies,
+    // except here "the corpus" is the standing accepted corpus, not
+    // the delta itself (a delta of garbage must not normalize its own
+    // garbage). Runs before every dedup arm for the prep's reason: a
+    // damaged doc must never become a cluster's surviving canonical.
+    val charlmDropped = charlmTable.zip(charlmRareFracMax).map { case (t, maxFrac) =>
+      val model = spark.table(t).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
+      TextOps.charlmScoreAgainstModel(
+          ruleQuality.select(col("doc_id"), col("content").as("text")),
+          model, rareBelow = charlmRareBelow)
+        .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
+        .select(col("doc_id")).localCheckpoint()
+    }
+    val quality = charlmDropped.fold(ruleQuality)(d =>
+      ruleQuality.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
+      .join(broadcast(quality.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val idSafe = quality.join(broadcast(corpusIds), Seq("doc_id"), "left_anti")
+    val exactWithin = Cleaning.dedupKeepFirst(idSafe, md5(col("content")), col("doc_id"))
+    val exactNew = exactNewVsCorpus(spark, exactWithin, hashTable,
+        probeOverride = probeOverrides.get(hashTable))
+      .localCheckpoint() // three consumers below; the probe must not re-run the scan chain
+    val text = exactNew.select(col("doc_id"), col("content").as("text"))
+
+    val deltaIds = text.select(col("doc_id"))
+    // band-key bloom (maintained since bootstrap; None on a pre-bloom
+    // postings table → plain probe): delta banding rows with
+    // definitely-novel (band, band_hash) drop map-side before the
+    // sig-carrying shuffle into the bucketed corpus join
+    val pairs = Dedup.incrementalMinhashCandidates(text, spark.table(postingsTable),
+        bandPrefilter = probeOverrides.getOrElse(postingsTable,
+          Dedup.bloomProbeFor(spark, postingsTable)))
+      .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_1"),
+        lit(true).as("in1"))), Seq("doc_id_1"), "left")
+      .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_2"),
+        lit(true).as("in2"))), Seq("doc_id_2"), "left")
+      .localCheckpoint() // consumed twice (corpus hits + delta clusters)
+    // exactly one side in the delta -> the delta side lost to the corpus
+    val corpusHits = pairs.filter(col("in1").isNull =!= col("in2").isNull)
+      .select(when(col("in1").isNotNull, col("doc_id_1"))
+        .otherwise(col("doc_id_2")).as("doc_id")).distinct()
+    // substring arm (optional): a passage copy sits below whole-doc
+    // MinHash Jaccard but its interior CDC chunks hash identically —
+    // probe the chunk index with the SAME destructive bar as the full
+    // prep's substringDupPairs pass, corpus wins
+    val substrHits = chunkTable.map { t =>
+      Dedup.incrementalSubstringMatches(text, spark.table(t), minSharedTokens = 64L,
+        bloomProbe = probeOverrides.getOrElse(t, Dedup.bloomProbeFor(spark, t)))
+        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
+    }
+    // semantic arm (optional): a PARAPHRASED re-delivery shares no
+    // shingles and no CDC chunks — both text probes are structurally
+    // blind to it; its embedding still lands in the corpus doc's
+    // quantizer cell. Probe with the surviving delta's vectors
+    // ((doc_id, embedding) from the day's embedder), corpus wins.
+    // Delta docs without a vector simply skip this arm. With the PQ
+    // twin present (bootstraps since the PQ seam landed), the probe
+    // is TWO-TIER: candidates from the 16 B/doc code index
+    // (persisted codebooks — never retrained; over-collects by the
+    // probe's margin because ADC cosines carry quantization error),
+    // then EXACT cosine on just the candidate pairs against the
+    // full-vector index, scanning only the cells the candidates
+    // touched (the collect is bounded by the quantizer's k — a
+    // driver-safe constant, same license as the BPE loop's 1-row
+    // fetch). Corpus-scale work reads codes; vectors surface
+    // candidate-sized. Without the PQ twin: the one-tier exact
+    // cell probe, same hits.
+    val semThreshold = 0.35
+    val semHits = semanticTable.zip(deltaEmbeddings).map { case (t, embs) =>
+      val deltaVecs = embs.join(broadcast(exactNew.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      semanticCorpusHits(spark, deltaVecs, t, semThreshold)
+        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
+    }
+    val survivors = (substrHits.toSeq ++ semHits.toSeq).foldLeft(
+      exactNew.join(corpusHits, Seq("doc_id"), "left_anti"))(
+      (df, s) => df.join(s, Seq("doc_id"), "left_anti"))
+    // within-delta clusters: the LSH probe's delta-delta pairs, plus
+    // the delta's own substring pairs when the chunk arm is on (the
+    // full prep unions both graphs the same way)
+    val ddPairs = pairs.filter(col("in1").isNotNull && col("in2").isNotNull)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val allDdPairs = if (chunkTable.isDefined)
+      ddPairs.unionByName(Dedup.substringDupPairs(text, minSharedTokens = 64L)
+        .select(col("doc_id_1"), col("doc_id_2")))
+    else ddPairs
+    // star-rounds CC ([[Dedup.clusterPairsStar]]): O(log^2 n)
+    // convergence regardless of component shape — the production
+    // default, since a prep run over an arbitrary corpus can't assume
+    // the dense quasi-clique components min-label propagation wants
+    // (same min-id labeling either way, one shared oracle)
+    val clusters = Dedup.clusterPairsStar(allDdPairs)
+    val deduped = Dedup.applyCanonical(survivors, clusters,
+      Dedup.canonicalPerCluster(
+        survivors.select(col("doc_id"), col("content").as("text")), clusters))
+    val contaminated = holdout.map { h =>
+      TextOps.decontaminateSubstring(
+        deduped.select(col("doc_id"), col("content").as("text")), h)
+        .select(col("doc_id")).localCheckpoint()
+    }
+    val accepted = contaminated
+      .fold(deduped)(c => deduped.join(c, Seq("doc_id"), "left_anti"))
+      .localCheckpoint() // written once, then indexed twice below
+    DeltaDecision(rawDelta, quality, charlmDropped, corpusIds, idSafe,
+      exactWithin, exactNew, corpusHits, substrHits, semHits,
+      survivors, deduped, contaminated, accepted)
+  }
+
   /** Project `rows` down to `table`'s persisted columns — the append
     * form of backward schema compatibility: a producer that LEARNED a
     * new column (the PQ index's per-subspace `qerrs`) must keep
@@ -550,113 +761,11 @@ object Pipeline {
     Sinks.writeParquet(
       operators.Corpus.heavyHittersSnapshot(rawDelta),
       s"$outDir/heavy_hitters", Seq())
-    val silver = Cleaning.silver(rawDelta)
-    val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
-    // charlm arm, gate side (optional): score the delta against the
-    // CORPUS-TRAINED model — the persisted per-ingest count table
-    // summed back to (tri, c3) — and drop LM-improbable docs, the
-    // same corpus-relative quality bar [[runTrainingPrep]] applies,
-    // except here "the corpus" is the standing accepted corpus, not
-    // the delta itself (a delta of garbage must not normalize its own
-    // garbage). Runs before every dedup arm for the prep's reason: a
-    // damaged doc must never become a cluster's surviving canonical.
-    val charlmDropped = charlmTable.zip(charlmRareFracMax).map { case (t, maxFrac) =>
-      val model = spark.table(t).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
-      TextOps.charlmScoreAgainstModel(
-          ruleQuality.select(col("doc_id"), col("content").as("text")),
-          model, rareBelow = charlmRareBelow)
-        .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
-        .select(col("doc_id")).localCheckpoint()
-    }
-    val quality = charlmDropped.fold(ruleQuality)(d =>
-      ruleQuality.join(broadcast(d), Seq("doc_id"), "left_anti"))
-    val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
-      .join(broadcast(quality.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val idSafe = quality.join(broadcast(corpusIds), Seq("doc_id"), "left_anti")
-    val exactWithin = Cleaning.dedupKeepFirst(idSafe, md5(col("content")), col("doc_id"))
-    val exactNew = exactNewVsCorpus(spark, exactWithin, hashTable)
-      .localCheckpoint() // three consumers below; the probe must not re-run the scan chain
-    val text = exactNew.select(col("doc_id"), col("content").as("text"))
-
-    val deltaIds = text.select(col("doc_id"))
-    // band-key bloom (maintained since bootstrap; None on a pre-bloom
-    // postings table → plain probe): delta banding rows with
-    // definitely-novel (band, band_hash) drop map-side before the
-    // sig-carrying shuffle into the bucketed corpus join
-    val pairs = Dedup.incrementalMinhashCandidates(text, spark.table(postingsTable),
-        bandPrefilter = Dedup.bloomProbeFor(spark, postingsTable))
-      .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_1"),
-        lit(true).as("in1"))), Seq("doc_id_1"), "left")
-      .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_2"),
-        lit(true).as("in2"))), Seq("doc_id_2"), "left")
-      .localCheckpoint() // consumed twice (corpus hits + delta clusters)
-    // exactly one side in the delta -> the delta side lost to the corpus
-    val corpusHits = pairs.filter(col("in1").isNull =!= col("in2").isNull)
-      .select(when(col("in1").isNotNull, col("doc_id_1"))
-        .otherwise(col("doc_id_2")).as("doc_id")).distinct()
-    // substring arm (optional): a passage copy sits below whole-doc
-    // MinHash Jaccard but its interior CDC chunks hash identically —
-    // probe the chunk index with the SAME destructive bar as the full
-    // prep's substringDupPairs pass, corpus wins
-    val substrHits = chunkTable.map { t =>
-      Dedup.incrementalSubstringMatches(text, spark.table(t), minSharedTokens = 64L,
-        bloomProbe = Dedup.bloomProbeFor(spark, t))
-        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
-    }
-    // semantic arm (optional): a PARAPHRASED re-delivery shares no
-    // shingles and no CDC chunks — both text probes are structurally
-    // blind to it; its embedding still lands in the corpus doc's
-    // quantizer cell. Probe with the surviving delta's vectors
-    // ((doc_id, embedding) from the day's embedder), corpus wins.
-    // Delta docs without a vector simply skip this arm. With the PQ
-    // twin present (bootstraps since the PQ seam landed), the probe
-    // is TWO-TIER: candidates from the 16 B/doc code index
-    // (persisted codebooks — never retrained; over-collects by the
-    // probe's margin because ADC cosines carry quantization error),
-    // then EXACT cosine on just the candidate pairs against the
-    // full-vector index, scanning only the cells the candidates
-    // touched (the collect is bounded by the quantizer's k — a
-    // driver-safe constant, same license as the BPE loop's 1-row
-    // fetch). Corpus-scale work reads codes; vectors surface
-    // candidate-sized. Without the PQ twin: the one-tier exact
-    // cell probe, same hits.
-    val semThreshold = 0.35
-    val semHits = semanticTable.zip(deltaEmbeddings).map { case (t, embs) =>
-      val deltaVecs = embs.join(broadcast(exactNew.select(col("doc_id"))),
-        Seq("doc_id"), "left_semi")
-      semanticCorpusHits(spark, deltaVecs, t, semThreshold)
-        .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
-    }
-    val survivors = (substrHits.toSeq ++ semHits.toSeq).foldLeft(
-      exactNew.join(corpusHits, Seq("doc_id"), "left_anti"))(
-      (df, s) => df.join(s, Seq("doc_id"), "left_anti"))
-    // within-delta clusters: the LSH probe's delta-delta pairs, plus
-    // the delta's own substring pairs when the chunk arm is on (the
-    // full prep unions both graphs the same way)
-    val ddPairs = pairs.filter(col("in1").isNotNull && col("in2").isNotNull)
-      .select(col("doc_id_1"), col("doc_id_2"))
-    val allDdPairs = if (chunkTable.isDefined)
-      ddPairs.unionByName(Dedup.substringDupPairs(text, minSharedTokens = 64L)
-        .select(col("doc_id_1"), col("doc_id_2")))
-    else ddPairs
-    // star-rounds CC ([[Dedup.clusterPairsStar]]): O(log^2 n)
-    // convergence regardless of component shape — the production
-    // default, since a prep run over an arbitrary corpus can't assume
-    // the dense quasi-clique components min-label propagation wants
-    // (same min-id labeling either way, one shared oracle)
-    val clusters = Dedup.clusterPairsStar(allDdPairs)
-    val deduped = Dedup.applyCanonical(survivors, clusters,
-      Dedup.canonicalPerCluster(
-        survivors.select(col("doc_id"), col("content").as("text")), clusters))
-    val contaminated = holdout.map { h =>
-      TextOps.decontaminateSubstring(
-        deduped.select(col("doc_id"), col("content").as("text")), h)
-        .select(col("doc_id")).localCheckpoint()
-    }
-    val accepted = contaminated
-      .fold(deduped)(c => deduped.join(c, Seq("doc_id"), "left_anti"))
-      .localCheckpoint() // written once, then indexed twice below
+    val d = decideDelta(spark, rawDelta, postingsTable, hashTable, holdout,
+      chunkTable, semanticTable, deltaEmbeddings, charlmTable,
+      charlmRareFracMax, charlmRareBelow)
+    import d.{accepted, charlmDropped, contaminated, corpusHits, corpusIds,
+      exactNew, exactWithin, quality, semHits, substrHits}
 
     Sinks.writeParquet(
       accepted.withColumn("content", TextOps.redact(col("content"))),

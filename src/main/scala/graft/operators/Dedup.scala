@@ -327,12 +327,45 @@ object Dedup {
     * the spec pins batched == sequential. */
   def mergeHashBlooms(spark: SparkSession,
                       arms: Seq[(String, DataFrame, String)]): Unit = {
-    val live = arms.filter { case (t, _, _) =>
+    // Determinism guard (r16 ADVICE): each arm's day frame is
+    // evaluated more than once below (saturation count, day-filter
+    // build, the rebuild paths' includeDay union) — a
+    // non-deterministic frame could make the saturation decision and
+    // the built filter disagree, breaking the items-metadata
+    // exactness the compaction recount rests on. Pipeline callers
+    // checkpoint their day frames already (detected and skipped);
+    // any other caller's lazy plan is pinned here, one day-sized
+    // materialization that the repeated evaluations repay.
+    val pinned = arms.map { case (t, day, hc) => (t, materializedOnce(day), hc) }
+    val live = pinned.filter { case (t, _, _) =>
       spark.catalog.tableExists(bloomTableOf(t)) }
     val (sharded, single) = live.partition { case (t, _, _) =>
       spark.table(bloomTableOf(t)).columns.contains("shard") }
     single.foreach { case (t, day, hc) => mergeHashBloom(spark, t, day, hc) }
     mergeShardedBlooms(spark, sharded)
+  }
+
+  /** Pin a day frame to one evaluation-equivalent: a plan whose
+    * LEAVES are already materialized (a caller's `localCheckpoint`, a
+    * literal local relation) and whose expressions are all
+    * deterministic re-evaluates to the same SET every time — the
+    * merge only consumes day frames set-wise (count, filter bits,
+    * union), so it passes through un-checkpointed (no extra job:
+    * Pipeline callers checkpoint already, spec fixtures are local
+    * relations under a rename). Anything else — a lazy scan that
+    * could see new files, any non-deterministic expression — is
+    * checkpointed so the saturation decision and the built filter
+    * cannot disagree. */
+  private def materializedOnce(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.logical
+    val leavesPinned = plan.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    if (leavesPinned && plan.collect { case n => n }
+          .forall(_.expressions.forall(_.deterministic))) df
+    else df.localCheckpoint()
   }
 
   /** Fold an accepted day's hashes into the SHARDED persisted bloom —
@@ -377,15 +410,48 @@ object Dedup {
       writeHashBloomSharded(spark, t, defaultShards, hashCol = hc,
         includeDay = Some(day)) }
     if (present.nonEmpty) {
-      // day keys per (arm, shard) in ONE aggregate — feeds the
-      // per-shard saturation check (each filter's fpp degrades on
-      // its own occupancy; the existing side is driver-held metadata)
-      val dayCounts = present.map { case ((_, day, hc), i) =>
-        distinctHashes(day, hc).toDF("h")
-          .groupBy(shardOfCol(col("h"), metaByArm(i)._1).as("shard"))
-          .agg(count(lit(1)).as("day_items"))
-          .select(lit(i).as("arm"), col("shard"), col("day_items"))
-      }.reduce(_ unionByName _).collect()
+      // EVERY present arm's day filters in ONE shuffle of RAW
+      // (arm, key) rows: the within-shard dedupe happens in the same
+      // pass that fills each filter (bloom bits are duplicate-blind;
+      // `items` counts the HashSet, staying exact-distinct), so no
+      // per-arm `.distinct()` aggregate exists in the plan — each
+      // such union branch would materialize its OWN AQE shuffle
+      // stage, i.e. one extra Spark job per arm (measured r17: the
+      // two per-arm distincts plus the per-arm saturation branch
+      // put the batched merge at 5 jobs/arm; this shape is 1/arm —
+      // the unavoidable per-table overwrite — plus a flat core).
+      // Filters are built for breached arms too and discarded on
+      // breach: a saturation breach is geometric-rare, and pricing
+      // it as one wasted day-filter build is cheaper than a second
+      // per-arm counting pass every ordinary day. The checkpoint
+      // materializes the filters ONCE; the saturation counts below
+      // read the checkpoint, not the day frames.
+      val paramByArm = present.map { case (_, i) => i -> metaByArm(i) }.toMap
+      val dayKeys = present.map { case ((_, day, hc), i) =>
+        day.select(expr(hc).cast("string").as("h"))
+          .select(lit(i).as("arm"), col("h"))
+      }.reduce(_ unionByName _).as[(Int, String)]
+      val dayFilters = dayKeys
+        .groupByKey { case (arm, h) => (arm, shardOfString(h, paramByArm(arm)._1)) }
+        .mapGroups { (key, it) =>
+          val (arm, shard) = key
+          val (_, cap, fpp) = paramByArm(arm)
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(cap, fpp)
+          val seen = new java.util.HashSet[String]()
+          it.foreach { case (_, h) =>
+            if (seen.add(h))
+              bf.putBinary(h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (arm, shard, bos.toByteArray, seen.size.toLong)
+        }.toDF("arm", "shard", "bloom", "items")
+        .localCheckpoint()
+      // per-shard saturation check off the built filters' metadata
+      // (each filter's fpp degrades on its own occupancy; the
+      // existing side is driver-held metadata)
+      val dayCounts = dayFilters.select(col("arm"), col("shard"), col("items"))
+        .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
       val existingItems = metaRows
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(5)).toMap
@@ -400,28 +466,9 @@ object Dedup {
         writeHashBloomSharded(spark, t, n, fpp, hashCol = hc,
           includeDay = Some(day)) }
       if (batch.nonEmpty) {
-        // ONE shuffle builds every arm's day filters, keyed
-        // (arm, shard); per-arm (nshards, capacity, fpp) ride a tiny
-        // closure map
-        val paramByArm = batch.map { case (_, i) => i -> metaByArm(i) }.toMap
-        val dayKeys = batch.map { case ((_, day, hc), i) =>
-          distinctHashes(day, hc).toDF("h").select(lit(i).as("arm"), col("h"))
-        }.reduce(_ unionByName _).as[(Int, String)]
-        val dayFilters = dayKeys
-          .groupByKey { case (arm, h) => (arm, shardOfString(h, paramByArm(arm)._1)) }
-          .mapGroups { (key, it) =>
-            val (arm, shard) = key
-            val (_, cap, fpp) = paramByArm(arm)
-            val bf = org.apache.spark.util.sketch.BloomFilter.create(cap, fpp)
-            var items = 0L
-            it.foreach { case (_, h) =>
-              bf.putBinary(h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              items += 1L
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            bf.writeTo(bos)
-            (arm, shard, bos.toByteArray, items)
-          }.toDF("arm", "shard", "bloom", "items")
+        val batchArms = batch.map(_._2)
+        val batchFilters = dayFilters
+          .filter(col("arm").isin(batchArms.map(Integer.valueOf): _*))
         // OR-merge with the existing rows in ONE pass, materialize
         // ONCE (the union reads the tables about to be overwritten),
         // then each arm's overwrite is an n-row write off the
@@ -430,7 +477,7 @@ object Dedup {
           spark.table(bloomTableOf(t))
             .select(lit(i).as("arm"), col("shard"), col("bloom"), col("items")) }
           .reduce(_ unionByName _)
-        val merged = existingFull.unionByName(dayFilters)
+        val merged = existingFull.unionByName(batchFilters)
           .as[(Int, Int, Array[Byte], Long)]
           .groupByKey { case (arm, shard, _, _) => (arm, shard) }
           .mapGroups { (key, it) =>
@@ -497,9 +544,13 @@ object Dedup {
     * Idempotent under replay: re-merging the same hashes sets the
     * same bits. */
   def mergeHashBloom(spark: SparkSession, hashTable: String,
-                     dayHashes: DataFrame,
+                     dayHashes0: DataFrame,
                      hashCol: String = "content_md5"): Unit =
     if (spark.catalog.tableExists(bloomTableOf(hashTable))) {
+      // same determinism pin as [[mergeHashBlooms]]: the day frame is
+      // read twice below (count, then filter build) and again on the
+      // rebuild paths — no-op for already-pinned callers
+      val dayHashes = materializedOnce(dayHashes0)
       // sharded tables (schema carries `shard`) take the distributed
       // per-shard merge; single-filter tables keep the original path —
       // one maintenance entry point either way, so runIncremental

@@ -840,6 +840,75 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mergeHashBlooms: Spark job count stays flat in arm count (r16 VERDICT #5)") {
+    // the batched merge's O(1)-in-arms claim, pinned as a measured
+    // number: the merge CORE (metadata collect, day-key aggregate,
+    // day-filter shuffle, OR-merge pass) costs the same jobs for 8
+    // arms as for 3 — only the unavoidable per-table bloom writes
+    // scale with arms (≤ 2 jobs each). The sequential twin pays a
+    // full merge pipeline PER arm, which is what the batching bought.
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // content is keyed by ARM INDEX only, so the 8-arm batched and
+    // sequential twins hold identical keys and must land identical
+    // filters
+    def mkArms(tag: String, n: Int): Seq[(String, Seq[String])] =
+      (1 to n).map { a =>
+        val t = s"graft_jc_${tag}_$a"
+        graft.sources.Sinks.writeBucketed(
+          (1 to 16).map(i => h(s"arm$a k$i")).toDF("content_md5"), t, Seq("content_md5"))
+        Dedup.writeHashBloomSharded(spark, t, shards = 4, minShardCapacity = 64L)
+        t -> (1 to 4).map(i => h(s"arm$a d$i"))
+      }
+    def jobsOf(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status tracker fills from the listener bus — poll until
+      // the count is stable rather than racing it
+      var n = -1; var same = 0
+      while (same < 5) {
+        val c = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        if (c == n) same += 1 else { n = c; same = 0 }
+        Thread.sleep(100)
+      }
+      n
+    }
+    def batched(arms: Seq[(String, Seq[String])]): Unit =
+      Dedup.mergeHashBlooms(spark,
+        arms.map { case (t, d) => (t, d.toDF("content_md5"), "content_md5") })
+    val arms3 = mkArms("b3", 3)
+    val arms8 = mkArms("b8", 8)
+    val armsSeq = mkArms("sq", 8)
+    val jobs3 = jobsOf("graft_jc_3")(batched(arms3))
+    val jobs8 = jobsOf("graft_jc_8")(batched(arms8))
+    val jobsSeq = jobsOf("graft_jc_seq") {
+      armsSeq.foreach { case (t, d) => Dedup.mergeHashBloom(spark, t, d.toDF("content_md5")) }
+    }
+    info(s"merge jobs: batched 3 arms = $jobs3, batched 8 arms = $jobs8, sequential 8 arms = $jobsSeq")
+    // slope ≤ 1 job per extra arm — the per-table overwrite, NOTHING
+    // from the merge core (measured r17: 9 jobs at 3 arms, 14 at 8;
+    // before the raw-key/in-group-dedupe shape it was 5/arm — each
+    // per-arm `.distinct()` union branch materialized its own AQE
+    // shuffle-stage job)
+    assert(jobs8 - jobs3 <= 5,
+      s"batched merge job count is not flat in arms: 3 arms = $jobs3, 8 arms = $jobs8")
+    // and the batching beats running the pipeline per arm
+    assert(jobs8 < jobsSeq,
+      s"batched 8-arm merge ($jobs8 jobs) should undercut sequential ($jobsSeq jobs)")
+    // semantics unchanged: batched and sequential 8-arm merges land
+    // bit-identical filters (same content on both sides)
+    (arms8.map(_._1) zip armsSeq.map(_._1)).foreach { case (b, s) =>
+      val dump = (t: String) => spark.table(t + "__bloom")
+        .select(col("shard"), col("items"),
+          org.apache.spark.sql.functions.base64(col("bloom")).as("b"))
+        .as[(Int, Long, String)].collect().sortBy(_._1).toSeq
+      assert(dump(b) === dump(s), s"arm $b diverged from its sequential twin")
+    }
+    (arms3 ++ arms8 ++ armsSeq).foreach { case (t, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__bloom")
+    }
+  }
+
   test("rebuildHashBloom: form-preserving rebuild restores filter == table after a shrink") {
     // the df-cap recap REMOVES keys; their bits cannot be cleared in
     // place, so recountBloomItems would under-state occupancy (r15

@@ -568,4 +568,108 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE graft_cmp_dbt")
     } finally spark.catalog.setCurrentDatabase("default")
   }
+
+  test("completeTableSwap: a stolen promotion is a completed swap, not a maintenance failure") {
+    // r16 ADVICE (medium): a concurrent guard's recoverTableSwap can
+    // promote __staging inside rewriteBucketed's DROP→RENAME window;
+    // the maintenance RENAME then fails on an absent staging — but
+    // the swap IS complete, with the same staging rows. The
+    // completion leg must treat staging-absent + target-present as
+    // success and anything else as a real failure.
+    val t = "graft_steal_t"
+    val rows = (1L to 20L).map(i => (i, i % 3)).toDF("id", "grp")
+    // normal leg: staging present, target dropped -> renames
+    Sinks.writeBucketed(rows, s"${t}__staging", Seq("id"), 4)
+    Sinks.completeTableSwap(spark, s"${t}__staging", t)
+    assert(spark.catalog.tableExists(t) && !spark.catalog.tableExists(s"${t}__staging"))
+    // stolen leg: a guard already promoted (staging absent, target
+    // present) — the RENAME fails underneath, the completion succeeds
+    Sinks.completeTableSwap(spark, s"${t}__staging", t)
+    assert(spark.catalog.tableExists(t))
+    // broken leg: both absent is a lost table, never swallowed
+    spark.sql(s"DROP TABLE $t")
+    intercept[Exception] { Sinks.completeTableSwap(spark, s"${t}__staging", t) }
+  }
+
+  test("swapRaceSignature: only failures NAMING a watched table heal, others propagate") {
+    // r16 ADVICE (low): the bare 'FileNotFoundException' substring
+    // matched unrelated permanent failures (deleted checkpoint or
+    // source paths), masking root causes under a heal + full batch
+    // re-execution. The signature must reference the watched tables.
+    val watched = Seq("graft_idx", "db.graft_other")
+    def fnf(msg: String) = new java.io.FileNotFoundException(msg)
+    // the three swap signatures, naming a watched table -> heal
+    assert(Sinks.swapRaceSignature(watched,
+      new RuntimeException("[TABLE_OR_VIEW_NOT_FOUND] The table `graft_idx` cannot be found")))
+    assert(Sinks.swapRaceSignature(watched,
+      new RuntimeException("[FAILED_READ_FILE] file:/wh/graft_idx/part-0.parquet")))
+    assert(Sinks.swapRaceSignature(watched,
+      fnf("java.io.FileNotFoundException: /wh/db.db/graft_other/part-1.parquet")))
+    // nested cause chains are walked
+    assert(Sinks.swapRaceSignature(watched,
+      new RuntimeException("query failed",
+        fnf("FileNotFoundException: /wh/graft_idx/part-3.parquet"))))
+    // an unrelated FileNotFoundException (checkpoint, source file)
+    // must NOT match even though the substring is present
+    assert(!Sinks.swapRaceSignature(watched,
+      fnf("java.io.FileNotFoundException: /tmp/ckpt/offsets/42")))
+    assert(!Sinks.swapRaceSignature(watched,
+      new RuntimeException("[TABLE_OR_VIEW_NOT_FOUND] The table `some_other` cannot be found")))
+    // a watched-table mention WITHOUT a swap signature is not a race
+    assert(!Sinks.swapRaceSignature(watched,
+      new RuntimeException("graft_idx: arithmetic overflow")))
+  }
+
+  test("_temporary sweep: a long-quiet orphan sweeps when the age escape allows; fresh refuses") {
+    // r16 ADVICE (low): the unconditional refusal permanently wedges a
+    // location whose writer crashed and will never retry. Age escape:
+    // a location QUIET longer than the caller's threshold (newest
+    // mtime anywhere under it) is a crashed writer's orphan.
+    import org.apache.hadoop.fs.Path
+    val catalog = spark.sessionState.catalog
+    val t = "stale_loc_aged"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new Path(catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier(t)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(): Path = {
+      val tmp = new Path(loc, "_temporary")
+      fs.mkdirs(new Path(tmp, "0"))
+      val part = new Path(loc, "part-00000")
+      val out = fs.create(part); out.writeBytes("x"); out.close()
+      tmp
+    }
+    def write(thresholdMs: Long): Unit =
+      Sinks.writeTableRecoveringStaleLocation(spark, t, thresholdMs) {
+        Seq((1L, "live")).toDF("doc_id", "text")
+          .write.mode("overwrite").format("parquet").saveAsTable(t)
+      }
+    // fresh _temporary: refused even WITH a threshold (still quiet
+    // for less than it) — an active committer must survive
+    val tmp = plant()
+    val e = intercept[IllegalStateException] { write(thresholdMs = 60000L) }
+    assert(e.getMessage.contains("IN FLIGHT"))
+    assert(fs.exists(tmp), "a fresh _temporary must survive the refusal")
+    // age everything under the location past the threshold -> sweeps
+    val old = System.currentTimeMillis() - 120000L
+    val it = fs.listFiles(loc, true)
+    while (it.hasNext) { val f = it.next(); fs.setTimes(f.getPath, old, old) }
+    Seq(loc, tmp, new Path(tmp, "0")).foreach(p => fs.setTimes(p, old, old))
+    write(thresholdMs = 60000L)
+    assert(spark.table(t).as[(Long, String)].collect().toSeq === Seq((1L, "live")))
+    // and the DEFAULT stays the unconditional refusal
+    spark.sql(s"DROP TABLE $t")
+    val tmp2 = plant()
+    val it2 = fs.listFiles(loc, true)
+    while (it2.hasNext) { val f = it2.next(); fs.setTimes(f.getPath, old, old) }
+    Seq(loc, tmp2, new Path(tmp2, "0")).foreach(p => fs.setTimes(p, old, old))
+    val e2 = intercept[IllegalStateException] {
+      Sinks.writeTableRecoveringStaleLocation(spark, t) {
+        Seq((2L, "x")).toDF("doc_id", "text")
+          .write.mode("overwrite").format("parquet").saveAsTable(t)
+      }
+    }
+    assert(e2.getMessage.contains("refusing to sweep"))
+    fs.delete(loc, true)
+  }
 }
