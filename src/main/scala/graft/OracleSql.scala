@@ -199,6 +199,22 @@ object OracleSql {
     *  - `sx_ham` re-derives Hamming by comparing the 64 bit columns
     *    (the engine's `bit_count(xor)` on the same-bits signed long).
     */
+  /** [[minhashPairsCtes]] over an arbitrary base relation (CTE name)
+    * instead of the `documents` table — the accept-preview audit
+    * replays the incremental probe over a delta∪corpus union. */
+  def minhashPairsCtes(base: String): String =
+    minhashPairsCtes.replace("FROM documents", s"FROM $base")
+
+  /** [[cdcChunksCtes]] over an arbitrary base relation with PREFIXED
+    * chain names, so two instantiations (corpus chunks, delta chunks)
+    * coexist in one WITH list. Ends in `<prefix>uch(doc_id, h,
+    * n_tokens)`. */
+  def cdcChunksCtes(base: String, prefix: String): String =
+    cdcChunksCtes
+      .replace("FROM documents", s"FROM $base")
+      .replace("cdc_", s"${prefix}cdc_")
+      .replace("uch AS", s"${prefix}uch AS")
+
   def simhashPairsCtes: String =
     """sx_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sx_sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

@@ -7,6 +7,7 @@ import graft.sources.JsonSource
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -1206,6 +1207,132 @@ object SparkEntry {
               |UNION ALL
               |SELECT 'content' AS arm, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_keys,
               |  TRUE AS no_false_negatives, TRUE AS fp_ok FROM documents""".stripMargin)),
+
+    ("accept_preview_audit",
+      // the WHOLE daily accept decision as a gate row (r17): real
+      // bootstrapped probe tables (postings + hash set + chunk
+      // index, blooms included), a deterministic corpus/delta split
+      // plus a re-delivery slice (corpus ids re-sent with edited
+      // text — the id-collision branch), decided by
+      // Pipeline.decideDelta — the ONE definition runIncremental and
+      // streamingAcceptPreviewSink share. The oracle replays the
+      // ENTIRE chain in SQL: silver clean, quality bar, id collision
+      // against the banded ids, keep-first exact dedup, md5 MinHash
+      // banding + 64-perm estimate at 0.5 over the delta∪corpus
+      // union, the df-capped CDC chunk probe at 64 shared tokens,
+      // within-delta clusters (recursive CC) with longest-survivor
+      // canonicals — per-verdict counts value-check every gate.
+      // Bloom prefilters run in the engine and are result-neutral by
+      // the no-false-negatives contract the bloom audit rows pin.
+      (s: SparkSession, d: String) => graft.Pipeline.acceptPreviewAudit(docs(s, d)),
+      Some(s"""WITH RECURSIVE
+              |fl AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' AS is_delta
+              |       FROM documents
+              |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) < '80'),
+              |corp AS (SELECT doc_id, text FROM fl WHERE NOT is_delta),
+              |draw AS (SELECT doc_id, text FROM fl WHERE is_delta
+              |         UNION ALL
+              |         SELECT doc_id, text || ' redelivered' AS text FROM fl
+              |         WHERE NOT is_delta
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) BETWEEN '80' AND '83'
+              |         UNION ALL
+              |         SELECT doc_id + 10000000 AS doc_id,
+              |           array_to_string(list_transform(range(1, 301),
+              |             i -> 'fl' || CAST(doc_id + 10000000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
+              |             || ' ' || text AS text
+              |         FROM fl
+              |         WHERE NOT is_delta
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) BETWEEN '90' AND 'af'
+              |           AND LEN(string_split(text, ' ')) >= 90
+              |         UNION ALL
+              |         SELECT doc_id + 20000000 AS doc_id, text FROM fl
+              |         WHERE is_delta
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '02'),
+              |slv AS (SELECT doc_id, ${cleanContentSql("text")} AS content FROM draw),
+              |qual AS (SELECT doc_id, content FROM slv
+              |         WHERE content IS NOT NULL AND LENGTH(content) > 50),
+              |postids AS (SELECT doc_id FROM corp
+              |            WHERE text IS NOT NULL AND LEN(string_split(text, ' ')) >= 3),
+              |idc AS (SELECT doc_id FROM qual WHERE doc_id IN (SELECT doc_id FROM postids)),
+              |idsafe AS (SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM idc)),
+              |exw AS (SELECT doc_id, content FROM (
+              |          SELECT doc_id, content,
+              |            ROW_NUMBER() OVER (PARTITION BY md5(content) ORDER BY doc_id) AS rn
+              |          FROM idsafe) WHERE rn = 1),
+              |exn AS (SELECT doc_id, content FROM exw
+              |        WHERE md5(content) NOT IN
+              |          (SELECT md5(text) FROM corp WHERE text IS NOT NULL)),
+              |mhd AS (SELECT doc_id, content AS text FROM exn
+              |        UNION ALL SELECT doc_id, text FROM corp),
+              |${minhashPairsCtes("mhd")},
+              |dset AS (SELECT doc_id FROM exn),
+              |ndp AS (SELECT doc_id_1, doc_id_2 FROM mh_est WHERE est_jaccard >= 0.5),
+              |ndc AS (SELECT DISTINCT CASE WHEN doc_id_1 IN (SELECT doc_id FROM dset)
+              |                 THEN doc_id_1 ELSE doc_id_2 END AS doc_id
+              |        FROM ndp
+              |        WHERE (doc_id_1 IN (SELECT doc_id FROM dset))
+              |           <> (doc_id_2 IN (SELECT doc_id FROM dset))),
+              |ddmh AS (SELECT doc_id_1, doc_id_2 FROM ndp
+              |         WHERE doc_id_1 IN (SELECT doc_id FROM dset)
+              |           AND doc_id_2 IN (SELECT doc_id FROM dset)),
+              |${cdcChunksCtes("corp", "c")},
+              |cpost AS (SELECT doc_id, h FROM cuch
+              |          WHERE h IN (SELECT h FROM cuch GROUP BY h HAVING COUNT(*) <= 100)),
+              |dtxt AS (SELECT doc_id, content AS text FROM exn),
+              |${cdcChunksCtes("dtxt", "d")},
+              |subp AS (SELECT d.doc_id AS delta_doc, c.doc_id AS corpus_doc
+              |         FROM duch d JOIN cpost c ON d.h = c.h AND d.doc_id <> c.doc_id
+              |         GROUP BY 1, 2 HAVING SUM(d.n_tokens) >= 64),
+              |subc AS (SELECT DISTINCT delta_doc AS doc_id FROM subp),
+              |ddf AS (SELECT h, MAX(n_tokens) AS n_tokens FROM duch
+              |        GROUP BY h HAVING COUNT(*) <= 100),
+              |ddsp AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+              |         FROM duch a JOIN duch b ON a.h = b.h AND a.doc_id < b.doc_id
+              |         JOIN ddf f ON f.h = a.h
+              |         GROUP BY 1, 2 HAVING SUM(f.n_tokens) >= 64),
+              |edges0 AS (SELECT doc_id_1, doc_id_2 FROM ddmh
+              |           UNION SELECT doc_id_1, doc_id_2 FROM ddsp),
+              |edges AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM edges0
+              |          UNION SELECT doc_id_2, doc_id_1 FROM edges0),
+              |reach AS (SELECT a, b FROM edges
+              |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+              |surv AS (SELECT doc_id, content FROM exn
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM ndc)
+              |           AND doc_id NOT IN (SELECT doc_id FROM subc)),
+              |canon AS (SELECT cluster_id, doc_id FROM (
+              |            SELECT c.cluster_id, s.doc_id,
+              |              ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+              |                ORDER BY LEN(string_split(s.content, ' ')) DESC, s.doc_id ASC) AS rn
+              |            FROM surv s JOIN cl c ON s.doc_id = c.doc_id) WHERE rn = 1),
+              |ndw AS (SELECT s.doc_id FROM surv s JOIN cl c ON s.doc_id = c.doc_id
+              |        WHERE NOT EXISTS (SELECT 1 FROM canon k
+              |          WHERE k.cluster_id = c.cluster_id AND k.doc_id = s.doc_id)),
+              |acc AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM ndw)),
+              |verd AS (SELECT d.doc_id,
+              |    CASE WHEN d.doc_id IN (SELECT doc_id FROM acc) THEN 'accepted'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM ndw) THEN 'near_dup_within'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM ndc) THEN 'near_dup_corpus'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM subc) THEN 'substring_dup_corpus'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM exw)
+              |              AND d.doc_id NOT IN (SELECT doc_id FROM exn) THEN 'exact_dup_corpus'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM idsafe)
+              |              AND d.doc_id NOT IN (SELECT doc_id FROM exw) THEN 'exact_dup_within'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM idc) THEN 'id_collision'
+              |         ELSE 'low_quality' END AS verdict
+              |  FROM draw d)
+              |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |FROM verd GROUP BY 1 ORDER BY 1""".stripMargin
+        // MATERIALIZED pins the expensive shared chains to one
+        // evaluation each — DuckDB otherwise INLINES a CTE at every
+        // reference (measured: 110 s -> 3 s at sf0.01); the recursive
+        // reach/edges pair stays un-materialized (recursion cannot be)
+        .pipe(sql => Seq("fl", "corp", "draw", "slv", "qual", "idsafe", "exw",
+            "exn", "mhd", "mh_sh", "mh_pm", "mh_est", "dset", "ndp", "ddmh",
+            "cuch", "duch", "cpost", "ddf", "ddsp", "cl", "surv", "canon",
+            "ndw", "acc")
+          .foldLeft(sql)((q, n) =>
+            q.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))))),
 
     ("char_budget_sample",
       // per-source keep fraction = budget/total in 65536ths (exact DIV),

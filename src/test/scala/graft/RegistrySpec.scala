@@ -162,7 +162,11 @@ class RegistrySpec extends SparkSpec {
     // round-16: the batched daily bloom merge driven end-to-end
     // through catalog tables in the production merge-before-append
     // order (SURVEY 37i3)
-    "bloom_filter_audit_merge_batched")
+    "bloom_filter_audit_merge_batched",
+    // round-17: the whole daily accept decision as a gate row —
+    // decideDelta over real bootstrapped probe tables with planted
+    // branch-forcing slices (SURVEY 37m)
+    "accept_preview_audit")
 
   test("entry (the driver's rows>0 smoke check) returns gold rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
