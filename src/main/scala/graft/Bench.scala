@@ -416,6 +416,36 @@ object Bench {
       } catch {
         case e: Throwable => errors("bloom_saturation_rebuild") = Json.errorSummary(e)
       }
+      // ACCEPT-PREVIEW trigger cost (r17): the streaming preview's
+      // per-trigger work is decideDelta on a micro-batch — priced
+      // here on a day-sized delta engineered so EVERY arm does full
+      // work (re-keyed + text-perturbed day docs: novel ids and
+      // hashes, so nothing short-circuits at the id/exact gates;
+      // near-dup, chunk and semantic probes all run against the
+      // grown 3-day corpus). Own error key, same rationale as the
+      // rebuild's.
+      try {
+        import org.apache.spark.sql.functions.{concat, lit}
+        val (d2dir, d2embs, _) = days.last
+        val previewDelta = spark.read.parquet(s"$d2dir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(50000000L))
+          .withColumn("text", concat(col("text"), lit(" previewtok")))
+          .localCheckpoint()
+        val previewEmbs = d2embs
+          .withColumn("doc_id", col("doc_id") + lit(50000000L)).localCheckpoint()
+        System.gc()
+        val tP0 = System.nanoTime()
+        Pipeline.decideDelta(spark, previewDelta, post, hash,
+            chunkTable = Some(chunk), semanticTable = Some(sem),
+            deltaEmbeddings = Some(previewEmbs))
+          .verdicts.write.format("noop").mode("overwrite").save()
+        steady("accept_preview_trigger") = (System.nanoTime() - tP0) / 1e9
+        System.err.println(
+          f"BENCH STEADY accept_preview_trigger: ${steady("accept_preview_trigger")}%.3fs " +
+            "(decideDelta on a day-sized all-arms delta vs the grown corpus)")
+      } catch {
+        case e: Throwable => errors("accept_preview_trigger") = Json.errorSummary(e)
+      }
     } catch {
       case e: Throwable => errors("run_incremental_daily") = Json.errorSummary(e)
     }

@@ -853,6 +853,129 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup and substring guards LIVE race: triggers under looping index rewrites stay alive and correct") {
+    // the exact guard's race spec, extended to the two other
+    // bucketed-index guards — each watches its own table set, so
+    // each deserves the real two-metadata-op window landing
+    // mid-trigger with verdicts pinned
+    implicit val sqlCtx = spark.sqlContext
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    def nearOf(p: String) = (1 to 39).map(i => s"$p$i").mkString(" ") + " changed"
+    val post = "graft_race_nd_post"; val chunk = "graft_race_sub_chunk"
+    val passage = toks("rp", 120)
+    graft.operators.Dedup.writeBandPostings(
+      Seq((100L, toks("ra", 40))).toDF("doc_id", "text"), post)
+    graft.operators.Dedup.writeHashBloom(spark, post,
+      hashCol = graft.operators.Dedup.bandKeySql)
+    graft.operators.Dedup.writeChunkPostings(
+      Seq((200L, toks("rb", 30) + " " + passage)).toDF("doc_id", "text"), chunk)
+    graft.operators.Dedup.writeHashBloom(spark, chunk, hashCol = "chunk_hash")
+    val ndIn = MemoryStream[(Long, String)]; val subIn = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_g2").toString
+    val ndQ = graft.sources.Sinks.streamingNearDupGuardSink(
+      ndIn.toDF().toDF("doc_id", "text"), post, s"$dir/nd_out", s"$dir/nd_chk").start()
+    val subQ = graft.sources.Sinks.streamingSubstringGuardSink(
+      subIn.toDF().toDF("doc_id", "text"), chunk, s"$dir/sub_out", s"$dir/sub_chk",
+      minSharedTokens = 16L).start()
+    @volatile var maintErr: Option[Throwable] = None
+    @volatile var stop = false
+    val maint = new Thread(() => {
+      try {
+        var k = 0
+        while (!stop && k < 5) {
+          graft.sources.Sinks.rewriteBucketed(
+            spark.table(post), post, Seq("band", "band_hash"))
+          graft.sources.Sinks.rewriteBucketed(
+            spark.table(chunk), chunk, Seq("chunk_hash"))
+          Thread.sleep(300)
+          k += 1
+        }
+      } catch { case t: Throwable => maintErr = Some(t) }
+    }, "guard-race-2-maintenance")
+    try {
+      maint.start()
+      for (i <- 1 to 8) {
+        ndIn.addData((300L + i, nearOf("ra")))
+        subIn.addData((400L + i, toks(s"rp$i-", 30) + " " + passage))
+        ndQ.processAllAvailable()
+        subQ.processAllAvailable()
+      }
+      maint.join(120000)
+      assert(maintErr.isEmpty, s"maintenance failed: ${maintErr.getOrElse("")}")
+      assert(ndQ.isActive && subQ.isActive, "both guards must survive every swap window")
+      val ndPairs = spark.read.parquet(s"$dir/nd_out")
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      // pairs are (least, greatest): the corpus doc's id (100) sorts first
+      assert((1 to 8).forall(i => ndPairs.contains((100L, 300L + i))),
+        s"a near-dup verdict went missing under the live rewrite race: $ndPairs")
+      val subDocs = spark.read.parquet(s"$dir/sub_out")
+        .select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+      assert((1 to 8).forall(i => subDocs.contains((400L + i, 200L))),
+        "a substring verdict went missing under the live rewrite race")
+      assert(spark.catalog.tableExists(post) && spark.catalog.tableExists(chunk))
+    } finally { stop = true; ndQ.stop(); subQ.stop(); maint.join(120000) }
+  }
+
+  test("semantic guard LIVE race: triggers under looping PQ retrains stay alive and correct") {
+    // the semantic guard's hardest churn made live: a maintenance
+    // loop RETRAINING the PQ tier (writeSemanticIndexPq drops the
+    // code index FIRST, rewrites codebooks, re-encodes) while
+    // triggers stream. Mid-retrain triggers may legitimately probe
+    // one-tier (the documented downgrade — same hits); what is
+    // pinned is the query never dies, the retrain loop never fails,
+    // and every trigger's hit lands.
+    implicit val sqlCtx = spark.sqlContext
+    val t = "graft_race_sem"
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val flagged = embs.select(col("vec_id"), col("embedding"),
+      (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
+    val corpus = flagged.filter(!col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val deltaRows = flagged.filter(col("is_delta"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    graft.operators.Ann.writeSemanticIndex(corpus, t)
+    graft.operators.Pq.writeSemanticIndexPq(corpus, t + "__pq", deterministic = true,
+      sharedCentroids = Some(spark.table(t + "__centroids")))
+    val expected = graft.Pipeline.semanticCorpusHits(
+      spark, deltaRows.toDF("doc_id", "embedding"), t)
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must produce semantic hits")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_sem").toString
+    val q = graft.sources.Sinks.streamingSemanticGuardSink(
+      input.toDF().toDF("doc_id", "embedding"), t, s"$dir/out", s"$dir/chk").start()
+    @volatile var maintErr: Option[Throwable] = None
+    @volatile var stop = false
+    val maint = new Thread(() => {
+      try {
+        var k = 0
+        while (!stop && k < 3) {
+          graft.operators.Pq.writeSemanticIndexPq(
+            spark.table(t).select(col("doc_id"), col("emb").as("embedding")),
+            t + "__pq", deterministic = true,
+            sharedCentroids = Some(spark.table(t + "__centroids")))
+          Thread.sleep(200)
+          k += 1
+        }
+      } catch { case tr: Throwable => maintErr = Some(tr) }
+    }, "guard-race-sem-maintenance")
+    try {
+      maint.start()
+      for (group <- deltaRows.grouped(math.max(1, deltaRows.size / 6))) {
+        input.addData(group: _*)
+        q.processAllAvailable()
+      }
+      maint.join(120000)
+      assert(maintErr.isEmpty, s"PQ retrain failed against the live guard: ${maintErr.getOrElse("")}")
+      assert(q.isActive, "the semantic guard must survive the retrain churn")
+      val landed = spark.read.parquet(s"$dir/out")
+        .select("delta_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+      assert(landed === expected,
+        "semantic verdicts diverged from the batch twin under live PQ retrains")
+    } finally { stop = true; q.stop(); maint.join(120000) }
+  }
+
   test("streamingAcceptPreviewSink: per-doc verdicts == runIncremental on the same delta, read-only, fresh next trigger") {
     implicit val sqlCtx = spark.sqlContext
     val post = "graft_prev_post"; val hash = "graft_prev_hash"
