@@ -330,8 +330,10 @@ object Pipeline {
       * A doc several corpus arms hit carries the first arm's verdict
       * (the order the batch run applies them); the sets the summary
       * counts are the raw per-arm frames, which may overlap. All
-      * joins are delta-sized id frames off the checkpointed stages —
-      * no gate re-runs. */
+      * joins are delta-sized id frames off checkpointed stages
+      * (idSafe/exactWithin/exactNew/deduped/accepted and every
+      * optional-arm hit set are pinned in [[decideDelta]]) — flag
+      * construction re-runs no gate. */
     def verdicts: org.apache.spark.sql.DataFrame = {
       def flag(df: org.apache.spark.sql.DataFrame, name: String) =
         broadcast(df.select(col("doc_id")).distinct().withColumn(name, lit(true)))
@@ -416,8 +418,14 @@ object Pipeline {
     val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
       .join(broadcast(quality.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .localCheckpoint()
+    // idSafe and exactWithin checkpoint because BOTH faces re-read
+    // them: the daily run's summary counts, and the preview's verdict
+    // flags (f_exact_within/f_exact_corpus) — without the pins each
+    // re-evaluation re-runs the silver regex chain (r17 self-review)
     val idSafe = quality.join(broadcast(corpusIds), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val exactWithin = Cleaning.dedupKeepFirst(idSafe, md5(col("content")), col("doc_id"))
+      .localCheckpoint()
     val exactNew = exactNewVsCorpus(spark, exactWithin, hashTable,
         probeOverride = probeOverrides.get(hashTable))
       .localCheckpoint() // three consumers below; the probe must not re-run the scan chain
@@ -491,9 +499,13 @@ object Pipeline {
     // the dense quasi-clique components min-label propagation wants
     // (same min-id labeling either way, one shared oracle)
     val clusters = Dedup.clusterPairsStar(allDdPairs)
+    // checkpointed: consumed by contaminated + accepted in the main
+    // chain and by the preview's f_near_within flag — one cluster
+    // materialization instead of three (r17 self-review)
     val deduped = Dedup.applyCanonical(survivors, clusters,
       Dedup.canonicalPerCluster(
         survivors.select(col("doc_id"), col("content").as("text")), clusters))
+      .localCheckpoint()
     val contaminated = holdout.map { h =>
       TextOps.decontaminateSubstring(
         deduped.select(col("doc_id"), col("content").as("text")), h)

@@ -1079,10 +1079,18 @@ object Dedup {
   def recapChunkPostings(spark: org.apache.spark.sql.SparkSession, table: String,
                          maxDocFreq: Long = 100L, buckets: Int = 64): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // the recap REPRODUCES the table's declared layout: a catalog
+    // bucketSpec wins over the argument (r17 self-review — the same
+    // rule as appendBucketed and compactBucketedIfFragmented; an
+    // index bootstrapped at a non-default fan-out must not be
+    // silently rewritten to 64 buckets on its first recap day)
+    val n = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(buckets)
     val capped = spark.table(table)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
       .filter(col("df") <= maxDocFreq).drop("df")
-    graft.sources.Sinks.rewriteBucketed(capped, table, Seq("chunk_hash"), buckets)
+    graft.sources.Sinks.rewriteBucketed(capped, table, Seq("chunk_hash"), n)
   }
 
   /** Incremental substring-dup probe: delta docs sharing ≥

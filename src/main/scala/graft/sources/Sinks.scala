@@ -90,13 +90,28 @@ object Sinks {
     * accrues at one file per bucket per day; the ceiling is
     * [[compactBucketedIfFragmented]]'s job. */
   def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                     buckets: Int = 64): Unit =
-    df.repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+                     buckets: Int = 64): Unit = {
+    // An append must match the EXISTING table's declared layout, so
+    // when the table is in the catalog its bucketSpec WINS over the
+    // argument (r17 self-review: a corpus bootstrapped at a
+    // non-default fan-out wedged its first daily append, which
+    // hard-coded 64). Spark rejects a mismatched bucketBy anyway —
+    // reading the catalog removes that failure mode without changing
+    // any append that would have succeeded.
+    val spark = df.sparkSession
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val n =
+      if (spark.sessionState.catalog.tableExists(ident))
+        spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+          .map(_.numBuckets).getOrElse(buckets)
+      else buckets
+    df.repartition(n, bucketCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append")
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Number of DATA files under a catalog table's location (hidden
     * and metadata files excluded) — the fragmentation measure
@@ -646,9 +661,16 @@ object Sinks {
     * realistic churn, while a genuinely lost table (which keeps
     * producing the same signature) still surfaces its real error
     * after ~10 s of cheap attempts — well under any stream restart
-    * policy's horizon. Budget exhaustion with an UNSTABLE bracket
-    * throws rather than accepting an unverified verdict: loud beats
-    * a silent duplicate leak. The heal is best-effort: two
+    * policy's horizon. The budget is armed at the FIRST detected
+    * race or instability, never at body start (r17 self-review: a
+    * start-anchored deadline was consumed by long bodies — the
+    * accept-preview's whole decision chain — leaving zero re-runs),
+    * so every trigger gets the full retry window regardless of how
+    * long its body runs; a long body under persistent churn gets at
+    * least one full re-run before the budget can expire. Budget
+    * exhaustion throws rather than accepting an unverified verdict —
+    * loud beats a silent duplicate leak — with the last race error
+    * attached when one was caught. The heal is best-effort: two
     * concurrent guards can race each other's promotion
     * (recoverTableSwap's RENAME throws for the loser) — a lost heal
     * race means someone else healed, so the retry proceeds
@@ -658,7 +680,17 @@ object Sinks {
   private def retryAcrossTableSwap(spark: org.apache.spark.sql.SparkSession,
                                    tables: Seq[String],
                                    budgetMs: Long = 10000L)(body: => Unit): Unit = {
-    val deadline = System.nanoTime() + budgetMs * 1000000L
+    // the budget bounds the RETRY phase, armed at the FIRST detected
+    // race/instability — never the first body run itself (r17
+    // self-review: a fixed start-anchored deadline was consumed by
+    // long bodies like the accept-preview's decision chain, leaving
+    // ZERO re-runs and killing the query on the first benign overlap)
+    var deadline = 0L
+    var lastRace: Throwable = null
+    def pastBudget(): Boolean = {
+      if (deadline == 0L) deadline = System.nanoTime() + budgetMs * 1000000L
+      System.nanoTime() >= deadline
+    }
     def heal(): Unit = tables.foreach { t =>
       try {
         recoverTableSwap(spark, t)
@@ -679,20 +711,22 @@ object Sinks {
           body
           listSig() == before
         } catch {
-          case e: Exception if swapRaceSignature(tables, e) && System.nanoTime() < deadline =>
+          case e: Exception if swapRaceSignature(tables, e) =>
+            lastRace = e
             heal()
             false
-          case e: Exception if swapRaceSignature(tables, e) =>
-            throw new IllegalStateException(
-              s"guard trigger still racing table maintenance on ${tables.mkString(",")} " +
-                s"after ${budgetMs}ms — giving up with the underlying error attached", e)
         }
       if (!outcome) {
-        if (System.nanoTime() >= deadline)
+        if (pastBudget())
           throw new IllegalStateException(
-            s"watched tables ${tables.mkString(",")} kept changing under a guard trigger " +
-              s"for ${budgetMs}ms — refusing to accept a verdict computed across an " +
-              "unstable table state")
+            s"guard trigger could not complete against a stable state of " +
+              s"${tables.mkString(",")} within ${budgetMs}ms of retrying — " +
+              (if (lastRace != null)
+                "the last attempt failed with the attached maintenance-race error"
+              else
+                "the watched tables kept changing between attempts; refusing to " +
+                  "accept a verdict computed across an unstable table state"),
+            lastRace)
         Thread.sleep(delayMs)
         attempt(math.min(delayMs * 2, 1000L))
       }
@@ -1013,10 +1047,20 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
+        val embeddings =
+          if (semanticTable.isDefined && batch.columns.contains("embedding"))
+            Some(batch.select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("embedding")))
+          else None
+        // watch ONLY the tables this trigger's decision will read
+        // (mirrors decideDelta's own arm gating, r17 self-review): an
+        // embedding-less stream never touches the semantic tables, so
+        // a concurrent PQ retrain must not read as instability; the
+        // charlm model table is read only when the gate is armed
         val watched = bloomed.flatMap(t => Seq(t, t + "__bloom")) ++
-          semanticTable.toSeq.flatMap(t =>
+          semanticTable.filter(_ => embeddings.isDefined).toSeq.flatMap(t =>
             Seq(t, t + "__centroids", t + "__pq", t + "__pq__codebooks")) ++
-          charlmTable
+          charlmTable.filter(_ => charlmRareFracMax.isDefined)
         retryAcrossTableSwap(spark, watched) {
           watched.filter(spark.catalog.tableExists)
             .foreach(spark.catalog.refreshTable)
@@ -1030,11 +1074,6 @@ object Sinks {
               probeSigs += t -> sig
             }
           }
-          val embeddings =
-            if (semanticTable.isDefined && batch.columns.contains("embedding"))
-              Some(batch.select(org.apache.spark.sql.functions.col("doc_id"),
-                org.apache.spark.sql.functions.col("embedding")))
-            else None
           graft.Pipeline.decideDelta(spark, batch, postingsTable, hashTable,
               holdout, chunkTable, semanticTable, embeddings, charlmTable,
               charlmRareFracMax, charlmRareBelow, probeOverrides = probes)

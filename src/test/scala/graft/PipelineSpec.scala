@@ -1087,4 +1087,38 @@ class PipelineSpec extends SparkSpec {
     assert(s4("compacted_indexes") === 1L,
       s"per-table cadence must compact ONLY the postings index: $s4")
   }
+
+  test("a non-default bucket fan-out survives the daily cycle: appends and recap take the layout from the catalog") {
+    import spark.implicits._
+    // r17 self-review: runIncremental's index appends hard-coded 64
+    // buckets, so a corpus bootstrapped at any other fan-out wedged
+    // its FIRST daily ingest with a bucket-mismatch AnalysisException
+    // (and the chunk recap would have silently rewritten the layout).
+    // appendBucketed and recapChunkPostings now read the catalog.
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val post = "graft_fan_post"; val hash = "graft_fan_hash"; val chunk = "graft_fan_chunk"
+    Pipeline.bootstrapIncremental(
+      Seq((1L, toks("fa", 40)), (2L, toks("fb", 40))).toDF("doc_id", "text"),
+      post, hash, chunkTable = Some(chunk), buckets = 16)
+    val dir = Files.createTempDirectory("graft_fan_delta").toString
+    Seq((10L, toks("fc", 60)), (11L, toks("fa", 40)))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Files.createTempDirectory("graft_fan_out").toString
+    val s1 = Pipeline.runIncremental(spark, dir, out, post, hash,
+      chunkTable = Some(chunk))
+    assert(s1("accepted") === 1L && s1("exact_new") === 1L)
+    // every index kept its DECLARED 16-bucket layout through the append
+    def fanOf(t: String) = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t)).bucketSpec.get.numBuckets
+    assert(Seq(post, hash, chunk).map(fanOf) === Seq(16, 16, 16))
+    // and the recap rewrite preserves it too
+    graft.operators.Dedup.recapChunkPostings(spark, chunk, maxDocFreq = 100L)
+    assert(fanOf(chunk) === 16)
+    Seq(post, hash, chunk).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__bloom")
+    }
+  }
 }
