@@ -347,7 +347,8 @@ object Bench {
       // construction — a previous bench process's leftovers, nothing
       // else (production writers use the reactive
       // writeTableRecoveringStaleLocation instead).
-      Seq(post, post + "__pending", post + "__bloom",
+      spark.sql(s"DROP VIEW IF EXISTS ${post}__ids") // a VIEW needs DROP VIEW
+      Seq(post, post + "__pending", post + "__bloom", post + "__ids__bloom",
           hash, hash + "__bloom", chunk, chunk + "__bloom",
           sem, sem + "__centroids", sem + "__pq", sem + "__pq__centroids",
           sem + "__pq__codebooks").foreach { t =>

@@ -153,8 +153,16 @@ object OracleSql {
     *    which is exactly what the engine's band_hash bucket equality
     *    encodes (xxhash64 there is only a bucketing key).
     * Validated against an independent python/hashlib reference. */
-  def minhashPairsCtes: String =
-    """mh_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  def minhashPairsCtes: String = minhashPairsCtes("documents")
+
+  /** [[minhashPairsCtes]] over an arbitrary base relation (CTE name)
+    * instead of the `documents` table — the accept-preview audit
+    * replays the incremental probe over a delta∪corpus union. The
+    * base relation is INTERPOLATED into the canonical text (r17
+    * ADVICE: a post-hoc `String.replace` would silently corrupt the
+    * SQL if a future edit added another occurrence of the needle). */
+  def minhashPairsCtes(base: String): String =
+    s"""mh_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM $base),
       |mh_sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |          FROM mh_tok, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
       |mh_hx AS (SELECT DISTINCT shingle FROM mh_sh),
@@ -199,22 +207,6 @@ object OracleSql {
     *  - `sx_ham` re-derives Hamming by comparing the 64 bit columns
     *    (the engine's `bit_count(xor)` on the same-bits signed long).
     */
-  /** [[minhashPairsCtes]] over an arbitrary base relation (CTE name)
-    * instead of the `documents` table — the accept-preview audit
-    * replays the incremental probe over a delta∪corpus union. */
-  def minhashPairsCtes(base: String): String =
-    minhashPairsCtes.replace("FROM documents", s"FROM $base")
-
-  /** [[cdcChunksCtes]] over an arbitrary base relation with PREFIXED
-    * chain names, so two instantiations (corpus chunks, delta chunks)
-    * coexist in one WITH list. Ends in `<prefix>uch(doc_id, h,
-    * n_tokens)`. */
-  def cdcChunksCtes(base: String, prefix: String): String =
-    cdcChunksCtes
-      .replace("FROM documents", s"FROM $base")
-      .replace("cdc_", s"${prefix}cdc_")
-      .replace("uch AS", s"${prefix}uch AS")
-
   def simhashPairsCtes: String =
     """sx_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sx_sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -330,20 +322,29 @@ object OracleSql {
     * (doc, DISTINCT chunk fingerprint), the per-doc-deduped form both
     * `dedup_substring` and `decontam_substring` consume. ONE
     * definition so the two oracles can never disagree on the chunking. */
-  def cdcChunksCtes: String =
-    """cdc_d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |cdc_tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM cdc_d),
-      |cdc_flg AS (SELECT doc_id, i, t[i] AS token,
+  def cdcChunksCtes: String = cdcChunksCtes("documents", "")
+
+  /** [[cdcChunksCtes]] over an arbitrary base relation with PREFIXED
+    * chain names, so two instantiations (corpus chunks, delta chunks)
+    * coexist in one WITH list. Ends in `<prefix>uch(doc_id, h,
+    * n_tokens)`. Base and prefix are INTERPOLATED into the canonical
+    * text (r17 ADVICE: post-hoc `String.replace` on needles like
+    * `cdc_`/`uch AS` would silently corrupt the SQL if a future edit
+    * added another occurrence). */
+  def cdcChunksCtes(base: String, prefix: String): String =
+    s"""${prefix}cdc_d AS (SELECT doc_id, string_split(text, ' ') AS t FROM $base),
+      |${prefix}cdc_tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM ${prefix}cdc_d),
+      |${prefix}cdc_flg AS (SELECT doc_id, i, t[i] AS token,
       |         CASE WHEN substr(md5(t[i]), 1, 2) < '20' THEN 1 ELSE 0 END AS b
-      |       FROM cdc_tok),
-      |cdc_cid AS (SELECT doc_id, i, token,
+      |       FROM ${prefix}cdc_tok),
+      |${prefix}cdc_cid AS (SELECT doc_id, i, token,
       |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-      |       FROM cdc_flg),
-      |cdc_ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+      |       FROM ${prefix}cdc_flg),
+      |${prefix}cdc_ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
       |         md5(string_agg(token, ' ' ORDER BY i)) AS h
-      |       FROM cdc_cid GROUP BY 1, 2),
-      |uch AS (SELECT doc_id, h, MAX(n_tokens) AS n_tokens FROM cdc_ch GROUP BY 1, 2)""".stripMargin
+      |       FROM ${prefix}cdc_cid GROUP BY 1, 2),
+      |${prefix}uch AS (SELECT doc_id, h, MAX(n_tokens) AS n_tokens FROM ${prefix}cdc_ch GROUP BY 1, 2)""".stripMargin
 
   /** Threshold-parameterized form — `thresholdSweep` replays the same
     * chain at a lower floor to see below the production cut. */
@@ -393,6 +394,66 @@ object OracleSql {
        |      (${dotExpr(dims)("n.emb", "c.cemb")} / (n.nrm * c.cnrm)) DESC, c.cell) AS rn
        |  FROM n CROSS JOIN cents$iters c),
        |fasg AS (SELECT vec_id, emb, nrm, cell FROM scored WHERE rn = 1)""".stripMargin
+
+  /** The accept-preview audit's CHARLM GATE as a CTE chain ending in
+    * `chd(doc_id)` — the docs the corpus-trained trigram model drops.
+    * Mirrors [[graft.operators.TextOps.charlmScoreAgainstModel]] fed
+    * by a model built from `modelBase(doc_id, text)` (the standing
+    * corpus — [[graft.operators.TextOps.charlmCounts]] summed back)
+    * and scoring `candBase(doc_id, content)` (the delta's cleaned
+    * rule-quality survivors), with the drop rule
+    * `rare_tri / n_tri > maxFrac` at `p < rareBelow`. Only integer
+    * counts and one exact double divide decide the drop, so the
+    * boundary cannot flip between engines (same arithmetic the green
+    * `charlm_cross_score` row pins, including add-one smoothing for
+    * trigrams the model never saw). */
+  def charlmGateCtes(modelBase: String, candBase: String,
+                     rareBelow: Double, maxFrac: Double): String =
+    s"""lm_mt AS (SELECT substr(text, i, 3) AS tri
+       |          FROM $modelBase, UNNEST(range(1, length(text) - 1)) AS t(i)
+       |          WHERE length(text) >= 3),
+       |lm_c3 AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS c3 FROM lm_mt GROUP BY 1),
+       |lm_c2 AS (SELECT substr(tri, 1, 2) AS bi, CAST(SUM(c3) AS BIGINT) AS c2
+       |          FROM lm_c3 GROUP BY 1),
+       |lm_s AS (SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS sz FROM lm_c3),
+       |lm_ct AS (SELECT doc_id, substr(content, i, 3) AS tri
+       |          FROM $candBase, UNNEST(range(1, length(content) - 1)) AS t(i)
+       |          WHERE length(content) >= 3),
+       |lm_cn AS (SELECT doc_id, tri, COUNT(*) AS n FROM lm_ct GROUP BY 1, 2),
+       |lm_p AS (SELECT cn.doc_id, cn.n,
+       |           (CAST(COALESCE(c3.c3, 0) AS DOUBLE) + 1.0)
+       |             / (CAST(COALESCE(c2.c2, 0) AS DOUBLE) + CAST(s.sz AS DOUBLE)) AS p
+       |         FROM lm_cn cn LEFT JOIN lm_c3 c3 USING (tri)
+       |         LEFT JOIN lm_c2 c2 ON substr(cn.tri, 1, 2) = c2.bi, lm_s s),
+       |chd AS (SELECT doc_id FROM (
+       |          SELECT doc_id,
+       |            CAST(COALESCE(SUM(CASE WHEN p < $rareBelow THEN n END), 0) AS DOUBLE)
+       |              / CAST(SUM(n) AS DOUBLE) AS rf
+       |          FROM lm_p GROUP BY 1) WHERE rf > $maxFrac)""".stripMargin
+
+  /** The accept-preview audit's SEMANTIC ARM as a CTE chain ending in
+    * `semh(doc_id)` — delta docs whose embedding lands in a trained
+    * corpus cell next to a cosine-≥-threshold corpus vector. Replays
+    * [[graft.operators.Ann.writeSemanticIndex]] (rank-seeded
+    * deterministic training over the `where`-selected corpus vectors)
+    * + [[graft.operators.Ann.incrementalSemanticMatches]] (nprobe=1).
+    * The audit's delta vectors are corpus vectors RE-SENT under
+    * `vec_id + idOffset` (the paraphrase slice: same embedding,
+    * word-order-reversed text), so each delta vector's nearest-cell
+    * assignment IS its source's `fasg` row — identical input, same
+    * centroids, same (-cos, cell) tie-break — and the engine's
+    * `corpus_doc =!= delta_doc` filter never binds at the offset.
+    * `probeWhere` selects the re-sent sources as a predicate over
+    * `d.vec_id`. */
+  def semanticAuditCtes(where: String, probeWhere: String, idOffset: Long,
+                        k: Int = 64, iters: Int = 3, dims: Int = 64,
+                        threshold: Double = 0.35): String =
+    s"""${kmeansCentroidsCtes(k, iters, dims, rankSeed = true, where = Some(where))},
+       |${trainedAssignmentCtes(iters, dims)},
+       |semh AS (SELECT DISTINCT d.vec_id + $idOffset AS doc_id
+       |         FROM fasg d JOIN fasg c ON c.cell = d.cell
+       |         WHERE ($probeWhere)
+       |           AND ${dotExpr(dims)("d.emb", "c.emb")} / (d.nrm * c.nrm) >= $threshold)""".stripMargin
 
   /** `kSql`: when set, the seed fan-out is DERIVED from the data by
     * this scalar expression over `e` (e.g. the √N rule of

@@ -149,6 +149,12 @@ object Pipeline {
     else
       Dedup.writeHashBloom(corpus.sparkSession, postingsTable,
         hashCol = Dedup.bandKeySql)
+    // doc-id key space over the postings index (r17 VERDICT #2): the
+    // id-collision gate's map-side prefilter — without it every
+    // decision (daily: fine; per stream trigger: corpus-bound) scans
+    // the postings doc_id column. A view + bloom; the daily merge
+    // maintains it alongside the other two key spaces.
+    Dedup.writeIdsBloom(corpus.sparkSession, postingsTable, bloomShards)
     chunkTable.foreach { t =>
       Dedup.writeChunkPostings(corpus, t, buckets = buckets)
       // same summary for the chunk index: the substring probe drops
@@ -230,6 +236,11 @@ object Pipeline {
         Dedup.bandPostings(text)
           .select(col("band"), col("band_hash")).distinct(),
         hashCol = Dedup.bandKeySql)
+      // doc-id key space: same unconditional idempotent re-merge —
+      // bloom ⊇ postings ids must hold mid-repair exactly as live
+      // (no-op on a pre-r18 bootstrap without the __ids__bloom)
+      Dedup.mergeHashBloom(spark, Dedup.idsSpaceOf(postingsTable),
+        ids.distinct(), hashCol = Dedup.idKeySql)
       val postedIds = spark.table(postingsTable).select(col("doc_id")).distinct()
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
       Sinks.appendBucketed(
@@ -341,14 +352,14 @@ object Pipeline {
       input.select(col("doc_id"))
         .join(flag(accepted, "f_accepted"), Seq("doc_id"), "left")
         .join(flag(contaminated.getOrElse(none), "f_contaminated"), Seq("doc_id"), "left")
-        .join(flag(survivors.join(deduped.select(col("doc_id")),
+        .join(flag(survivors.join(broadcast(deduped.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"), "f_near_within"), Seq("doc_id"), "left")
         .join(flag(corpusHits, "f_near"), Seq("doc_id"), "left")
         .join(flag(substrHits.getOrElse(none), "f_substr"), Seq("doc_id"), "left")
         .join(flag(semHits.getOrElse(none), "f_sem"), Seq("doc_id"), "left")
-        .join(flag(exactWithin.join(exactNew.select(col("doc_id")),
+        .join(flag(exactWithin.join(broadcast(exactNew.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"), "f_exact_corpus"), Seq("doc_id"), "left")
-        .join(flag(idSafe.join(exactWithin.select(col("doc_id")),
+        .join(flag(idSafe.join(broadcast(exactWithin.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"), "f_exact_within"), Seq("doc_id"), "left")
         .join(flag(corpusIds, "f_id_collision"), Seq("doc_id"), "left")
         .join(flag(charlmDropped.getOrElse(none), "f_charlm"), Seq("doc_id"), "left")
@@ -415,8 +426,9 @@ object Pipeline {
     }
     val quality = charlmDropped.fold(ruleQuality)(d =>
       ruleQuality.join(broadcast(d), Seq("doc_id"), "left_anti"))
-    val corpusIds = spark.table(postingsTable).select(col("doc_id")).distinct()
-      .join(broadcast(quality.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    val corpusIds = corpusIdCollisions(spark, quality.select(col("doc_id")),
+        postingsTable,
+        probeOverride = probeOverrides.get(Dedup.idsSpaceOf(postingsTable)))
       .localCheckpoint()
     // idSafe and exactWithin checkpoint because BOTH faces re-read
     // them: the daily run's summary counts, and the preview's verdict
@@ -481,9 +493,14 @@ object Pipeline {
       semanticCorpusHits(spark, deltaVecs, t, semThreshold)
         .select(col("delta_doc").as("doc_id")).distinct().localCheckpoint()
     }
+    // every build side below is a delta-sized id frame by
+    // construction — hint the broadcasts instead of leaving AQE to
+    // discover them, so the micro-batch face plans shuffle-free
+    // statically (plan-spec-pinned: no sort-merge join anywhere in
+    // the verdict chain)
     val survivors = (substrHits.toSeq ++ semHits.toSeq).foldLeft(
-      exactNew.join(corpusHits, Seq("doc_id"), "left_anti"))(
-      (df, s) => df.join(s, Seq("doc_id"), "left_anti"))
+      exactNew.join(broadcast(corpusHits), Seq("doc_id"), "left_anti"))(
+      (df, s) => df.join(broadcast(s), Seq("doc_id"), "left_anti"))
     // within-delta clusters: the LSH probe's delta-delta pairs, plus
     // the delta's own substring pairs when the chunk arm is on (the
     // full prep unions both graphs the same way)
@@ -512,36 +529,57 @@ object Pipeline {
         .select(col("doc_id")).localCheckpoint()
     }
     val accepted = contaminated
-      .fold(deduped)(c => deduped.join(c, Seq("doc_id"), "left_anti"))
+      .fold(deduped)(c => deduped.join(broadcast(c), Seq("doc_id"), "left_anti"))
       .localCheckpoint() // written once, then indexed twice below
     DeltaDecision(rawDelta, quality, charlmDropped, corpusIds, idSafe,
       exactWithin, exactNew, corpusHits, substrHits, semHits,
       survivors, deduped, contaminated, accepted)
   }
 
-  /** The daily accept decision as a GATE ROW (SURVEY §2 row 44b):
+  /** The daily accept decision as a GATE ROW (SURVEY §2 row 37m):
     * split the documents table into a standing corpus and a delta by
     * a deterministic md5 rule, bootstrap the REAL probe tables
-    * (banded postings + content-hash set + CDC chunk index, blooms
-    * included) exactly as day-zero does, run [[decideDelta]] — the
-    * code `runIncremental` and the streaming accept-preview share —
-    * and return per-verdict counts. A re-delivery slice (corpus docs
-    * re-sent under their own ids with edited text) makes the
-    * id-collision branch fire with a nonzero count. The DuckDB
-    * oracle replays the ENTIRE chain — silver cleaning, the quality
-    * bar, id collision against the banded ids, keep-first exact
-    * dedup, the md5 MinHash banding + 64-perm estimate at 0.5, the
-    * df-capped CDC chunk probe at 64 shared tokens, within-delta
-    * clusters (recursive CC) with longest-survivor canonicals — so
-    * every verdict count is value-checked end to end, bloom
-    * prefilters and all (they are result-neutral by the
-    * no-false-negatives contract the bloom audits pin). */
-  def acceptPreviewAudit(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * (banded postings + content-hash set + CDC chunk index + doc-id
+    * key space, blooms included) exactly as day-zero does — plus the
+    * corpus-trained charlm model and the deterministic-trained
+    * semantic cell index — run [[decideDelta]] with EVERY arm armed
+    * (the code `runIncremental` and the streaming accept-preview
+    * share), and return per-verdict counts. Branch-forcing slices:
+    * re-delivery (corpus ids, edited text → id_collision),
+    * passage-lift (filler + whole corpus doc under a fresh id →
+    * substring at sub-MinHash whole-doc Jaccard), verbatim re-sends
+    * under higher ids (→ keep-first exact_dup_within), vowel-garbled
+    * corpus text under fresh ids (trigram-rare vs the corpus model →
+    * charlm_dropped), and word-order-REVERSED corpus text under
+    * fresh ids carrying the SOURCE's embedding (no shared shingles,
+    * no shared CDC chunks, normal trigrams — only the semantic arm
+    * can catch it → semantic_dup_corpus). The DuckDB oracle replays
+    * the ENTIRE chain — silver cleaning, the rule bar, the add-one
+    * trigram gate, id collision, keep-first exact dedup, md5 MinHash
+    * banding + 64-perm estimate at 0.5, the df-capped CDC chunk
+    * probe at 64 shared tokens, the rank-seeded Lloyd quantizer +
+    * cell-cosine probe, within-delta clusters (recursive CC) with
+    * longest-survivor canonicals — so ALL ELEVEN verdict categories
+    * are value-checked end to end (r17 VERDICT #1; contaminated is
+    * exercised by the preview spec's holdout — a holdout is
+    * deployment input, not corpus state, so the gate row leaves it
+    * unarmed). Bloom prefilters run in the engine and are
+    * result-neutral by the no-false-negatives contract the bloom
+    * audit rows pin; the semantic arm bootstraps the one-tier exact
+    * index — the PQ two-tier face is result-identical by the
+    * certified bound + margin, and its cost is priced by its own
+    * seven gate rows. */
+  def acceptPreviewAudit(documents: org.apache.spark.sql.DataFrame,
+                         embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = documents.sparkSession
     val post = "graft_audit_apv_post"; val hash = "graft_audit_apv_hash"
-    val chunk = "graft_audit_apv_chunk"
-    Seq(post, hash, chunk).flatMap(t =>
-      Seq(t, t + "__bloom", t + "__staging", t + "__pending")).foreach { t =>
+    val chunk = "graft_audit_apv_chunk"; val sem = "graft_audit_apv_sem"
+    val charlm = "graft_audit_apv_charlm"
+    spark.sql(s"DROP VIEW IF EXISTS ${post}__ids") // the id key space's view
+    (Seq(post, hash, chunk).flatMap(t =>
+      Seq(t, t + "__bloom", t + "__staging", t + "__pending")) ++
+      Seq(post + "__ids__bloom", charlm, charlm + "__staging",
+        sem, sem + "__centroids")).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // audit-owned fixed names: proactive location cleanup is safe
       // here by construction (same rationale as the other gate rows'
@@ -588,13 +626,53 @@ object Pipeline {
     val dupWithin = flagged.filter(col("__delta") &&
         substring(md5(col("doc_id").cast("string")), 1, 2) < "02")
       .withColumn("doc_id", col("doc_id") + lit(20000000L))
+    // the LM-improbable slice: corpus docs re-sent under fresh ids
+    // with vowel-substituted text — word-internal trigrams go rare vs
+    // the corpus-trained model (measured rare-frac ≥ 0.19 at
+    // rareBelow 0.01 across all gate SFs, vs ≤ 0.11 for every other
+    // slice — maxFrac 0.15 splits them with margin on both sides), so
+    // the charlm gate must drop them before any dedup arm runs
+    val garbled = flagged.filter(!col("__delta") &&
+        substring(md5(col("doc_id").cast("string")), 1, 2).between("b0", "bf"))
+      .withColumn("doc_id", col("doc_id") + lit(40000000L))
+      .withColumn("text", translate(col("text"), "aeiou", "zqxjv"))
+    // the PARAPHRASE slice: corpus docs word-order-REVERSED under
+    // fresh ids, carrying the SOURCE's embedding — no shared 3-token
+    // shingles (MinHash blind), no shared CDC chunks (substring
+    // blind), normal trigram statistics (charlm passes) — only the
+    // embedding probe can catch it: cosine 1.0 with the source's
+    // indexed vector. Sources without an embedding (partial embedder
+    // coverage at sf0.1) legitimately land as accepted — both engines
+    // agree, and partial coverage is the production reality.
+    val paraphrased = flagged.filter(!col("__delta") &&
+        substring(md5(col("doc_id").cast("string")), 1, 2).between("c0", "cf"))
+      .withColumn("doc_id", col("doc_id") + lit(30000000L))
+      .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
     val delta = flagged.filter(col("__delta"))
       .unionByName(redelivered).unionByName(passageLift).unionByName(dupWithin)
+      .unionByName(garbled).unionByName(paraphrased)
       .drop("__delta")
     // 16 buckets for the audit's own tables: the gate row prices the
     // DECISION, not a 64-wide production layout's file overhead
-    bootstrapIncremental(corpus, post, hash, chunkTable = Some(chunk), buckets = 16)
-    decideDelta(spark, delta, post, hash, chunkTable = Some(chunk))
+    bootstrapIncremental(corpus, post, hash, chunkTable = Some(chunk),
+      charlmTable = Some(charlm), buckets = 16)
+    // semantic index over the corpus docs that HAVE embeddings
+    // (vec_id ≡ doc_id in the test tables; coverage is partial at
+    // sf0.1 — production reality). Deterministic training so the
+    // oracle replays the quantizer bit-for-bit.
+    val corpusVecs = embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(broadcast(corpus.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    graft.operators.Ann.writeSemanticIndex(corpusVecs, sem, buckets = 16,
+      deterministic = true)
+    // the paraphrase slice's delta vectors: the SOURCE's embedding
+    // under the shifted id
+    val deltaVecs = embeddings
+      .select((col("vec_id") + lit(30000000L)).as("doc_id"), col("embedding"))
+      .join(broadcast(paraphrased.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    decideDelta(spark, delta, post, hash, chunkTable = Some(chunk),
+        semanticTable = Some(sem), deltaEmbeddings = Some(deltaVecs),
+        charlmTable = Some(charlm), charlmRareFracMax = Some(0.15),
+        charlmRareBelow = 0.01)
       .verdicts
       .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("verdict"))
@@ -669,6 +747,43 @@ object Pipeline {
           deltaVecs, spark.table(t), spark.table(t + "__centroids"),
           threshold = threshold)
     hits.select(col("delta_doc"), col("corpus_doc")).distinct()
+  }
+
+  /** The id-collision gate: which delta ids does the corpus already
+    * hold? With the doc-id bloom maintained ([[operators.Dedup
+    * .writeIdsBloom]] — bootstrapped since r18, merged daily), the
+    * probe is MAP-SIDE over the delta: definite non-members need no
+    * corpus at all, and when the maybe sliver is EMPTY — the common
+    * stream-trigger case at the id space's 1e-4 fpp — the postings
+    * table is never touched (r17 VERDICT #2: the preview's one
+    * remaining per-trigger corpus-bound term). A non-empty sliver
+    * confirms exactly: the broadcast maybe ids semi-join the postings
+    * doc_id column — the same scan as the pre-bloom path, now gated
+    * and fed a delta-sized (usually fpp-sized) probe set. Bloom
+    * false positives cannot mint a wrong verdict (the confirm is
+    * exact); no false negatives means a definite-new is truly new.
+    * Without a bloom (pre-r18 bootstrap, lost table): the plain
+    * scan + semi-join, same rows. `probeOverride` as in
+    * [[exactNewVsCorpus]] — the streaming preview's per-query cache. */
+  private[graft] def corpusIdCollisions(spark: SparkSession,
+                                        deltaIds: org.apache.spark.sql.DataFrame,
+                                        postingsTable: String,
+                                        probeOverride: Option[Option[
+                                          org.apache.spark.sql.Column =>
+                                            org.apache.spark.sql.Column]] = None)
+    : org.apache.spark.sql.DataFrame = {
+    def confirm(cands: org.apache.spark.sql.DataFrame) =
+      spark.table(postingsTable).select(col("doc_id")).distinct()
+        .join(broadcast(cands), Seq("doc_id"), "left_semi")
+    probeOverride.getOrElse(
+        Dedup.bloomProbeFor(spark, Dedup.idsSpaceOf(postingsTable))) match {
+      case Some(probe) =>
+        // checkpointed: the maybe set is read twice (emptiness gate +
+        // confirm) and must not re-run the silver prefix either time
+        val maybes = deltaIds.filter(probe(expr(Dedup.idKeySql))).localCheckpoint()
+        if (maybes.isEmpty) maybes else confirm(maybes)
+      case None => confirm(deltaIds)
+    }
   }
 
   /** The exact-dup-vs-corpus gate with the BLOOM UNION-BYPASS: when
@@ -928,6 +1043,12 @@ object Pipeline {
         (postingsTable,
           dayBands.select(col("band"), col("band_hash")).distinct(),
           Dedup.bandKeySql),
+        // the doc-id key space (r17 VERDICT #2) rides the same batched
+        // merge — an arm is one more (arm, shard) key group, not one
+        // more job set; a pre-r18 bootstrap has no __ids__bloom and
+        // the arm no-ops
+        (Dedup.idsSpaceOf(postingsTable),
+          accepted.select(col("doc_id")).distinct(), Dedup.idKeySql),
         (hashTable, dayHashes, "content_md5")) ++
         chunkTable.zip(deltaChunks).map { case (t, c) =>
           (t, c.select(col("chunk_hash")).distinct(), "chunk_hash") })
@@ -1077,6 +1198,12 @@ object Pipeline {
       // the saturation trigger stops compounding the daily merges'
       // over-approximation (sound but early-rebuilding)
       if (did) bloomKey.foreach(Dedup.recountBloomItems(spark, t, _))
+      // the postings table carries a SECOND key space (the doc-id
+      // bloom over its __ids view) — same recount license: crash
+      // re-merges can double-count ids, and the compaction just paid
+      // the index pass anyway (no-op when no ids bloom is maintained)
+      if (did && t == postingsTable)
+        Dedup.recountBloomItems(spark, Dedup.idsSpaceOf(t), Dedup.idKeySql)
       did
     }
     Map(

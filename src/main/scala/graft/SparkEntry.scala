@@ -1209,22 +1209,29 @@ object SparkEntry {
               |  TRUE AS no_false_negatives, TRUE AS fp_ok FROM documents""".stripMargin)),
 
     ("accept_preview_audit",
-      // the WHOLE daily accept decision as a gate row (r17): real
-      // bootstrapped probe tables (postings + hash set + chunk
-      // index, blooms included), a deterministic corpus/delta split
-      // plus a re-delivery slice (corpus ids re-sent with edited
-      // text — the id-collision branch), decided by
+      // the WHOLE daily accept decision as a gate row, ALL ARMS
+      // ARMED (r17 VERDICT #1): real bootstrapped probe tables
+      // (postings + hash set + chunk index + doc-id key space,
+      // blooms included) plus the corpus-trained charlm model and
+      // the deterministic-trained semantic cell index, a
+      // deterministic corpus/delta split plus five branch-forcing
+      // slices (re-delivery → id_collision; passage lifts →
+      // substring; verbatim re-sends → keep-first; vowel-garbled →
+      // charlm_dropped; word-order-reversed text with the source's
+      // embedding → semantic_dup_corpus), decided by
       // Pipeline.decideDelta — the ONE definition runIncremental and
       // streamingAcceptPreviewSink share. The oracle replays the
-      // ENTIRE chain in SQL: silver clean, quality bar, id collision
-      // against the banded ids, keep-first exact dedup, md5 MinHash
+      // ENTIRE chain in SQL: silver clean, rule bar, add-one trigram
+      // gate, id collision, keep-first exact dedup, md5 MinHash
       // banding + 64-perm estimate at 0.5 over the delta∪corpus
       // union, the df-capped CDC chunk probe at 64 shared tokens,
+      // the rank-seeded Lloyd quantizer + cell-cosine probe,
       // within-delta clusters (recursive CC) with longest-survivor
       // canonicals — per-verdict counts value-check every gate.
       // Bloom prefilters run in the engine and are result-neutral by
       // the no-false-negatives contract the bloom audit rows pin.
-      (s: SparkSession, d: String) => graft.Pipeline.acceptPreviewAudit(docs(s, d)),
+      (s: SparkSession, d: String) =>
+        graft.Pipeline.acceptPreviewAudit(docs(s, d), Tables.embeddings(s, d)),
       Some(s"""WITH RECURSIVE
               |fl AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' AS is_delta
               |       FROM documents
@@ -1247,14 +1254,27 @@ object SparkEntry {
               |         UNION ALL
               |         SELECT doc_id + 20000000 AS doc_id, text FROM fl
               |         WHERE is_delta
-              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '02'),
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '02'
+              |         UNION ALL
+              |         SELECT doc_id + 40000000 AS doc_id,
+              |           translate(text, 'aeiou', 'zqxjv') AS text FROM fl
+              |         WHERE NOT is_delta
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) BETWEEN 'b0' AND 'bf'
+              |         UNION ALL
+              |         SELECT doc_id + 30000000 AS doc_id,
+              |           array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text FROM fl
+              |         WHERE NOT is_delta
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) BETWEEN 'c0' AND 'cf'),
               |slv AS (SELECT doc_id, ${cleanContentSql("text")} AS content FROM draw),
               |qual AS (SELECT doc_id, content FROM slv
               |         WHERE content IS NOT NULL AND LENGTH(content) > 50),
+              |${charlmGateCtes("corp", "qual", rareBelow = 0.01, maxFrac = 0.15)},
+              |qual2 AS (SELECT doc_id, content FROM qual
+              |          WHERE doc_id NOT IN (SELECT doc_id FROM chd)),
               |postids AS (SELECT doc_id FROM corp
               |            WHERE text IS NOT NULL AND LEN(string_split(text, ' ')) >= 3),
-              |idc AS (SELECT doc_id FROM qual WHERE doc_id IN (SELECT doc_id FROM postids)),
-              |idsafe AS (SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM idc)),
+              |idc AS (SELECT doc_id FROM qual2 WHERE doc_id IN (SELECT doc_id FROM postids)),
+              |idsafe AS (SELECT * FROM qual2 WHERE doc_id NOT IN (SELECT doc_id FROM idc)),
               |exw AS (SELECT doc_id, content FROM (
               |          SELECT doc_id, content,
               |            ROW_NUMBER() OVER (PARTITION BY md5(content) ORDER BY doc_id) AS rn
@@ -1284,6 +1304,14 @@ object SparkEntry {
               |         FROM duch d JOIN cpost c ON d.h = c.h AND d.doc_id <> c.doc_id
               |         GROUP BY 1, 2 HAVING SUM(d.n_tokens) >= 64),
               |subc AS (SELECT DISTINCT delta_doc AS doc_id FROM subp),
+              |${OracleSql.semanticAuditCtes(
+                  where = "substr(md5(CAST(vec_id AS VARCHAR)), 3, 2) < '80' " +
+                    "AND substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '14'",
+                  probeWhere =
+                    "substr(md5(CAST(d.vec_id AS VARCHAR)), 1, 2) BETWEEN 'c0' AND 'cf'",
+                  idOffset = 30000000L)},
+              |semc AS (SELECT doc_id FROM exn
+              |         WHERE doc_id IN (SELECT doc_id FROM semh)),
               |ddf AS (SELECT h, MAX(n_tokens) AS n_tokens FROM duch
               |        GROUP BY h HAVING COUNT(*) <= 100),
               |ddsp AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
@@ -1299,7 +1327,8 @@ object SparkEntry {
               |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
               |surv AS (SELECT doc_id, content FROM exn
               |         WHERE doc_id NOT IN (SELECT doc_id FROM ndc)
-              |           AND doc_id NOT IN (SELECT doc_id FROM subc)),
+              |           AND doc_id NOT IN (SELECT doc_id FROM subc)
+              |           AND doc_id NOT IN (SELECT doc_id FROM semc)),
               |canon AS (SELECT cluster_id, doc_id FROM (
               |            SELECT c.cluster_id, s.doc_id,
               |              ROW_NUMBER() OVER (PARTITION BY c.cluster_id
@@ -1314,23 +1343,29 @@ object SparkEntry {
               |         WHEN d.doc_id IN (SELECT doc_id FROM ndw) THEN 'near_dup_within'
               |         WHEN d.doc_id IN (SELECT doc_id FROM ndc) THEN 'near_dup_corpus'
               |         WHEN d.doc_id IN (SELECT doc_id FROM subc) THEN 'substring_dup_corpus'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM semc) THEN 'semantic_dup_corpus'
               |         WHEN d.doc_id IN (SELECT doc_id FROM exw)
               |              AND d.doc_id NOT IN (SELECT doc_id FROM exn) THEN 'exact_dup_corpus'
               |         WHEN d.doc_id IN (SELECT doc_id FROM idsafe)
               |              AND d.doc_id NOT IN (SELECT doc_id FROM exw) THEN 'exact_dup_within'
               |         WHEN d.doc_id IN (SELECT doc_id FROM idc) THEN 'id_collision'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM chd) THEN 'charlm_dropped'
               |         ELSE 'low_quality' END AS verdict
               |  FROM draw d)
               |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
               |FROM verd GROUP BY 1 ORDER BY 1""".stripMargin
         // MATERIALIZED pins the expensive shared chains to one
         // evaluation each — DuckDB otherwise INLINES a CTE at every
-        // reference (measured: 110 s -> 3 s at sf0.01); the recursive
-        // reach/edges pair stays un-materialized (recursion cannot be)
+        // reference (measured: 110 s -> 3 s at sf0.01; the k-means
+        // rounds would inline EXPONENTIALLY — cents_i feeds both
+        // asg_i and cents_{i+1}); the recursive reach/edges pair
+        // stays un-materialized (recursion cannot be)
         .pipe(sql => Seq("fl", "corp", "draw", "slv", "qual", "idsafe", "exw",
             "exn", "mhd", "mh_sh", "mh_pm", "mh_est", "dset", "ndp", "ddmh",
             "cuch", "duch", "cpost", "ddf", "ddsp", "cl", "surv", "canon",
-            "ndw", "acc")
+            "ndw", "acc",
+            "lm_c3", "lm_cn", "lm_p", "chd", "qual2",
+            "n", "cents0", "cents1", "cents2", "cents3", "fasg", "semh", "semc")
           .foldLeft(sql)((q, n) =>
             q.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))))),
 

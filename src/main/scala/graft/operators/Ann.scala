@@ -677,11 +677,15 @@ object Ann {
     * — daily deltas never retrain, they probe. */
   def writeSemanticIndex(vectors: DataFrame, table: String,
                          numCentroids: Int = 64, trainIters: Int = 3,
-                         buckets: Int = 64): Unit = {
+                         buckets: Int = 64, deterministic: Boolean = false): Unit = {
     graft.GraftExtensions.register(vectors.sparkSession)
     val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val cents = kmeansCentroids(e, numCentroids, trainIters,
+    // deterministic = true (the accept-preview audit's bootstrap):
+    // re-center means fold members in vec_id order, so a DuckDB
+    // oracle replays the trained quantizer bit-for-bit — same knob,
+    // same price as every other oracle-checked training path
+    val cents = kmeansCentroids(e, numCentroids, trainIters, deterministic,
       seed = Some(seedCentroidsByRank(e, numCentroids)))
     cents.select(explode(col("cents")).as("c"))
       .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"),

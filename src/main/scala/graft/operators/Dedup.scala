@@ -355,16 +355,29 @@ object Dedup {
     * relations under a rename). Anything else — a lazy scan that
     * could see new files, any non-deterministic expression — is
     * checkpointed so the saturation decision and the built filter
-    * cannot disagree. */
+    * cannot disagree.
+    *
+    * Two conservative tightenings (r17 ADVICE): an expression
+    * CONTAINING a subquery checkpoints unconditionally (node-level
+    * `expressions.deterministic` does not traverse the embedded
+    * plan, so a non-deterministic expression nested inside one would
+    * pass the scan), and a `LogicalRDD` leaf counts as pinned only
+    * when its RDD is actually CHECKPOINTED (`localCheckpoint`'s
+    * product) — a plain RDD-backed frame can recompute, and a
+    * recomputation is exactly the multi-evaluation drift this pin
+    * exists to close. */
   private def materializedOnce(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.logical
     val leavesPinned = plan.collectLeaves().forall {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.isCheckpointed
       case _ => false
     }
+    def plainDeterministic(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.deterministic &&
+        !e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
     if (leavesPinned && plan.collect { case n => n }
-          .forall(_.expressions.forall(_.deterministic))) df
+          .forall(_.expressions.forall(plainDeterministic))) df
     else df.localCheckpoint()
   }
 
@@ -681,6 +694,48 @@ object Dedup {
     * expressions since the `expr(hashCol)` generalization. */
   val bandKeySql: String =
     "md5(concat_ws(':', CAST(band AS STRING), CAST(band_hash AS STRING)))"
+
+  /** Doc-id key for the bloom family: `md5(doc_id)` — hexed for the
+    * same two reasons as [[bandKeySql]] (the sharded prefix rule needs
+    * lowercase hex; id spaces cluster, md5 spreads them uniformly
+    * across shards). */
+  val idKeySql: String = "md5(CAST(doc_id AS STRING))"
+
+  /** The postings index's DOC-ID key space (r17 VERDICT #2) — the
+    * third maintained bloom, closing the accept chain's one remaining
+    * per-trigger corpus touch: the id-collision gate previously
+    * scanned the postings table's `doc_id` column per decision (fine
+    * once a day, corpus-bound at stream cadence). The key space is a
+    * catalog VIEW over the postings table, so every existing bloom
+    * entry point (merge, saturation rebuild, crash rebuild, recount,
+    * probe dispatch) applies unchanged — rebuild paths re-derive keys
+    * by reading THROUGH the view, and the view survives the
+    * compaction swap because it resolves its table by name at read
+    * time. The bloom itself lives at `<postings>__ids__bloom`,
+    * maintained by the same batched daily merge as the other two key
+    * spaces (still O(1) job sets in arm count). Probes go through
+    * [[bloomProbeFor]] on the view name; a pre-r18 bootstrap has no
+    * view and no bloom, so the probe dispatch returns None and the
+    * id gate falls back to the postings scan unchanged. */
+  def idsSpaceOf(postingsTable: String): String = postingsTable + "__ids"
+
+  /** Register the doc-id key space: the view plus its bloom.
+    * `fpp` defaults two orders TIGHTER than the content blooms': the
+    * id gate's confirm join is skipped entirely when a trigger's
+    * maybe set is EMPTY, and at micro-batch sizes (≤10⁴ ids) a 1e-4
+    * filter makes the expected false-positive count ~1 — most stream
+    * triggers then never touch the corpus at all, while the bloom
+    * stays the smallest of the three key spaces (1 key/doc vs bands×
+    * or chunks×; ~19 bits/key at 1e-4). */
+  def writeIdsBloom(spark: SparkSession, postingsTable: String,
+                    bloomShards: Int = 1, fpp: Double = 1e-4): Unit = {
+    val space = idsSpaceOf(postingsTable)
+    spark.sql(s"CREATE OR REPLACE VIEW $space AS SELECT doc_id FROM $postingsTable")
+    if (bloomShards > 1)
+      writeHashBloomSharded(spark, space, bloomShards, fpp = fpp, hashCol = idKeySql)
+    else
+      writeHashBloom(spark, space, fpp = fpp, hashCol = idKeySql)
+  }
 
   /** The persisted bloom's probe as a key→boolean column function,
     * whichever form the `<hashTable>__bloom` table holds — the ONE

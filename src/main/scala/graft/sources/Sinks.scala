@@ -379,14 +379,22 @@ object Sinks {
     * retry leaves `_temporary` forever, and the unconditional refusal
     * then needs a human to clear the location. When set, a
     * `_temporary` whose ENTIRE location has been quiet longer than
-    * the threshold (newest modification time anywhere under it — an
-    * active committer touches files continuously) is treated as
-    * orphaned and swept with the rest. Disabled by default: age is a
-    * heuristic, and the conservative deployment keeps the human in
-    * the loop. Operational runbook for the default: verify no Spark
-    * job is writing to the printed location (cluster UI / job list),
-    * then delete the location and rerun — the refusal message carries
-    * the exact path. */
+    * the threshold (newest modification time anywhere under it) is
+    * treated as orphaned and swept with the rest. SIZE THE THRESHOLD
+    * ABOVE THE LONGEST EXPECTED SINGLE TASK WRITE (r17 ADVICE): most
+    * filesystems (HDFS included) update a file's mtime only on
+    * close/hflush, so one task streaming a single large part file for
+    * an hour reads as an hour of quiet — a threshold under that
+    * sweeps an ACTIVE committer's pending output. mtime-quiet is a
+    * per-FILE-EVENT heuristic (creates, closes, renames), not a
+    * bytes-in-flight one; a safe setting is several multiples of the
+    * slowest task ever observed on the cluster, and the conservative
+    * deployment leaves the escape disabled. Disabled by default: age
+    * is a heuristic, and the default keeps the human in the loop.
+    * Operational runbook for the default: verify no Spark job is
+    * writing to the printed location (cluster UI / job list), then
+    * delete the location and rerun — the refusal message carries the
+    * exact path. */
   def writeTableRecoveringStaleLocation(spark: org.apache.spark.sql.SparkSession,
                                         table: String,
                                         sweepTemporaryOlderThanMs: Long = Long.MaxValue)
@@ -411,9 +419,12 @@ object Sinks {
         // its pending output. A genuinely orphaned `_temporary` needs
         // a human (or the other session's own retry) to resolve.
         if (entries.exists(_.getPath.getName == "_temporary")) {
-          // an ACTIVE committer touches files under the location
-          // continuously; a location quiet past the caller's
-          // threshold is a crashed writer's orphan, not a live one
+          // a location quiet past the caller's threshold is treated
+          // as a crashed writer's orphan — quiet = newest mtime, i.e.
+          // file EVENTS (create/close/rename), so the caller's
+          // threshold must exceed the longest single task write
+          // (mtime does not advance while one file streams — see the
+          // sizing note in the doc above)
           val newest = {
             var m = entries.map(_.getModificationTime).foldLeft(
               fs.getFileStatus(loc).getModificationTime)(math.max)
@@ -667,7 +678,18 @@ object Sinks {
     * accept-preview's whole decision chain — leaving zero re-runs),
     * so every trigger gets the full retry window regardless of how
     * long its body runs; a long body under persistent churn gets at
-    * least one full re-run before the budget can expire. Budget
+    * least one full re-run before the budget can expire.
+    *
+    * The deadline RE-ARMS when the instability reaches a table not
+    * yet seen unstable (r17 ADVICE, medium): a daily ingest is a
+    * SEQUENCE of appends (postings, then hash, then chunk, then
+    * semantic) each individually short — treating the series as ONE
+    * continuous disturbance would exhaust the budget on long ingests
+    * and kill the query over churn that is transient table-by-table.
+    * Re-arming is bounded: each watched table extends the deadline at
+    * most ONCE, so total retrying is capped at (|tables| + 1) ×
+    * budgetMs, and a single table churning forever (a lost table, a
+    * rewrite storm) still exhausts within one budget. Budget
     * exhaustion throws rather than accepting an unverified verdict —
     * loud beats a silent duplicate leak — with the last race error
     * attached when one was caught. The heal is best-effort: two
@@ -677,7 +699,7 @@ object Sinks {
     * regardless. foreachBatch bodies are re-run whole; every sink
     * here writes its batch directory idempotently, so a re-run
     * converges. */
-  private def retryAcrossTableSwap(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def retryAcrossTableSwap(spark: org.apache.spark.sql.SparkSession,
                                    tables: Seq[String],
                                    budgetMs: Long = 10000L)(body: => Unit): Unit = {
     // the budget bounds the RETRY phase, armed at the FIRST detected
@@ -686,10 +708,17 @@ object Sinks {
     // long bodies like the accept-preview's decision chain, leaving
     // ZERO re-runs and killing the query on the first benign overlap)
     var deadline = 0L
+    var seenUnstable = Set.empty[String]
     var lastRace: Throwable = null
-    def pastBudget(): Boolean = {
-      if (deadline == 0L) deadline = System.nanoTime() + budgetMs * 1000000L
-      System.nanoTime() >= deadline
+    // arm (or re-arm) on the tables THIS disturbance touched: a table
+    // joining the churn for the first time resets the window, a table
+    // already counted does not (r17 ADVICE, medium — a sequential
+    // ingest's appends read as a series of short disturbances, never
+    // one unbounded one; the re-arm count is capped by |tables|)
+    def armBudget(unstable: Set[String]): Unit = {
+      if (deadline == 0L || (unstable -- seenUnstable).nonEmpty)
+        deadline = System.nanoTime() + budgetMs * 1000000L
+      seenUnstable ++= unstable
     }
     def heal(): Unit = tables.foreach { t =>
       try {
@@ -697,30 +726,38 @@ object Sinks {
         if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
       } catch { case _: Exception => () } // lost a heal race — retry decides
     }
-    def listSig(): String = tables.map { t =>
-      if (!spark.catalog.tableExists(t)) t + ":absent"
+    def listSig(): Map[String, String] = tables.map { t =>
+      if (!spark.catalog.tableExists(t)) t -> "absent"
       else {
         spark.catalog.refreshTable(t)
-        t + ":" + spark.table(t).inputFiles.sorted.mkString(",")
+        t -> spark.table(t).inputFiles.sorted.mkString(",")
       }
-    }.mkString("|")
+    }.toMap
     def attempt(delayMs: Long): Unit = {
-      val outcome =
+      val unstable: Set[String] =
         try {
           val before = listSig()
           body
-          listSig() == before
+          val after = listSig()
+          tables.filter(t => before.get(t) != after.get(t)).toSet
         } catch {
           case e: Exception if swapRaceSignature(tables, e) =>
             lastRace = e
             heal()
-            false
+            // the error names the raced table(s); an empty parse (the
+            // match landed on a cause whose message this helper sees
+            // differently) falls back to "all watched" — over-arming
+            // once only widens the window this disturbance gets
+            val named = racedTables(tables, e)
+            if (named.nonEmpty) named else tables.toSet
         }
-      if (!outcome) {
-        if (pastBudget())
+      if (unstable.nonEmpty) {
+        armBudget(unstable)
+        if (System.nanoTime() >= deadline)
           throw new IllegalStateException(
             s"guard trigger could not complete against a stable state of " +
-              s"${tables.mkString(",")} within ${budgetMs}ms of retrying — " +
+              s"${tables.mkString(",")} within ${budgetMs}ms of retrying " +
+              s"(last unstable: ${unstable.mkString(",")}) — " +
               (if (lastRace != null)
                 "the last attempt failed with the attached maintenance-race error"
               else
@@ -745,19 +782,38 @@ object Sinks {
     * ADVICE) — it propagates instead of masking its root cause under
     * a heal + re-execution. Db-qualified names watch their last
     * component: messages carry `db`.`tbl`, bare tbl, or a
-    * /warehouse/db.db/tbl path — all contain the unqualified name. */
+    * /warehouse/db.db/tbl path — all contain the unqualified name.
+    *
+    * The name must appear as a WHOLE identifier or path component
+    * (r17 ADVICE): bounded by non-identifier characters (`/`,
+    * backticks, dots, whitespace, start/end), never as a substring of
+    * a longer name — a checkpoint directory named `graft_idx_chk` or
+    * a sibling table `graft_idx_old` failing permanently must not
+    * read as a swap race on `graft_idx` and get healed+retried,
+    * masking a real checkpoint/source loss. */
   private[graft] def swapRaceSignature(tables: Seq[String], e: Throwable): Boolean = {
-    val names = tables.map(_.split('.').last)
+    val names = tables.map { t =>
+      ("(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(t.split('.').last) +
+        "([^A-Za-z0-9_]|$)").r
+    }
     def matches(t: Throwable): Boolean = t != null && (
       Option(t.getMessage).exists(m =>
         (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("FAILED_READ_FILE") ||
-          m.contains("FileNotFoundException")) && names.exists(m.contains)) ||
+          m.contains("FileNotFoundException")) &&
+          names.exists(_.findFirstIn(m).isDefined)) ||
         ((t.getCause ne t) && matches(t.getCause)))
     matches(e)
   }
 
+  /** Which of the watched tables a swap-race error NAMES — the
+    * re-arm key for [[retryAcrossTableSwap]]'s budget: churn moving
+    * to a table not yet seen unstable reads as a NEW disturbance. */
+  private def racedTables(tables: Seq[String], e: Throwable): Set[String] =
+    tables.filter(t => swapRaceSignature(Seq(t), e)).toSet
+
   def streamingCorpusGuardSink(stream: DataFrame, hashTable: String,
-                               path: String, checkpoint: String): DataStreamWriter[Row] = {
+                               path: String, checkpoint: String,
+                               swapBudgetMs: Long = 10000L): DataStreamWriter[Row] = {
     // per-QUERY probe cache: the bloom changes at most once per daily
     // ingest, while triggers can be seconds apart — rebuilding the
     // probe per batch would collect the full filter byte set to the
@@ -778,7 +834,8 @@ object Sinks {
         // a pre-swap listing) must neither terminate the guard query
         // nor silently read an emptied table — see
         // [[retryAcrossTableSwap]]
-        retryAcrossTableSwap(spark, Seq(hashTable, hashTable + "__bloom")) {
+        retryAcrossTableSwap(spark, Seq(hashTable, hashTable + "__bloom"),
+            budgetMs = swapBudgetMs) {
           // the micro-batch runs on the stream's CLONED session, whose
           // relation cache can still hold the previous trigger's file
           // listing for tables the daily ingest maintains — the bloom
@@ -843,7 +900,8 @@ object Sinks {
   def streamingNearDupGuardSink(stream: DataFrame, postingsTable: String,
                                 path: String, checkpoint: String,
                                 threshold: Double = 0.5,
-                                bands: Int = 16, rowsPerBand: Int = 4): DataStreamWriter[Row] = {
+                                bands: Int = 16, rowsPerBand: Int = 4,
+                                swapBudgetMs: Long = 10000L): DataStreamWriter[Row] = {
     // per-QUERY probe cache keyed on the bloom table's file set —
     // identical rationale to the exact guard's: the band bloom
     // changes once per daily ingest, triggers can be seconds apart,
@@ -858,7 +916,8 @@ object Sinks {
         val spark = batch.sparkSession
         // heal/retry + consistency bracket across a concurrent
         // compaction swap — same availability rule as the exact guard
-        retryAcrossTableSwap(spark, Seq(postingsTable, postingsTable + "__bloom")) {
+        retryAcrossTableSwap(spark, Seq(postingsTable, postingsTable + "__bloom"),
+            budgetMs = swapBudgetMs) {
           // cloned-session relation caches: the postings table is
           // APPENDED daily (stale listing = silently missing the
           // newest corpus bands) and the bloom OVERWRITTEN (stale
@@ -906,14 +965,16 @@ object Sinks {
     * unstarted — callers `.start()`. */
   def streamingSubstringGuardSink(stream: DataFrame, chunkTable: String,
                                   path: String, checkpoint: String,
-                                  minSharedTokens: Long = 64L): DataStreamWriter[Row] = {
+                                  minSharedTokens: Long = 64L,
+                                  swapBudgetMs: Long = 10000L): DataStreamWriter[Row] = {
     var probeSig: String = null
     var probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        retryAcrossTableSwap(spark, Seq(chunkTable, chunkTable + "__bloom")) {
+        retryAcrossTableSwap(spark, Seq(chunkTable, chunkTable + "__bloom"),
+            budgetMs = swapBudgetMs) {
           Seq(chunkTable, chunkTable + "__bloom")
             .filter(spark.catalog.tableExists)
             .foreach(spark.catalog.refreshTable)
@@ -977,14 +1038,15 @@ object Sinks {
     * callers `.start()`. */
   def streamingSemanticGuardSink(stream: DataFrame, semanticTable: String,
                                  path: String, checkpoint: String,
-                                 threshold: Double = 0.35): DataStreamWriter[Row] = {
+                                 threshold: Double = 0.35,
+                                 swapBudgetMs: Long = 10000L): DataStreamWriter[Row] = {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val tables = Seq(semanticTable, semanticTable + "__centroids",
           semanticTable + "__pq", semanticTable + "__pq__codebooks")
-        retryAcrossTableSwap(spark, tables) {
+        retryAcrossTableSwap(spark, tables, budgetMs = swapBudgetMs) {
           tables.filter(spark.catalog.tableExists)
             .foreach(spark.catalog.refreshTable)
           graft.Pipeline.semanticCorpusHits(spark, batch, semanticTable, threshold)
@@ -1038,8 +1100,15 @@ object Sinks {
                                  semanticTable: Option[String] = None,
                                  charlmTable: Option[String] = None,
                                  charlmRareFracMax: Option[Double] = None,
-                                 charlmRareBelow: Double = 0.001): DataStreamWriter[Row] = {
+                                 charlmRareBelow: Double = 0.001,
+                                 swapBudgetMs: Long = 10000L): DataStreamWriter[Row] = {
     val bloomed = Seq(postingsTable, hashTable) ++ chunkTable
+    // the doc-id key space (a VIEW over the postings table + its own
+    // bloom — operators.Dedup.writeIdsBloom): probe-cached like the
+    // other three, watched by its BLOOM only (the view's file set IS
+    // the postings table's, already watched)
+    val idsSpace = graft.operators.Dedup.idsSpaceOf(postingsTable)
+    val cached = bloomed :+ idsSpace
     var probeSigs = Map.empty[String, String]
     var probes = Map.empty[String, Option[org.apache.spark.sql.Column =>
       org.apache.spark.sql.Column]]
@@ -1058,13 +1127,14 @@ object Sinks {
         // a concurrent PQ retrain must not read as instability; the
         // charlm model table is read only when the gate is armed
         val watched = bloomed.flatMap(t => Seq(t, t + "__bloom")) ++
+          Seq(idsSpace + "__bloom") ++
           semanticTable.filter(_ => embeddings.isDefined).toSeq.flatMap(t =>
             Seq(t, t + "__centroids", t + "__pq", t + "__pq__codebooks")) ++
           charlmTable.filter(_ => charlmRareFracMax.isDefined)
-        retryAcrossTableSwap(spark, watched) {
+        retryAcrossTableSwap(spark, watched, budgetMs = swapBudgetMs) {
           watched.filter(spark.catalog.tableExists)
             .foreach(spark.catalog.refreshTable)
-          bloomed.foreach { t =>
+          cached.foreach { t =>
             val sig =
               if (spark.catalog.tableExists(t + "__bloom"))
                 spark.table(t + "__bloom").inputFiles.sorted.mkString("\n")

@@ -240,6 +240,94 @@ class PipelineSpec extends SparkSpec {
     assert(plain.select("doc_id").as[Long].collect().toSet === Set(11L))
   }
 
+  test("doc-id bloom: id gate decides all-novel deltas without touching the postings table, same ids either path") {
+    // r17 VERDICT #2: the id-collision gate was the accept chain's one
+    // per-decision corpus touch (a postings doc_id scan). With the
+    // bootstrapped doc-id key space, definite non-members decide
+    // map-side; only a non-empty maybe sliver confirms exactly.
+    import spark.implicits._
+    val t1 = (1 to 40).map(i => s"ib$i").mkString(" ")
+    val t2 = (1 to 40).map(i => s"ic$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"),
+      "graft_idb_post", "graft_idb_hash")
+    assert(spark.catalog.tableExists("graft_idb_post__ids__bloom"),
+      "bootstrap must register the doc-id key space")
+    // verdict-neutrality: bloom path == forced scan path on a mixed
+    // delta (one collision, two novel)
+    val deltaIds = Seq(1L, 10L, 11L).toDF("doc_id")
+    val viaBloom = Pipeline.corpusIdCollisions(spark, deltaIds, "graft_idb_post")
+      .as[Long].collect().toSet
+    val viaScan = Pipeline.corpusIdCollisions(spark, deltaIds, "graft_idb_post",
+      probeOverride = Some(None)).as[Long].collect().toSet
+    assert(viaBloom === Set(1L) && viaScan === Set(1L),
+      s"bloom path $viaBloom vs scan path $viaScan")
+    // MAP-SIDE PROOF: hide the postings table (bloom stays). An
+    // all-novel delta still decides — the confirm join is never even
+    // constructed — while a maybe id MUST touch the corpus and fails
+    // loudly against the hidden table. Stronger than any plan walk:
+    // the corpus is physically unreachable.
+    spark.sql("ALTER TABLE graft_idb_post RENAME TO graft_idb_post__hidden")
+    try {
+      val novel = Pipeline.corpusIdCollisions(spark,
+        Seq(50L, 51L).toDF("doc_id"), "graft_idb_post")
+      assert(novel.isEmpty, "novel ids must decide without the postings table")
+      intercept[Exception] {
+        Pipeline.corpusIdCollisions(spark,
+          Seq(1L).toDF("doc_id"), "graft_idb_post").count()
+      }
+    } finally spark.sql("ALTER TABLE graft_idb_post__hidden RENAME TO graft_idb_post")
+    // the daily merge maintains the key space: an accepted day's ids
+    // enter the bloom (items grew past the bootstrap's 2)
+    def writeDelta(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("graft_idb_delta").toString
+      rows.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val fresh = (1 to 40).map(i => s"idn$i").mkString(" ")
+    val s1 = Pipeline.runIncremental(spark,
+      writeDelta((10L, fresh)),
+      Files.createTempDirectory("graft_idb_out").toString,
+      "graft_idb_post", "graft_idb_hash")
+    assert(s1("accepted") === 1L)
+    assert(spark.table("graft_idb_post__ids__bloom")
+      .select("items").as[Long].head() === 3L,
+      "the accepted day's id must merge into the doc-id bloom")
+    // ...and a re-delivery of the accepted id now collides THROUGH the
+    // bloom path (maybe -> exact confirm -> drop)
+    val s2 = Pipeline.runIncremental(spark,
+      writeDelta((10L, (1 to 40).map(i => s"ed$i").mkString(" "))),
+      Files.createTempDirectory("graft_idb_out2").toString,
+      "graft_idb_post", "graft_idb_hash")
+    assert(s2("id_collision_dropped") === 1L && s2("accepted") === 0L)
+  }
+
+  test("acceptPreviewAudit: every planted branch fires — charlm and semantic arms included") {
+    // r17 VERDICT #1: the gate row previously ran decideDelta WITHOUT
+    // the charlm/semantic arms (9 of 11 categories value-checked).
+    // Now all arms are armed; the planted slices must each land in
+    // their own verdict bucket with a nonzero count. (The exact
+    // counts are value-checked against DuckDB by the registry gate;
+    // this spec pins the branch coverage at the smallest SF.)
+    val dir = "/root/testdata/sf0.001"
+    val out = Pipeline.acceptPreviewAudit(
+        Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("accepted", "id_collision", "substring_dup_corpus",
+        "exact_dup_within", "charlm_dropped", "semantic_dup_corpus")
+      .foreach { k =>
+        assert(out.getOrElse(k, 0L) > 0L, s"$k must fire; got $out") }
+    // the LM gate runs FIRST: a garbled doc must never reach a dedup
+    // arm, so charlm_dropped is exactly the garbled slice (8 docs at
+    // this SF — measured rare-frac >= 0.19 vs <= 0.11 for all others)
+    assert(out("charlm_dropped") === 8L, s"got $out")
+    // the paraphrase slice is text-invisible (no shared shingles or
+    // chunks) — only the embedding probe catches it
+    assert(out("semantic_dup_corpus") >= 16L, s"got $out")
+  }
+
   test("runIncremental maintains the bloom across days: accepted hashes probe true next run") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"bm$i").mkString(" ")

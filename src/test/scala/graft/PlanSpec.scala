@@ -32,6 +32,41 @@ class PlanSpec extends SparkSpec {
   private def count(plan: String, token: String): Int =
     token.r.findAllIn(plan).size
 
+  test("accept preview: verdict flag joins all broadcast; id-collision confirm semi-join below the distinct") {
+    // r17 VERDICT #3: two plan pins on the decision chain. (1) the
+    // per-doc verdict attribution joins ~10 delta-sized id frames
+    // onto the input ids — every one a broadcast, never a sort-merge
+    // (the frames are micro-batch-sized by construction). (2) the id
+    // gate's confirm path scans the postings doc_id column with the
+    // broadcast semi-join pushed UNDER the distinct, so the
+    // aggregate runs on the delta-matched sliver, never on the
+    // corpus-wide id set.
+    import spark.implicits._
+    val post = "graft_plan_prev_post"; val hash = "graft_plan_prev_hash"
+    graft.Pipeline.bootstrapIncremental(
+      Seq((1L, (1 to 40).map(i => s"pv$i").mkString(" "))).toDF("doc_id", "text"),
+      post, hash)
+    val delta = Seq(
+      (10L, (1 to 40).map(i => s"pw$i").mkString(" "), "en", "s", 200L),
+      (1L, (1 to 40).map(i => s"px$i").mkString(" "), "en", "s", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val verdicts = graft.Pipeline.decideDelta(spark, delta, post, hash).verdicts
+    // static plan: all ten flag joins are broadcast
+    val staticPlan = initialPlan(verdicts)
+    assert(count(staticPlan, "SortMergeJoin") === 0, staticPlan)
+    assert(count(staticPlan, "BroadcastHashJoin") >= 9, staticPlan)
+    // AQE-final: still no sort-merge anywhere
+    assert(count(finalPlan(verdicts), "SortMergeJoin") === 0)
+    // (2) the confirm path (forced-scan override), on a colliding id
+    import org.apache.spark.sql.catalyst.plans.logical
+    val confirm = graft.Pipeline.corpusIdCollisions(spark,
+      Seq(1L).toDF("doc_id"), post, probeOverride = Some(None))
+    val opt = confirm.queryExecution.optimizedPlan
+    val agg = opt.collectFirst { case a: logical.Aggregate => a }
+    assert(agg.exists(_.collect { case j: logical.Join => j }.nonEmpty),
+      s"the semi-join must be pushed below the distinct:\n$opt")
+  }
+
   test("silver cleaning: single scan, zero shuffles, one native clean pass") {
     val plan = finalPlan(graft.operators.Cleaning.silver(Tables.documents(spark, dir)))
     assert(count(plan, "Exchange") === 0)

@@ -618,6 +618,56 @@ class SourcesSpec extends SparkSpec {
     // a watched-table mention WITHOUT a swap signature is not a race
     assert(!Sinks.swapRaceSignature(watched,
       new RuntimeException("graft_idx: arithmetic overflow")))
+    // r17 ADVICE (low): the name must be a WHOLE identifier / path
+    // component — a checkpoint dir or sibling table whose name merely
+    // CONTAINS a watched name is a permanent loss, not a swap race
+    assert(!Sinks.swapRaceSignature(watched,
+      fnf("java.io.FileNotFoundException: /chk/graft_idx_chk/offsets/0")))
+    assert(!Sinks.swapRaceSignature(watched,
+      new RuntimeException("[TABLE_OR_VIEW_NOT_FOUND] The table `graft_idx_old` cannot be found")))
+    // ...while the name as a full path component still heals (a
+    // checkpoint dir named EXACTLY like the table remains
+    // indistinguishable by name — the documented limit of the match)
+    assert(Sinks.swapRaceSignature(Seq("graft_idx__bloom"),
+      new RuntimeException("[FAILED_READ_FILE] file:/wh/graft_idx__bloom/part-0.parquet")))
+  }
+
+  test("retryAcrossTableSwap: deadline re-arms when churn moves to a NEW table, not for repeats") {
+    // r17 ADVICE (medium): a daily ingest appends to its index tables
+    // in SEQUENCE; each append is short but the series can outlast one
+    // budget. The bracket must read it as a series of disturbances
+    // (re-arm per newly-unstable table), while a single table churning
+    // forever still exhausts within one budget window.
+    val t1 = "swap_rearm_a"; val t2 = "swap_rearm_b"
+    Seq(t1, t2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "x")).toDF("id", "v").write.format("parquet").saveAsTable(t1)
+    Seq((1L, "x")).toDF("id", "v").write.format("parquet").saveAsTable(t2)
+    def touch(t: String): Unit =
+      Seq((2L, "y")).toDF("id", "v").write.mode("append").format("parquet").saveAsTable(t)
+    // churn script: attempt 1 touches t1, attempt 2 sleeps PAST the
+    // original deadline and touches t2 (a new table -> re-arm),
+    // attempt 3 is clean. Without the re-arm, attempt 2 exhausts the
+    // budget and the bracket throws.
+    var attempts = 0
+    Sinks.retryAcrossTableSwap(spark, Seq(t1, t2), budgetMs = 1000L) {
+      attempts += 1
+      if (attempts == 1) touch(t1)
+      if (attempts == 2) { Thread.sleep(2200L); touch(t2) }
+    }
+    assert(attempts == 3, s"expected exactly 3 attempts, got $attempts")
+    // same-table churn never re-arms: t1 keeps changing -> the budget
+    // expires within one window and the bracket refuses loudly
+    var tries = 0
+    val e = intercept[IllegalStateException] {
+      Sinks.retryAcrossTableSwap(spark, Seq(t1, t2), budgetMs = 300L) {
+        tries += 1
+        Thread.sleep(120L)
+        touch(t1)
+      }
+    }
+    assert(e.getMessage.contains("stable state"), e.getMessage)
+    assert(e.getMessage.contains(t1), e.getMessage) // names the unstable table
+    Seq(t1, t2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("_temporary sweep: a long-quiet orphan sweeps when the age escape allows; fresh refuses") {
