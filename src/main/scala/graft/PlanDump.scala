@@ -107,7 +107,8 @@ object PlanDump {
       "bloom_filter_audit_sharded" -> "sharded bloom contract: filters built DISTRIBUTED (one distinct-hash shuffle, mapGroups assembles each shard executor-side), probed through the torrent-broadcast handle — one shard lookup per row, no multi-GB plan literal",
       "semantic_probe_pq_tight" -> "tight certified probe: the same bucketed ADC equi-join as the persisted seam; the per-subspace floor adds m subtract/max ops on the already-loaded lookup rows — candidates shrink, plan shape unchanged",
       "curriculum_mix_by_source" -> "per-feed curriculum mix: bootstrap-trained bounds folded map-side as a (k-1)-value literal, ONE sources x k aggregate, zero joins at any corpus size",
-      "bloom_filter_audit_merge_batched" -> "batched daily merge contract: the audit aggregate probes BOTH key spaces through the production dispatch after ONE mergeHashBlooms call — the plan shows the broadcast shard-probe per row, no per-table merge pipelines")
+      "bloom_filter_audit_merge_batched" -> "batched daily merge contract: the audit aggregate probes BOTH key spaces through the production dispatch after ONE mergeHashBlooms call — the plan shows the broadcast shard-probe per row, no per-table merge pipelines",
+      "accept_preview_audit" -> "the armed accept decision: every gate stage checkpointed delta-sized (plan leaves are RDD scans), verdict attribution ALL-BROADCAST flag joins over the input ids — no sort-merge join anywhere; the corpus-side probes (id bloom, exact bypass, banded minhash, chunk, quantizer cells) ran inside the checkpointed stages behind their bloom prefilters")
     val out = new StringBuilder
     out ++= "# PLANS — AQE-final formatted physical plans (sf0.01)\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"`. Regenerate after plan-affecting changes.\n"
