@@ -238,9 +238,12 @@ object Pipeline {
         hashCol = Dedup.bandKeySql)
       // doc-id key space: same unconditional idempotent re-merge —
       // bloom ⊇ postings ids must hold mid-repair exactly as live
-      // (no-op on a pre-r18 bootstrap without the __ids__bloom)
+      // (no-op on a pre-r18 bootstrap without the __ids__bloom).
+      // BANDED ids only, the view's actual key population — see the
+      // live merge's note on sub-3-token accepted docs
       Dedup.mergeHashBloom(spark, Dedup.idsSpaceOf(postingsTable),
-        ids.distinct(), hashCol = Dedup.idKeySql)
+        Dedup.bandPostings(text).select(col("doc_id")).distinct(),
+        hashCol = Dedup.idKeySql)
       val postedIds = spark.table(postingsTable).select(col("doc_id")).distinct()
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
       Sinks.appendBucketed(
@@ -330,7 +333,8 @@ object Pipeline {
       survivors: org.apache.spark.sql.DataFrame,
       deduped: org.apache.spark.sql.DataFrame,
       contaminated: Option[org.apache.spark.sql.DataFrame],
-      accepted: org.apache.spark.sql.DataFrame) {
+      accepted: org.apache.spark.sql.DataFrame,
+      broadcastIdFrames: Boolean = true) {
 
     /** Per-doc attribution over the WHOLE input delta: every doc_id
       * mapped to its gate outcome — `accepted`, or the FIRST gate
@@ -346,20 +350,22 @@ object Pipeline {
       * optional-arm hit set are pinned in [[decideDelta]]) — flag
       * construction re-runs no gate. */
     def verdicts: org.apache.spark.sql.DataFrame = {
+      def bc(df: org.apache.spark.sql.DataFrame) =
+        if (broadcastIdFrames) broadcast(df) else df
       def flag(df: org.apache.spark.sql.DataFrame, name: String) =
-        broadcast(df.select(col("doc_id")).distinct().withColumn(name, lit(true)))
+        bc(df.select(col("doc_id")).distinct().withColumn(name, lit(true)))
       val none = input.limit(0)
       input.select(col("doc_id"))
         .join(flag(accepted, "f_accepted"), Seq("doc_id"), "left")
         .join(flag(contaminated.getOrElse(none), "f_contaminated"), Seq("doc_id"), "left")
-        .join(flag(survivors.join(broadcast(deduped.select(col("doc_id"))),
+        .join(flag(survivors.join(bc(deduped.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"), "f_near_within"), Seq("doc_id"), "left")
         .join(flag(corpusHits, "f_near"), Seq("doc_id"), "left")
         .join(flag(substrHits.getOrElse(none), "f_substr"), Seq("doc_id"), "left")
         .join(flag(semHits.getOrElse(none), "f_sem"), Seq("doc_id"), "left")
-        .join(flag(exactWithin.join(broadcast(exactNew.select(col("doc_id"))),
+        .join(flag(exactWithin.join(bc(exactNew.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"), "f_exact_corpus"), Seq("doc_id"), "left")
-        .join(flag(idSafe.join(broadcast(exactWithin.select(col("doc_id"))),
+        .join(flag(idSafe.join(bc(exactWithin.select(col("doc_id"))),
           Seq("doc_id"), "left_anti"), "f_exact_within"), Seq("doc_id"), "left")
         .join(flag(corpusIds, "f_id_collision"), Seq("doc_id"), "left")
         .join(flag(charlmDropped.getOrElse(none), "f_charlm"), Seq("doc_id"), "left")
@@ -405,7 +411,20 @@ object Pipeline {
       charlmRareFracMax: Option[Double] = None,
       charlmRareBelow: Double = 0.001,
       probeOverrides: Map[String, Option[org.apache.spark.sql.Column =>
-        org.apache.spark.sql.Column]] = Map.empty): DeltaDecision = {
+        org.apache.spark.sql.Column]] = Map.empty,
+      broadcastIdFrames: Boolean = true): DeltaDecision = {
+    // `broadcastIdFrames` governs only the HINTS this round added on
+    // the within-delta side (survivor fold, decontam anti-join, the
+    // verdict flag frames): at micro-batch and ordinary daily sizes
+    // they are id-only frames a broadcast trivially fits, and the
+    // hints keep the whole verdict chain statically shuffle-free
+    // (plan-spec-pinned); a deployment whose single DAY runs to
+    // hundreds of millions of docs can set false and let AQE size
+    // them instead. The corpus-probe broadcasts (delta ids into the
+    // postings/chunk probes) are NOT governed: those are the core
+    // never-shuffle-the-corpus design, not an optimization hint.
+    def bcIds(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastIdFrames) broadcast(df) else df
     val silver = Cleaning.silver(rawDelta)
     val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
     // charlm arm, gate side (optional): score the delta against the
@@ -499,8 +518,8 @@ object Pipeline {
     // statically (plan-spec-pinned: no sort-merge join anywhere in
     // the verdict chain)
     val survivors = (substrHits.toSeq ++ semHits.toSeq).foldLeft(
-      exactNew.join(broadcast(corpusHits), Seq("doc_id"), "left_anti"))(
-      (df, s) => df.join(broadcast(s), Seq("doc_id"), "left_anti"))
+      exactNew.join(bcIds(corpusHits), Seq("doc_id"), "left_anti"))(
+      (df, s) => df.join(bcIds(s), Seq("doc_id"), "left_anti"))
     // within-delta clusters: the LSH probe's delta-delta pairs, plus
     // the delta's own substring pairs when the chunk arm is on (the
     // full prep unions both graphs the same way)
@@ -529,11 +548,11 @@ object Pipeline {
         .select(col("doc_id")).localCheckpoint()
     }
     val accepted = contaminated
-      .fold(deduped)(c => deduped.join(broadcast(c), Seq("doc_id"), "left_anti"))
+      .fold(deduped)(c => deduped.join(bcIds(c), Seq("doc_id"), "left_anti"))
       .localCheckpoint() // written once, then indexed twice below
     DeltaDecision(rawDelta, quality, charlmDropped, corpusIds, idSafe,
       exactWithin, exactNew, corpusHits, substrHits, semHits,
-      survivors, deduped, contaminated, accepted)
+      survivors, deduped, contaminated, accepted, broadcastIdFrames)
   }
 
   /** The daily accept decision as a GATE ROW (SURVEY §2 row 37m):
@@ -932,7 +951,8 @@ object Pipeline {
                      charlmRareBelow: Double = 0.001,
                      pqRetrainQerr: Double = 0.5,
                      compactFilesPerBucket: Int = 64,
-                     compactFilesPerBucketByTable: Map[String, Int] = Map.empty): Summary = {
+                     compactFilesPerBucketByTable: Map[String, Int] = Map.empty,
+                     broadcastIdFrames: Boolean = true): Summary = {
     // Swap recovery FIRST-FIRST: a compaction (or chunk recap) crash
     // between its DROP and RENAME leaves the only copy of an index
     // under __staging — promote it before ANYTHING reads the tables
@@ -972,7 +992,8 @@ object Pipeline {
       s"$outDir/heavy_hitters", Seq())
     val d = decideDelta(spark, rawDelta, postingsTable, hashTable, holdout,
       chunkTable, semanticTable, deltaEmbeddings, charlmTable,
-      charlmRareFracMax, charlmRareBelow)
+      charlmRareFracMax, charlmRareBelow,
+      broadcastIdFrames = broadcastIdFrames)
     import d.{accepted, charlmDropped, contaminated, corpusHits, corpusIds,
       exactNew, exactWithin, quality, semHits, substrHits}
 
@@ -1046,9 +1067,15 @@ object Pipeline {
         // the doc-id key space (r17 VERDICT #2) rides the same batched
         // merge — an arm is one more (arm, shard) key group, not one
         // more job set; a pre-r18 bootstrap has no __ids__bloom and
-        // the arm no-ops
+        // the arm no-ops. Day keys are the ids that actually ENTER
+        // the postings table (banded docs — the __ids view's
+        // contents), NOT all accepted ids: an accepted doc below the
+        // 3-token shingle floor never posts, and merging its id
+        // would make the compaction recount UNDER-state filter
+        // occupancy against the view (r18 self-review — the exact
+        // filter==table drift recountBloomItems' exactness rests on)
         (Dedup.idsSpaceOf(postingsTable),
-          accepted.select(col("doc_id")).distinct(), Dedup.idKeySql),
+          dayBands.select(col("doc_id")).distinct(), Dedup.idKeySql),
         (hashTable, dayHashes, "content_md5")) ++
         chunkTable.zip(deltaChunks).map { case (t, c) =>
           (t, c.select(col("chunk_hash")).distinct(), "chunk_hash") })

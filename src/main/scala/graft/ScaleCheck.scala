@@ -100,9 +100,10 @@ object ScaleCheck {
                                  oneDir: String, tag: String): Double = {
     val post = s"graft_scprev_${tag}_post"; val hash = s"graft_scprev_${tag}_hash"
     val chunk = s"graft_scprev_${tag}_chunk"; val sem = s"graft_scprev_${tag}_sem"
+    val charlm = s"graft_scprev_${tag}_charlm"
     spark.sql(s"DROP VIEW IF EXISTS ${post}__ids")
     Seq(post, post + "__pending", post + "__bloom", post + "__ids__bloom",
-        hash, hash + "__bloom", chunk, chunk + "__bloom",
+        hash, hash + "__bloom", chunk, chunk + "__bloom", charlm,
         sem, sem + "__centroids", sem + "__pq", sem + "__pq__codebooks").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
@@ -117,7 +118,15 @@ object ScaleCheck {
       post, hash, chunkTable = Some(chunk), semanticTable = Some(sem),
       corpusEmbeddings =
         Some(embs.join(docs.select("doc_id"), Seq("doc_id"), "left_semi")),
+      charlmTable = Some(charlm),
       bloomShards = 16)
+    // probe overrides built ONCE outside the clock, exactly like the
+    // streaming sink's per-file-set cache (r18 self-review: without
+    // them every timed trigger re-collected and re-broadcast all four
+    // sharded blooms — an O(corpus) driver term that polluted the
+    // very N-vs-1 ratio this harness pins)
+    val probes = Seq(post, hash, chunk, graft.operators.Dedup.idsSpaceOf(post))
+      .map(t => t -> graft.operators.Dedup.bloomProbeFor(spark, t)).toMap
     // the FIXED delta: 1× docs re-keyed past every replica id range,
     // text-perturbed so nothing short-circuits at the id/exact gates
     val off = 500000000000000L
@@ -128,9 +137,13 @@ object ScaleCheck {
     val deltaEmbs = spark.read.parquet(s"$oneDir/embeddings.parquet")
       .select((col("vec_id") + lit(off)).as("doc_id"), col("embedding"))
       .localCheckpoint()
+    // every production arm armed, charlm included (its per-trigger
+    // term is the model read — a table that grows with ingest days)
     def trigger(): Unit = Pipeline.decideDelta(spark, delta, post, hash,
         chunkTable = Some(chunk), semanticTable = Some(sem),
-        deltaEmbeddings = Some(deltaEmbs))
+        deltaEmbeddings = Some(deltaEmbs),
+        charlmTable = Some(charlm), charlmRareFracMax = Some(0.5),
+        probeOverrides = probes)
       .verdicts.write.format("noop").mode("overwrite").save()
     trigger() // warm, same discipline as the registry timings
     (1 to 2).map { _ =>

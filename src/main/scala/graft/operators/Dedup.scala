@@ -162,7 +162,31 @@ object Dedup {
     import spark.implicits._
     Seq((bytes, capacity, fpp, items)).toDF("bloom", "capacity", "fpp", "items")
       .write.mode("overwrite").format("parquet").saveAsTable(bloomTableOf(hashTable))
+    stampDesignedFpp(spark, hashTable, fpp)
   }
+
+  /** Record the key space's DESIGNED fpp in the bloom table's catalog
+    * properties — metadata that survives the one state the rows do
+    * not: a crash inside an overwrite leaves a registered-but-EMPTY
+    * table, and the rebuild paths then have no row to read fpp from.
+    * Without this stamp they rebuilt at the family default 0.03 —
+    * silently discarding a key space's tighter design (the doc-id
+    * space runs at 1e-4 precisely so stream triggers usually skip
+    * the corpus; a 300× fpp degradation would quietly revert that,
+    * r18 self-review). Re-stamped after every overwrite because
+    * `saveAsTable` recreates the table and drops properties. */
+  private def stampDesignedFpp(spark: SparkSession, hashTable: String, fpp: Double): Unit =
+    spark.sql(s"ALTER TABLE ${bloomTableOf(hashTable)} " +
+      s"SET TBLPROPERTIES ('graft.fpp' = '$fpp')")
+
+  /** The designed fpp for a rebuild with no surviving row: the
+    * catalog stamp when present, else the family default. */
+  private def designedFpp(spark: SparkSession, hashTable: String,
+                          default: Double = 0.03): Double =
+    try spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(bloomTableOf(hashTable)))
+      .properties.get("graft.fpp").map(_.toDouble).getOrElse(default)
+    catch { case _: Exception => default }
 
   /** (Re)build the persisted bloom from the CURRENT hash table — the
     * bootstrap call, and the geometric-rebuild step. One single-column
@@ -280,6 +304,7 @@ object Dedup {
       .select(col("shard"), col("nshards"), col("bloom"),
         col("capacity"), col("fpp"), col("items"))
       .write.mode("overwrite").format("parquet").saveAsTable(bloomTableOf(hashTable))
+    stampDesignedFpp(spark, hashTable, fpp)
   }
 
   private def distinctHashes(table: org.apache.spark.sql.DataFrame, hashCol: String) = {
@@ -420,8 +445,12 @@ object Dedup {
     // keys unioned: merge runs pre-append)
     val (present, empties) = arms.zipWithIndex.partition { case (_, i) => metaByArm.contains(i) }
     empties.foreach { case ((t, day, hc), _) =>
-      writeHashBloomSharded(spark, t, defaultShards, hashCol = hc,
-        includeDay = Some(day)) }
+      // crash-emptied: the shard count is lost with the rows, the
+      // DESIGNED fpp is not — it survives in the catalog stamp (r18
+      // self-review: the default here silently degraded a 1e-4 key
+      // space to 0.03 forever)
+      writeHashBloomSharded(spark, t, defaultShards, fpp = designedFpp(spark, t),
+        hashCol = hc, includeDay = Some(day)) }
     if (present.nonEmpty) {
       // EVERY present arm's day filters in ONE shuffle of RAW
       // (arm, key) rows: the within-shard dedupe happens in the same
@@ -514,7 +543,8 @@ object Dedup {
             .select(col("shard"), lit(n).as("nshards"), col("bloom"),
               lit(cap).as("capacity"), lit(fpp).as("fpp"), col("items"))
             .write.mode("overwrite").format("parquet")
-            .saveAsTable(bloomTableOf(t)) }
+            .saveAsTable(bloomTableOf(t))
+          stampDesignedFpp(spark, t, fpp) }
       }
     }
   }
@@ -578,7 +608,8 @@ object Dedup {
         // rebuild from the full hash table + the day frame — the one
         // corpus scan that restores the summary, instead of aborting
         // the ingest (day keys unioned: merge runs pre-append)
-        case None => writeHashBloom(spark, hashTable, hashCol = hashCol,
+        case None => writeHashBloom(spark, hashTable,
+          fpp = designedFpp(spark, hashTable), hashCol = hashCol,
           includeDay = Some(dayHashes))
         case Some(row) =>
           val (bytes, capacity, fpp, items) =
@@ -619,11 +650,12 @@ object Dedup {
             writeHashBloomSharded(spark, hashTable, m.getInt(0), m.getDouble(1),
               hashCol = hashCol)
           case None =>
-            writeHashBloomSharded(spark, hashTable, defaultShards, hashCol = hashCol)
+            writeHashBloomSharded(spark, hashTable, defaultShards,
+              fpp = designedFpp(spark, hashTable), hashCol = hashCol)
         }
       } else {
         val fpp = t.select(col("fpp")).take(1).headOption
-          .map(_.getDouble(0)).getOrElse(0.03)
+          .map(_.getDouble(0)).getOrElse(designedFpp(spark, hashTable))
         writeHashBloom(spark, hashTable, fpp, hashCol = hashCol)
       }
     }
@@ -672,6 +704,10 @@ object Dedup {
             .localCheckpoint()
           updated.write.mode("overwrite").format("parquet")
             .saveAsTable(bloomTableOf(hashTable))
+          // off the checkpoint, not the just-overwritten table (a
+          // stale file listing would FAILED_READ_FILE here)
+          updated.select(col("fpp")).take(1).headOption.foreach(r =>
+            stampDesignedFpp(spark, hashTable, r.getDouble(0)))
         }
       } else {
         t.select(col("bloom"), col("capacity"), col("fpp")).take(1).headOption

@@ -744,12 +744,10 @@ object Sinks {
           case e: Exception if swapRaceSignature(tables, e) =>
             lastRace = e
             heal()
-            // the error names the raced table(s); an empty parse (the
-            // match landed on a cause whose message this helper sees
-            // differently) falls back to "all watched" — over-arming
-            // once only widens the window this disturbance gets
-            val named = racedTables(tables, e)
-            if (named.nonEmpty) named else tables.toSet
+            // non-empty by construction: the guard above matched, and
+            // racedTables applies the identical per-table traversal
+            // to the same throwable chain
+            racedTables(tables, e)
         }
       if (unstable.nonEmpty) {
         armBudget(unstable)
@@ -785,16 +783,21 @@ object Sinks {
     * /warehouse/db.db/tbl path — all contain the unqualified name.
     *
     * The name must appear as a WHOLE identifier or path component
-    * (r17 ADVICE): bounded by non-identifier characters (`/`,
-    * backticks, dots, whitespace, start/end), never as a substring of
-    * a longer name — a checkpoint directory named `graft_idx_chk` or
-    * a sibling table `graft_idx_old` failing permanently must not
-    * read as a swap race on `graft_idx` and get healed+retried,
-    * masking a real checkpoint/source loss. */
+    * (r17 ADVICE): bounded by a path separator, backtick, quote,
+    * bracket or whitespace — never as a substring of a longer name.
+    * The boundary classes deliberately EXCLUDE `-` and `.` (and
+    * identifier chars), so a checkpoint directory `graft_idx_chk`
+    * or `graft_idx-chk`, a sibling file `graft_idx.bak`, or a table
+    * `graft_idx_old` failing permanently never reads as a swap race
+    * on `graft_idx` and gets healed+retried, masking a real
+    * checkpoint/source loss. The three real signature shapes stay
+    * matched: Spark backticks identifiers in TABLE_OR_VIEW_NOT_FOUND,
+    * and both file signatures carry the name between `/` separators
+    * of the warehouse path. */
   private[graft] def swapRaceSignature(tables: Seq[String], e: Throwable): Boolean = {
     val names = tables.map { t =>
-      ("(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(t.split('.').last) +
-        "([^A-Za-z0-9_]|$)").r
+      ("(^|[\\s/`'\"(\\[,=])" + java.util.regex.Pattern.quote(t.split('.').last) +
+        "([\\s/`'\")\\],:;]|$)").r
     }
     def matches(t: Throwable): Boolean = t != null && (
       Option(t.getMessage).exists(m =>

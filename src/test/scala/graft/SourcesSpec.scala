@@ -625,6 +625,13 @@ class SourcesSpec extends SparkSpec {
       fnf("java.io.FileNotFoundException: /chk/graft_idx_chk/offsets/0")))
     assert(!Sinks.swapRaceSignature(watched,
       new RuntimeException("[TABLE_OR_VIEW_NOT_FOUND] The table `graft_idx_old` cannot be found")))
+    // dash/dot-suffixed siblings are NOT identifier chars but still
+    // longer names — the boundary classes must reject them too (r18
+    // self-review: [^A-Za-z0-9_] boundaries readmitted these)
+    assert(!Sinks.swapRaceSignature(watched,
+      fnf("java.io.FileNotFoundException: /chk/graft_idx-chk/offsets/0")))
+    assert(!Sinks.swapRaceSignature(watched,
+      fnf("java.io.FileNotFoundException: /wh/graft_idx.bak/part-0.parquet")))
     // ...while the name as a full path component still heals (a
     // checkpoint dir named EXACTLY like the table remains
     // indistinguishable by name — the documented limit of the match)
