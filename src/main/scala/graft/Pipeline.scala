@@ -426,7 +426,14 @@ object Pipeline {
     def bcIds(df: org.apache.spark.sql.DataFrame) =
       if (broadcastIdFrames) broadcast(df) else df
     val silver = Cleaning.silver(rawDelta)
+    // the silver regex chain runs ONCE: the charlm scoring, the
+    // id-gate probe and the idSafe anti-join each re-evaluate
+    // ruleQuality, and without this pin each re-evaluation re-runs
+    // the full cleaning chain over the delta — the single heaviest
+    // map work in the decision (r18; same rationale as the
+    // idSafe/exactWithin pins below, one junction earlier)
     val ruleQuality = silver.filter(col("content").isNotNull && col("content_length") > 50)
+      .localCheckpoint()
     // charlm arm, gate side (optional): score the delta against the
     // CORPUS-TRAINED model — the persisted per-ingest count table
     // summed back to (tri, c3) — and drop LM-improbable docs, the
@@ -572,17 +579,22 @@ object Pipeline {
     * charlm_dropped), and word-order-REVERSED corpus text under
     * fresh ids carrying the SOURCE's embedding (no shared shingles,
     * no shared CDC chunks, normal trigrams — only the semantic arm
-    * can catch it → semantic_dup_corpus). The DuckDB oracle replays
+    * can catch it → semantic_dup_corpus), and out-of-subset HOLDOUT
+    * docs' text re-embedded whole after filler under fresh ids
+    * (novel to every corpus arm — the sources were never indexed —
+    * yet sharing interior CDC chunks with the armed holdout, so only
+    * the post-dedup decontamination can drop it → contaminated; r18).
+    * The DuckDB oracle replays
     * the ENTIRE chain — silver cleaning, the rule bar, the add-one
     * trigram gate, id collision, keep-first exact dedup, md5 MinHash
     * banding + 64-perm estimate at 0.5, the df-capped CDC chunk
     * probe at 64 shared tokens, the rank-seeded Lloyd quantizer +
     * cell-cosine probe, within-delta clusters (recursive CC) with
-    * longest-survivor canonicals — so ALL ELEVEN verdict categories
-    * are value-checked end to end (r17 VERDICT #1; contaminated is
-    * exercised by the preview spec's holdout — a holdout is
-    * deployment input, not corpus state, so the gate row leaves it
-    * unarmed). Bloom prefilters run in the engine and are
+    * longest-survivor canonicals, and the 8-shared-token df-capped
+    * holdout decontamination — so ALL ELEVEN verdict categories,
+    * contaminated included, are value-checked end to end (r17
+    * VERDICT #1 armed charlm+semantic; r18 armed the holdout).
+    * Bloom prefilters run in the engine and are
     * result-neutral by the no-false-negatives contract the bloom
     * audit rows pin; the semantic arm bootstraps the one-tier exact
     * index — the PQ two-tier face is result-identical by the
@@ -667,9 +679,31 @@ object Pipeline {
         substring(md5(col("doc_id").cast("string")), 1, 2).between("c0", "cf"))
       .withColumn("doc_id", col("doc_id") + lit(30000000L))
       .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+    // the CONTAMINATION slice (r18 — the last verdict category goes
+    // oracle-armed): docs from OUTSIDE the audit subset stand in for
+    // the eval/holdout set; their text re-embedded whole after the
+    // passage-lift filler under fresh ids is NOVEL to every corpus
+    // arm (the sources were never indexed — no id, no hash, no
+    // shingle, no chunk, no vector in any probe table) yet shares
+    // its interior CDC chunks with the holdout, so ONLY the
+    // post-dedup decontamination arm can drop it. ≥60 words keeps
+    // well clear of the 8-shared-token bar past the filler's first
+    // chunk boundary.
+    val holdoutSrc = documents.filter(
+        substring(md5(col("doc_id").cast("string")), 3, 2) >= lit("80") &&
+        substring(md5(col("doc_id").cast("string")), 1, 2).between("d0", "df") &&
+        size(split(col("text"), " ")) >= 60)
+      .localCheckpoint() // read twice: the planted slice + the holdout arg
+    val contamLift = holdoutSrc
+      .withColumn("doc_id", col("doc_id") + lit(50000000L))
+      .withColumn("text", concat(
+        concat_ws(" ", transform(sequence(lit(1), lit(300)),
+          i => concat(lit("fl"), col("doc_id").cast("string"), lit("_"), i.cast("string")))),
+        lit(" "), col("text")))
+      .withColumn("__delta", lit(true))
     val delta = flagged.filter(col("__delta"))
       .unionByName(redelivered).unionByName(passageLift).unionByName(dupWithin)
-      .unionByName(garbled).unionByName(paraphrased)
+      .unionByName(garbled).unionByName(paraphrased).unionByName(contamLift)
       .drop("__delta")
     // 16 buckets for the audit's own tables: the gate row prices the
     // DECISION, not a 64-wide production layout's file overhead
@@ -681,14 +715,23 @@ object Pipeline {
     // oracle replays the quantizer bit-for-bit.
     val corpusVecs = embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
       .join(broadcast(corpus.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    // ONE Lloyd round (r18, gate-cost trim): the paraphrase slice
+    // carries the SOURCE's embedding verbatim, so its cell equals its
+    // source's under ANY shared centroid set — every verdict is
+    // invariant to training depth, and one round still value-checks
+    // the Lloyd machinery end to end (the 3-round depth stays priced
+    // by ann_ivf_trained / dedup_semantic_trained / semantic_probe's
+    // own oracles). The oracle below replays iters = 1 to match.
     graft.operators.Ann.writeSemanticIndex(corpusVecs, sem, buckets = 16,
-      deterministic = true)
+      trainIters = 1, deterministic = true)
     // the paraphrase slice's delta vectors: the SOURCE's embedding
     // under the shifted id
     val deltaVecs = embeddings
       .select((col("vec_id") + lit(30000000L)).as("doc_id"), col("embedding"))
       .join(broadcast(paraphrased.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-    decideDelta(spark, delta, post, hash, chunkTable = Some(chunk),
+    decideDelta(spark, delta, post, hash,
+        holdout = Some(holdoutSrc.select(col("doc_id"), col("text"))),
+        chunkTable = Some(chunk),
         semanticTable = Some(sem), deltaEmbeddings = Some(deltaVecs),
         charlmTable = Some(charlm), charlmRareFracMax = Some(0.15),
         charlmRareBelow = 0.01)

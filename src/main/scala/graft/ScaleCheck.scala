@@ -153,6 +153,69 @@ object ScaleCheck {
     }.min
   }
 
+  /** The DAILY INGEST at N× corpus — the steady-state
+    * `run_incremental_daily` face under organic 100× growth: the
+    * N×-replicated corpus MINUS the bench's day id-range bootstraps
+    * the full incremental state outside the clock (same table set,
+    * sharded blooms, semantic + PQ twin as the bench's daily
+    * harness), then the SAME three copy-0 day deltas the bench uses
+    * (genuinely novel at every scale — their ids are filtered out of
+    * copy 0, and every replica's suffixed words share no hash,
+    * shingle or chunk with them) run day-over-day through
+    * [[Pipeline.runIncremental]] — decide + accepted write + batched
+    * bloom merge + index appends, the WHOLE production day. Steady
+    * state = min of days 1-2 (day 0 warms the path). The N×/1×
+    * ratio pins the claim the bench's sf0.001 ≈ sf0.1 comparison
+    * can only suggest: the day's cost tracks delta size, not corpus
+    * size. */
+  private def dailyIngestTime(spark: SparkSession, dir: String,
+                              oneDir: String, tag: String): Double = {
+    val post = s"graft_scday_${tag}_post"; val hash = s"graft_scday_${tag}_hash"
+    val chunk = s"graft_scday_${tag}_chunk"; val sem = s"graft_scday_${tag}_sem"
+    spark.sql(s"DROP VIEW IF EXISTS ${post}__ids")
+    Seq(post, post + "__pending", post + "__bloom", post + "__ids__bloom",
+        hash, hash + "__bloom", chunk, chunk + "__bloom",
+        sem, sem + "__centroids", sem + "__pq", sem + "__pq__centroids",
+        sem + "__pq__codebooks").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpusDocs = docs.filter(col("__h") >= "0c").drop("__h")
+    Pipeline.bootstrapIncremental(
+      corpusDocs.select(col("doc_id"), col("text")), post, hash,
+      chunkTable = Some(chunk), semanticTable = Some(sem),
+      corpusEmbeddings =
+        Some(embs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
+      bloomShards = 16)
+    val oneDocs = spark.read.parquet(s"$oneDir/documents.parquet")
+      .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
+    val oneEmbs = spark.read.parquet(s"$oneDir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory(s"graft_scday_$tag")
+    val days = Seq(("00", "04"), ("04", "08"), ("08", "0c")).zipWithIndex.map {
+      case ((lo, hi), i) =>
+        val dayDocs = oneDocs.filter(col("__h") >= lo && col("__h") < hi).drop("__h")
+        val d = base.resolve(s"day$i").toString
+        dayDocs.write.parquet(s"$d/documents.parquet")
+        (d, oneEmbs.join(dayDocs.select("doc_id"), Seq("doc_id"), "left_semi"), i)
+    }
+    days.map { case (d, dayEmbs, i) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      Pipeline.runIncremental(spark, d, base.resolve(s"out$i").toString,
+        post, hash, chunkTable = Some(chunk), semanticTable = Some(sem),
+        deltaEmbeddings = Some(dayEmbs))
+      (System.nanoTime() - t0) / 1e9
+    }.drop(1).min
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -197,6 +260,9 @@ object ScaleCheck {
         if (q == "accept_preview_trigger")
           (previewTriggerTime(spark, oneDir, oneDir, "b"),
             previewTriggerTime(spark, bigDir, oneDir, "n"))
+        else if (q == "run_incremental_daily")
+          (dailyIngestTime(spark, oneDir, oneDir, "b"),
+            dailyIngestTime(spark, bigDir, oneDir, "n"))
         else (time(q, oneDir), time(q, bigDir))
       println(f"$q%-22s $t1%8.2f $tN%8.2f  ${tN / t1}%5.1fx")
     }

@@ -1214,20 +1214,24 @@ object SparkEntry {
       // (postings + hash set + chunk index + doc-id key space,
       // blooms included) plus the corpus-trained charlm model and
       // the deterministic-trained semantic cell index, a
-      // deterministic corpus/delta split plus five branch-forcing
+      // deterministic corpus/delta split plus six branch-forcing
       // slices (re-delivery → id_collision; passage lifts →
       // substring; verbatim re-sends → keep-first; vowel-garbled →
       // charlm_dropped; word-order-reversed text with the source's
-      // embedding → semantic_dup_corpus), decided by
+      // embedding → semantic_dup_corpus; out-of-subset holdout text
+      // re-embedded under fresh ids — novel to every corpus arm —
+      // → contaminated), decided by
       // Pipeline.decideDelta — the ONE definition runIncremental and
-      // streamingAcceptPreviewSink share. The oracle replays the
+      // streamingAcceptPreviewSink share, holdout arm armed. The
+      // oracle replays the
       // ENTIRE chain in SQL: silver clean, rule bar, add-one trigram
       // gate, id collision, keep-first exact dedup, md5 MinHash
       // banding + 64-perm estimate at 0.5 over the delta∪corpus
       // union, the df-capped CDC chunk probe at 64 shared tokens,
       // the rank-seeded Lloyd quantizer + cell-cosine probe,
       // within-delta clusters (recursive CC) with longest-survivor
-      // canonicals — per-verdict counts value-check every gate.
+      // canonicals, and the 8-shared-token df-capped holdout
+      // decontamination — per-verdict counts value-check every gate.
       // Bloom prefilters run in the engine and are result-neutral by
       // the no-false-negatives contract the bloom audit rows pin.
       (s: SparkSession, d: String) =>
@@ -1237,6 +1241,10 @@ object SparkEntry {
               |       FROM documents
               |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) < '80'),
               |corp AS (SELECT doc_id, text FROM fl WHERE NOT is_delta),
+              |hold AS (SELECT doc_id, text FROM documents
+              |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) >= '80'
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) BETWEEN 'd0' AND 'df'
+              |           AND LEN(string_split(text, ' ')) >= 60),
               |draw AS (SELECT doc_id, text FROM fl WHERE is_delta
               |         UNION ALL
               |         SELECT doc_id, text || ' redelivered' AS text FROM fl
@@ -1264,7 +1272,13 @@ object SparkEntry {
               |         SELECT doc_id + 30000000 AS doc_id,
               |           array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text FROM fl
               |         WHERE NOT is_delta
-              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) BETWEEN 'c0' AND 'cf'),
+              |           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) BETWEEN 'c0' AND 'cf'
+              |         UNION ALL
+              |         SELECT doc_id + 50000000 AS doc_id,
+              |           array_to_string(list_transform(range(1, 301),
+              |             i -> 'fl' || CAST(doc_id + 50000000 AS VARCHAR) || '_' || CAST(i AS VARCHAR)), ' ')
+              |             || ' ' || text AS text
+              |         FROM hold),
               |slv AS (SELECT doc_id, ${cleanContentSql("text")} AS content FROM draw),
               |qual AS (SELECT doc_id, content FROM slv
               |         WHERE content IS NOT NULL AND LENGTH(content) > 50),
@@ -1309,7 +1323,7 @@ object SparkEntry {
                     "AND substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '14'",
                   probeWhere =
                     "substr(md5(CAST(d.vec_id AS VARCHAR)), 1, 2) BETWEEN 'c0' AND 'cf'",
-                  idOffset = 30000000L)},
+                  idOffset = 30000000L, iters = 1)},
               |semc AS (SELECT doc_id FROM exn
               |         WHERE doc_id IN (SELECT doc_id FROM semh)),
               |ddf AS (SELECT h, MAX(n_tokens) AS n_tokens FROM duch
@@ -1338,8 +1352,19 @@ object SparkEntry {
               |        WHERE NOT EXISTS (SELECT 1 FROM canon k
               |          WHERE k.cluster_id = c.cluster_id AND k.doc_id = s.doc_id)),
               |acc AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM ndw)),
+              |atxt AS (SELECT doc_id, content AS text FROM surv
+              |         WHERE doc_id IN (SELECT doc_id FROM acc)),
+              |${cdcChunksCtes("atxt", "a")},
+              |${cdcChunksCtes("hold", "h")},
+              |cont AS (SELECT doc_id FROM (
+              |           SELECT u.doc_id, CAST(SUM(u.n_tokens) AS BIGINT) AS st
+              |           FROM auch u
+              |           JOIN (SELECT h FROM auch GROUP BY h HAVING COUNT(*) <= 100) k USING (h)
+              |           JOIN (SELECT DISTINCT h FROM huch) b USING (h)
+              |           GROUP BY 1) WHERE st >= 8),
               |verd AS (SELECT d.doc_id,
-              |    CASE WHEN d.doc_id IN (SELECT doc_id FROM acc) THEN 'accepted'
+              |    CASE WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+              |         WHEN d.doc_id IN (SELECT doc_id FROM acc) THEN 'accepted'
               |         WHEN d.doc_id IN (SELECT doc_id FROM ndw) THEN 'near_dup_within'
               |         WHEN d.doc_id IN (SELECT doc_id FROM ndc) THEN 'near_dup_corpus'
               |         WHEN d.doc_id IN (SELECT doc_id FROM subc) THEN 'substring_dup_corpus'
@@ -1363,7 +1388,7 @@ object SparkEntry {
         .pipe(sql => Seq("fl", "corp", "draw", "slv", "qual", "idsafe", "exw",
             "exn", "mhd", "mh_sh", "mh_pm", "mh_est", "dset", "ndp", "ddmh",
             "cuch", "duch", "cpost", "ddf", "ddsp", "cl", "surv", "canon",
-            "ndw", "acc",
+            "ndw", "acc", "hold", "atxt", "auch", "huch", "cont",
             "lm_c3", "lm_cn", "lm_p", "chd", "qual2",
             "n", "cents0", "cents1", "cents2", "cents3", "fasg", "semh", "semc")
           .foldLeft(sql)((q, n) =>

@@ -330,9 +330,14 @@ object TextOps {
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi")).agg(sum(col("c3")).as("c2"))
     val s = c3.agg(countDistinct(substring(col("tri"), 3, 1)).as("sz"))
     val tris = triRollup(candidates)
+    // the model frames are |Σ|³- and |Σ|²-bounded whatever the corpus
+    // size — broadcast them statically so the exploded candidate side
+    // never shuffles into a sort-merge join (AQE would usually get
+    // there at runtime; the hint makes it the plan everywhere,
+    // including the streaming gate's micro-batches)
     val scored = tris
-      .join(c3, Seq("tri"), "left")
-      .join(c2, substring(tris("tri"), 1, 2) === c2("bi"), "left")
+      .join(broadcast(c3), Seq("tri"), "left")
+      .join(broadcast(c2), substring(tris("tri"), 1, 2) === c2("bi"), "left")
       .crossJoin(broadcast(s))
       .withColumn("p",
         (coalesce(col("c3"), lit(0L)).cast("double") + 1.0) /
