@@ -342,22 +342,13 @@ object Bench {
       import org.apache.spark.sql.functions.{col, md5, substring}
       val post = "graft_bench_inc_post"; val hash = "graft_bench_inc_hash"
       val chunk = "graft_bench_inc_chunk"; val sem = "graft_bench_inc_sem"
-      // bench-private state tables: proactive location cleanup is safe
-      // HERE because these names are owned by this block by
+      // bench-private state tables: the shared harness cleanup is
+      // safe HERE because these names are owned by this block by
       // construction — a previous bench process's leftovers, nothing
       // else (production writers use the reactive
       // writeTableRecoveringStaleLocation instead).
-      spark.sql(s"DROP VIEW IF EXISTS ${post}__ids") // a VIEW needs DROP VIEW
-      Seq(post, post + "__pending", post + "__bloom", post + "__ids__bloom",
-          hash, hash + "__bloom", chunk, chunk + "__bloom",
-          sem, sem + "__centroids", sem + "__pq", sem + "__pq__centroids",
-          sem + "__pq__codebooks").foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(
-            spark.sessionState.sqlParser.parseTableIdentifier(t)))
-        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-      }
+      Pipeline.dropIncrementalState(spark, post, hash,
+        chunkTable = Some(chunk), semanticTable = Some(sem))
       val docs = Tables.documents(spark, sfDir)
         .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
       val embs = Tables.embeddings(spark, sfDir)

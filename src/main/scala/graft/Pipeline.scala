@@ -111,6 +111,44 @@ object Pipeline {
     * key) and the exact content-hash set (exact-dup, keyed on the
     * hash). Call once from the initial full prep; every incremental
     * run appends to both. `corpus` carries (doc_id, text). */
+  /** Drop the ENTIRE incremental-state table set for a bootstrap
+    * harness — catalog entries AND their (possibly orphaned)
+    * warehouse locations, covering every name the state can own:
+    * the three bucketed indexes with their blooms, staging and
+    * pending sidecars, the doc-id key space's bloom (its VIEW is
+    * dropped first — `DROP TABLE` cannot), the semantic index with
+    * centroids, PQ twin, codebooks and both staging names, and the
+    * charlm count table. One definition instead of the four
+    * hand-copied lists the bench, the audit gate row and the two
+    * ScaleCheck harnesses had each let drift (r18 review). Proactive
+    * location deletion is safe ONLY for fixed, harness-owned table
+    * names (a crashed prior harness's leftovers, nothing else);
+    * production writers use the reactive
+    * [[sources.Sinks]] stale-location recovery instead. */
+  private[graft] def dropIncrementalState(spark: SparkSession,
+      postingsTable: String, hashTable: String,
+      chunkTable: Option[String] = None,
+      semanticTable: Option[String] = None,
+      charlmTable: Option[String] = None): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS ${postingsTable}__ids")
+    val tables =
+      (Seq(postingsTable, hashTable) ++ chunkTable).flatMap(t =>
+        Seq(t, t + "__bloom", t + "__staging", t + "__pending")) ++
+      Seq(postingsTable + "__ids__bloom",
+        postingsTable + "__sigs", postingsTable + "__sigs__staging") ++
+      semanticTable.toSeq.flatMap(t => Seq(t, t + "__centroids",
+        t + "__pq", t + "__pq__codebooks", t + "__staging",
+        t + "__pq__staging")) ++
+      charlmTable.toSeq.flatMap(t => Seq(t, t + "__staging"))
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+  }
+
   def bootstrapIncremental(corpus: org.apache.spark.sql.DataFrame,
                            postingsTable: String, hashTable: String,
                            chunkTable: Option[String] = None,
@@ -246,9 +284,25 @@ object Pipeline {
         hashCol = Dedup.idKeySql)
       val postedIds = spark.table(postingsTable).select(col("doc_id")).distinct()
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      Sinks.appendBucketed(
-        Dedup.bandPostings(text.join(broadcast(postedIds), Seq("doc_id"), "left_anti")),
-        postingsTable, Seq("band", "band_hash"))
+      val missingBands = Dedup.bandPostings(
+        text.join(broadcast(postedIds), Seq("doc_id"), "left_anti"))
+      if (spark.catalog.tableExists(postingsTable + "__sigs")) {
+        Sinks.appendBucketed(
+          missingBands.select(col("band"), col("band_hash"), col("doc_id")),
+          postingsTable, Seq("band", "band_hash"))
+        // the forward sig table repairs against ITS OWN id set — the
+        // crash may have landed the posting rows and not the sigs (or
+        // the reverse); same per-index anti-join idempotence as the
+        // semantic/PQ twins below
+        val siggedIds = spark.table(postingsTable + "__sigs")
+          .select(col("doc_id")).distinct()
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        Sinks.appendBucketed(
+          Dedup.minhashSignatures(
+            text.join(broadcast(siggedIds), Seq("doc_id"), "left_anti")),
+          postingsTable + "__sigs", Seq("doc_id"))
+      } else
+        Sinks.appendBucketed(missingBands, postingsTable, Seq("band", "band_hash"))
       val hashTable = p.select(col("hash_table")).first().getString(0)
       Dedup.mergeHashBloom(spark, hashTable, p.select(col("content_md5")).distinct())
       Sinks.appendBucketed(
@@ -474,9 +528,11 @@ object Pipeline {
     // postings table → plain probe): delta banding rows with
     // definitely-novel (band, band_hash) drop map-side before the
     // sig-carrying shuffle into the bucketed corpus join
-    val pairs = Dedup.incrementalMinhashCandidates(text, spark.table(postingsTable),
+    val (postingsDf, postingsSigs) = Dedup.postingsFrames(spark, postingsTable)
+    val pairs = Dedup.incrementalMinhashCandidates(text, postingsDf,
         bandPrefilter = probeOverrides.getOrElse(postingsTable,
-          Dedup.bloomProbeFor(spark, postingsTable)))
+          Dedup.bloomProbeFor(spark, postingsTable)),
+        sigs = postingsSigs)
       .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_1"),
         lit(true).as("in1"))), Seq("doc_id_1"), "left")
       .join(broadcast(deltaIds.select(col("doc_id").as("doc_id_2"),
@@ -606,20 +662,11 @@ object Pipeline {
     val post = "graft_audit_apv_post"; val hash = "graft_audit_apv_hash"
     val chunk = "graft_audit_apv_chunk"; val sem = "graft_audit_apv_sem"
     val charlm = "graft_audit_apv_charlm"
-    spark.sql(s"DROP VIEW IF EXISTS ${post}__ids") // the id key space's view
-    (Seq(post, hash, chunk).flatMap(t =>
-      Seq(t, t + "__bloom", t + "__staging", t + "__pending")) ++
-      Seq(post + "__ids__bloom", charlm, charlm + "__staging",
-        sem, sem + "__centroids")).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      // audit-owned fixed names: proactive location cleanup is safe
-      // here by construction (same rationale as the other gate rows'
-      // harnesses — a crashed prior audit's leftovers, nothing else)
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          spark.sessionState.sqlParser.parseTableIdentifier(t)))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    }
+    // audit-owned fixed names: the shared harness cleanup is safe
+    // here by construction (a crashed prior audit's leftovers,
+    // nothing else)
+    dropIncrementalState(spark, post, hash, chunkTable = Some(chunk),
+      semanticTable = Some(sem), charlmTable = Some(charlm))
     // deterministic 50% subset (an md5 position INDEPENDENT of the
     // split/slice rules below): the audit value-checks machinery, not
     // corpus statistics — a half corpus exercises every branch at
@@ -1000,8 +1047,8 @@ object Pipeline {
     // between its DROP and RENAME leaves the only copy of an index
     // under __staging — promote it before ANYTHING reads the tables
     // (metadata-only, no-op in every healthy state).
-    (Seq(postingsTable, hashTable) ++ chunkTable ++ semanticTable ++
-      semanticTable.map(_ + "__pq") ++ charlmTable)
+    (Seq(postingsTable, postingsTable + "__sigs", hashTable) ++ chunkTable ++
+      semanticTable ++ semanticTable.map(_ + "__pq") ++ charlmTable)
       .foreach(Sinks.recoverTableSwap(spark, _))
     // Crash recovery FIRST: a leftover pending manifest means a prior
     // run died between its index appends — complete them before any
@@ -1122,7 +1169,18 @@ object Pipeline {
         (hashTable, dayHashes, "content_md5")) ++
         chunkTable.zip(deltaChunks).map { case (t, c) =>
           (t, c.select(col("chunk_hash")).distinct(), "chunk_hash") })
-    Sinks.appendBucketed(dayBands, postingsTable, Seq("band", "band_hash"))
+    // split-layout dispatch (r18): a split index appends slim posting
+    // rows plus the day's one-sig-per-doc forward rows; a legacy
+    // single-table index keeps appending sig-carrying rows unchanged
+    if (spark.catalog.tableExists(postingsTable + "__sigs")) {
+      Sinks.appendBucketed(
+        dayBands.select(col("band"), col("band_hash"), col("doc_id")),
+        postingsTable, Seq("band", "band_hash"))
+      Sinks.appendBucketed(
+        dayBands.select(col("doc_id"), col("sig")).dropDuplicates("doc_id"),
+        postingsTable + "__sigs", Seq("doc_id"))
+    } else
+      Sinks.appendBucketed(dayBands, postingsTable, Seq("band", "band_hash"))
     Sinks.appendBucketed(dayHashes, hashTable, Seq("content_md5"))
     chunkTable.zip(deltaChunks).foreach { case (t, c) =>
       Sinks.appendBucketed(c, t, Seq("chunk_hash")) }
@@ -1255,6 +1313,11 @@ object Pipeline {
     val compacted: Seq[(String, Option[String])] = Seq(
       postingsTable -> Some(Dedup.bandKeySql),
       hashTable -> Some("content_md5")) ++
+      // the split layout's forward sig table gains one file per
+      // bucket per day like every other append target; no bloom key
+      // space of its own (the id/band spaces cover its keys)
+      Seq(postingsTable + "__sigs" -> None)
+        .filter(p => spark.catalog.tableExists(p._1)) ++
       chunkTable.map(_ -> Some("chunk_hash")) ++
       semanticTable.map(_ -> None) ++
       semanticTable.map(_ + "__pq" -> None)

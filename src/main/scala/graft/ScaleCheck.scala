@@ -101,16 +101,8 @@ object ScaleCheck {
     val post = s"graft_scprev_${tag}_post"; val hash = s"graft_scprev_${tag}_hash"
     val chunk = s"graft_scprev_${tag}_chunk"; val sem = s"graft_scprev_${tag}_sem"
     val charlm = s"graft_scprev_${tag}_charlm"
-    spark.sql(s"DROP VIEW IF EXISTS ${post}__ids")
-    Seq(post, post + "__pending", post + "__bloom", post + "__ids__bloom",
-        hash, hash + "__bloom", chunk, chunk + "__bloom", charlm,
-        sem, sem + "__centroids", sem + "__pq", sem + "__pq__codebooks").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          spark.sessionState.sqlParser.parseTableIdentifier(t)))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    }
+    Pipeline.dropIncrementalState(spark, post, hash, chunkTable = Some(chunk),
+      semanticTable = Some(sem), charlmTable = Some(charlm))
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -172,17 +164,8 @@ object ScaleCheck {
                               oneDir: String, tag: String): Double = {
     val post = s"graft_scday_${tag}_post"; val hash = s"graft_scday_${tag}_hash"
     val chunk = s"graft_scday_${tag}_chunk"; val sem = s"graft_scday_${tag}_sem"
-    spark.sql(s"DROP VIEW IF EXISTS ${post}__ids")
-    Seq(post, post + "__pending", post + "__bloom", post + "__ids__bloom",
-        hash, hash + "__bloom", chunk, chunk + "__bloom",
-        sem, sem + "__centroids", sem + "__pq", sem + "__pq__centroids",
-        sem + "__pq__codebooks").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          spark.sessionState.sqlParser.parseTableIdentifier(t)))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    }
+    Pipeline.dropIncrementalState(spark, post, hash, chunkTable = Some(chunk),
+      semanticTable = Some(sem))
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")

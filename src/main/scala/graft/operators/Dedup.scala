@@ -76,8 +76,16 @@ object Dedup {
     * ([[incrementalMinhashCandidates]]), so the banding can never
     * drift between the full and incremental paths. */
   def bandPostings(documents: DataFrame,
-                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(documents, bands * rowsPerBand)
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandedFromSigs(minhashSignatures(documents, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** The banding step alone, over an already-computed `(doc_id, sig)`
+    * frame — shared by [[bandPostings]] and the split-index writer
+    * ([[writeBandPostings]]), which computes signatures ONCE and
+    * derives the posting rows from the persisted sig table. */
+  private[graft] def bandedFromSigs(sigs: DataFrame,
+                                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))): _*)
     }
@@ -118,13 +126,46 @@ object Dedup {
     * [[incrementalMinhashCandidates]] probes. Bucketing on
     * (band, band_hash) means a later delta join consumes the files'
     * clustering directly: the 100 TB corpus side is NEVER re-signed
-    * and never re-shuffled; only the day's delta moves. */
+    * and never re-shuffled; only the day's delta moves.
+    *
+    * SPLIT LAYOUT (r18): the index is TWO tables — `<table>` holds
+    * the slim posting rows `(band, band_hash, doc_id)` and
+    * `<table>__sigs` the forward index `(doc_id, sig)`, one 64-perm
+    * signature per DOC instead of one per posting row. The legacy
+    * single-table layout repeated the 512-byte signature on every
+    * one of its `bands` rows, so the daily probe's corpus-side scan
+    * decoded bands× the signature bytes — measured 3.8 GB vs
+    * ~100 MB + 280 MB at a 100× ScaleCheck corpus, and the dominant
+    * term of the daily ingest's growth exponent. The probe joins the
+    * slim rows first (bucket-clustered, sig-free) and fetches
+    * signatures ONLY for the candidate pairs. Signatures are
+    * computed once: the sig table persists first, the posting rows
+    * derive from re-reading it (columnar, two columns). Legacy
+    * single-table indexes keep working — every consumer dispatches
+    * on the layout ([[postingsFrames]]). */
   def writeBandPostings(documents: DataFrame, table: String,
                         bands: Int = 16, rowsPerBand: Int = 4,
-                        buckets: Int = 64): Unit =
+                        buckets: Int = 64): Unit = {
+    val spark = documents.sparkSession
     graft.sources.Sinks.writeBucketed(
-      bandPostings(documents, bands, rowsPerBand), table,
-      Seq("band", "band_hash"), buckets)
+      minhashSignatures(documents, bands * rowsPerBand),
+      table + "__sigs", Seq("doc_id"), buckets)
+    graft.sources.Sinks.writeBucketed(
+      bandedFromSigs(spark.table(table + "__sigs"), bands, rowsPerBand)
+        .select(col("band"), col("band_hash"), col("doc_id")),
+      table, Seq("band", "band_hash"), buckets)
+  }
+
+  /** Layout dispatch for a persisted band-postings index: the posting
+    * rows plus, for the split layout, the forward sig table. Legacy
+    * single-table indexes (posting rows carry `sig`) return None —
+    * [[incrementalMinhashCandidates]] then reads signatures off the
+    * posting rows as before. */
+  def postingsFrames(spark: SparkSession, table: String): (DataFrame, Option[DataFrame]) = {
+    val post = spark.table(table)
+    if (post.columns.contains("sig")) (post, None)
+    else (post, Some(spark.table(table + "__sigs")))
+  }
 
   // ---- persisted exact-dup bloom (<hashTable>__bloom) -------------------
   //
@@ -160,9 +201,33 @@ object Dedup {
                                bytes: Array[Byte], capacity: Long,
                                fpp: Double, items: Long): Unit = {
     import spark.implicits._
-    Seq((bytes, capacity, fpp, items)).toDF("bloom", "capacity", "fpp", "items")
-      .write.mode("overwrite").format("parquet").saveAsTable(bloomTableOf(hashTable))
+    overwriteBloomRows(spark, hashTable,
+      Seq((bytes, capacity, fpp, items)).toDF("bloom", "capacity", "fpp", "items"))
     stampDesignedFpp(spark, hashTable, fpp)
+  }
+
+  /** Overwrite the persisted bloom rows WITHOUT dropping the table
+    * when the shape is unchanged: `insertInto(Overwrite)` truncates
+    * rows but keeps the table identity — and with it the designed-fpp
+    * catalog stamp — so the crash-emptied state a mid-overwrite death
+    * leaves behind still carries the design for the rebuild to read.
+    * `saveAsTable(Overwrite)` instead DROPS the old table first
+    * (Spark's SaveAsV1TableCommand), destroying the stamp in exactly
+    * the state it exists for (r18 review — the stamp alone could not
+    * survive the scenario it was added against). A FORM change
+    * (single ↔ sharded — different column set) still recreates the
+    * table; that is an explicit upgrade step, not the daily path, and
+    * its stamp is re-applied right after by every caller. */
+  private def overwriteBloomRows(spark: SparkSession, hashTable: String,
+                                 rows: org.apache.spark.sql.DataFrame): Unit = {
+    val bt = bloomTableOf(hashTable)
+    val sameShape = spark.catalog.tableExists(bt) &&
+      spark.table(bt).columns.sorted.sameElements(rows.columns.sorted)
+    if (sameShape)
+      // insertInto resolves by POSITION — project to the table's order
+      rows.select(spark.table(bt).columns.map(col): _*)
+        .write.mode("overwrite").insertInto(bt)
+    else rows.write.mode("overwrite").format("parquet").saveAsTable(bt)
   }
 
   /** Record the key space's DESIGNED fpp in the bloom table's catalog
@@ -297,13 +362,13 @@ object Dedup {
         .union(distinctHashes(d, hashCol)).distinct())
     val items = hashes.count()
     val capacity = math.max(minShardCapacity, 4L * items / shards.toLong)
-    buildShardRows(hashes, shards, capacity, fpp)
-      .withColumn("nshards", lit(shards))
-      .withColumn("capacity", lit(capacity))
-      .withColumn("fpp", lit(fpp))
-      .select(col("shard"), col("nshards"), col("bloom"),
-        col("capacity"), col("fpp"), col("items"))
-      .write.mode("overwrite").format("parquet").saveAsTable(bloomTableOf(hashTable))
+    overwriteBloomRows(spark, hashTable,
+      buildShardRows(hashes, shards, capacity, fpp)
+        .withColumn("nshards", lit(shards))
+        .withColumn("capacity", lit(capacity))
+        .withColumn("fpp", lit(fpp))
+        .select(col("shard"), col("nshards"), col("bloom"),
+          col("capacity"), col("fpp"), col("items")))
     stampDesignedFpp(spark, hashTable, fpp)
   }
 
@@ -539,11 +604,10 @@ object Dedup {
           .localCheckpoint()
         batch.foreach { case ((t, _, _), i) =>
           val (n, cap, fpp) = paramByArm(i)
-          merged.filter(col("arm") === i)
-            .select(col("shard"), lit(n).as("nshards"), col("bloom"),
-              lit(cap).as("capacity"), lit(fpp).as("fpp"), col("items"))
-            .write.mode("overwrite").format("parquet")
-            .saveAsTable(bloomTableOf(t))
+          overwriteBloomRows(spark, t,
+            merged.filter(col("arm") === i)
+              .select(col("shard"), lit(n).as("nshards"), col("bloom"),
+                lit(cap).as("capacity"), lit(fpp).as("fpp"), col("items")))
           stampDesignedFpp(spark, t, fpp) }
       }
     }
@@ -702,8 +766,7 @@ object Dedup {
               col("capacity"), col("fpp"), col("items"))
             // reads the table being overwritten — materialize first
             .localCheckpoint()
-          updated.write.mode("overwrite").format("parquet")
-            .saveAsTable(bloomTableOf(hashTable))
+          overwriteBloomRows(spark, hashTable, updated)
           // off the checkpoint, not the just-overwritten table (a
           // stale file listing would FAILED_READ_FILE here)
           updated.select(col("fpp")).take(1).headOption.foreach(r =>
@@ -832,19 +895,52 @@ object Dedup {
                                    bands: Int = 16, rowsPerBand: Int = 4,
                                    bandPrefilter: Option[
                                      org.apache.spark.sql.Column =>
-                                       org.apache.spark.sql.Column] = None): DataFrame = {
+                                       org.apache.spark.sql.Column] = None,
+                                   sigs: Option[DataFrame] = None): DataFrame = {
+    require(postings.columns.contains("sig") || sigs.isDefined,
+      "split-layout postings (no sig column) need the __sigs frame — " +
+        "resolve both via Dedup.postingsFrames")
     val newBanded = bandPostings(newDocs, bands, rowsPerBand)
     val probeSide = bandPrefilter.fold(newBanded)(p =>
       newBanded.filter(p(expr(bandKeySql))))
     val orderedSigs = Seq(
       when(col("l.doc_id") < col("r.doc_id"), col("l.sig")).otherwise(col("r.sig")).as("sig1"),
       when(col("l.doc_id") < col("r.doc_id"), col("r.sig")).otherwise(col("l.sig")).as("sig2"))
-    val corpusDelta = postings.as("l")
-      .join(probeSide.as("r"),
-        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") =!= col("r.doc_id"))
-      .select(Seq(least(col("l.doc_id"), col("r.doc_id")).as("doc_id_1"),
-        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_id_2")) ++ orderedSigs: _*)
+    val corpusDelta = sigs match {
+      case None =>
+        // legacy single-table layout: signatures ride the posting rows
+        postings.as("l")
+          .join(probeSide.as("r"),
+            col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+              col("l.doc_id") =!= col("r.doc_id"))
+          .select(Seq(least(col("l.doc_id"), col("r.doc_id")).as("doc_id_1"),
+            greatest(col("l.doc_id"), col("r.doc_id")).as("doc_id_2")) ++ orderedSigs: _*)
+      case Some(sigTable) =>
+        // split layout, two tiers: the sig-free posting join finds
+        // candidate ids (the corpus side scans 3 slim columns off the
+        // bucket clustering), then ONE broadcast fetch pulls
+        // signatures for just the candidates' corpus docs — the
+        // forward index is read (doc_id, sig)-columnar and never
+        // shuffles; the delta side's signatures are already in hand
+        val hits = postings.as("l")
+          .join(probeSide.select(col("band"), col("band_hash"),
+              col("doc_id"), col("sig")).as("r"),
+            col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+              col("l.doc_id") =!= col("r.doc_id"))
+          .select(col("l.doc_id").as("corpus_doc"), col("r.doc_id").as("delta_doc"),
+            col("r.sig").as("delta_sig"))
+          .dropDuplicates("corpus_doc", "delta_doc")
+        broadcast(hits).join(sigTable.select(col("doc_id").as("corpus_doc"),
+            col("sig").as("corpus_sig")),
+            Seq("corpus_doc"))
+          .select(
+            least(col("corpus_doc"), col("delta_doc")).as("doc_id_1"),
+            greatest(col("corpus_doc"), col("delta_doc")).as("doc_id_2"),
+            when(col("corpus_doc") < col("delta_doc"), col("corpus_sig"))
+              .otherwise(col("delta_sig")).as("sig1"),
+            when(col("corpus_doc") < col("delta_doc"), col("delta_sig"))
+              .otherwise(col("corpus_sig")).as("sig2"))
+    }
     val deltaDelta = newBanded.as("l")
       .join(newBanded.as("r"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&

@@ -330,14 +330,17 @@ object TextOps {
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi")).agg(sum(col("c3")).as("c2"))
     val s = c3.agg(countDistinct(substring(col("tri"), 3, 1)).as("sz"))
     val tris = triRollup(candidates)
-    // the model frames are |Σ|³- and |Σ|²-bounded whatever the corpus
-    // size — broadcast them statically so the exploded candidate side
-    // never shuffles into a sort-merge join (AQE would usually get
-    // there at runtime; the hint makes it the plan everywhere,
-    // including the streaming gate's micro-batches)
+    // the model frames are |Σ|³- and |Σ|²-bounded — small for an
+    // ASCII-ish corpus, but the REALIZED bound follows the corpus's
+    // alphabet (a CJK corpus reaches 10⁷⁺ distinct trigrams), so a
+    // static broadcast hint here would bypass AQE's size checks and
+    // OOM the driver at exactly the corpora the bound stops helping
+    // (r18 review). Leave c3/c2 to AQE — it broadcasts them at
+    // runtime whenever they actually fit; only the 1-row alphabet
+    // size is hinted.
     val scored = tris
-      .join(broadcast(c3), Seq("tri"), "left")
-      .join(broadcast(c2), substring(tris("tri"), 1, 2) === c2("bi"), "left")
+      .join(c3, Seq("tri"), "left")
+      .join(c2, substring(tris("tri"), 1, 2) === c2("bi"), "left")
       .crossJoin(broadcast(s))
       .withColumn("p",
         (coalesce(col("c3"), lit(0L)).cast("double") + 1.0) /

@@ -918,14 +918,19 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         // heal/retry + consistency bracket across a concurrent
-        // compaction swap — same availability rule as the exact guard
-        retryAcrossTableSwap(spark, Seq(postingsTable, postingsTable + "__bloom"),
+        // compaction swap — same availability rule as the exact
+        // guard; the split layout's forward sig table is read in the
+        // same trigger, so it joins the watched set when present
+        retryAcrossTableSwap(spark,
+            Seq(postingsTable, postingsTable + "__bloom") ++
+              (if (spark.catalog.tableExists(postingsTable + "__sigs"))
+                Seq(postingsTable + "__sigs") else Nil),
             budgetMs = swapBudgetMs) {
-          // cloned-session relation caches: the postings table is
-          // APPENDED daily (stale listing = silently missing the
+          // cloned-session relation caches: the postings + sig tables
+          // are APPENDED daily (stale listing = silently missing the
           // newest corpus bands) and the bloom OVERWRITTEN (stale
-          // listing = FAILED_READ_FILE) — refresh both, metadata-only
-          Seq(postingsTable, postingsTable + "__bloom")
+          // listing = FAILED_READ_FILE) — refresh all, metadata-only
+          Seq(postingsTable, postingsTable + "__bloom", postingsTable + "__sigs")
             .filter(spark.catalog.tableExists)
             .foreach(spark.catalog.refreshTable)
           val sig =
@@ -936,9 +941,11 @@ object Sinks {
             probe = graft.operators.Dedup.bloomProbeFor(spark, postingsTable)
             probeSig = sig
           }
+          val (postDf, sigsOpt) =
+            graft.operators.Dedup.postingsFrames(spark, postingsTable)
           graft.operators.Dedup.incrementalMinhashCandidates(
-              batch, spark.table(postingsTable), threshold, bands, rowsPerBand,
-              bandPrefilter = probe)
+              batch, postDf, threshold, bands, rowsPerBand,
+              bandPrefilter = probe, sigs = sigsOpt)
             .write.mode("overwrite")
             .option("compression", "zstd")
             .parquet(s"$path/batch_id=$id")
@@ -1131,6 +1138,10 @@ object Sinks {
         // charlm model table is read only when the gate is armed
         val watched = bloomed.flatMap(t => Seq(t, t + "__bloom")) ++
           Seq(idsSpace + "__bloom") ++
+          // split-layout forward sig table: read by the minhash arm
+          // every trigger when present
+          (if (spark.catalog.tableExists(postingsTable + "__sigs"))
+            Seq(postingsTable + "__sigs") else Nil) ++
           semanticTable.filter(_ => embeddings.isDefined).toSeq.flatMap(t =>
             Seq(t, t + "__centroids", t + "__pq", t + "__pq__codebooks")) ++
           charlmTable.filter(_ => charlmRareFracMax.isDefined)

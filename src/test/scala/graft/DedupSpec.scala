@@ -201,8 +201,9 @@ class DedupSpec extends SparkSpec {
     Dedup.writeBandPostings(corpus, "graft_test_postings", buckets = 4)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Double)].collect().toSet
+    val (tpost, tsigs) = Dedup.postingsFrames(spark, "graft_test_postings")
     val incremental = pairs(Dedup.minhashPairs(corpus)) ++
-      pairs(Dedup.incrementalMinhashCandidates(delta, spark.table("graft_test_postings")))
+      pairs(Dedup.incrementalMinhashCandidates(delta, tpost, sigs = tsigs))
     val full = pairs(Dedup.minhashPairs(all))
     assert(incremental === full)
     // the scale contract: the persisted corpus side of the probe join
@@ -213,7 +214,7 @@ class DedupSpec extends SparkSpec {
     try {
       import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      val plan = Dedup.incrementalMinhashCandidates(delta, spark.table("graft_test_postings"))
+      val plan = Dedup.incrementalMinhashCandidates(delta, tpost, sigs = tsigs)
         .queryExecution.sparkPlan
       def scansIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p.find {
@@ -228,6 +229,30 @@ class DedupSpec extends SparkSpec {
       assert(shuffledIndex.isEmpty,
         s"the bucketed index side must reach its join without shuffling:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("split postings layout: two-tier probe == legacy single-table probe, row for row") {
+    // the r18 split (slim posting rows + one-sig-per-doc forward
+    // table) is a LAYOUT change only — the candidate pairs, ordered
+    // sigs and estimates must be exactly the legacy single-table
+    // output. Pin both directions over a corpus with corpus×delta
+    // hits, a delta×delta pair and unrelated docs.
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val delta = all.filter(col("doc_id") % 2 === 1)
+    Dedup.writeBandPostings(corpus, "graft_split_post", buckets = 4)
+    val (slim, sigsOpt) = Dedup.postingsFrames(spark, "graft_split_post")
+    assert(sigsOpt.isDefined && !slim.columns.contains("sig"),
+      "writeBandPostings must produce the split layout")
+    val split = Dedup.incrementalMinhashCandidates(delta, slim, sigs = sigsOpt)
+      .as[(Long, Long, Double)].collect().toSet
+    val legacy = Dedup.incrementalMinhashCandidates(
+        delta, Dedup.bandPostings(corpus))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(split === legacy, "split layout changed the candidate output")
+    assert(split.nonEmpty, "fixture must produce candidates")
+    spark.sql("DROP TABLE IF EXISTS graft_split_post")
+    spark.sql("DROP TABLE IF EXISTS graft_split_post__sigs")
   }
 
   test("recapChunkPostings drops a chunk whose df crept over the cap across appends") {
@@ -906,6 +931,48 @@ class DedupSpec extends SparkSpec {
     (arms3 ++ arms8 ++ armsSeq).foreach { case (t, _) =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}__bloom")
+    }
+  }
+
+  test("designed fpp survives a crash-emptied overwrite: the rebuild keeps the tighter design") {
+    // r18 review: the catalog stamp alone could NOT survive the
+    // scenario it was added for — saveAsTable(Overwrite) DROPS the
+    // stamped table before recreating it, so a crash inside the
+    // daily overwrite lost rows AND stamp, and the rebuild fell back
+    // to the 0.03 family default (a 300× silent degradation of the
+    // doc-id space's 1e-4 design). Bloom overwrites now go through
+    // insertInto when the shape is unchanged: rows truncate, the
+    // table identity — and the stamp — survive. TRUNCATE simulates
+    // exactly the state a death mid-INSERT-OVERWRITE leaves behind
+    // (registered, empty, properties intact).
+    import spark.implicits._
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // SINGLE form
+    val t = "graft_fpp_design"
+    graft.sources.Sinks.writeBucketed(
+      (1 to 20).map(i => h(s"f$i")).toDF("content_md5"), t, Seq("content_md5"))
+    Dedup.writeHashBloom(spark, t, fpp = 1e-4)
+    // a healthy daily merge must also keep the stamp (insertInto path)
+    Dedup.mergeHashBloom(spark, t, Seq(h("fd1")).toDF("content_md5"))
+    spark.sql(s"TRUNCATE TABLE ${t}__bloom")
+    Dedup.mergeHashBloom(spark, t, Seq(h("fd2")).toDF("content_md5"))
+    assert(spark.table(t + "__bloom").select("fpp").as[Double].head() === 1e-4,
+      "crash-emptied rebuild must keep the designed fpp, not the family default")
+    // SHARDED form
+    val ts = "graft_fpp_design_sh"
+    graft.sources.Sinks.writeBucketed(
+      (1 to 30).map(i => h(s"g$i")).toDF("content_md5"), ts, Seq("content_md5"))
+    Dedup.writeHashBloomSharded(spark, ts, shards = 4, fpp = 1e-4,
+      minShardCapacity = 16L)
+    Dedup.mergeHashBloom(spark, ts, Seq(h("gd1")).toDF("content_md5"))
+    spark.sql(s"TRUNCATE TABLE ${ts}__bloom")
+    Dedup.mergeHashBloom(spark, ts, Seq(h("gd2")).toDF("content_md5"))
+    assert(spark.table(ts + "__bloom").select("fpp").distinct().as[Double]
+      .collect().toSeq === Seq(1e-4),
+      "sharded crash-emptied rebuild must keep the designed fpp")
+    Seq(t, ts).foreach { x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x")
+      spark.sql(s"DROP TABLE IF EXISTS ${x}__bloom")
     }
   }
 

@@ -304,21 +304,31 @@ class PipelineSpec extends SparkSpec {
     assert(s2("id_collision_dropped") === 1L && s2("accepted") === 0L)
   }
 
-  test("acceptPreviewAudit: every planted branch fires — charlm and semantic arms included") {
-    // r17 VERDICT #1: the gate row previously ran decideDelta WITHOUT
-    // the charlm/semantic arms (9 of 11 categories value-checked).
-    // Now all arms are armed; the planted slices must each land in
-    // their own verdict bucket with a nonzero count. (The exact
-    // counts are value-checked against DuckDB by the registry gate;
-    // this spec pins the branch coverage at the smallest SF.)
+  test("acceptPreviewAudit: every planted branch fires — charlm, semantic and holdout arms included") {
+    // r17 VERDICT #1 + r18 holdout: the gate row previously ran
+    // decideDelta WITHOUT the charlm/semantic arms (9 of 11
+    // categories value-checked) and left the holdout unarmed. Now
+    // every arm is armed; the planted slices must each land in their
+    // own verdict bucket with a nonzero count. (The exact counts are
+    // value-checked against DuckDB by the registry gate; this spec
+    // pins the branch coverage at the smallest SF — a regression
+    // that silently disabled an arm in BOTH engines would keep the
+    // count-equality gate green, so the must-fire list here is the
+    // guard against symmetric arm loss.)
     val dir = "/root/testdata/sf0.001"
     val out = Pipeline.acceptPreviewAudit(
         Tables.documents(spark, dir), Tables.embeddings(spark, dir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq("accepted", "id_collision", "substring_dup_corpus",
-        "exact_dup_within", "charlm_dropped", "semantic_dup_corpus")
+        "exact_dup_within", "charlm_dropped", "semantic_dup_corpus",
+        "contaminated")
       .foreach { k =>
         assert(out.getOrElse(k, 0L) > 0L, s"$k must fire; got $out") }
+    // the contamination slice survives every corpus arm by
+    // construction (its holdout sources were never indexed) — only
+    // the post-dedup decontamination can account for it (3 docs at
+    // this SF)
+    assert(out("contaminated") === 3L, s"got $out")
     // the LM gate runs FIRST: a garbled doc must never reach a dedup
     // arm, so charlm_dropped is exactly the garbled slice (8 docs at
     // this SF — measured rare-frac >= 0.19 vs <= 0.11 for all others)
@@ -394,9 +404,17 @@ class PipelineSpec extends SparkSpec {
       .withColumn("embedding", lit(null).cast("array<float>"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable("graft_crash_post__pending")
+    // split layout: the crashed run landed slim posting rows AND the
+    // forward sig rows before dying (the two postings-family appends
+    // are adjacent; a crash between THEM is covered by the repair's
+    // per-index anti-join, exercised below via the hash gap)
+    val crashedBands = graft.operators.Dedup.bandPostings(acceptedText)
     graft.sources.Sinks.appendBucketed(
-      graft.operators.Dedup.bandPostings(acceptedText),
+      crashedBands.select(col("band"), col("band_hash"), col("doc_id")),
       "graft_crash_post", Seq("band", "band_hash"))
+    graft.sources.Sinks.appendBucketed(
+      crashedBands.select(col("doc_id"), col("sig")).dropDuplicates("doc_id"),
+      "graft_crash_post__sigs", Seq("doc_id"))
 
     val s = Pipeline.runIncremental(spark, day, out, "graft_crash_post", "graft_crash_hash")
     assert(s === Map("accepted" -> 1L, "repaired" -> 1L))
@@ -781,9 +799,13 @@ class PipelineSpec extends SparkSpec {
     Pipeline.runTrainingPrep(spark, src, out,
       postingsTable = Some("graft_prep_postings"),
       hashTable = Some("graft_prep_hashes"))
-    val idx = spark.table("graft_prep_postings")
-    assert(idx.columns.toSet === Set("doc_id", "sig", "band", "band_hash"))
+    // split layout (r18): slim posting rows + the forward sig table
+    val (idx, idxSigs) =
+      graft.operators.Dedup.postingsFrames(spark, "graft_prep_postings")
+    assert(idx.columns.toSet === Set("doc_id", "band", "band_hash"))
     assert(idx.select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 6L))
+    assert(idxSigs.get.columns.toSet === Set("doc_id", "sig"))
+    assert(idxSigs.get.select("doc_id").as[Long].collect().toSet === Set(1L, 6L))
     // the hash set is over PRE-redact cleaned content — the same text
     // the pair graphs read — so exact re-deliveries match day after day
     assert(spark.table("graft_prep_hashes").as[String].collect().toSet
@@ -794,7 +816,7 @@ class PipelineSpec extends SparkSpec {
     val delta = Seq((10L, ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" "),
         "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val hits = graft.operators.Dedup
-      .incrementalMinhashCandidates(delta, idx)
+      .incrementalMinhashCandidates(delta, idx, sigs = idxSigs)
       .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
     assert(hits === Set((1L, 10L)))
   }
@@ -997,7 +1019,8 @@ class PipelineSpec extends SparkSpec {
     assert(probe.nonEmpty, "no band bloom to probe")
     def pairs(p: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
       graft.operators.Dedup.incrementalMinhashCandidates(
-        delta, spark.table("graft_bandarm_post"), bandPrefilter = p)
+        delta, spark.table("graft_bandarm_post"), bandPrefilter = p,
+        sigs = graft.operators.Dedup.postingsFrames(spark, "graft_bandarm_post")._2)
         .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
     val filtered = pairs(probe)
     val plain = pairs(None)
@@ -1011,7 +1034,8 @@ class PipelineSpec extends SparkSpec {
     // plan, same LocalRelation caveat as the sharded walk
     assert("graft_might_contain".r.findAllIn(
       graft.operators.Dedup.incrementalMinhashCandidates(
-        delta, spark.table("graft_bandarm_post"), bandPrefilter = probe)
+        delta, spark.table("graft_bandarm_post"), bandPrefilter = probe,
+        sigs = graft.operators.Dedup.postingsFrames(spark, "graft_bandarm_post")._2)
         .queryExecution.analyzed.toString).length === 1)
     // a full day: the accepted doc's bands merge into the postings
     // bloom, so a near-dup of the ACCEPTED doc still drops tomorrow
@@ -1133,14 +1157,16 @@ class PipelineSpec extends SparkSpec {
         .write.parquet(s"$dir/documents.parquet")
       dir
     }
-    // threshold 0 forces the trigger at toy scale: both maintained
-    // indexes compact at end of run, AFTER the day's appends
+    // threshold 0 forces the trigger at toy scale: all three
+    // maintained indexes (slim postings, forward sigs, hash set)
+    // compact at end of run, AFTER the day's appends
     val fresh = (1 to 40).map(i => s"cg$i").mkString(" ")
     val s1 = Pipeline.runIncremental(spark, writeDelta((10L, fresh)),
       Files.createTempDirectory("graft_cmpidx_out1").toString, post, hash,
       compactFilesPerBucket = 0)
     assert(s1("accepted") === 1L)
-    assert(s1("compacted_indexes") === 2L, s"expected postings+hash compaction: $s1")
+    assert(s1("compacted_indexes") === 3L,
+      s"expected postings+sigs+hash compaction: $s1")
     // compacted = at most one file per (64-)bucket, and the swap left
     // no staging behind
     assert(graft.sources.Sinks.tableDataFileCount(spark, post) <= 64)

@@ -649,7 +649,8 @@ class StreamingSpec extends SparkSpec {
       // prefilter, same corpus state
       val twin1 = graft.operators.Dedup.incrementalMinhashCandidates(
         day1.toDF("doc_id", "text"), spark.table(post),
-        bandPrefilter = graft.operators.Dedup.bloomProbeFor(spark, post))
+        bandPrefilter = graft.operators.Dedup.bloomProbeFor(spark, post),
+        sigs = graft.operators.Dedup.postingsFrames(spark, post)._2)
         .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
       assert(landed === twin1, "stream and batch arm disagree on candidates")
       assert(landed.contains((10L, 100L)), "corpus near-dup missed")
@@ -666,7 +667,13 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Dedup.mergeHashBloom(spark, post,
         grownBands.select(col("band"), col("band_hash")).distinct(),
         hashCol = graft.operators.Dedup.bandKeySql)
-      graft.sources.Sinks.appendBucketed(grownBands, post, Seq("band", "band_hash"))
+      // split layout: slim posting rows + the day's forward sig rows
+      graft.sources.Sinks.appendBucketed(
+        grownBands.select(col("band"), col("band_hash"), col("doc_id")),
+        post, Seq("band", "band_hash"))
+      graft.sources.Sinks.appendBucketed(
+        grownBands.select(col("doc_id"), col("sig")).dropDuplicates("doc_id"),
+        post + "__sigs", Seq("doc_id"))
       input.addData((20L, nearOf("c")))
       q.processAllAvailable()
       assert(landed.contains((20L, 200L)),
