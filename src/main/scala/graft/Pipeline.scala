@@ -217,7 +217,19 @@ object Pipeline {
     // membership — the confirm pass prunes the vector index by the
     // PQ probe's cells and two quantizers would read wrong cells.
     semanticTable.zip(corpusEmbeddings).foreach { case (t, vecs) =>
-      graft.operators.Ann.writeSemanticIndex(vecs, t)
+      // cell fan-out scales with the corpus (k ≈ √N, clamped): at a
+      // FIXED k, members-per-cell — and with it every delta vector's
+      // probe work — grows linearly with the corpus, which the 100×
+      // ScaleCheck surfaced as the accept-preview trigger's dominant
+      // residual growth term once the postings scan went slim (r18).
+      // √N keeps per-cell occupancy ≈ √N on both sides of the probe
+      // (cells scanned × members per cell), the standard IVF sizing;
+      // the 4096 ceiling keeps the probe's cell-metadata collect a
+      // driver-safe constant. Floor 64 = the historical default, so
+      // gate-SF bootstraps (and every spec fixture) are unchanged.
+      val k = math.max(64, math.min(4096,
+        math.ceil(math.sqrt(vecs.count().toDouble)).toInt))
+      graft.operators.Ann.writeSemanticIndex(vecs, t, numCentroids = k)
       graft.operators.Pq.writeSemanticIndexPq(vecs, t + "__pq",
         sharedCentroids = Some(vecs.sparkSession.table(t + "__centroids")))
     }
