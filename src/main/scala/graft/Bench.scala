@@ -408,6 +408,27 @@ object Bench {
       } catch {
         case e: Throwable => errors("bloom_saturation_rebuild") = Json.errorSummary(e)
       }
+      // PQ DRIFT-RETRAIN surcharge (r19): with the self-calibrated
+      // qerr bar the steady-state day no longer retrains codebooks
+      // (the absolute 0.5 threshold had made EVERY day of this
+      // embedding space a "drift" day — a full retrain + re-encode
+      // inside the daily number). The genuine drift day's cost —
+      // retrain codebooks + re-encode the whole grown index — stays
+      // a pinned number here, same discipline as the saturation
+      // rebuild's. Own error key.
+      try {
+        val tQ0 = System.nanoTime()
+        graft.operators.Pq.writeSemanticIndexPq(
+          spark.table(sem).select(col("doc_id"), col("emb").as("embedding")),
+          sem + "__pq",
+          sharedCentroids = Some(spark.table(sem + "__centroids")))
+        steady("semantic_pq_retrain_day") = (System.nanoTime() - tQ0) / 1e9
+        System.err.println(
+          f"BENCH STEADY semantic_pq_retrain_day: ${steady("semantic_pq_retrain_day")}%.3fs " +
+            "(forced codebook retrain + full re-encode of the grown index)")
+      } catch {
+        case e: Throwable => errors("semantic_pq_retrain_day") = Json.errorSummary(e)
+      }
       // ACCEPT-PREVIEW trigger cost (r17): the streaming preview's
       // per-trigger work is decideDelta on a micro-batch — priced
       // here on a day-sized delta engineered so EVERY arm does full

@@ -161,7 +161,8 @@ object ScaleCheck {
     * can only suggest: the day's cost tracks delta size, not corpus
     * size. */
   private def dailyIngestTime(spark: SparkSession, dir: String,
-                              oneDir: String, tag: String): Double = {
+                              oneDir: String, tag: String,
+                              viralFrac: Double = 0.0): Double = {
     val post = s"graft_scday_${tag}_post"; val hash = s"graft_scday_${tag}_hash"
     val chunk = s"graft_scday_${tag}_chunk"; val sem = s"graft_scday_${tag}_sem"
     Pipeline.dropIncrementalState(spark, post, hash, chunkTable = Some(chunk),
@@ -171,8 +172,29 @@ object ScaleCheck {
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val corpusDocs = docs.filter(col("__h") >= "0c").drop("__h")
+    // SKEW variant (r18 VERDICT #6): plant a viral-boilerplate
+    // cluster — `viralFrac` of the corpus as copies of ONE text — so
+    // every one of its band buckets holds that 1% of the corpus, the
+    // "viral boilerplate day" shape the split probe's broadcast
+    // guard exists for. The day deltas then carry per-day NEAR-dup
+    // re-sends of the same text (one unique token appended per doc:
+    // exact-gate-novel so the md5 arm cannot short-circuit them, yet
+    // sharing ~all bands with the whole planted cluster), forcing
+    // the candidate fetch to carry |cluster| pairs per viral delta
+    // doc through the sig join. Growth vs the uniform run measures
+    // the skew-day price of the unhinted dispatch.
+    val viralText = (1 to 60).map(i => s"viralbp$i").mkString(" ")
+    val corpus =
+      if (viralFrac <= 0) corpusDocs.select(col("doc_id"), col("text"))
+      else {
+        val nViral = math.max(1L, (corpusDocs.count() * viralFrac).toLong)
+        corpusDocs.select(col("doc_id"), col("text")).unionByName(
+          spark.range(nViral).select(
+            (col("id") + lit(900000000000000L)).as("doc_id"),
+            lit(viralText).as("text")))
+      }
     Pipeline.bootstrapIncremental(
-      corpusDocs.select(col("doc_id"), col("text")), post, hash,
+      corpus, post, hash,
       chunkTable = Some(chunk), semanticTable = Some(sem),
       corpusEmbeddings =
         Some(embs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
@@ -184,7 +206,19 @@ object ScaleCheck {
     val base = java.nio.file.Files.createTempDirectory(s"graft_scday_$tag")
     val days = Seq(("00", "04"), ("04", "08"), ("08", "0c")).zipWithIndex.map {
       case ((lo, hi), i) =>
-        val dayDocs = oneDocs.filter(col("__h") >= lo && col("__h") < hi).drop("__h")
+        val organic = oneDocs.filter(col("__h") >= lo && col("__h") < hi).drop("__h")
+        val dayDocs =
+          if (viralFrac <= 0) organic
+          else organic.unionByName(
+            // 16 near-dup re-sends of the viral text per day, fresh
+            // ids per day so the id gate passes them through to the
+            // band probe
+            spark.range(16).select(
+              (col("id") + lit(910000000000000L) + lit(i.toLong * 1000L)).as("doc_id"),
+              concat(lit(viralText), lit(" vd"), col("id").cast("string"),
+                lit("day"), lit(i.toString)).as("text"),
+              lit("en").as("lang"), lit("viral").as("source"),
+              lit(viralText.length.toLong).as("n_chars")))
         val d = base.resolve(s"day$i").toString
         dayDocs.write.parquet(s"$d/documents.parquet")
         (d, oneEmbs.join(dayDocs.select("doc_id"), Seq("doc_id"), "left_semi"), i)
@@ -246,6 +280,11 @@ object ScaleCheck {
         else if (q == "run_incremental_daily")
           (dailyIngestTime(spark, oneDir, oneDir, "b"),
             dailyIngestTime(spark, bigDir, oneDir, "n"))
+        else if (q == "run_incremental_daily_skew")
+          // the viral-boilerplate day: 1% of the corpus in ONE band
+          // cluster, near-dup re-sends in every delta (r18 VERDICT #6)
+          (dailyIngestTime(spark, oneDir, oneDir, "sb", viralFrac = 0.01),
+            dailyIngestTime(spark, bigDir, oneDir, "sn", viralFrac = 0.01))
         else (time(q, oneDir), time(q, bigDir))
       println(f"$q%-22s $t1%8.2f $tN%8.2f  ${tN / t1}%5.1fx")
     }

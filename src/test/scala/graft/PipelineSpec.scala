@@ -304,6 +304,55 @@ class PipelineSpec extends SparkSpec {
     assert(s2("id_collision_dropped") === 1L && s2("accepted") === 0L)
   }
 
+  test("PQ drift tripwire is self-calibrated: the stamped training bar gates the daily retrain") {
+    import spark.implicits._
+    // r19: an absolute qerr threshold mislabeled every day of a
+    // high-entropy embedding space as drift (daily full retrain —
+    // the dominant steady-state fixed cost). The bar is now the
+    // training corpus's own worst qerr, stamped on the codebooks;
+    // the effective threshold is max(pqRetrainQerr, 2 × bar). Pin
+    // (a) the stamp equals the index's max qerr, and (b) the daily
+    // check honors the stamp in both directions.
+    val corpusText = (1 to 40).map(i => s"qbar$i").mkString(" ")
+    Pipeline.bootstrapIncremental(
+      Seq((1L, corpusText)).toDF("doc_id", "text"),
+      "graft_qbar_post", "graft_qbar_hash",
+      semanticTable = Some("graft_qbar_cells"),
+      corpusEmbeddings = Some(Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("doc_id", "embedding")))
+    val stamped = graft.operators.Pq.qerrBar(spark, "graft_qbar_cells__pq__codebooks")
+    val maxQerr = spark.table("graft_qbar_cells__pq")
+      .agg(max(col("qerr"))).first().getDouble(0)
+    assert(stamped.contains(maxQerr), s"stamp $stamped != index max $maxQerr")
+    def day(id: Long, vec: Seq[Float], tag: String): Pipeline.Summary = {
+      val dir = Files.createTempDirectory(s"graft_qbar_$tag").toString
+      Seq((id, (1 to 40).map(i => s"$tag$i").mkString(" "), "en", "s", 40L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      Pipeline.runIncremental(spark, dir,
+        Files.createTempDirectory(s"graft_qbar_out_$tag").toString,
+        "graft_qbar_post", "graft_qbar_hash",
+        semanticTable = Some("graft_qbar_cells"),
+        deltaEmbeddings = Some(Seq((id, vec)).toDF("doc_id", "embedding")))
+    }
+    // an orthogonal day vector (qerr 2 ≫ the 0.5 absolute floor) must
+    // NOT retrain while the stamped bar says days like it are normal
+    spark.sql("ALTER TABLE graft_qbar_cells__pq__codebooks " +
+      "SET TBLPROPERTIES ('graft.qerr_bar' = '10.0')")
+    val s1 = day(80L, Seq(0f, 1f, 0f, 0f), "hi")
+    assert(s1("accepted") === 1L && s1("semantic_pq_retrain") === 0L, s"$s1")
+    // …and MUST retrain once the bar says the corpus quantizes near
+    // zero (the retrain then re-stamps from the new training pass)
+    spark.sql("ALTER TABLE graft_qbar_cells__pq__codebooks " +
+      "SET TBLPROPERTIES ('graft.qerr_bar' = '0.0')")
+    val s2 = day(81L, Seq(0f, 0f, 1f, 0f), "lo")
+    assert(s2("accepted") === 1L && s2("semantic_pq_retrain") === 1L, s"$s2")
+    // the retrain re-stamps from its own training pass (the planted
+    // '0.0' is overwritten; the tiny corpus re-encodes near zero, so
+    // assert presence, not magnitude)
+    assert(graft.operators.Pq.qerrBar(spark, "graft_qbar_cells__pq__codebooks").isDefined,
+      "retrain must re-stamp the bar")
+  }
+
   test("acceptPreviewAudit: every planted branch fires — charlm, semantic and holdout arms included") {
     // r17 VERDICT #1 + r18 holdout: the gate row previously ran
     // decideDelta WITHOUT the charlm/semantic arms (9 of 11
@@ -336,6 +385,29 @@ class PipelineSpec extends SparkSpec {
     // the paraphrase slice is text-invisible (no shared shingles or
     // chunks) — only the embedding probe catches it
     assert(out("semantic_dup_corpus") >= 16L, s"got $out")
+  }
+
+  test("acceptPreviewAudit reuses its persisted bootstrap on a matching stateKey, rebuilds otherwise") {
+    // r18 VERDICT #3: the gate row re-trained its corpus state every
+    // call. With a stateKey, a repeat call in the same session must
+    // REUSE the bootstrap (observable: the postings table's files are
+    // untouched) and emit identical verdicts; a different key — a
+    // different input — must rebuild; and values are key-invariant.
+    val dir = "/root/testdata/sf0.001"
+    def run(key: String) = Pipeline.acceptPreviewAudit(
+        Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+        stateKey = Some(key))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out1 = run(dir)
+    val files1 = spark.table("graft_audit_apv_post").inputFiles.toSet
+    val out2 = run(dir)
+    val files2 = spark.table("graft_audit_apv_post").inputFiles.toSet
+    assert(out2 === out1, "reused bootstrap changed the verdicts")
+    assert(files2 === files1, "a matching stateKey must not rebuild the index")
+    val out3 = run(dir + "#other")
+    val files3 = spark.table("graft_audit_apv_post").inputFiles.toSet
+    assert(files3 !== files2, "a different stateKey must rebuild")
+    assert(out3 === out1, "same input under a different key changed the verdicts")
   }
 
   test("runIncremental maintains the bloom across days: accepted hashes probe true next run") {
