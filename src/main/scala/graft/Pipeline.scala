@@ -299,13 +299,13 @@ object Pipeline {
       val missingBands = Dedup.bandPostings(
         text.join(broadcast(postedIds), Seq("doc_id"), "left_anti"))
       if (spark.catalog.tableExists(postingsTable + "__sigs")) {
-        Sinks.appendBucketed(
-          missingBands.select(col("band"), col("band_hash"), col("doc_id")),
-          postingsTable, Seq("band", "band_hash"))
         // the forward sig table repairs against ITS OWN id set — the
         // crash may have landed the posting rows and not the sigs (or
         // the reverse); same per-index anti-join idempotence as the
-        // semantic/PQ twins below
+        // semantic/PQ twins below. SIGS FIRST, same order as the live
+        // append path (r18 ADVICE): a reader probing mid-repair must
+        // never see a posting row whose sig the inner fetch join
+        // would silently drop.
         val siggedIds = spark.table(postingsTable + "__sigs")
           .select(col("doc_id")).distinct()
           .join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -313,6 +313,9 @@ object Pipeline {
           Dedup.minhashSignatures(
             text.join(broadcast(siggedIds), Seq("doc_id"), "left_anti")),
           postingsTable + "__sigs", Seq("doc_id"))
+        Sinks.appendBucketed(
+          missingBands.select(col("band"), col("band_hash"), col("doc_id")),
+          postingsTable, Seq("band", "band_hash"))
       } else
         Sinks.appendBucketed(missingBands, postingsTable, Seq("band", "band_hash"))
       val hashTable = p.select(col("hash_table")).first().getString(0)

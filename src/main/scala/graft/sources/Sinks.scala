@@ -64,7 +64,24 @@ object Sinks {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int = 64): Unit =
     withJobDescription(df.sparkSession, s"graft writeBucketed $table") {
-      df.write.mode("overwrite")
+      // Same one-file-per-bucket contract as [[appendBucketed]], for
+      // the same reason (r19): WITHOUT the repartition a bucketed
+      // write lands one file per (writing task × bucket it touches),
+      // and the writing task count tracks the INPUT's size — a 100×
+      // corpus bootstrap produced tens of thousands of files per
+      // index table, handing every subsequent probe a footer storm,
+      // tripping the compaction ceiling on day 0, and turning the
+      // daily fragmentation CHECK's recursive listing into the
+      // dominant corpus-growth term of the measured daily ingest
+      // (~26 s of a 40 s day at the 100× ScaleCheck). The price is
+      // one index-sized shuffle at build time — exactly the shuffle
+      // the day-0 compaction was already paying to undo the
+      // fragmentation. Bucket counts stay the caller's sizing knob:
+      // a corpus that would make per-bucket files unwieldy sizes
+      // `buckets` up (README sizing rules), not the file-per-task
+      // fragmentation down.
+      df.repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .format("parquet")

@@ -31,8 +31,9 @@ object DailyJobProfiler {
       .appName("graft-prof").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val starts = scala.collection.concurrent.TrieMap[Long, (Long, String)]()
-    val execs = scala.collection.mutable.ArrayBuffer[(Long, Double, String)]()
+    val execs = scala.collection.mutable.ArrayBuffer[(Long, Double, Double, String)]()
     @volatile var capture = false
+    @volatile var captureT0 = 0L
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
         e match {
@@ -41,38 +42,60 @@ object DailyJobProfiler {
           case en: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
             starts.remove(en.executionId).foreach { case (t0, cs) =>
               if (capture) execs.synchronized {
-                execs += ((en.executionId, (System.nanoTime - t0) / 1e9, cs)) }
+                execs += ((en.executionId, (t0 - captureT0) / 1e9,
+                  (System.nanoTime - t0) / 1e9, cs)) }
             }
           case _ =>
         }
     })
     def report(label: String): Unit = execs.synchronized {
-      execs.sortBy(-_._2).take(30).foreach { case (id, d, cs) =>
+      // the TIMELINE (start offset + duration per execution, in exec
+      // order) makes driver-side gaps between executions visible —
+      // the fixed-cost component wall-vs-exec sums cannot attribute
+      execs.sortBy(_._1).foreach { case (id, off, d, cs) =>
+        println(f"PROFLINE @$off%7.2f +$d%6.2f s  exec$id%-8s $cs")
+      }
+      execs.sortBy(-_._3).take(12).foreach { case (id, _, d, cs) =>
         println(f"PROFEXEC $d%7.2f s  exec$id%-8s $cs")
       }
-      println(f"PROFEXEC [$label] total ${execs.map(_._2).sum}%7.2f s over ${execs.size} executions")
+      println(f"PROFEXEC [$label] total ${execs.map(_._3).sum}%7.2f s over ${execs.size} executions")
       execs.clear()
     }
 
     mode match {
       case "daily" =>
         // mirrors Bench's run_incremental_daily harness exactly:
-        // bootstrap outside the capture window, profile day 1
+        // bootstrap outside the capture window, profile day 1. An
+        // optional THIRD arg profiles the ScaleCheck shape instead —
+        // corpus from `sfDir` (e.g. the replicated
+        // /tmp/graft_scale/sf100x), fixed day deltas from `oneDir`
+        // (copy 0), raw parquet reads like ScaleCheck's.
         val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val oneDir = args.lift(2)
         val post = "graft_prof_inc_post"; val hash = "graft_prof_inc_hash"
         val chunk = "graft_prof_inc_chunk"; val sem = "graft_prof_inc_sem"
         Pipeline.dropIncrementalState(spark, post, hash,
           chunkTable = Some(chunk), semanticTable = Some(sem))
-        val docs = Tables.documents(spark, sfDir)
+        def rawDocs(d: String) =
+          if (oneDir.isEmpty) Tables.documents(spark, d)
+          else spark.read.parquet(s"$d/documents.parquet")
+        def rawEmbs(d: String) =
+          if (oneDir.isEmpty) Tables.embeddings(spark, d)
+          else spark.read.parquet(s"$d/embeddings.parquet")
+        val docs = rawDocs(oneDir.getOrElse(sfDir))
           .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
-        val embs = Tables.embeddings(spark, sfDir)
+        val embs = rawEmbs(oneDir.getOrElse(sfDir))
           .select(col("vec_id").as("doc_id"), col("embedding"))
-        val corpusDocs = docs.filter(col("__h") >= "0c").drop("__h")
+        val corpusDocs = rawDocs(sfDir)
+          .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
+          .filter(col("__h") >= "0c").drop("__h")
+        val corpusEmbs = rawEmbs(sfDir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
         Pipeline.bootstrapIncremental(
           corpusDocs.select(col("doc_id"), col("text")), post, hash,
           chunkTable = Some(chunk), semanticTable = Some(sem),
           corpusEmbeddings =
-            Some(embs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
+            Some(corpusEmbs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
           bloomShards = 16)
         val base = java.nio.file.Files.createTempDirectory("graft_prof_inc")
         val days = Seq(("00", "04"), ("04", "08"), ("08", "0c")).zipWithIndex.map {
@@ -83,7 +106,7 @@ object DailyJobProfiler {
             (dir, embs.join(dayDocs.select("doc_id"), Seq("doc_id"), "left_semi"), i)
         }
         days.foreach { case (dir, dayEmbs, i) =>
-          if (i == 1) capture = true
+          if (i == 1) { captureT0 = System.nanoTime; capture = true }
           val t0 = System.nanoTime
           val sm = Pipeline.runIncremental(spark, dir, base.resolve(s"out$i").toString,
             post, hash, chunkTable = Some(chunk), semanticTable = Some(sem),
@@ -94,7 +117,7 @@ object DailyJobProfiler {
         }
         // the saturation-rebuild surcharge, attributed per execution
         // (r18 VERDICT #5: 0.96 → 2.2 s unattributed)
-        capture = true
+        captureT0 = System.nanoTime; capture = true
         val tR = System.nanoTime
         operators.Dedup.rebuildHashBloom(spark, post, operators.Dedup.bandKeySql)
         println(f"PROF bloom_saturation_rebuild ${(System.nanoTime - tR) / 1e9}%8.2f s")
@@ -106,7 +129,7 @@ object DailyJobProfiler {
         val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
         val q = SparkEntry.queries(name)
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
-        capture = true
+        captureT0 = System.nanoTime; capture = true
         val t0 = System.nanoTime
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"PROF $name ${(System.nanoTime - t0) / 1e9}%8.2f s (run 2)")
