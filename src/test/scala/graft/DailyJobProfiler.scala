@@ -123,6 +123,49 @@ object DailyJobProfiler {
         println(f"PROF bloom_saturation_rebuild ${(System.nanoTime - tR) / 1e9}%8.2f s")
         capture = false
         report("rebuild")
+      case "trigger" =>
+        // the accept-preview trigger in ScaleCheck's shape: full
+        // bootstrap + cached probes outside the capture, decideDelta
+        // on the fixed re-keyed 1x delta captured per execution.
+        //   Test/runMain graft.DailyJobProfiler trigger /tmp/graft_scale/sf100x /tmp/graft_scale/sf1x
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val oneDir = args.lift(2).getOrElse(dir)
+        val post = "graft_proftr_post"; val hash = "graft_proftr_hash"
+        val chunk = "graft_proftr_chunk"; val sem = "graft_proftr_sem"
+        val charlm = "graft_proftr_charlm"
+        Pipeline.dropIncrementalState(spark, post, hash, chunkTable = Some(chunk),
+          semanticTable = Some(sem), charlmTable = Some(charlm))
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        Pipeline.bootstrapIncremental(docs.select(col("doc_id"), col("text")),
+          post, hash, chunkTable = Some(chunk), semanticTable = Some(sem),
+          corpusEmbeddings =
+            Some(embs.join(docs.select("doc_id"), Seq("doc_id"), "left_semi")),
+          charlmTable = Some(charlm), bloomShards = 16)
+        val probes = Seq(post, hash, chunk, operators.Dedup.idsSpaceOf(post))
+          .map(t => t -> operators.Dedup.bloomProbeFor(spark, t)).toMap
+        val off = 500000000000000L
+        val delta = spark.read.parquet(s"$oneDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(off))
+          .withColumn("text", concat(col("text"), lit(" previewtok")))
+          .localCheckpoint()
+        val deltaEmbs = spark.read.parquet(s"$oneDir/embeddings.parquet")
+          .select((col("vec_id") + lit(off)).as("doc_id"), col("embedding"))
+          .localCheckpoint()
+        def trig(): Unit = Pipeline.decideDelta(spark, delta, post, hash,
+            chunkTable = Some(chunk), semanticTable = Some(sem),
+            deltaEmbeddings = Some(deltaEmbs),
+            charlmTable = Some(charlm), charlmRareFracMax = Some(0.5),
+            probeOverrides = probes)
+          .verdicts.write.format("noop").mode("overwrite").save()
+        trig()
+        captureT0 = System.nanoTime; capture = true
+        val tT = System.nanoTime
+        trig()
+        println(f"PROF trigger ${(System.nanoTime - tT) / 1e9}%8.2f s (run 2)")
+        capture = false
+        report("trigger")
       case "query" =>
         // profile any registry row: warm-up run untimed, capture run 2
         val name = args(1)
