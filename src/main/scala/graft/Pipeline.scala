@@ -924,7 +924,19 @@ object Pipeline {
     * exact); no false negatives means a definite-new is truly new.
     * Without a bloom (pre-r18 bootstrap, lost table): the plain
     * scan + semi-join, same rows. `probeOverride` as in
-    * [[exactNewVsCorpus]] — the streaming preview's per-query cache. */
+    * [[exactNewVsCorpus]] — the streaming preview's per-query cache.
+    *
+    * CONFIRM SOURCE (r19, closes the r18 'watch' item): on a split
+    * index the confirm reads the forward sig table — one row per
+    * doc, already distinct, bucketed on doc_id — instead of
+    * distinct-aggregating the postings table's bands× rows. Same id
+    * population by construction (posting rows derive from the sig
+    * rows), and STRICTLY more correct in the one state they differ:
+    * sigs append first, so a crash window where a doc has sig rows
+    * but no posting rows yet still reads its id as held — the
+    * postings-based confirm would re-accept a colliding re-delivery
+    * of a half-indexed day. Legacy single-table indexes keep the
+    * distinct scan. */
   private[graft] def corpusIdCollisions(spark: SparkSession,
                                         deltaIds: org.apache.spark.sql.DataFrame,
                                         postingsTable: String,
@@ -932,9 +944,12 @@ object Pipeline {
                                           org.apache.spark.sql.Column =>
                                             org.apache.spark.sql.Column]] = None)
     : org.apache.spark.sql.DataFrame = {
+    def corpusIdRows =
+      if (spark.catalog.tableExists(postingsTable + "__sigs"))
+        spark.table(postingsTable + "__sigs").select(col("doc_id"))
+      else spark.table(postingsTable).select(col("doc_id")).distinct()
     def confirm(cands: org.apache.spark.sql.DataFrame) =
-      spark.table(postingsTable).select(col("doc_id")).distinct()
-        .join(broadcast(cands), Seq("doc_id"), "left_semi")
+      corpusIdRows.join(broadcast(cands), Seq("doc_id"), "left_semi")
     probeOverride.getOrElse(
         Dedup.bloomProbeFor(spark, Dedup.idsSpaceOf(postingsTable))) match {
       case Some(probe) =>

@@ -264,18 +264,29 @@ class PipelineSpec extends SparkSpec {
       s"bloom path $viaBloom vs scan path $viaScan")
     // MAP-SIDE PROOF: hide the postings table (bloom stays). An
     // all-novel delta still decides — the confirm join is never even
-    // constructed — while a maybe id MUST touch the corpus and fails
-    // loudly against the hidden table. Stronger than any plan walk:
-    // the corpus is physically unreachable.
+    // constructed. A maybe id confirms against the SPLIT layout's
+    // forward sig table (one already-distinct row per doc — r19,
+    // closing the r18 'watch' item), so it still answers with the
+    // postings table physically unreachable; only hiding the sig
+    // table too makes a maybe id fail loudly. Stronger than any plan
+    // walk: each corpus surface is physically removed in turn.
     spark.sql("ALTER TABLE graft_idb_post RENAME TO graft_idb_post__hidden")
     try {
       val novel = Pipeline.corpusIdCollisions(spark,
         Seq(50L, 51L).toDF("doc_id"), "graft_idb_post")
       assert(novel.isEmpty, "novel ids must decide without the postings table")
-      intercept[Exception] {
-        Pipeline.corpusIdCollisions(spark,
-          Seq(1L).toDF("doc_id"), "graft_idb_post").count()
-      }
+      assert(Pipeline.corpusIdCollisions(spark,
+          Seq(1L).toDF("doc_id"), "graft_idb_post").as[Long].collect().toSet
+        === Set(1L),
+        "a maybe id must confirm via the sig table alone")
+      spark.sql("ALTER TABLE graft_idb_post__sigs RENAME TO graft_idb_post__sigs__hidden")
+      try {
+        intercept[Exception] {
+          Pipeline.corpusIdCollisions(spark,
+            Seq(1L).toDF("doc_id"), "graft_idb_post").count()
+        }
+      } finally spark.sql(
+        "ALTER TABLE graft_idb_post__sigs__hidden RENAME TO graft_idb_post__sigs")
     } finally spark.sql("ALTER TABLE graft_idb_post__hidden RENAME TO graft_idb_post")
     // the daily merge maintains the key space: an accepted day's ids
     // enter the bloom (items grew past the bootstrap's 2)

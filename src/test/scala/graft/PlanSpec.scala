@@ -32,7 +32,7 @@ class PlanSpec extends SparkSpec {
   private def count(plan: String, token: String): Int =
     token.r.findAllIn(plan).size
 
-  test("accept preview: verdict flag joins all broadcast; id-collision confirm semi-join below the distinct") {
+  test("accept preview: verdict flag joins all broadcast; id confirm distinct-free on split, semi below distinct on legacy") {
     // r17 VERDICT #3: two plan pins on the decision chain. (1) the
     // per-doc verdict attribution joins ~10 delta-sized id frames
     // onto the input ids — every one a broadcast, never a sort-merge
@@ -57,14 +57,30 @@ class PlanSpec extends SparkSpec {
     assert(count(staticPlan, "BroadcastHashJoin") >= 9, staticPlan)
     // AQE-final: still no sort-merge anywhere
     assert(count(finalPlan(verdicts), "SortMergeJoin") === 0)
-    // (2) the confirm path (forced-scan override), on a colliding id
+    // (2) the confirm path (forced-scan override), on a colliding id.
+    // Split layout (r19): the confirm reads the one-row-per-doc sig
+    // table — NO distinct aggregate anywhere, just the broadcast
+    // semi-join on the bucketed scan.
     import org.apache.spark.sql.catalyst.plans.logical
     val confirm = graft.Pipeline.corpusIdCollisions(spark,
       Seq(1L).toDF("doc_id"), post, probeOverride = Some(None))
     val opt = confirm.queryExecution.optimizedPlan
-    val agg = opt.collectFirst { case a: logical.Aggregate => a }
-    assert(agg.exists(_.collect { case j: logical.Join => j }.nonEmpty),
-      s"the semi-join must be pushed below the distinct:\n$opt")
+    assert(opt.collect { case a: logical.Aggregate => a }.isEmpty,
+      s"the sig-table confirm needs no distinct aggregate:\n$opt")
+    assert(opt.collect { case j: logical.Join => j }.nonEmpty, s"$opt")
+    // Legacy single-table layout (sig table hidden): the distinct
+    // returns, with the semi-join pushed UNDER it so the aggregate
+    // runs on the delta-matched sliver, never the corpus id set.
+    spark.sql(s"ALTER TABLE ${post}__sigs RENAME TO ${post}__sigs__off")
+    try {
+      val legacy = graft.Pipeline.corpusIdCollisions(spark,
+        Seq(1L).toDF("doc_id"), post, probeOverride = Some(None))
+      val optL = legacy.queryExecution.optimizedPlan
+      val agg = optL.collectFirst { case a: logical.Aggregate => a }
+      assert(agg.exists(_.collect { case j: logical.Join => j }.nonEmpty),
+        s"the semi-join must be pushed below the distinct:\n$optL")
+    } finally
+      spark.sql(s"ALTER TABLE ${post}__sigs__off RENAME TO ${post}__sigs")
   }
 
   test("silver cleaning: single scan, zero shuffles, one native clean pass") {
