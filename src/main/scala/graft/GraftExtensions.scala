@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, CharlmDocScore, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -176,6 +176,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(k, v) => SortedFoldSumStr(k, v).toAggregateExpression()
         case other => badSignature("graft_sorted_fold_sum_str", "(key: string, value: double)", other)
+      }),
+    ("graft_charlm_doc_score",
+      new ExpressionInfo(classOf[CharlmDocScore].getName, "graft_charlm_doc_score"),
+      (args: Seq[Expression]) => args match {
+        case Seq(model, text, Literal(r: Double, _)) => CharlmDocScore(model, text, r)
+        case Seq(_, _, other) =>
+          throw new IllegalArgumentException(
+            s"graft_charlm_doc_score rareBelow must be a double literal, got $other")
+        case other => badSignature("graft_charlm_doc_score",
+          "(model: binary literal, text, rareBelow: double literal)", other)
       }),
     ("graft_bounded_collect",
       new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),

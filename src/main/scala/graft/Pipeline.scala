@@ -481,6 +481,7 @@ object Pipeline {
       charlmRareBelow: Double = 0.001,
       probeOverrides: Map[String, Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column]] = Map.empty,
+      charlmModelOverride: Option[Array[Byte]] = None,
       broadcastIdFrames: Boolean = true): DeltaDecision = {
     // `broadcastIdFrames` governs only the HINTS this round added on
     // the within-delta side (survivor fold, decontam anti-join, the
@@ -512,10 +513,20 @@ object Pipeline {
     // garbage). Runs before every dedup arm for the prep's reason: a
     // damaged doc must never become a cluster's surviving canonical.
     val charlmDropped = charlmTable.zip(charlmRareFracMax).map { case (t, maxFrac) =>
-      val model = spark.table(t).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
-      TextOps.charlmScoreAgainstModel(
-          ruleQuality.select(col("doc_id"), col("content").as("text")),
-          model, rareBelow = charlmRareBelow)
+      val deltaText = ruleQuality.select(col("doc_id"), col("content").as("text"))
+      // `charlmModelOverride` is the steady-caller seam: the streaming
+      // preview sink collects the model ONCE per model-table file set
+      // (TextOps.charlmCollectModel) and hands the bytes in, so a
+      // micro-batch pays only the map-side scoring — the same
+      // re-read-only-on-change discipline as probeOverrides. The
+      // daily run passes nothing and aggregates the table fresh.
+      val scored = charlmModelOverride match {
+        case Some(bytes) => TextOps.charlmScoreWithModel(deltaText, bytes, charlmRareBelow)
+        case None =>
+          val model = spark.table(t).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
+          TextOps.charlmScoreAgainstModel(deltaText, model, rareBelow = charlmRareBelow)
+      }
+      scored
         .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
         .select(col("doc_id")).localCheckpoint()
     }

@@ -275,9 +275,18 @@ object TextOps {
   /** A corpus batch's aggregated trigram counts `(tri, n)` — the rows
     * the incremental charlm arm appends per ingest day (bounded by
     * |Σ|³ whatever the batch size) and sums back into the model
-    * ([[charlmScoreAgainstModel]]'s `c3`). */
-  def charlmCounts(documents: DataFrame): DataFrame =
-    triRollup(documents).groupBy(col("tri")).agg(sum(col("n")).as("n"))
+    * ([[charlmScoreAgainstModel]]'s `c3`). Training never needs the
+    * per-doc rollup the scoring join path needs, so this counts
+    * straight off the explode: hash-aggregate partial combine caps
+    * the shuffle at |Σ|³ rows per task — one shuffle instead of
+    * [[triRollup]]'s per-(doc, tri) shuffle plus a second one. */
+  def charlmCounts(documents: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(documents.sparkSession)
+    documents
+      .filter(length(col("text")) >= 3)
+      .select(explode(call_function("graft_char_ngrams", col("text"), lit(3))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("n"))
+  }
 
   /** Compact the incremental charlm count table
     * ([[graft.Pipeline.runIncremental]]'s `charlmTable`): one row set
@@ -313,7 +322,7 @@ object TextOps {
                          rareBelow: Double = 0.001,
                          deterministic: Boolean = false): DataFrame =
     charlmScoreAgainstModel(candidates,
-      triRollup(reference).groupBy(col("tri")).agg(sum(col("n")).as("c3")),
+      charlmCounts(reference).select(col("tri"), col("n").as("c3")),
       rareBelow, deterministic)
 
   /** Score against an ALREADY-AGGREGATED trigram model `(tri, c3)` —
@@ -325,8 +334,18 @@ object TextOps {
     * one table and the smoothing can never disagree with it. */
   def charlmScoreAgainstModel(candidates: DataFrame, c3In: DataFrame,
                               rareBelow: Double = 0.001,
-                              deterministic: Boolean = false): DataFrame = {
+                              deterministic: Boolean = false,
+                              maxModelRows: Int = 1 << 20): DataFrame = {
     val c3 = c3In.select(col("tri"), col("c3"))
+    // Fast path: the model is |Σ|³-bounded, so for ASCII-ish corpora
+    // it collects to a few-MB driver object whatever the corpus size
+    // — score each doc in ONE map-side expression. Over the cap (a
+    // CJK-scale realized alphabet — the literal-budget hazard the
+    // join path's broadcast-hint refusal documents) fall through to
+    // the join path, which shuffles but never collects.
+    charlmCollectModel(c3, maxModelRows).foreach { bytes =>
+      return charlmScoreWithModel(candidates, bytes, rareBelow)
+    }
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi")).agg(sum(col("c3")).as("c2"))
     val s = c3.agg(countDistinct(substring(col("tri"), 3, 1)).as("sz"))
     val tris = triRollup(candidates)
@@ -360,6 +379,43 @@ object TextOps {
         coalesce(sum(when(col("p") < rareBelow, col("n"))), lit(0L)).as("rare_tri"))
       .select(col("doc_id"), col("n_tri"),
         (col("psum") / col("n_tri")).as("mean_char_prob"), col("rare_tri"))
+  }
+
+  /** Collect an aggregated `(tri, c3)` model to the
+    * [[graft.functions.CharlmModel]] wire bytes — `None` when the
+    * realized trigram table exceeds `maxModelRows` (detected by
+    * probing cap+1 rows, never by counting the whole table). The
+    * bytes are what [[charlmScoreWithModel]] scores against and what
+    * a steady caller (the streaming accept-preview sink) CACHES
+    * across micro-batches keyed on the model table's file set — the
+    * same re-read-only-on-change discipline as its bloom probes. */
+  def charlmCollectModel(c3In: DataFrame, maxModelRows: Int = 1 << 20): Option[Array[Byte]] = {
+    val capped = c3In.select(col("tri"), col("c3")).limit(maxModelRows + 1).collect()
+    if (capped.length > maxModelRows) None
+    else Some(graft.functions.CharlmModel.serialize(capped.iterator.map { r =>
+      (r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        r.get(1).asInstanceOf[Number].longValue())
+    }.toArray))
+  }
+
+  /** Score candidates against collected model bytes in ONE map-side
+    * expression ([[graft.functions.CharlmDocScore]]): the trigram
+    * explode (`len-2` rows/doc), the per-doc rollup shuffle, both
+    * model joins and the fold aggregate all collapse into a single
+    * pass over the corpus scan — zero shuffle, model as a foldable
+    * plan literal. Bit-identical to the deterministic join path
+    * (spec-pinned): same IEEE ops, same ascending-byte fold order. */
+  def charlmScoreWithModel(candidates: DataFrame, modelBytes: Array[Byte],
+                           rareBelow: Double = 0.001): DataFrame = {
+    graft.GraftExtensions.register(candidates.sparkSession)
+    candidates.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_charlm_doc_score",
+          lit(modelBytes), col("text"), lit(rareBelow)).as("s"))
+      .select(col("doc_id"),
+        col("s.n_tri").as("n_tri"),
+        (col("s.psum") / col("s.n_tri")).as("mean_char_prob"),
+        col("s.rare_tri").as("rare_tri"))
   }
 
   /** Deterministic hash split — the train/holdout assignment step of a

@@ -1154,6 +1154,13 @@ object Sinks {
     var probeSigs = Map.empty[String, String]
     var probes = Map.empty[String, Option[org.apache.spark.sql.Column =>
       org.apache.spark.sql.Column]]
+    // charlm model cache: collected once per model-table file set
+    // (the bloom-probe discipline) so a micro-batch pays only the
+    // map-side scoring, not the table aggregate + collect. None
+    // inside the cache = model over the row cap -> decideDelta's
+    // join-path fallback each batch.
+    var charlmSig: Option[String] = None
+    var charlmModel: Option[Array[Byte]] = None
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1190,9 +1197,21 @@ object Sinks {
               probeSigs += t -> sig
             }
           }
+          charlmTable.filter(_ => charlmRareFracMax.isDefined).foreach { t =>
+            val sig = spark.table(t).inputFiles.sorted.mkString("\n")
+            if (!charlmSig.contains(sig)) {
+              charlmModel = graft.operators.TextOps.charlmCollectModel(
+                spark.table(t)
+                  .groupBy(org.apache.spark.sql.functions.col("tri"))
+                  .agg(org.apache.spark.sql.functions.sum(
+                    org.apache.spark.sql.functions.col("n")).as("c3")))
+              charlmSig = Some(sig)
+            }
+          }
           graft.Pipeline.decideDelta(spark, batch, postingsTable, hashTable,
               holdout, chunkTable, semanticTable, embeddings, charlmTable,
-              charlmRareFracMax, charlmRareBelow, probeOverrides = probes)
+              charlmRareFracMax, charlmRareBelow, probeOverrides = probes,
+              charlmModelOverride = charlmModel)
             .verdicts
             .write.mode("overwrite")
             .option("compression", "zstd")

@@ -1077,6 +1077,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAcceptPreviewSink charlm arm: cached model re-collects when the model table grows") {
+    implicit val sqlCtx = spark.sqlContext
+    val post = "graft_prevlm_post"; val hash = "graft_prevlm_hash"
+    val model = "graft_prevlm_model"
+    // natural-prose corpus seeds the trigram model at bootstrap
+    val corpus = (1 to 6).map(i => (i.toLong,
+      Seq.fill(10)(s"the data pipeline number $i runs the data").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.Pipeline.bootstrapIncremental(corpus, post, hash, charlmTable = Some(model))
+    val natural = Seq.fill(8)("data runs today the pipeline quietly the number data").mkString(" ")
+    val garbled = (1 to 14).map(i => s"zq${i}x w${i}v7 k${i}j").mkString(" ")
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_prevlm").toString
+    val q = graft.sources.Sinks.streamingAcceptPreviewSink(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      post, hash, s"$dir/out", s"$dir/chk",
+      charlmTable = Some(model), charlmRareFracMax = Some(0.5),
+      charlmRareBelow = 0.1).start()
+    try {
+      def landed = spark.read.parquet(s"$dir/out")
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+      // trigger 1: the corpus-trained model drops the garbled doc
+      input.addData((80L, natural, "en", "s", natural.length.toLong),
+        (81L, garbled, "en", "s", garbled.length.toLong))
+      q.processAllAvailable()
+      assert(landed === Map(80L -> "accepted", 81L -> "charlm_dropped"))
+      // trigger 2, model table UNCHANGED: the cached bytes must judge
+      // exactly like trigger 1 (same text, fresh id — 81 was dropped,
+      // so nothing of it is indexed)
+      input.addData((82L, garbled, "en", "s", garbled.length.toLong))
+      q.processAllAvailable()
+      assert(landed.get(82L).contains("charlm_dropped"))
+      // the model table grows a day whose prose is the garbled
+      // family (the daily run normalizing new vocabulary): the file
+      // set changes, so trigger 3 must score against the GROWN model
+      // — the same text that just dropped now passes the gate. A
+      // stale cache would drop it again.
+      graft.sources.Sinks.appendBucketed(
+        operators.TextOps.charlmCounts(
+          (1 to 10).map(i => (i.toLong, garbled)).toDF("doc_id", "text"))
+          .withColumn("append_id", lit("day2")),
+        model, Seq("tri"))
+      input.addData((83L, garbled, "en", "s", garbled.length.toLong))
+      q.processAllAvailable()
+      assert(landed.get(83L).contains("accepted"),
+        s"grown model must accept the normalized family, got ${landed.get(83L)}")
+    } finally q.stop()
+  }
+
   test("streamingAcceptPreviewSink: kill/restart converges; a replayed batch REWRITES its directory") {
     // r17 VERDICT #4: the guards have swap/race specs and the
     // group-replace sink has kill/restart — the preview claims

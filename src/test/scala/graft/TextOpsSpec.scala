@@ -315,6 +315,50 @@ class TextOpsSpec extends SparkSpec {
     assert(self.toSeq === selfAgainst.toSeq)
   }
 
+  test("charlm fast scorer is bit-identical to the join path, multi-byte text included") {
+    // the dispatch contract: charlmScoreAgainstModel with the model
+    // under the row cap scores through graft_charlm_doc_score (one
+    // map-side expression); past the cap it keeps the join+fold path.
+    // Both must produce the SAME bits — same IEEE ops, same
+    // ascending-unsigned-byte fold order — on any text, so the corpus
+    // here mixes ASCII, repeats, multi-byte (Cyrillic/CJK/emoji) and
+    // boundary lengths (2 chars = dropped, exactly 3 = one trigram).
+    val texts = Seq(
+      "ab", // < 3 chars -> absent from BOTH outputs
+      "abc",
+      "abab",
+      "the data pipeline runs the data " * 5,
+      "ололо ab ололо", // 2-byte chars: substring must count chars
+      "数据管道每天运行一次数据管道", // 3-byte chars
+      "mixed ascii и кириллица and 中文 🚀🚀 tail",
+      "zq9 vw7 kx3 mj5 qz1 wv8 xk4 jm6")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = TextOps.charlmCounts(df).select(col("tri"), col("n").as("c3"))
+    val fast = TextOps.charlmScoreAgainstModel(df, model, rareBelow = 0.05)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tri", "mean_char_prob", "rare_tri")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // maxModelRows = 0 forces the join-path fallback (deterministic
+    // fold — the order the fast path reproduces)
+    val joined = TextOps.charlmScoreAgainstModel(df, model, rareBelow = 0.05,
+        deterministic = true, maxModelRows = 0)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tri", "mean_char_prob", "rare_tri")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(fast.nonEmpty && fast.map(_._1) === texts.indices.map(_.toLong).filter(i =>
+      texts(i.toInt).length >= 3))
+    fast.zip(joined).foreach { case (f, j) =>
+      assert(f._1 === j._1)
+      assert(f._2 === j._2)
+      assert(java.lang.Double.doubleToLongBits(f._3) ===
+        java.lang.Double.doubleToLongBits(j._3),
+        s"doc ${f._1}: fast ${f._3} != join ${j._3}")
+      assert(f._4 === j._4)
+    }
+  }
+
   test("charlmScore deterministic fold equals the combinable sum within float tolerance") {
     val texts = (1 to 30).map(i =>
       (i.toLong, s"doc $i with some shared characters and id $i" * (i % 3 + 1), "en", "s", 10L))
