@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, CharlmDocScore, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, CharlmCountsAgg, CharlmDocScore, CharlmRareFrac, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -185,6 +185,22 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"graft_charlm_doc_score rareBelow must be a double literal, got $other")
         case other => badSignature("graft_charlm_doc_score",
+          "(model: binary literal, text, rareBelow: double literal)", other)
+      }),
+    ("graft_charlm_counts",
+      new ExpressionInfo(classOf[CharlmCountsAgg].getName, "graft_charlm_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => CharlmCountsAgg(text).toAggregateExpression()
+        case other => badSignature("graft_charlm_counts", "(text: string)", other)
+      }),
+    ("graft_charlm_rare_frac",
+      new ExpressionInfo(classOf[CharlmRareFrac].getName, "graft_charlm_rare_frac"),
+      (args: Seq[Expression]) => args match {
+        case Seq(model, text, Literal(r: Double, _)) => CharlmRareFrac(model, text, r)
+        case Seq(_, _, other) =>
+          throw new IllegalArgumentException(
+            s"graft_charlm_rare_frac rareBelow must be a double literal, got $other")
+        case other => badSignature("graft_charlm_rare_frac",
           "(model: binary literal, text, rareBelow: double literal)", other)
       }),
     ("graft_bounded_collect",

@@ -481,7 +481,7 @@ object Pipeline {
       charlmRareBelow: Double = 0.001,
       probeOverrides: Map[String, Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column]] = Map.empty,
-      charlmModelOverride: Option[Array[Byte]] = None,
+      charlmModelOverride: Option[Option[Array[Byte]]] = None,
       broadcastIdFrames: Boolean = true): DeltaDecision = {
     // `broadcastIdFrames` governs only the HINTS this round added on
     // the within-delta side (survivor fold, decontam anti-join, the
@@ -517,18 +517,13 @@ object Pipeline {
       // `charlmModelOverride` is the steady-caller seam: the streaming
       // preview sink collects the model ONCE per model-table file set
       // (TextOps.charlmCollectModel) and hands the bytes in, so a
-      // micro-batch pays only the map-side scoring — the same
+      // micro-batch pays only the map-side predicate — the same
       // re-read-only-on-change discipline as probeOverrides. The
       // daily run passes nothing and aggregates the table fresh.
-      val scored = charlmModelOverride match {
-        case Some(bytes) => TextOps.charlmScoreWithModel(deltaText, bytes, charlmRareBelow)
-        case None =>
-          val model = spark.table(t).groupBy(col("tri")).agg(sum(col("n")).as("c3"))
-          TextOps.charlmScoreAgainstModel(deltaText, model, rareBelow = charlmRareBelow)
-      }
-      scored
-        .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
-        .select(col("doc_id")).localCheckpoint()
+      TextOps.charlmRareDropIds(deltaText,
+          spark.table(t).groupBy(col("tri")).agg(sum(col("n")).as("c3")),
+          charlmRareBelow, maxFrac, modelBytes = charlmModelOverride)
+        .localCheckpoint()
     }
     val quality = charlmDropped.fold(ruleQuality)(d =>
       ruleQuality.join(broadcast(d), Seq("doc_id"), "left_anti"))
@@ -1531,11 +1526,10 @@ object Pipeline {
     val quality = charlmRareFracMax match {
       case None => ruleQuality
       case Some(maxFrac) =>
-        val improbable = TextOps.charlmScore(
-            ruleQuality.select(col("doc_id"), col("content").as("text")),
-            rareBelow = charlmRareBelow)
-          .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
-          .select(col("doc_id"))
+        val text = ruleQuality.select(col("doc_id"), col("content").as("text"))
+        val improbable = TextOps.charlmRareDropIds(text,
+          TextOps.charlmCounts(text).select(col("tri"), col("n").as("c3")),
+          charlmRareBelow, maxFrac)
         ruleQuality.join(improbable, Seq("doc_id"), "left_anti")
     }
     val exact = Cleaning.dedupKeepFirst(quality, md5(col("content")), col("doc_id"))

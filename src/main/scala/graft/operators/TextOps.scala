@@ -276,16 +276,19 @@ object TextOps {
     * the incremental charlm arm appends per ingest day (bounded by
     * |Σ|³ whatever the batch size) and sums back into the model
     * ([[charlmScoreAgainstModel]]'s `c3`). Training never needs the
-    * per-doc rollup the scoring join path needs, so this counts
-    * straight off the explode: hash-aggregate partial combine caps
-    * the shuffle at |Σ|³ rows per task — one shuffle instead of
-    * [[triRollup]]'s per-(doc, tri) shuffle plus a second one. */
+    * per-doc rollup the scoring join path needs, so this is ONE
+    * native aggregate ([[graft.functions.CharlmCountsAgg]]): packed-
+    * code-point counting per partition, |Σ|³-bounded map merges —
+    * no trigram explode, no per-position allocation, one |Σ|³-row
+    * exchange instead of [[triRollup]]'s per-(doc, tri) shuffle plus
+    * a second aggregate. */
   def charlmCounts(documents: DataFrame): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
     documents
       .filter(length(col("text")) >= 3)
-      .select(explode(call_function("graft_char_ngrams", col("text"), lit(3))).as("tri"))
-      .groupBy(col("tri")).agg(count(lit(1)).as("n"))
+      .agg(call_function("graft_charlm_counts", col("text")).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.tri").as("tri"), col("c.n").as("n"))
   }
 
   /** Compact the incremental charlm count table
@@ -416,6 +419,42 @@ object TextOps {
         col("s.n_tri").as("n_tri"),
         (col("s.psum") / col("s.n_tri")).as("mean_char_prob"),
         col("s.rare_tri").as("rare_tri"))
+  }
+
+  /** The charlm QUALITY GATE's drop set — doc-ids whose rare-trigram
+    * fraction exceeds `maxFrac` — as ONE single-evaluation map-side
+    * predicate. The declarative form over the scored frame
+    * (`filter(rare_tri / n_tri > maxFrac)`) triple-evaluates the
+    * per-doc scorer once predicate pushdown substitutes the struct
+    * fields (measured 3 plan occurrences, ~2× the single-pass wall at
+    * sf0.1); [[graft.functions.CharlmRareFrac]] computes the decision
+    * value in one pass per doc. Semantics are the scored form's
+    * exactly: candidates shorter than 3 chars never enter the drop
+    * set, and the division is the same IEEE op the oracle's
+    * `rare_frac` CTE replays.
+    *
+    * `modelBytes` is the steady-caller seam (Some(cached) from the
+    * streaming preview sink's per-file-set cache; None = collect here
+    * via [[charlmCollectModel]]). An over-cap model (inner None)
+    * falls back to the join-path scored frame, where the filter sits
+    * above an aggregate — no re-evaluation hazard there. */
+  def charlmRareDropIds(candidates: DataFrame, c3In: => DataFrame,
+                        rareBelow: Double, maxFrac: Double,
+                        modelBytes: Option[Option[Array[Byte]]] = None,
+                        maxModelRows: Int = 1 << 20): DataFrame = {
+    val bytes = modelBytes.getOrElse(charlmCollectModel(c3In, maxModelRows))
+    bytes match {
+      case Some(b) =>
+        graft.GraftExtensions.register(candidates.sparkSession)
+        candidates.filter(length(col("text")) >= 3)
+          .filter(call_function("graft_charlm_rare_frac",
+            lit(b), col("text"), lit(rareBelow)) > lit(maxFrac))
+          .select(col("doc_id"))
+      case None =>
+        charlmScoreAgainstModel(candidates, c3In, rareBelow, maxModelRows = 0)
+          .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
+          .select(col("doc_id"))
+    }
   }
 
   /** Deterministic hash split — the train/holdout assignment step of a

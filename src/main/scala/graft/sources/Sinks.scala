@@ -1211,7 +1211,7 @@ object Sinks {
           graft.Pipeline.decideDelta(spark, batch, postingsTable, hashTable,
               holdout, chunkTable, semanticTable, embeddings, charlmTable,
               charlmRareFracMax, charlmRareBelow, probeOverrides = probes,
-              charlmModelOverride = charlmModel)
+              charlmModelOverride = charlmSig.map(_ => charlmModel))
             .verdicts
             .write.mode("overwrite")
             .option("compression", "zstd")

@@ -359,6 +359,38 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("charlmRareDropIds == the scored-form drop set under every dispatch") {
+    // the gate's single-evaluation predicate form must select exactly
+    // the ids the declarative filter over the scored frame selects —
+    // fast path, cached-bytes override, and over-cap join fallback
+    val natural = Seq.fill(8)("the data pipeline runs the data").mkString(" ")
+    val garbled = (1 to 14).map(i => s"zq${i}x w${i}v7 k${i}j").mkString(" ")
+    val df = Seq(
+      (1L, natural), (2L, garbled), (3L, "ab"), // <3 chars: never dropped
+      (4L, natural + " tail"), (5L, garbled.reverse))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = TextOps.charlmCounts(df.filter(col("doc_id") <= 2L))
+      .select(col("tri"), col("n").as("c3"))
+    val expected = TextOps.charlmScoreAgainstModel(df, model,
+        rareBelow = 0.1, maxModelRows = 0) // join path as the reference
+      .filter(col("rare_tri").cast("double") / col("n_tri") > 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && !expected.contains(1L) && !expected.contains(3L))
+    val fast = TextOps.charlmRareDropIds(df, model, 0.1, 0.4)
+      .as[Long].collect().toSet
+    assert(fast === expected)
+    val cached = TextOps.charlmRareDropIds(df,
+        sys.error("cached bytes must not re-aggregate the model"),
+        0.1, 0.4,
+        modelBytes = Some(TextOps.charlmCollectModel(model)))
+      .as[Long].collect().toSet
+    assert(cached === expected)
+    val overCap = TextOps.charlmRareDropIds(df, model, 0.1, 0.4, maxModelRows = 0)
+      .as[Long].collect().toSet
+    assert(overCap === expected)
+  }
+
   test("charlmScore deterministic fold equals the combinable sum within float tolerance") {
     val texts = (1 to 30).map(i =>
       (i.toLong, s"doc $i with some shared characters and id $i" * (i % 3 + 1), "en", "s", 10L))
