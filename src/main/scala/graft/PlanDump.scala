@@ -87,7 +87,7 @@ object PlanDump {
       "dedup_simhash" -> "md5-vote simhash: map-only scalar fingerprints, 4x16-bit band explode, bucket self-join, bit_count(xor) re-rank — the whole chain oracle-replayable since round 12",
       "ann_lsh" -> "md5-hyperplane SRP buckets: constant sign matrix cached per executor, (table, bucket) equi-join bounds candidates, exact cosine re-rank — bucket membership itself oracle-checked",
       "semantic_probe" -> "daily-ingest probe: rank-seeded corpus-only Lloyd training, corpus cell index from one argmin projection, delta x corpus joined WITHIN cells — the corpus never self-joins",
-      "charlm_score" -> "char-LM filter: bounded trigram model (two count aggregates), model joined back onto the per-doc trigram rollup, deterministic sorted fold per doc — no log anywhere",
+      "charlm_score" -> "char-LM filter: |alphabet|^3-bounded model trained by ONE packed-trigram aggregate, collected driver-side, scored per doc by ONE map-side expression (model as a foldable plan literal, elided below) — zero scoring shuffle, no log anywhere",
       "bpe_train" -> "BPE training: vocab-bounded word rollup, per-round pair-count aggregate + 1-row winner collect, map-only fold re-segmentation — corpus rows touched once at tokenization",
       "q_market_share" -> "TPC-H Q8: share-within-group over the six-table snowflake — ONE conditional aggregate pass (no per-nation self-join), pushed date/type filters, constant dims broadcast, big dims left to AQE",
       "pq_codes" -> "PQ encoding: all m subspaces in ONE batched broadcast-argmin pass (sub-keyed codebook join), zero corpus shuffles; training shuffles carry m x ksub x subDims rows, not vectors",
@@ -116,8 +116,12 @@ object PlanDump {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // drive AQE to the final plan
       out ++= s"\n## $name — $note\n\n```\n"
-      out ++= df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(8000)
+      // elide driver-built binary plan literals (charlm model bytes —
+      // KBs of hex that would bury the plan shape the dump exists for)
+      out ++= "0x[0-9A-F]{64,}".r.replaceAllIn(
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).take(16000),
+        m => s"0x<${(m.matched.length - 2) / 2} bytes elided>").take(8000)
       out ++= "\n```\n"
     }
     Files.writeString(Paths.get("PLANS.md"), out.toString)
