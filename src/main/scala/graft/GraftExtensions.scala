@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, CharlmCountsAgg, CharlmDocScore, CharlmRareFrac, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, CharlmDocCounts, CharlmDocScore, CharlmUnpack, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -187,21 +187,17 @@ object GraftExtensions {
         case other => badSignature("graft_charlm_doc_score",
           "(model: binary literal, text, rareBelow: double literal)", other)
       }),
-    ("graft_charlm_counts",
-      new ExpressionInfo(classOf[CharlmCountsAgg].getName, "graft_charlm_counts"),
+    ("graft_charlm_doc_counts",
+      new ExpressionInfo(classOf[CharlmDocCounts].getName, "graft_charlm_doc_counts"),
       (args: Seq[Expression]) => args match {
-        case Seq(text) => CharlmCountsAgg(text).toAggregateExpression()
-        case other => badSignature("graft_charlm_counts", "(text: string)", other)
+        case Seq(text) => CharlmDocCounts(text)
+        case other => badSignature("graft_charlm_doc_counts", "(text: string)", other)
       }),
-    ("graft_charlm_rare_frac",
-      new ExpressionInfo(classOf[CharlmRareFrac].getName, "graft_charlm_rare_frac"),
+    ("graft_charlm_unpack",
+      new ExpressionInfo(classOf[CharlmUnpack].getName, "graft_charlm_unpack"),
       (args: Seq[Expression]) => args match {
-        case Seq(model, text, Literal(r: Double, _)) => CharlmRareFrac(model, text, r)
-        case Seq(_, _, other) =>
-          throw new IllegalArgumentException(
-            s"graft_charlm_rare_frac rareBelow must be a double literal, got $other")
-        case other => badSignature("graft_charlm_rare_frac",
-          "(model: binary literal, text, rareBelow: double literal)", other)
+        case Seq(tri) => CharlmUnpack(tri)
+        case other => badSignature("graft_charlm_unpack", "(tri: bigint)", other)
       }),
     ("graft_bounded_collect",
       new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),

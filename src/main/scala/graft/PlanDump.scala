@@ -117,10 +117,12 @@ object PlanDump {
       df.collect() // drive AQE to the final plan
       out ++= s"\n## $name — $note\n\n```\n"
       // elide driver-built binary plan literals (charlm model bytes —
-      // KBs of hex that would bury the plan shape the dump exists for)
+      // KBs of hex that would bury the plan shape the dump exists
+      // for) BEFORE truncating: a truncate-first would let one large
+      // literal swallow every plan node after it
       out ++= "0x[0-9A-F]{64,}".r.replaceAllIn(
         df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode).take(16000),
+          org.apache.spark.sql.execution.FormattedMode),
         m => s"0x<${(m.matched.length - 2) / 2} bytes elided>").take(8000)
       out ++= "\n```\n"
     }

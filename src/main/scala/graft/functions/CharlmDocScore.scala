@@ -2,10 +2,8 @@ package graft.functions
 
 import java.nio.ByteBuffer
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,7 +72,12 @@ final class CharlmModel(packed: Array[Long], counts: Array[Long]) {
   locally {
     var i = 0
     while (i < packed.length) {
-      c3.put(packed(i), counts(i))
+      // addTo, not put: distinct model rows normally have distinct
+      // packed keys, but malformed-UTF-8 byte trigrams can COLLAPSE
+      // to one key — summing keeps C(ab) == Σ_c C(abc) consistent
+      // either way (an overwrite would break the derived-denominator
+      // invariant exactly on the collapsed keys)
+      c3.addTo(packed(i), counts(i))
       c2.addTo(packed(i) >>> 21, counts(i))
       thirdChars.add(java.lang.Long.valueOf(packed(i) & 0x1FFFFFL))
       i += 1
@@ -86,10 +89,9 @@ final class CharlmModel(packed: Array[Long], counts: Array[Long]) {
     * smoothing denominator. */
   val alphabet: Double = thirdChars.size().toDouble
 
-  /** One doc's `(n_tri, psum, rare_tri)` — the shared per-doc pass
-    * behind [[CharlmDocScore]] and [[CharlmRareFrac]]. Null for texts
-    * shorter than 3 chars (no trigram positions — the join path drops
-    * them before its explode). */
+  /** One doc's `(n_tri, psum, rare_tri)` — [[CharlmDocScore]]'s
+    * per-doc pass. Null for texts shorter than 3 chars (no trigram
+    * positions — the join path drops them before its explode). */
   def stats(text: UTF8String, rareBelow: Double): GenericInternalRow = {
     val cps = CharlmModel.codePoints(text)
     val n = cps.length
@@ -122,6 +124,39 @@ final class CharlmModel(packed: Array[Long], counts: Array[Long]) {
 }
 
 object CharlmModel {
+
+  /** Tiny process-wide LRU of deserialized models, keyed by wire-byte
+    * content. Spark deserializes the codegen reference array PER
+    * TASK, so an expression-instance `lazy val` alone would rebuild
+    * the model's hash maps (up to ~1M-entry at the cap) for every
+    * task of every micro-batch; this pays it once per executor per
+    * model GENERATION. Four slots: a process serves at most a couple
+    * of live models (today's and a mid-swap predecessor) — bounded so
+    * daily model turnover can never accumulate in a long-lived
+    * executor. */
+  private final class BytesKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+  private val cache =
+    new java.util.LinkedHashMap[BytesKey, CharlmModel](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[BytesKey, CharlmModel]): Boolean = size() > 4
+    }
+
+  def cached(bytes: Array[Byte]): CharlmModel = cache.synchronized {
+    val k = new BytesKey(bytes)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val m = deserialize(bytes)
+      cache.put(k, m)
+      m
+    }
+  }
 
   /** UTF-8 code points of a string, stepping by
     * [[UTF8String.numBytesForFirstByte]] — the exact char boundaries
@@ -185,7 +220,10 @@ object CharlmModel {
 
   /** `(tri utf8 bytes, c3)` rows -> wire bytes. */
   def serialize(rows: Array[(Array[Byte], Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + rows.iterator.map(_._1.length + 12).sum)
+    val size = 4L + rows.iterator.map(r => r._1.length.toLong + 12L).sum
+    require(size <= Int.MaxValue,
+      s"charlm model wire size $size exceeds a byte array — raise the caller's row cap guard, not this")
+    val bb = ByteBuffer.allocate(size.toInt)
     bb.putInt(rows.length)
     rows.foreach { case (k, v) => bb.putInt(k.length); bb.put(k); bb.putLong(v) }
     bb.array()
@@ -216,90 +254,88 @@ object CharlmModel {
   }
 }
 
-/** `graft_charlm_counts(text)` — the charlm TRAINING aggregate: the
-  * corpus's whole trigram count table `array<struct<tri, n>>` in one
-  * pass, the packed-code-point discipline of [[CharlmModel.stats]]
-  * applied to training. The explode-then-hash-aggregate form
-  * generates `len-2` UTF8String rows per doc through the aggregate
-  * machinery; this buffer counts packed longs per partition and
-  * merges |Σ|³-bounded maps — no per-position allocation anywhere.
-  * Counts are exact integers (order-free), and trigram strings are
-  * re-encoded from the packed code points, so the emitted rows equal
-  * the declarative form's bit-for-bit on valid UTF-8. */
-case class CharlmCountsAgg(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("tri", StringType, nullable = false),
-    StructField("n", LongType, nullable = false))), containsNull = false)
-  override def prettyName: String = "graft_charlm_counts"
+/** `graft_charlm_doc_counts(text)` — ONE doc's distinct trigrams
+  * with multiplicities, packed: `array<struct<tri: bigint, n:
+  * bigint>>`. The charlm TRAINING projection: the raw explode form
+  * pushed `len-2` UTF8String rows per doc through the aggregate
+  * machinery; this emits the doc's distinct-trigram rollup as packed
+  * longs (no string allocation per position), and the caller's
+  * ordinary `groupBy(tri).sum(n)` merges — DISTRIBUTED, partial-agg
+  * bounded at |Σ|³ per task, no single-reducer funnel and no
+  * corpus-sized rows at ANY realized alphabet (a global typed
+  * aggregate here would merge every partition's map on one task —
+  * exactly the CJK-scale corpora the join-path fallback exists
+  * for). Counts are exact integers; [[CharlmUnpack]] recovers the
+  * trigram strings on the |Σ|³-bounded AGGREGATED rows only. */
+case class CharlmDocCounts(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tri", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_charlm_doc_counts"
 
-  override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] =
-    new scala.collection.mutable.LongMap[Long]()
-
-  override def update(buffer: scala.collection.mutable.LongMap[Long],
-                      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
-    val t = child.eval(input)
-    if (t != null) {
-      val cps = CharlmModel.codePoints(t.asInstanceOf[UTF8String])
-      var i = 0
-      while (i <= cps.length - 3) {
-        val tri = (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) | cps(i + 2).toLong
-        buffer(tri) = buffer.getOrElse(tri, 0L) + 1L
-        i += 1
-      }
-    }
-    buffer
-  }
-
-  override def merge(buffer: scala.collection.mutable.LongMap[Long],
-                     other: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
-    other.foreachEntry((k, v) => buffer(k) = buffer.getOrElse(k, 0L) + v)
-    buffer
-  }
-
-  override def eval(buffer: scala.collection.mutable.LongMap[Long]): Any = {
-    val out = new Array[Any](buffer.size)
+  override def nullSafeEval(input: Any): Any = {
+    val cps = CharlmModel.codePoints(input.asInstanceOf[UTF8String])
+    val n = cps.length
+    if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = n - 2
+    val tris = new Array[Long](m)
     var i = 0
-    buffer.foreachEntry { (k, v) =>
-      out(i) = new GenericInternalRow(Array[Any](CharlmModel.unpack(k), v))
+    while (i < m) {
+      tris(i) = (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) | cps(i + 2).toLong
       i += 1
+    }
+    java.util.Arrays.sort(tris)
+    var distinct = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && tris(j) == tris(i)) j += 1
+      distinct += 1
+      i = j
+    }
+    val out = new Array[Any](distinct)
+    var d = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && tris(j) == tris(i)) j += 1
+      out(d) = new GenericInternalRow(Array[Any](tris(i), (j - i).toLong))
+      d += 1
+      i = j
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  override def serialize(buffer: scala.collection.mutable.LongMap[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buffer.size * 16)
-    bb.putInt(buffer.size)
-    buffer.foreachEntry((k, v) => { bb.putLong(k); bb.putLong(v) })
-    bb.array()
-  }
+  override protected def withNewChildInternal(newChild: Expression): CharlmDocCounts =
+    copy(child = newChild)
+}
 
-  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.LongMap[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt()
-    val out = new scala.collection.mutable.LongMap[Long](n * 2)
-    var i = 0
-    while (i < n) { out.update(bb.getLong(), bb.getLong()); i += 1 }
-    out
-  }
+/** `graft_charlm_unpack(tri: bigint)` — packed trigram back to its
+  * 3-char string ([[CharlmModel.unpack]]). Runs only on the
+  * |Σ|³-bounded aggregated rows, never per position. */
+case class CharlmUnpack(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): CharlmCountsAgg =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): CharlmCountsAgg =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CharlmCountsAgg =
-    copy(child = newChildren(0))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a bigint packed trigram, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_charlm_unpack"
+
+  override def nullSafeEval(input: Any): Any =
+    CharlmModel.unpack(input.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): CharlmUnpack =
+    copy(child = newChild)
 }
 
 /** `graft_charlm_doc_score(model: binary literal, text, rareBelow:
@@ -354,12 +390,15 @@ case class CharlmDocScore(left: Expression, right: Expression, rareBelow: Double
   @transient private lazy val model: CharlmModel = {
     val bytes = left.eval(null).asInstanceOf[Array[Byte]]
     require(bytes != null, s"$prettyName: model bytes are null")
-    CharlmModel.deserialize(bytes)
+    // per-process cache: the codegen reference array deserializes per
+    // TASK, so a plain deserialize here would rebuild the maps for
+    // every task of every micro-batch
+    CharlmModel.cached(bytes)
   }
 
   /** Public scorer for codegen'd calls. Returns null for texts
     * shorter than 3 chars (no trigram positions). */
-  def score(text: UTF8String): InternalRow = model.stats(text, rareBelow)
+  def score(text: UTF8String): GenericInternalRow = model.stats(text, rareBelow)
 
   override def nullSafeEval(modelBytes: Any, text: Any): Any =
     score(text.asInstanceOf[UTF8String])
@@ -373,71 +412,5 @@ case class CharlmDocScore(left: Expression, right: Expression, rareBelow: Double
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CharlmDocScore =
-    copy(left = newLeft, right = newRight)
-}
-
-/** `graft_charlm_rare_frac(model: binary literal, text, rareBelow:
-  * double literal)` — the charlm QUALITY GATE's decision value
-  * `rare_tri / n_tri` as one double, ONE per-doc pass.
-  *
-  * Exists because the gate's natural declarative form —
-  * `score.filter(rare_tri / n_tri > maxFrac)` over [[CharlmDocScore]]
-  * — triple-evaluates the scorer: predicate pushdown substitutes the
-  * struct expression into each field reference and filter codegen has
-  * no common-subexpression elimination (measured 3 plan occurrences,
-  * 3.65 s vs 1.9 s single-pass at sf0.1). A predicate built on THIS
-  * expression evaluates the doc exactly once. The division is the
-  * exact IEEE op the scored form computes (`rare_tri.toDouble /
-  * n_tri.toDouble`), so a gate on it replays bit-identically in the
-  * oracle's `rare_frac` CTE. Null (dropped by a filter, i.e. KEPT by
-  * the gate's drop-set semantics) for texts shorter than 3 chars —
-  * the join path's scored frame never contains those docs either. */
-case class CharlmRareFrac(left: Expression, right: Expression, rareBelow: Double)
-  extends BinaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType != BinaryType)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects a binary serialized charlm model, got ${left.dataType.simpleString}")
-    else if (!left.foldable)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects a FOLDABLE model argument (a literal/driver-built model)")
-    else if (right.dataType != StringType)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects a string text argument, got ${right.dataType.simpleString}")
-    else TypeCheckResult.TypeCheckSuccess
-
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_charlm_rare_frac"
-
-  @transient private lazy val model: CharlmModel = {
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    require(bytes != null, s"$prettyName: model bytes are null")
-    CharlmModel.deserialize(bytes)
-  }
-
-  /** Boxed for codegen (null = no trigram positions). */
-  def rareFrac(text: UTF8String): java.lang.Double = {
-    val s = model.stats(text, rareBelow)
-    if (s == null) null
-    else java.lang.Double.valueOf(
-      s.getLong(2).toDouble / s.getLong(0).toDouble)
-  }
-
-  override def nullSafeEval(modelBytes: Any, text: Any): Any =
-    rareFrac(text.asInstanceOf[UTF8String])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftCharlmRareFrac", this, classOf[CharlmRareFrac].getName)
-    val boxed = ctx.freshName("boxedFrac")
-    nullSafeCodeGen(ctx, ev, (_, text) => s"""
-      java.lang.Double $boxed = $ref.rareFrac($text);
-      ${ev.isNull} = ($boxed == null);
-      ${ev.value} = ${ev.isNull} ? -1.0 : $boxed.doubleValue();""")
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-                                                 newRight: Expression): CharlmRareFrac =
     copy(left = newLeft, right = newRight)
 }

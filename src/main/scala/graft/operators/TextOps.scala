@@ -276,19 +276,23 @@ object TextOps {
     * the incremental charlm arm appends per ingest day (bounded by
     * |Σ|³ whatever the batch size) and sums back into the model
     * ([[charlmScoreAgainstModel]]'s `c3`). Training never needs the
-    * per-doc rollup the scoring join path needs, so this is ONE
-    * native aggregate ([[graft.functions.CharlmCountsAgg]]): packed-
-    * code-point counting per partition, |Σ|³-bounded map merges —
-    * no trigram explode, no per-position allocation, one |Σ|³-row
-    * exchange instead of [[triRollup]]'s per-(doc, tri) shuffle plus
-    * a second aggregate. */
+    * scoring join path's per-doc rollup SHUFFLE, so each doc's
+    * distinct-trigram rollup is computed map-side as packed longs
+    * ([[graft.functions.CharlmDocCounts]] — no per-position string
+    * allocation), the ordinary `groupBy(tri)` merges DISTRIBUTED
+    * (partial-agg bounded at |Σ|³ per task; a single global typed
+    * aggregate would funnel every partition's map through one merge
+    * task — unacceptable exactly at the CJK-scale alphabets the
+    * scoring fallback exists for), and the trigram STRINGS are
+    * recovered only on the |Σ|³-bounded aggregated rows. */
   def charlmCounts(documents: DataFrame): DataFrame = {
     graft.GraftExtensions.register(documents.sparkSession)
     documents
       .filter(length(col("text")) >= 3)
-      .agg(call_function("graft_charlm_counts", col("text")).as("cs"))
-      .select(explode(col("cs")).as("c"))
-      .select(col("c.tri").as("tri"), col("c.n").as("n"))
+      .select(explode(call_function("graft_charlm_doc_counts", col("text"))).as("c"))
+      .groupBy(col("c.tri").as("tp"))
+      .agg(sum(col("c.n")).as("n"))
+      .select(call_function("graft_charlm_unpack", col("tp")).as("tri"), col("n"))
   }
 
   /** Compact the incremental charlm count table
@@ -345,9 +349,13 @@ object TextOps {
     // — score each doc in ONE map-side expression. Over the cap (a
     // CJK-scale realized alphabet — the literal-budget hazard the
     // join path's broadcast-hint refusal documents) fall through to
-    // the join path, which shuffles but never collects.
-    charlmCollectModel(c3, maxModelRows).foreach { bytes =>
-      return charlmScoreWithModel(candidates, bytes, rareBelow)
+    // the join path, which shuffles but never collects. Callers keep
+    // `doc_id` unique per candidates row (every registered caller
+    // scores a documents table); the GATE form that may legitimately
+    // see duplicates pools integer stats in [[charlmRareDropIds]].
+    charlmCollectModel(c3, maxModelRows) match {
+      case Some(bytes) => return charlmScoreWithModel(candidates, bytes, rareBelow)
+      case None => ()
     }
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("bi")).agg(sum(col("c3")).as("c2"))
     val s = c3.agg(countDistinct(substring(col("tri"), 3, 1)).as("sz"))
@@ -393,11 +401,16 @@ object TextOps {
     * across micro-batches keyed on the model table's file set — the
     * same re-read-only-on-change discipline as its bloom probes. */
   def charlmCollectModel(c3In: DataFrame, maxModelRows: Int = 1 << 20): Option[Array[Byte]] = {
-    val capped = c3In.select(col("tri"), col("c3")).limit(maxModelRows + 1).collect()
+    // collect the trigram KEY as raw utf8 bytes (cast to binary IS
+    // UTF8String.getBytes), not a java String: getString round-trips
+    // through UTF-16 and folds invalid byte sequences to U+FFFD — two
+    // byte-distinct malformed trigrams must stay distinct on the wire
+    // like they are in the join path
+    val capped = c3In.select(col("tri").cast("binary"), col("c3"))
+      .limit(maxModelRows + 1).collect()
     if (capped.length > maxModelRows) None
     else Some(graft.functions.CharlmModel.serialize(capped.iterator.map { r =>
-      (r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        r.get(1).asInstanceOf[Number].longValue())
+      (r.getAs[Array[Byte]](0), r.get(1).asInstanceOf[Number].longValue())
     }.toArray))
   }
 
@@ -422,22 +435,32 @@ object TextOps {
   }
 
   /** The charlm QUALITY GATE's drop set — doc-ids whose rare-trigram
-    * fraction exceeds `maxFrac` — as ONE single-evaluation map-side
-    * predicate. The declarative form over the scored frame
-    * (`filter(rare_tri / n_tri > maxFrac)`) triple-evaluates the
-    * per-doc scorer once predicate pushdown substitutes the struct
-    * fields (measured 3 plan occurrences, ~2× the single-pass wall at
-    * sf0.1); [[graft.functions.CharlmRareFrac]] computes the decision
-    * value in one pass per doc. Semantics are the scored form's
-    * exactly: candidates shorter than 3 chars never enter the drop
-    * set, and the division is the same IEEE op the oracle's
-    * `rare_frac` CTE replays.
+    * fraction exceeds `maxFrac`. The naive declarative form
+    * (`filter(rare_tri / n_tri > maxFrac)` straight over the fast
+    * scored frame) triple-evaluates the per-doc scorer once predicate
+    * pushdown substitutes the struct fields (measured 3 plan
+    * occurrences, ~2× the single-pass wall at sf0.1). Here the struct
+    * is projected ONCE (two non-cheap field references block
+    * CollapseProject — spec-pinned) and the gate's INTEGER stats pool
+    * per doc_id through one delta-sized 3-column exchange, with the
+    * frac filter sitting ABOVE the aggregate where pushdown cannot
+    * substitute into it.
+    *
+    * Pooling is not just the cheap shape — it is the join path's
+    * SEMANTICS: `triRollup` groups by (doc_id, tri), so a doc_id that
+    * appears on several candidate rows (a twice-delivered id in one
+    * delta — the gate runs BEFORE every dedup/id arm) scores as ONE
+    * pooled trigram multiset. `n_tri`/`rare_tri` are linear in that
+    * multiset (P depends only on the model), so per-row sums ARE the
+    * pooled values, bit-exact — integers. The frac division is the
+    * same IEEE op the oracle's `rare_frac` CTE replays; candidates
+    * shorter than 3 chars never enter the drop set.
     *
     * `modelBytes` is the steady-caller seam (Some(cached) from the
     * streaming preview sink's per-file-set cache; None = collect here
     * via [[charlmCollectModel]]). An over-cap model (inner None)
-    * falls back to the join-path scored frame, where the filter sits
-    * above an aggregate — no re-evaluation hazard there. */
+    * falls back to the join-path scored frame, where the filter also
+    * sits above an aggregate — no re-evaluation hazard there. */
   def charlmRareDropIds(candidates: DataFrame, c3In: => DataFrame,
                         rareBelow: Double, maxFrac: Double,
                         modelBytes: Option[Option[Array[Byte]]] = None,
@@ -447,8 +470,13 @@ object TextOps {
       case Some(b) =>
         graft.GraftExtensions.register(candidates.sparkSession)
         candidates.filter(length(col("text")) >= 3)
-          .filter(call_function("graft_charlm_rare_frac",
-            lit(b), col("text"), lit(rareBelow)) > lit(maxFrac))
+          .select(col("doc_id"),
+            call_function("graft_charlm_doc_score",
+              lit(b), col("text"), lit(rareBelow)).as("s"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("s.n_tri")).as("n_tri"),
+            sum(col("s.rare_tri")).as("rare_tri"))
+          .filter(col("rare_tri").cast("double") / col("n_tri") > maxFrac)
           .select(col("doc_id"))
       case None =>
         charlmScoreAgainstModel(candidates, c3In, rareBelow, maxModelRows = 0)

@@ -291,4 +291,46 @@ class PropertySpec extends SparkSpec {
         (col("quality_band") === "low" && col("quality_score") >= 0.4))
     assert(bad.count() === 0L)
   }
+
+  test("property: packed charlm trigram order == UTF8 byte order; counts == the explode form") {
+    // the packed-code-point fold order (graft.functions.CharlmModel)
+    // is bit-exact only if unsigned packed-long order equals
+    // UTF8String byte order for ANY trigram pair — the UTF-8
+    // order-preserving/prefix-free argument, checked here over a
+    // deliberately nasty alphabet: ASCII, boundary code points around
+    // every UTF-8 length transition (0x7F/0x80, 0x7FF/0x800,
+    // 0xFFFF/0x10000), CJK, emoji, and NUL
+    val nastyChar: Gen[Int] = Gen.oneOf(
+      Gen.choose(0x00, 0x7F), Gen.oneOf(0x7F, 0x80, 0x81, 0x7FF, 0x800, 0x801),
+      Gen.choose(0x4E00, 0x9FFF), Gen.oneOf(0xFFFF, 0x10000, 0x1F680, 0x10FFFF),
+      Gen.choose(0x80, 0x7FF))
+      .suchThat(cp => cp < 0xD800 || cp > 0xDFFF) // no lone surrogates
+    val tri: Gen[String] = Gen.listOfN(3, nastyChar)
+      .map(cps => new String(cps.toArray, 0, 3))
+    val tris = samples(tri, 400)
+    def packed(s: String): Long = {
+      val cps = graft.functions.CharlmModel.codePoints(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (cps(0).toLong << 42) | (cps(1).toLong << 21) | cps(2).toLong
+    }
+    tris.combinations(2).take(20000).foreach { case Seq(a, b) =>
+      val byteOrd = Integer.signum(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+      val packOrd = java.lang.Long.compare(packed(a), packed(b)).sign
+      assert(byteOrd === packOrd, s"order mismatch for ${a.codePoints().toArray.toSeq} vs ${b.codePoints().toArray.toSeq}")
+      // unpack must invert pack (valid UTF-8 roundtrip)
+      assert(graft.functions.CharlmModel.unpack(packed(a)).toString === a)
+    }
+    // the native training aggregate == the explode form, one Spark job
+    GraftExtensions.register(spark)
+    val docs = samples(Gen.listOfN(8, tri).map(_.mkString), 100)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = TextOps.charlmCounts(docs)
+      .as[(String, Long)].collect().toMap
+    val explodeForm = docs.filter(length(col("text")) >= 3)
+      .select(explode(call_function("graft_char_ngrams", col("text"), lit(3))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(native === explodeForm)
+  }
 }

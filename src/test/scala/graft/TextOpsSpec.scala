@@ -359,17 +359,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("charlmRareDropIds == the scored-form drop set under every dispatch") {
-    // the gate's single-evaluation predicate form must select exactly
-    // the ids the declarative filter over the scored frame selects —
-    // fast path, cached-bytes override, and over-cap join fallback
+  test("charlmRareDropIds == the scored-form drop set under every dispatch, duplicate ids pooled") {
+    // the gate's pooled fast form must select exactly the ids the
+    // join-path scored frame's filter selects — fast path,
+    // cached-bytes override, and over-cap join fallback. doc_id 6
+    // appears TWICE (the gate runs before every dedup/id arm, so a
+    // twice-delivered id is a legal input): natural text + garbled
+    // text pool into ONE trigram multiset in the join path's
+    // (doc_id, tri) rollup, and the fast form's integer sums must
+    // land the identical pooled verdict.
     val natural = Seq.fill(8)("the data pipeline runs the data").mkString(" ")
     val garbled = (1 to 14).map(i => s"zq${i}x w${i}v7 k${i}j").mkString(" ")
-    val df = Seq(
+    // parquet round-trip: a local Seq would fold to a LocalRelation
+    // and evaluate the scorer at OPTIMIZATION time, hiding the plan
+    // shape the single-evaluation pin below exists to check
+    val dfDir = java.nio.file.Files.createTempDirectory("graft_lm_drop").toString + "/docs"
+    Seq(
       (1L, natural), (2L, garbled), (3L, "ab"), // <3 chars: never dropped
-      (4L, natural + " tail"), (5L, garbled.reverse))
+      (4L, natural + " tail"), (5L, garbled.reverse),
+      (6L, natural), (6L, garbled)) // duplicate id: pooled verdict
       .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dfDir)
+    val df = spark.read.parquet(dfDir)
     val model = TextOps.charlmCounts(df.filter(col("doc_id") <= 2L))
       .select(col("tri"), col("n").as("c3"))
     val expected = TextOps.charlmScoreAgainstModel(df, model,
@@ -378,8 +390,16 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(expected.nonEmpty && !expected.contains(1L) && !expected.contains(3L))
     val fast = TextOps.charlmRareDropIds(df, model, 0.1, 0.4)
-      .as[Long].collect().toSet
-    assert(fast === expected)
+    // single-evaluation pin: the struct projection must NOT collapse
+    // into the aggregate (that would re-evaluate the scorer per field
+    // reference — the pushdown hazard this form exists to avoid).
+    // Counted on the optimized LOGICAL plan — CollapseProject and
+    // predicate pushdown are logical rules, and the physical tree's
+    // toString elides long expression lists.
+    assert("graft_charlm_doc_score".r
+      .findAllIn(fast.queryExecution.optimizedPlan.toString).size === 1,
+      "the per-doc scorer must appear exactly once in the gate plan")
+    assert(fast.as[Long].collect().toSet === expected)
     val cached = TextOps.charlmRareDropIds(df,
         sys.error("cached bytes must not re-aggregate the model"),
         0.1, 0.4,
