@@ -54,6 +54,47 @@ object Bench {
     sentinelWork()._1
   }
 
+  /** Registry rows whose wall is dominated by DRIVER-COORDINATED
+    * iteration — a fixpoint/merge loop of small per-round jobs (CC
+    * star rounds, label propagation, PageRank rounds, BPE merge
+    * rounds, the sample-quantile collect) — rather than scan/CPU
+    * work. r19's guardrail drift (`entity_communities` 1.7×,
+    * `pack_sequences_bpe` 1.7× on UNCHANGED code) was host
+    * driver-latency drift the scan-shaped CPU sentinel cannot see;
+    * these rows normalize against [[measureIterSentinel]] instead
+    * (`queries_norm_iter` in the detail line, iter-ratio scaling in
+    * the guardrail). */
+  private[graft] val iterRows: Set[String] = Set(
+    "dedup_clusters", "dedup_clusters_star", "semantic_clusters",
+    "entity_communities", "entity_pagerank", "entity_centrality",
+    "bpe_train", "bpe_encode", "pack_sequences_bpe", "curriculum_assign")
+
+  /** Driver-latency calibration sentinel: a fixed-round loop of tiny
+    * two-stage Spark jobs — the shape of one CC/label-propagation
+    * round (plan → schedule → shuffle a few hundred rows → fetch)
+    * with negligible data, so its wall measures per-job DRIVER cost
+    * (planning, scheduling, result fetch) on this host right now —
+    * the axis the allocation-free CPU loop deliberately excludes.
+    * Fixed work: same range, same grouping, same round count every
+    * run. */
+  private[graft] def measureIterSentinel(spark: SparkSession, rounds: Int = 40): Double = {
+    import org.apache.spark.sql.functions.col
+    def round(): Unit =
+      spark.range(0, 256, 1, 8).groupBy((col("id") % 16).as("k")).count().collect()
+    (1 to 5).foreach(_ => round()) // warm: JIT + codegen cache
+    val t0 = System.nanoTime()
+    (1 to rounds).foreach(_ => round())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** `"sentinel_iter":{...}` mean from a committed detail/round file —
+    * the driver-latency twin of [[parseSentinel]]. Baselines from
+    * before r20 parse to None (iter rows fall back to CPU scaling). */
+  private[graft] def parseSentinelIter(text: String): Option[Double] =
+    """(?<!\\)"sentinel_iter":\{"start":([0-9.Ee+-]+),"end":([0-9.Ee+-]+)""".r
+      .findFirstMatchIn(text)
+      .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
+
   /** `"sentinel":{"start":a,"end":b}` from a committed BENCH_DETAIL /
     * round file → the mean, for guardrail normalization. Baselines
     * from before the field parse to None (no scaling). */
@@ -72,13 +113,22 @@ object Bench {
     * sentinel on either side → no scaling (pre-r15 behavior). */
   private[graft] def normalizeBaseline(prev: Map[String, Double],
                                        prevSentinel: Option[Double],
-                                       curSentinel: Option[Double]): Map[String, Double] =
-    (prevSentinel, curSentinel) match {
-      case (Some(p), Some(c)) if p > 0 && c > 0 =>
-        val scale = math.max(0.5, math.min(2.0, c / p))
-        prev.view.mapValues(_ * scale).toMap
-      case _ => prev
+                                       curSentinel: Option[Double],
+                                       prevIterSentinel: Option[Double] = None,
+                                       curIterSentinel: Option[Double] = None): Map[String, Double] = {
+    def scaleOf(p: Option[Double], c: Option[Double]): Option[Double] = (p, c) match {
+      case (Some(pv), Some(cv)) if pv > 0 && cv > 0 =>
+        Some(math.max(0.5, math.min(2.0, cv / pv)))
+      case _ => None
     }
+    val cpuScale = scaleOf(prevSentinel, curSentinel)
+    // iter rows follow the DRIVER-latency clock when both sides carry
+    // it (r20); pre-r20 baselines fall back to the CPU clock
+    val iterScale = scaleOf(prevIterSentinel, curIterSentinel).orElse(cpuScale)
+    prev.map { case (k, v) =>
+      k -> (if (iterRows(k)) iterScale else cpuScale).fold(v)(v * _)
+    }
+  }
 
   /** Round-over-round regression rule: >1.5x the committed baseline
     * AND >0.3 s absolute growth — the ratio catches real plan
@@ -151,7 +201,8 @@ object Bench {
                                   errors: collection.Map[String, String],
                                   sfDir: String,
                                   steady: collection.Map[String, Double] = Map.empty,
-                                  sentinel: Option[(Double, Double)] = None): String = {
+                                  sentinel: Option[(Double, Double)] = None,
+                                  sentinelIter: Option[(Double, Double)] = None): String = {
     val qs = timings.map { case (k, v) => s"${Json.str(k)}:${ms(v)}" }.mkString("{", ",", "}")
     // `steady_state`: measurements that deliberately EXCLUDE one-time
     // setup (index builds) — reported next to, never inside, the
@@ -173,7 +224,19 @@ object Bench {
         .mkString("{", ",", "}")
       s""","sentinel":{"start":${ms(s0)},"end":${ms(s1)}},"queries_norm":$norm"""
     }
-    s"""{"metric":"total","value":${ms(timings.values.sum)},"unit":"sec","queries":$qs,"errors":${Json.obj(errors)}$ss$sent,"sf":${Json.str(sfDir)}}"""
+    // `sentinel_iter` + `queries_norm_iter` (r20): the driver-latency
+    // clock and JUST the iterative rows re-expressed in its units —
+    // the number comparable across runs for rows whose wall is
+    // per-round driver cost, not scan work. `queries_norm` keeps
+    // every row on the CPU clock for continuity with pre-r20 pins.
+    val sentIter = sentinelIter.fold("") { case (s0, s1) =>
+      val mean = (s0 + s1) / 2.0
+      val norm = timings.view.filterKeys(iterRows)
+        .map { case (k, v) => s"${Json.str(k)}:${ms(v / mean)}" }
+        .mkString("{", ",", "}")
+      s""","sentinel_iter":{"start":${ms(s0)},"end":${ms(s1)}},"queries_norm_iter":$norm"""
+    }
+    s"""{"metric":"total","value":${ms(timings.values.sum)},"unit":"sec","queries":$qs,"errors":${Json.obj(errors)}$ss$sent$sentIter,"sf":${Json.str(sfDir)}}"""
   }
 
   /** Bounded stdout summary — `queries` is a COUNT, not a map (the
@@ -216,9 +279,11 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // host-speed calibration bracketing the measured work (see
-    // sentinelWork): identical fixed CPU work at suite start and end
+    // sentinelWork): identical fixed CPU work at suite start and end,
+    // plus the driver-latency twin for the iterative rows (r20)
     val sentinelStart = measureSentinel()
-    System.err.println(f"BENCH SENTINEL start: $sentinelStart%.3fs")
+    val sentinelIterStart = measureIterSentinel(spark)
+    System.err.println(f"BENCH SENTINEL start: $sentinelStart%.3fs iter: $sentinelIterStart%.3fs")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
@@ -251,8 +316,10 @@ object Bench {
     // sf differs (iterating at sf0.001 vs a committed sf0.1 baseline
     // would flag everything as improved and nothing as regressed).
     val sentinelEnd = measureSentinel()
-    System.err.println(f"BENCH SENTINEL end: $sentinelEnd%.3fs")
+    val sentinelIterEnd = measureIterSentinel(spark)
+    System.err.println(f"BENCH SENTINEL end: $sentinelEnd%.3fs iter: $sentinelIterEnd%.3fs")
     val sentinelMean = (sentinelStart + sentinelEnd) / 2.0
+    val sentinelIterMean = (sentinelIterStart + sentinelIterEnd) / 2.0
     val baseline = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
       .orElse(latestCommittedBench())
@@ -265,7 +332,8 @@ object Bench {
     val prevQueries: Option[Map[String, Double]] = baseline
       .filter(b => baselineSf(b).contains(thisSf))
       .map(b => normalizeBaseline(parseBaselineQueries(b),
-        parseSentinel(b), Some(sentinelMean)))
+        parseSentinel(b), Some(sentinelMean),
+        parseSentinelIter(b), Some(sentinelIterMean)))
     // Re-measure any flagged query before reporting: min-of-all-runs,
     // so a one-off GC pause or load spike can't flag (see withRetries).
     val regs: Map[String, (Double, Double)] = prevQueries match {
@@ -342,13 +410,15 @@ object Bench {
       import org.apache.spark.sql.functions.{col, md5, substring}
       val post = "graft_bench_inc_post"; val hash = "graft_bench_inc_hash"
       val chunk = "graft_bench_inc_chunk"; val sem = "graft_bench_inc_sem"
+      val charlm = "graft_bench_inc_charlm"
       // bench-private state tables: the shared harness cleanup is
       // safe HERE because these names are owned by this block by
       // construction — a previous bench process's leftovers, nothing
       // else (production writers use the reactive
       // writeTableRecoveringStaleLocation instead).
       Pipeline.dropIncrementalState(spark, post, hash,
-        chunkTable = Some(chunk), semanticTable = Some(sem))
+        chunkTable = Some(chunk), semanticTable = Some(sem),
+        charlmTable = Some(charlm))
       val docs = Tables.documents(spark, sfDir)
         .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
       val embs = Tables.embeddings(spark, sfDir)
@@ -364,6 +434,7 @@ object Bench {
         chunkTable = Some(chunk), semanticTable = Some(sem),
         corpusEmbeddings =
           Some(embs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
+        charlmTable = Some(charlm),
         bloomShards = 16)
       val base = java.nio.file.Files.createTempDirectory("graft_bench_inc")
       val days = Seq(("00", "04"), ("04", "08"), ("08", "0c")).zipWithIndex.map {
@@ -373,12 +444,17 @@ object Bench {
           dayDocs.write.parquet(s"$dir/documents.parquet")
           (dir, embs.join(dayDocs.select("doc_id"), Seq("doc_id"), "left_semi"), i)
       }
+      // charlm armed (r19 VERDICT #3): the steady-state pin now
+      // prices the FULL production decideDelta chain — the same
+      // permissive 0.5 bar the ScaleCheck arms use (prices the gate's
+      // scoring without dropping ordinary docs)
       val dayTimes = days.map { case (dir, dayEmbs, i) =>
         System.gc()
         val t0 = System.nanoTime()
         Pipeline.runIncremental(spark, dir, base.resolve(s"out$i").toString,
           post, hash, chunkTable = Some(chunk), semanticTable = Some(sem),
-          deltaEmbeddings = Some(dayEmbs))
+          deltaEmbeddings = Some(dayEmbs),
+          charlmTable = Some(charlm), charlmRareFracMax = Some(0.5))
         (System.nanoTime() - t0) / 1e9
       }
       steady("run_incremental_daily") = dayTimes.drop(1).min
@@ -446,11 +522,19 @@ object Bench {
           .localCheckpoint()
         val previewEmbs = d2embs
           .withColumn("doc_id", col("doc_id") + lit(50000000L)).localCheckpoint()
+        // probe overrides built outside the clock — the streaming
+        // sink's per-file-set cache, matching the ScaleCheck trigger
+        // harness; charlm armed at the same permissive bar (r19
+        // VERDICT #3: the pin now prices the full decision chain)
+        val probes = Seq(post, hash, chunk, graft.operators.Dedup.idsSpaceOf(post))
+          .map(t => t -> graft.operators.Dedup.bloomProbeFor(spark, t)).toMap
         System.gc()
         val tP0 = System.nanoTime()
         Pipeline.decideDelta(spark, previewDelta, post, hash,
             chunkTable = Some(chunk), semanticTable = Some(sem),
-            deltaEmbeddings = Some(previewEmbs))
+            deltaEmbeddings = Some(previewEmbs),
+            charlmTable = Some(charlm), charlmRareFracMax = Some(0.5),
+            probeOverrides = probes)
           .verdicts.write.format("noop").mode("overwrite").save()
         steady("accept_preview_trigger") = (System.nanoTime() - tP0) / 1e9
         System.err.println(
@@ -467,7 +551,8 @@ object Bench {
     // goes to BENCH_DETAIL.json (committed per round — next round's
     // guardrail baseline) and stderr (visible in local runs).
     val detail = renderDetail(timings, errors, sfDir, steady,
-      sentinel = Some((sentinelStart, sentinelEnd)))
+      sentinel = Some((sentinelStart, sentinelEnd)),
+      sentinelIter = Some((sentinelIterStart, sentinelIterEnd)))
     // Two clobber guards on the committed baseline: a SPARK_GRAFT_ONLY
     // run must not replace the full map with a partial one, and a
     // local iteration at a DIFFERENT scale factor must not replace the

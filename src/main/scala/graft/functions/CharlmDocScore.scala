@@ -19,13 +19,6 @@ private[functions] final class LongLongMap(expected: Int) {
   java.util.Arrays.fill(keys, Long.MinValue)
   private val vals = new Array[Long](cap)
 
-  def put(k: Long, v: Long): Unit = {
-    var i = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
-    while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & mask
-    keys(i) = k
-    vals(i) = v
-  }
-
   def addTo(k: Long, v: Long): Unit = {
     var i = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
     while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & mask
@@ -133,19 +126,41 @@ object CharlmModel {
     * model GENERATION. Four slots: a process serves at most a couple
     * of live models (today's and a mid-swap predecessor) — bounded so
     * daily model turnover can never accumulate in a long-lived
-    * executor. */
+    * executor. Bounded by estimated RETAINED heap, not slot count: a
+    * cap-sized model's deserialized maps + alphabet set retain an
+    * order of magnitude more heap than its ~20 MB wire form, so four
+    * slots of slot-count LRU could pin ~1.6 GB per executor — the
+    * byte budget keeps the worst case at `cacheBudgetBytes` while
+    * still holding several small daily models. */
   private final class BytesKey(val bytes: Array[Byte]) {
-    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    // cheap digest: length + 64 sampled bytes — a full
+    // Arrays.hashCode would re-walk the ~20 MB wire bytes on EVERY
+    // cache probe; equals (full compare) runs only on digest match
+    override val hashCode: Int = {
+      var h = bytes.length
+      if (bytes.length > 0) {
+        val step = math.max(1, bytes.length / 64)
+        var i = 0
+        while (i < bytes.length) { h = h * 31 + bytes(i); i += step }
+      }
+      h
+    }
     override def equals(o: Any): Boolean = o match {
       case k: BytesKey => java.util.Arrays.equals(bytes, k.bytes)
       case _ => false
     }
   }
+
+  /** ~16× wire size: each ~20 B wire row expands to two open-address
+    * map slots at ≤50% load (64 B) plus a boxed alphabet-set entry —
+    * a deliberate overestimate so the budget errs toward eviction. */
+  private def retainedEstimate(wire: Int): Long = wire.toLong * 16L
+
+  private val cacheBudgetBytes: Long =
+    java.lang.Long.getLong("graft.charlm.cacheBudgetBytes", 512L << 20)
+  private var cachedBytesTotal = 0L
   private val cache =
-    new java.util.LinkedHashMap[BytesKey, CharlmModel](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[BytesKey, CharlmModel]): Boolean = size() > 4
-    }
+    new java.util.LinkedHashMap[BytesKey, CharlmModel](8, 0.75f, true)
 
   def cached(bytes: Array[Byte]): CharlmModel = cache.synchronized {
     val k = new BytesKey(bytes)
@@ -154,6 +169,16 @@ object CharlmModel {
     else {
       val m = deserialize(bytes)
       cache.put(k, m)
+      cachedBytesTotal += retainedEstimate(bytes.length)
+      // evict eldest until under budget; always keep the newest (a
+      // single over-budget model must still cache — rebuilding it per
+      // task is the failure mode this cache exists to prevent)
+      val it = cache.entrySet().iterator()
+      while (cachedBytesTotal > cacheBudgetBytes && cache.size() > 1) {
+        val e = it.next()
+        cachedBytesTotal -= retainedEstimate(e.getKey.bytes.length)
+        it.remove()
+      }
       m
     }
   }
@@ -164,7 +189,21 @@ object CharlmModel {
     * always agree with the join path's `substring` semantics. Valid
     * UTF-8 decodes to true code points (≤ 21 bits); a malformed or
     * truncated head byte decodes deterministically from whatever
-    * bytes its length class claims. */
+    * bytes its length class claims.
+    *
+    * VALID-UTF-8-ONLY bit-exactness: a stray lead/continuation byte
+    * decodes to its raw value 0x80–0xFF, which COLLIDES with the real
+    * code points U+0080–U+00FF — so on invalid UTF-8 two byte-distinct
+    * trigrams can collapse to one packed key, and the packed sort
+    * order no longer equals raw byte order (a standalone 0x80 byte
+    * sorts before U+0080's 0xC2 0x80 encoding bytewise; no code-point
+    * remap can fix the ORDER half, which is why this is documented
+    * rather than patched). [[CharlmModel]] keeps the derived
+    * denominators consistent under collapse (addTo on both tables,
+    * `C(ab) = Σ_c C(abc)` holds), so scoring stays well-defined — but
+    * the fast-path == join-path bit-exactness contract, and fast-path
+    * == native-training key identity, are pinned for valid UTF-8
+    * corpora only. */
   def codePoints(s: UTF8String): Array[Int] = {
     val bytes = s.getBytes
     val out = new Array[Int](s.numChars())

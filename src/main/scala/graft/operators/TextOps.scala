@@ -338,7 +338,17 @@ object TextOps {
     * its persisted count table. The conditioning bigram counts and
     * the alphabet size DERIVE from the model (`C(ab) = Σ_c C(abc)`,
     * `S` = distinct third chars), so a persisted model is just the
-    * one table and the smoothing can never disagree with it. */
+    * one table and the smoothing can never disagree with it.
+    *
+    * EAGER at construction: this method runs a driver limit+collect
+    * job over `c3In` ([[charlmCollectModel]]) BEFORE returning, and
+    * the returned plan carries the collected model as a literal — a
+    * snapshot of the model table as of this call, not a
+    * read-at-action view (callers building plans ahead of execution,
+    * or expecting a later model append to be visible, must rebuild
+    * the frame — the streaming preview sink's per-file-set cache does
+    * exactly that). Over the row cap the collect still runs (cap+1
+    * probe rows) but the returned join-path plan is lazy as usual. */
   def charlmScoreAgainstModel(candidates: DataFrame, c3In: DataFrame,
                               rareBelow: Double = 0.001,
                               deterministic: Boolean = false,

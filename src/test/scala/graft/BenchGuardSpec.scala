@@ -162,4 +162,44 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.normalizeBaseline(prev, None, Some(1.0)) === prev)
     assert(Bench.normalizeBaseline(prev, Some(0.5), None) === prev)
   }
+
+  test("iter sentinel: detail line carries sentinel_iter + the iter-row-only normalized map") {
+    // one iterative row, one scan row: queries_norm keeps BOTH on the
+    // CPU clock (pre-r20 continuity), queries_norm_iter carries ONLY
+    // the iterative row on the driver-latency clock
+    assert(Bench.iterRows("dedup_clusters_star") && !Bench.iterRows("q_tpch_pricing"))
+    val detail = Bench.renderDetail(
+      scala.collection.immutable.ListMap(
+        "dedup_clusters_star" -> 3.0, "q_tpch_pricing" -> 1.0),
+      Map.empty, "/d/sf0.1",
+      sentinel = Some((0.4, 0.6)), sentinelIter = Some((1.5, 2.5)))
+    assert(Bench.parseSentinel(detail) === Some(0.5),
+      "the iter field must not shadow the CPU sentinel parser")
+    assert(Bench.parseSentinelIter(detail) === Some(2.0))
+    assert(detail.contains(
+      """"queries_norm":{"dedup_clusters_star":6.000,"q_tpch_pricing":2.000}"""))
+    assert(detail.contains(""""queries_norm_iter":{"dedup_clusters_star":1.500}"""))
+    // a pre-r20 baseline parses to None (iter rows fall back to CPU scaling)
+    assert(Bench.parseSentinelIter(
+      """{"queries":{"a":1.0},"sentinel":{"start":0.4,"end":0.6},"sf":"/d/sf0.1"}""") === None)
+  }
+
+  test("iter sentinel guardrail: iter rows follow the driver-latency clock, scan rows the CPU clock") {
+    val prev = Map("dedup_clusters_star" -> 2.0, "q_tpch_pricing" -> 2.0)
+    // CPU clock flat (1.0x), driver latency 1.6x slower: the iterative
+    // row gets 1.6x headroom (r19's same-code 1.4-1.7x movers were
+    // exactly this axis), the scan row gets none
+    val scaled = Bench.normalizeBaseline(prev,
+      Some(0.5), Some(0.5), Some(1.0), Some(1.6))
+    assert(scaled === Map("dedup_clusters_star" -> 3.2, "q_tpch_pricing" -> 2.0))
+    // a pre-r20 baseline (no iter sentinel) scales iter rows by the
+    // CPU clock — the pre-r20 behavior, bit-for-bit
+    val fallback = Bench.normalizeBaseline(prev,
+      Some(0.5), Some(0.75), None, Some(1.6))
+    assert(fallback === Map("dedup_clusters_star" -> 3.0, "q_tpch_pricing" -> 3.0))
+    // iter clamp: same 2x ceiling as the CPU clock
+    val clamped = Bench.normalizeBaseline(Map("bpe_train" -> 1.0),
+      Some(0.5), Some(0.5), Some(0.2), Some(1.0))
+    assert(clamped === Map("bpe_train" -> 2.0))
+  }
 }

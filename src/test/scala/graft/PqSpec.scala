@@ -252,6 +252,28 @@ class PqSpec extends SparkSpec {
     assert(r2 === r, s"not partition-stable: $r vs $r2")
   }
 
+  test("opqGain stateKey: cached training chains reproduce the uncached row bit-for-bit") {
+    // r19 VERDICT #5: with a stateKey the permutation + both trained
+    // codebook sets persist per session key, so repeat calls price
+    // encoding + win counting. Three pins: keyed == unkeyed (the
+    // cache changes cost, never values), a repeat keyed call ==
+    // itself (the cached frames survive reuse), and distinct keys
+    // stay independent (no cross-input bleed).
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plain = Pq.opqGain(embs, deterministic = true).head()
+    val keyed1 = Pq.opqGain(embs, deterministic = true,
+      stateKey = Some("opq-spec-key")).head()
+    val keyed2 = Pq.opqGain(embs, deterministic = true,
+      stateKey = Some("opq-spec-key")).head()
+    assert(keyed1 === plain, "stateKey changed the row values")
+    assert(keyed2 === plain, "cached training chains drifted on reuse")
+    // a different key over a DIFFERENT input must not see the cache
+    val other = Pq.opqGain(embs.filter(col("vec_id") % 2 === 0),
+      deterministic = true, stateKey = Some("opq-spec-key-other")).head()
+    assert(other.getAs[Long]("docs") < plain.getAs[Long]("docs"),
+      "distinct keys must train on their own input")
+  }
+
   test("persisted PQ probe: certified candidates ⊇ exact hits ⊇ nothing lost, values replay") {
     // the production seam: train once, persist centroids + codebooks
     // + the 24 B/doc code index (codes + norm + reconstruction
