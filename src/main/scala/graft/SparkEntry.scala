@@ -2909,13 +2909,16 @@ object SparkEntry {
       // codebooks-never-retrain path
       (s: SparkSession, d: String) => {
         // fresh-session stale warehouse locations are swept inside
-        // writeSemanticIndexPq itself (its crash-consistency block)
+        // writeSemanticIndexPq itself (its crash-consistency block).
+        // Train ONCE per (session, sf dir) via the stamp seam (r20):
+        // repeat calls price the probe — the production read path —
+        // exactly what this row's own description promises
         val flagged = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
           (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
-        Pq.writeSemanticIndexPq(
+        Pq.writeSemanticIndexPqOnce(
           flagged.filter(!col("is_delta"))
             .select(col("vec_id").as("doc_id"), col("embedding")),
-          "graft_reg_sem_pq", deterministic = true)
+          "graft_reg_sem_pq", stateKey = d)
         Pq.incrementalSemanticMatchesPq(
           flagged.filter(col("is_delta"))
             .select(col("vec_id").as("doc_id"), col("embedding")),
@@ -2939,10 +2942,10 @@ object SparkEntry {
       (s: SparkSession, d: String) => {
         val flagged = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
           (substring(md5(col("vec_id").cast("string")), 1, 4) < "0ccd").as("is_delta"))
-        Pq.writeSemanticIndexPq(
+        Pq.writeSemanticIndexPqOnce(
           flagged.filter(!col("is_delta"))
             .select(col("vec_id").as("doc_id"), col("embedding")),
-          "graft_reg_sem_pq_tight", deterministic = true)
+          "graft_reg_sem_pq_tight", stateKey = d)
         Pq.incrementalSemanticMatchesPq(
           flagged.filter(col("is_delta"))
             .select(col("vec_id").as("doc_id"), col("embedding")),

@@ -274,6 +274,35 @@ class PqSpec extends SparkSpec {
       "distinct keys must train on their own input")
   }
 
+  test("writeSemanticIndexPqOnce: matching key reuses the persisted index, different key rebuilds") {
+    // r20 train-once seam for the persisted registry rows: the stamp
+    // lands after a complete build, a matching key must leave the
+    // tables untouched, a different key must rebuild, and the probe
+    // reads the same values in every state (deterministic training).
+    Seq("graft_pq_once", "graft_pq_once__centroids", "graft_pq_once__codebooks")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = embs.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val delta = embs.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    def probe() = Pq.incrementalSemanticMatchesPq(delta,
+        spark.table("graft_pq_once"), spark.table("graft_pq_once__centroids"),
+        spark.table("graft_pq_once__codebooks"))
+      .collect().map(_.toString).sorted.toSeq
+    Pq.writeSemanticIndexPqOnce(corpus, "graft_pq_once", stateKey = "k1")
+    val out1 = probe()
+    val files1 = spark.table("graft_pq_once").inputFiles.toSet
+    Pq.writeSemanticIndexPqOnce(corpus, "graft_pq_once", stateKey = "k1")
+    assert(spark.table("graft_pq_once").inputFiles.toSet === files1,
+      "a matching stateKey must not rebuild the index")
+    assert(probe() === out1)
+    Pq.writeSemanticIndexPqOnce(corpus, "graft_pq_once", stateKey = "k2")
+    assert(spark.table("graft_pq_once").inputFiles.toSet !== files1,
+      "a different stateKey must rebuild")
+    assert(probe() === out1, "same input under a new key must reproduce the probe")
+  }
+
   test("persisted PQ probe: certified candidates ⊇ exact hits ⊇ nothing lost, values replay") {
     // the production seam: train once, persist centroids + codebooks
     // + the 24 B/doc code index (codes + norm + reconstruction
