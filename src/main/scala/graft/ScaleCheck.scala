@@ -165,8 +165,9 @@ object ScaleCheck {
                               viralFrac: Double = 0.0): Double = {
     val post = s"graft_scday_${tag}_post"; val hash = s"graft_scday_${tag}_hash"
     val chunk = s"graft_scday_${tag}_chunk"; val sem = s"graft_scday_${tag}_sem"
+    val charlm = s"graft_scday_${tag}_charlm"
     Pipeline.dropIncrementalState(spark, post, hash, chunkTable = Some(chunk),
-      semanticTable = Some(sem))
+      semanticTable = Some(sem), charlmTable = Some(charlm))
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -198,6 +199,7 @@ object ScaleCheck {
       chunkTable = Some(chunk), semanticTable = Some(sem),
       corpusEmbeddings =
         Some(embs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
+      charlmTable = Some(charlm),
       bloomShards = 16)
     val oneDocs = spark.read.parquet(s"$oneDir/documents.parquet")
       .withColumn("__h", substring(md5(col("doc_id").cast("string")), 1, 2))
@@ -223,12 +225,16 @@ object ScaleCheck {
         dayDocs.write.parquet(s"$d/documents.parquet")
         (d, oneEmbs.join(dayDocs.select("doc_id"), Seq("doc_id"), "left_semi"), i)
     }
+    // charlm armed at the bench daily face's permissive bar (r20):
+    // the N×/1× ratio now prices the FULL production decision chain,
+    // model maintenance included
     days.map { case (d, dayEmbs, i) =>
       System.gc()
       val t0 = System.nanoTime()
       Pipeline.runIncremental(spark, d, base.resolve(s"out$i").toString,
         post, hash, chunkTable = Some(chunk), semanticTable = Some(sem),
-        deltaEmbeddings = Some(dayEmbs))
+        deltaEmbeddings = Some(dayEmbs),
+        charlmTable = Some(charlm), charlmRareFracMax = Some(0.5))
       (System.nanoTime() - t0) / 1e9
     }.drop(1).min
   }
