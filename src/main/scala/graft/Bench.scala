@@ -76,24 +76,33 @@ object Bench {
     * (planning, scheduling, result fetch) on this host right now —
     * the axis the allocation-free CPU loop deliberately excludes.
     * Fixed work: same range, same grouping, same round count every
-    * run. */
+    * run; each measurement is the MIN of two batches (a GC pause or
+    * load spike in one batch must not masquerade as driver drift —
+    * the withRetries rationale applied to the clock itself). */
   private[graft] def measureIterSentinel(spark: SparkSession, rounds: Int = 40): Double = {
     import org.apache.spark.sql.functions.col
     def round(): Unit =
       spark.range(0, 256, 1, 8).groupBy((col("id") % 16).as("k")).count().collect()
     (1 to 5).foreach(_ => round()) // warm: JIT + codegen cache
-    val t0 = System.nanoTime()
-    (1 to rounds).foreach(_ => round())
-    (System.nanoTime() - t0) / 1e9
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      (1 to rounds).foreach(_ => round())
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
-  /** `"sentinel_iter":{...}` mean from a committed detail/round file —
-    * the driver-latency twin of [[parseSentinel]]. Baselines from
-    * before r20 parse to None (iter rows fall back to CPU scaling). */
+  /** The iter clock from a committed detail/round file — the
+    * driver-latency twin of [[parseSentinel]], except MIN of the
+    * start/end samples rather than the mean: the iterative rows run
+    * mid-suite under a fully-warmed JVM, so the warm sample is the
+    * clock they actually experienced, while the suite-start sample
+    * carries fresh-JVM scheduler JIT (measured 1.7× the end sample)
+    * that would bias a mean. Baselines from before r20 parse to None
+    * (iter rows fall back to CPU scaling). */
   private[graft] def parseSentinelIter(text: String): Option[Double] =
     """(?<!\\)"sentinel_iter":\{"start":([0-9.Ee+-]+),"end":([0-9.Ee+-]+)""".r
       .findFirstMatchIn(text)
-      .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
+      .map(m => math.min(m.group(1).toDouble, m.group(2).toDouble))
 
   /** `"sentinel":{"start":a,"end":b}` from a committed BENCH_DETAIL /
     * round file → the mean, for guardrail normalization. Baselines
@@ -229,10 +238,12 @@ object Bench {
     // the number comparable across runs for rows whose wall is
     // per-round driver cost, not scan work. `queries_norm` keeps
     // every row on the CPU clock for continuity with pre-r20 pins.
+    // MIN of the two samples, matching parseSentinelIter (the
+    // suite-start sample carries fresh-JVM scheduler JIT).
     val sentIter = sentinelIter.fold("") { case (s0, s1) =>
-      val mean = (s0 + s1) / 2.0
+      val clock = math.min(s0, s1)
       val norm = timings.view.filterKeys(iterRows)
-        .map { case (k, v) => s"${Json.str(k)}:${ms(v / mean)}" }
+        .map { case (k, v) => s"${Json.str(k)}:${ms(v / clock)}" }
         .mkString("{", ",", "}")
       s""","sentinel_iter":{"start":${ms(s0)},"end":${ms(s1)}},"queries_norm_iter":$norm"""
     }
@@ -319,7 +330,8 @@ object Bench {
     val sentinelIterEnd = measureIterSentinel(spark)
     System.err.println(f"BENCH SENTINEL end: $sentinelEnd%.3fs iter: $sentinelIterEnd%.3fs")
     val sentinelMean = (sentinelStart + sentinelEnd) / 2.0
-    val sentinelIterMean = (sentinelIterStart + sentinelIterEnd) / 2.0
+    // min, not mean — matches parseSentinelIter (see its scaladoc)
+    val sentinelIterClock = math.min(sentinelIterStart, sentinelIterEnd)
     val baseline = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
       .orElse(latestCommittedBench())
@@ -333,7 +345,7 @@ object Bench {
       .filter(b => baselineSf(b).contains(thisSf))
       .map(b => normalizeBaseline(parseBaselineQueries(b),
         parseSentinel(b), Some(sentinelMean),
-        parseSentinelIter(b), Some(sentinelIterMean)))
+        parseSentinelIter(b), Some(sentinelIterClock)))
     // Re-measure any flagged query before reporting: min-of-all-runs,
     // so a one-off GC pause or load spike can't flag (see withRetries).
     val regs: Map[String, (Double, Double)] = prevQueries match {
@@ -526,8 +538,7 @@ object Bench {
         // sink's per-file-set cache, matching the ScaleCheck trigger
         // harness; charlm armed at the same permissive bar (r19
         // VERDICT #3: the pin now prices the full decision chain)
-        val probes = Seq(post, hash, chunk, graft.operators.Dedup.idsSpaceOf(post))
-          .map(t => t -> graft.operators.Dedup.bloomProbeFor(spark, t)).toMap
+        val probes = graft.operators.Dedup.probeMapFor(spark, post, hash, Some(chunk))
         System.gc()
         val tP0 = System.nanoTime()
         Pipeline.decideDelta(spark, previewDelta, post, hash,

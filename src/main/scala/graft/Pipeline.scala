@@ -457,11 +457,17 @@ object Pipeline {
     * concurrent Spark jobs from daemon threads — each task builds its
     * frame AND forces its localCheckpoint, so the caller's wall pays
     * the slowest task, not the sum. Spark schedules jobs from
-    * multiple threads of one session fairly; the session is pinned
-    * active/default per thread (both are thread-local). All threads
-    * are joined before returning — the first failure rethrows with
-    * every other task already finished, so no job leaks past an
-    * error. */
+    * multiple threads of one session fairly. The ACTIVE session is
+    * pinned per thread (it is thread-local and a fresh thread starts
+    * without one); the DEFAULT session is deliberately NOT touched —
+    * it is a JVM-wide global, and writing it here would race between
+    * concurrent decideDelta calls on different sessions (all code on
+    * the probe paths takes its session explicitly, so the active pin
+    * is belt-and-braces, not load-bearing). Job-group/description
+    * local properties inherit from the spawning thread via
+    * SparkContext's InheritableThreadLocal. All threads are joined
+    * before returning — the first failure rethrows with every other
+    * task already finished, so no job leaks past an error. */
   private def runConcurrently[A](spark: SparkSession,
                                  tasks: Seq[() => A]): Seq[A] =
     if (tasks.lengthCompare(1) <= 0) tasks.map(_())
@@ -470,7 +476,6 @@ object Pipeline {
       val threads = tasks.zipWithIndex.map { case (t, i) =>
         val th = new Thread(() => {
           SparkSession.setActiveSession(spark)
-          SparkSession.setDefaultSession(spark)
           out(i) = try Right(t()) catch { case e: Throwable => Left(e) }
         }, s"graft-probe-$i")
         th.setDaemon(true)
@@ -740,8 +745,13 @@ object Pipeline {
     * scaffolding, not decision work), the four bloom probes and the
     * collected charlm model bytes (the streaming preview sink's
     * re-read-only-on-change discipline, applied here because the
-    * audit's tables are immutable for a given key). Entries die with
-    * the session; values are identical with or without a hit. */
+    * audit's tables are immutable for a given key). Values are
+    * identical with or without a hit. Retention is BOUNDED, not
+    * session-scoped: the map is process-global, so entries for a
+    * STOPPED session are swept at every put and the map is capped at
+    * [[auditCacheMax]] entries (oldest first) — a long-lived JVM
+    * cycling sessions retains at most that many stale states, never
+    * an unbounded tail (r20 review). */
   private final case class AuditState(
       delta: org.apache.spark.sql.DataFrame,
       deltaVecs: org.apache.spark.sql.DataFrame,
@@ -749,8 +759,26 @@ object Pipeline {
       probes: Map[String, Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column]],
       charlmBytes: Option[Array[Byte]])
+  private val auditCacheMax = 4
   private val auditStateCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), AuditState]
+    new java.util.LinkedHashMap[(SparkSession, String), AuditState]()
+
+  private def auditCacheGet(spark: SparkSession, key: String): Option[AuditState] =
+    auditStateCache.synchronized(Option(auditStateCache.get((spark, key))))
+
+  private def auditCachePut(spark: SparkSession, key: String, st: AuditState): Unit =
+    auditStateCache.synchronized {
+      val it = auditStateCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1.sparkContext.isStopped) it.remove()
+      }
+      auditStateCache.put((spark, key), st)
+      val it2 = auditStateCache.entrySet().iterator()
+      while (auditStateCache.size() > auditCacheMax && it2.hasNext) {
+        it2.next(); it2.remove()
+      }
+    }
 
   def acceptPreviewAudit(documents: org.apache.spark.sql.DataFrame,
                          embeddings: org.apache.spark.sql.DataFrame,
@@ -783,9 +811,18 @@ object Pipeline {
     // r20: a validated-reuse call also reuses the CACHED per-key
     // state (planted frames, bloom probes, model bytes) so the timed
     // row prices [[decideDelta]] alone; a stamp without a cache entry
-    // (never the bench path) rebuilds the frames but not the tables
+    // (never the bench path) rebuilds the frames but not the tables.
+    // The cached frames are non-reliable localCheckpoints — on a
+    // cluster an executor loss between calls invalidates their
+    // blocks, so a hit is VALIDATED with one tiny read and falls
+    // back to a frame rebuild on failure (the frame-side twin of the
+    // stamp-after-complete-build rule; local-mode blocks can't die,
+    // so the probe costs two ~ms jobs there)
     val st = stateKey.flatMap(k =>
-        if (reuse) auditStateCache.get((spark, k)) else None)
+        if (reuse) auditCacheGet(spark, k) else None)
+      .filter(s =>
+        try { s.delta.take(1); s.deltaVecs.take(1); true }
+        catch { case _: Exception => false })
       .getOrElse {
     // audit-owned fixed names: the shared harness cleanup is safe
     // here by construction (a crashed prior audit's leftovers,
@@ -899,9 +936,12 @@ object Pipeline {
       graft.operators.Ann.writeSemanticIndex(corpusVecs, sem, buckets = 16,
         trainIters = 1, deterministic = true)
       // stamp LAST — a crash anywhere above leaves no stamp, so the
-      // next call rebuilds instead of trusting half-built state
+      // next call rebuilds instead of trusting half-built state.
+      // Key single-quotes SQL-escaped (keys are caller-supplied
+      // paths); the stored property value round-trips to the raw
+      // key, so the reuse compare above needs no unescape.
       stateKey.foreach(k => spark.sql(
-        s"ALTER TABLE $post SET TBLPROPERTIES ('graft.audit_state' = '$k')"))
+        s"ALTER TABLE $post SET TBLPROPERTIES ('graft.audit_state' = '${k.replace("'", "''")}')"))
     }
     // the paraphrase slice's delta vectors: the SOURCE's embedding
     // under the shifted id
@@ -912,13 +952,12 @@ object Pipeline {
     // four bloom probes and the collected charlm model bytes (the
     // streaming sink discipline); delta/deltaVecs checkpoint so a
     // reuse call never re-derives the synthetic slices
-    val probes = Seq(post, hash, chunk, Dedup.idsSpaceOf(post))
-      .map(t => t -> Dedup.bloomProbeFor(spark, t)).toMap
+    val probes = Dedup.probeMapFor(spark, post, hash, Some(chunk))
     val modelBytes = TextOps.charlmCollectModel(
       spark.table(charlm).groupBy(col("tri")).agg(sum(col("n")).as("c3")))
     val built = AuditState(delta.localCheckpoint(), deltaVecs.localCheckpoint(),
       holdoutSrc.select(col("doc_id"), col("text")), probes, modelBytes)
-    stateKey.foreach(k => auditStateCache.put((spark, k), built))
+    stateKey.foreach(k => auditCachePut(spark, k, built))
     built
       }
     decideDelta(spark, st.delta, post, hash,

@@ -117,8 +117,7 @@ object ScaleCheck {
     // them every timed trigger re-collected and re-broadcast all four
     // sharded blooms — an O(corpus) driver term that polluted the
     // very N-vs-1 ratio this harness pins)
-    val probes = Seq(post, hash, chunk, graft.operators.Dedup.idsSpaceOf(post))
-      .map(t => t -> graft.operators.Dedup.bloomProbeFor(spark, t)).toMap
+    val probes = graft.operators.Dedup.probeMapFor(spark, post, hash, Some(chunk))
     // the FIXED delta: 1× docs re-keyed past every replica id range,
     // text-perturbed so nothing short-circuits at the id/exact gates
     val off = 500000000000000L

@@ -875,6 +875,21 @@ object Dedup {
       }
     }
 
+  /** The steady-caller probe-override map for
+    * [[graft.Pipeline.decideDelta]]: one [[bloomProbeFor]] entry per
+    * probe table the decision consults — the band-postings index, the
+    * content-hash set, the optional chunk index, and the doc-id key
+    * space derived from the postings name. ONE definition (r20) so
+    * the bench, ScaleCheck and streaming-preview harnesses cannot
+    * drift from the keys `decideDelta` actually looks up: a probed
+    * table added there and missed in a hand-built map would silently
+    * re-read its bloom inside the clock. */
+  def probeMapFor(spark: SparkSession, postingsTable: String, hashTable: String,
+                  chunkTable: Option[String] = None)
+    : Map[String, Option[Column => Column]] =
+    (Seq(postingsTable, hashTable, idsSpaceOf(postingsTable)) ++ chunkTable)
+      .map(t => t -> bloomProbeFor(spark, t)).toMap
+
   /** Incremental near-dup detection across ingests: compute signatures
     * for the NEW documents only and probe the persisted corpus index
     * ([[writeBandPostings]]) — the production path for a daily ingest,

@@ -175,10 +175,12 @@ class BenchGuardSpec extends AnyFunSuite {
       sentinel = Some((0.4, 0.6)), sentinelIter = Some((1.5, 2.5)))
     assert(Bench.parseSentinel(detail) === Some(0.5),
       "the iter field must not shadow the CPU sentinel parser")
-    assert(Bench.parseSentinelIter(detail) === Some(2.0))
+    // MIN of start/end, not the mean: the warm sample is the clock
+    // the mid-suite iterative rows actually ran under
+    assert(Bench.parseSentinelIter(detail) === Some(1.5))
     assert(detail.contains(
       """"queries_norm":{"dedup_clusters_star":6.000,"q_tpch_pricing":2.000}"""))
-    assert(detail.contains(""""queries_norm_iter":{"dedup_clusters_star":1.500}"""))
+    assert(detail.contains(""""queries_norm_iter":{"dedup_clusters_star":2.000}"""))
     // a pre-r20 baseline parses to None (iter rows fall back to CPU scaling)
     assert(Bench.parseSentinelIter(
       """{"queries":{"a":1.0},"sentinel":{"start":0.4,"end":0.6},"sf":"/d/sf0.1"}""") === None)

@@ -143,8 +143,7 @@ object DailyJobProfiler {
           corpusEmbeddings =
             Some(embs.join(docs.select("doc_id"), Seq("doc_id"), "left_semi")),
           charlmTable = Some(charlm), bloomShards = 16)
-        val probes = Seq(post, hash, chunk, operators.Dedup.idsSpaceOf(post))
-          .map(t => t -> operators.Dedup.bloomProbeFor(spark, t)).toMap
+        val probes = operators.Dedup.probeMapFor(spark, post, hash, Some(chunk))
         val off = 500000000000000L
         val delta = spark.read.parquet(s"$oneDir/documents.parquet")
           .withColumn("doc_id", col("doc_id") + lit(off))
