@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, BoundedCollect, CdcChunks, CharlmDocCounts, CharlmDocScore, CharlmUnpack, FreqItemsAgg, SortedFoldSum, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{AdcDist, BloomMightContain, BoundedCollect, CdcChunks, CharlmDocCounts, CharlmDocScore, CharlmUnpack, FoldSumArr, FreqItemsAgg, PqEncode, SortedFoldSum, SortedFoldSumArr, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -205,6 +205,33 @@ object GraftExtensions {
         case Seq(v, Literal(n: Int, _)) => BoundedCollect(v, n).toAggregateExpression()
         case Seq(_, other) => notLiteral("graft_bounded_collect", "maxN", other)
         case other => badSignature("graft_bounded_collect", "(value: bigint, maxN: int literal)", other)
+      }),
+    ("graft_pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(emb, subcents) => PqEncode(emb, subcents)
+        case other => badSignature(
+          "graft_pq_encode", "(vector, subcents: array<array<struct<cell, cemb>>>)", other)
+      }),
+    ("graft_adc_dist",
+      new ExpressionInfo(classOf[AdcDist].getName, "graft_adc_dist"),
+      (args: Seq[Expression]) => args match {
+        case Seq(dtab, codes) => AdcDist(dtab, codes)
+        case other => badSignature(
+          "graft_adc_dist", "(dtab: array<array<double>>, codes: array<bigint>)", other)
+      }),
+    ("graft_sorted_fold_sum_arr",
+      new ExpressionInfo(classOf[SortedFoldSumArr].getName, "graft_sorted_fold_sum_arr"),
+      (args: Seq[Expression]) => args match {
+        case Seq(k, v) => SortedFoldSumArr(k, v).toAggregateExpression()
+        case other => badSignature(
+          "graft_sorted_fold_sum_arr", "(key: bigint, value: array<double>)", other)
+      }),
+    ("graft_fold_sum_arr",
+      new ExpressionInfo(classOf[FoldSumArr].getName, "graft_fold_sum_arr"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => FoldSumArr(v).toAggregateExpression()
+        case other => badSignature("graft_fold_sum_arr", "(value: array<double>)", other)
       }))
 
   /** Idempotently register the functions on an existing session. */

@@ -1599,6 +1599,24 @@ object Pipeline {
         Dedup.recountBloomItems(spark, Dedup.idsSpaceOf(t), Dedup.idKeySql)
       did
     }
+    // summary counts over already-checkpointed frames, CONCURRENT
+    // (r20): nine sequential tiny count jobs cost one driver
+    // round-trip each — the probe-side runConcurrently discipline
+    // applied to the report tail; values are unchanged (every frame
+    // is pinned, so a count is a pure read)
+    val summaryCounts = runConcurrently(spark, Seq(
+      () => "input" -> Tables.documents(spark, sourceDir).count(),
+      () => "quality" -> quality.count(),
+      // the dropped-id set is checkpointed — this count does not
+      // re-run the corpus-model scoring job
+      () => "charlm_dropped" -> charlmDropped.map(_.count()).getOrElse(0L),
+      () => "id_collision_dropped" -> corpusIds.count(),
+      () => "exact_within" -> exactWithin.count(),
+      () => "exact_new" -> exactNew.count(),
+      () => "neardup_vs_corpus_dropped" -> corpusHits.count(),
+      () => "substring_vs_corpus_dropped" -> substrHits.map(_.count()).getOrElse(0L),
+      () => "semantic_vs_corpus_dropped" -> semHits.map(_.count()).getOrElse(0L),
+      () => "decontaminated" -> contaminated.map(_.count()).getOrElse(0L)))
     Map(
       "compacted_indexes" -> compactedN.toLong,
       "chunk_recap" -> (if (recapped) 1L else 0L),
@@ -1607,19 +1625,7 @@ object Pipeline {
       // crash window mid-retrain) and rebuilt the PQ tier — the loud
       // signal that the previous run died degraded
       "semantic_pq_repair" -> (if (pqRepaired) 1L else 0L),
-      "input" -> Tables.documents(spark, sourceDir).count(),
-      "quality" -> quality.count(),
-      // the dropped-id set is checkpointed — this count does not
-      // re-run the corpus-model scoring job
-      "charlm_dropped" -> charlmDropped.map(_.count()).getOrElse(0L),
-      "id_collision_dropped" -> corpusIds.count(),
-      "exact_within" -> exactWithin.count(),
-      "exact_new" -> exactNew.count(),
-      "neardup_vs_corpus_dropped" -> corpusHits.count(),
-      "substring_vs_corpus_dropped" -> substrHits.map(_.count()).getOrElse(0L),
-      "semantic_vs_corpus_dropped" -> semHits.map(_.count()).getOrElse(0L),
-      "decontaminated" -> contaminated.map(_.count()).getOrElse(0L),
-      "accepted" -> acceptedN)
+      "accepted" -> acceptedN) ++ summaryCounts
   }
 
   /** `postingsTable` / `hashTable`: when set, the run also persists

@@ -1200,7 +1200,12 @@ object SparkEntry {
       // exact-side (distinct md5 text hashes; distinct CDC chunk
       // hashes), so a merge that loses an arm's day keys fails the
       // boolean and a chunking/hashing drift fails the count
-      (s: SparkSession, d: String) => Corpus.bloomFilterAuditMergeBatched(docs(s, d)),
+      // stateKey = the sf dir (r20): a repeat call in one session
+      // reuses the deterministic corpus-side tables/blooms and prices
+      // the batched merge + append + audit — the acceptPreviewAudit
+      // seam; a fresh session or another SF rebuilds from scratch
+      (s: SparkSession, d: String) =>
+        Corpus.bloomFilterAuditMergeBatched(docs(s, d), stateKey = Some(d)),
       Some(s"""WITH $cdcChunksCtes
               |SELECT 'chunk' AS arm, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_keys,
               |  TRUE AS no_false_negatives, TRUE AS fp_ok FROM uch

@@ -120,52 +120,56 @@ object Ann {
     * same-cell misses at a fixed nprobe — the recall knob that costs
     * training time instead of query time.
     *
-    * Scale shape per round: assignment is the same map-side broadcast
-    * argmin the query path uses (no shuffle); re-centering is a
-    * posexplode into (cell, dim) partial sums — map-side COMBINABLE,
-    * so the shuffle carries k × dims rows, not the corpus — and the
-    * new centroid row is k-sized. Cells that attract no vectors keep
-    * their previous centroid (the standard empty-cell rule). The
-    * fixpoint is driver-coordinated with `localCheckpoint` cutting
-    * per-round lineage, exactly like [[Dedup.clusterPairs]]; a FIXED
-    * iteration count keeps runs reproducible (vs convergence-epsilon
-    * on floats).
+    * Scale shape per round (r20): assignment is the same map-side
+    * broadcast argmin the query path uses (no shuffle); re-centering
+    * folds WHOLE vectors elementwise per cell through ONE exchange —
+    * no posexplode, no per-(cell, dim) level. Cells that attract no
+    * vectors keep their previous centroid (the standard empty-cell
+    * rule). The fixpoint is driver-coordinated with `localCheckpoint`
+    * cutting per-round lineage, exactly like [[Dedup.clusterPairs]];
+    * a FIXED iteration count keeps runs reproducible (vs
+    * convergence-epsilon on floats).
     *
-    * `deterministic = false` (production): per-dimension partial sums
-    * are map-side combinable — the shuffle carries k × dims rows, but
-    * double addition is partition-order-dependent, so means are not
+    * `deterministic = false` (production): the running-array partials
+    * ([[graft.functions.FoldSumArr]]) are map-side combinable — the
+    * shuffle carries k dims-length partials per map task, but double
+    * addition is partition-order-dependent, so means are not
     * bit-stable across layouts. `deterministic = true` (the
-    * oracle-checked registry path): each (cell, dim) folds its
-    * members in ascending `vec_id` order (sorted collect + sequential
-    * `aggregate`), which any engine can replay bit-for-bit — the
-    * shuffle carries the exploded values instead of partials, the
-    * price of byte-level reproducibility. A spec pins both modes to
-    * the same top-k at gate SF. */
+    * oracle-checked registry path): each cell folds its member
+    * vectors elementwise in ascending `vec_id` order
+    * ([[graft.functions.SortedFoldSumArr]]), which any engine can
+    * replay bit-for-bit — the shuffle carries the member vectors
+    * instead of partials, the price of byte-level reproducibility.
+    * A spec pins both modes to the same top-k at gate SF. */
   private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
                                      deterministic: Boolean = false,
                                      seed: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0)
     graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
-    var cents = seed.getOrElse(ivfCentroids(e, k)).localCheckpoint()
+    // LAZY checkpoints throughout the fixpoint (r20): lineage is cut
+    // identically, but each round's k-row centroid frame materializes
+    // inside the NEXT job that reads it (the assign broadcast build)
+    // instead of paying its own eager driver round-trip — one job per
+    // round saved, values untouched.
+    var cents = seed.getOrElse(ivfCentroids(e, k)).localCheckpoint(false)
     var it = 0
     while (it < iters) {
       val assigned = nearestCells(e, cents, "emb", "nrm", keep = 1)
-      val sums = assigned
-        .select(col("cell"), col("vec_id"), posexplode(asDouble(col("emb"))).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
+      // Re-centering through ONE cell-keyed exchange (r20): whole
+      // vectors fold elementwise per cell — the (cell, pos) partial
+      // level, its posexplode (dims× the rows) and the collect_list/
+      // array_sort reassembly are gone. The array fold performs the
+      // identical per-dimension IEEE additions in the identical
+      // vec_id order, so means are bit-identical (guide §2.3/§2.4).
+      val sums = assigned.groupBy(col("cell"))
       val means = (if (deterministic)
-        // the sorted fold as ONE native aggregate
-        // ([[graft.functions.SortedFoldSum]]) — bit-identical to the
-        // declarative array_sort(collect_list) + aggregate it replaces
-        sums.agg(call_function("graft_sorted_fold_sum", col("vec_id"), col("x")).as("sx"),
-          count(lit(1)).as("c"))
+        sums.agg(call_function("graft_sorted_fold_sum_arr",
+          col("vec_id"), asDouble(col("emb"))).as("sx"), count(lit(1)).as("c"))
       else
-        sums.agg(sum(col("x")).as("sx"), count(lit(1)).as("c")))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"),
-          (col("sx") / col("c")).as("m")))).as("pm"))
+        sums.agg(call_function("graft_fold_sum_arr", asDouble(col("emb"))).as("sx"),
+          count(lit(1)).as("c")))
         .select(col("cell"),
-          transform(col("pm"), p => p.getField("m")).as("cemb"))
+          transform(col("sx"), x => x / col("c")).as("cemb"))
         .withColumn("cnrm", norm(col("cemb")))
       val prev = cents.select(explode(col("cents")).as("p"))
         .select(col("p.cell").as("cell"), col("p.cemb").as("pemb"),
@@ -175,7 +179,7 @@ object Ann {
           coalesce(col("cemb"), asDouble(col("pemb"))).as("cemb"),
           coalesce(col("cnrm"), col("pnrm")).as("cnrm"))
         .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       it += 1
     }
     cents

@@ -1436,16 +1436,21 @@ object Dedup {
         // Convergence detection FUSED into the label round: each node's
         // previous label rides along as `min(label WHERE own)` (every
         // node contributes exactly one own-row, so `prev` is never
-        // null), and "did anything change" is a filter over the
-        // checkpointed result — not the separate next-vs-old join the
-        // first formulation paid per round (one extra shuffle join per
-        // iteration on the hot fixpoint path).
+        // null), and "did anything change" is an `observe` metric
+        // collected DURING the checkpoint job itself (r20) — not the
+        // separate filter+isEmpty job the previous formulation paid per
+        // round, and not the next-vs-old join the first one did (the
+        // fixpoint's wall at these row sizes is driver round-trips per
+        // round, so every fused job is a measured win).
+        val obs = org.apache.spark.sql.Observation()
         val next = labels.withColumn("own", lit(true)).union(msgs)
           .groupBy(col("node"))
           .agg(min(col("label")).as("label"),
                min(when(col("own"), col("label"))).as("prev"))
+          .observe(obs, coalesce(sum(when(col("label") =!= col("prev"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed"))
           .localCheckpoint()
-        converged = next.filter(col("label") =!= col("prev")).isEmpty
+        converged = obs.get.apply("changed").asInstanceOf[Long] == 0L
         labels = next.select(col("node"), col("label"))
         iter += 1
       }
@@ -1524,10 +1529,21 @@ object Dedup {
           // would cost an extra full-edge shuffle per round for
           // nothing.
           .select(col("b").as("u"), least(col("a"), col("mn")).as("v"))
-          .localCheckpoint()
+          // LAZY checkpoint (r20): still cuts lineage and materializes
+          // exactly once (both small-star consumers below read the
+          // persisted blocks), but the materialization rides the
+          // round's ONE checkpoint job instead of paying its own eager
+          // job — at fixpoint row sizes the per-round driver
+          // round-trips ARE the wall (the iter-sentinel's axis)
+          .localCheckpoint(false)
         // small-star: center u (the larger endpoint) rewires its smaller
         // neighbors and itself onto its minimum neighbor
         val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        // the round signature rides the SAME job as the checkpoint via
+        // `observe` (r20) — the separate per-round signature aggregate
+        // job is gone; the metrics are the identical count + hash-sum
+        // pair over the identical distinct'd row set
+        val obs = org.apache.spark.sql.Observation()
         val rewired = large.join(sm, "u")
           .select(col("v").as("x"), col("m"))
           .union(sm.select(col("u").as("x"), col("m")))
@@ -1535,8 +1551,11 @@ object Dedup {
           // x is either a neighbor >= m or the center u > m: canonical
           .select(col("x").as("u"), col("m").as("v"))
           .distinct()
+          .observe(obs, count(lit(1)).as("c"),
+            coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
           .localCheckpoint()
-        val nextSig = signature(rewired)
+        val m = obs.get
+        val nextSig = (m("c").asInstanceOf[Long], m("h").asInstanceOf[Long])
         // exact confirmation runs ONLY when the cheap signature already
         // matches — once per query in the common case
         converged = nextSig == sig && edges.exceptAll(rewired).isEmpty

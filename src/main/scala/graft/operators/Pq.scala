@@ -47,28 +47,35 @@ object Pq {
       lit(0.0), (acc, v) => acc + v)
 
   /** All vectors' subvectors for all `m` subspaces in ONE relation
-    * `(vec_id, sub, semb)` — training and encoding batch every
-    * subspace into a single plan per pass instead of m sequential
-    * jobs (the arithmetic per (sub, row) is unchanged; only the job
-    * count drops m-fold). */
+    * `(vec_id, sub, semb)` — the SEED pass of training only (r20: the
+    * per-round assignment and every encode pass run the fused native
+    * [[graft.functions.PqEncode]] instead — no explode, no codebook
+    * join, no per-cell interpreted folds). */
   private def subRows(e: DataFrame, m: Int, subDims: Int): DataFrame =
     e.select(col("vec_id"), explode(array((0 until m).map(j =>
       struct(lit(j).as("sub"), subvec(col("emb"), j, subDims).as("semb"))): _*)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.semb").as("semb"))
 
-  /** Nearest-codebook-cell assignment for ALL subspaces at once:
-    * each (vec, sub) row broadcast-joins its subspace's centroid
-    * array on `sub` and scores it with array HOFs — (d², cell)
-    * ascending, ties to the lower cell id — no shuffle on the
-    * corpus side. */
-  private def assignAll(sv: DataFrame, cb: DataFrame): DataFrame = {
-    val scored = transform(col("cents"), c =>
-      struct(l2sq(col("semb"), c.getField("cemb")).as("d2"),
-        c.getField("cell").as("cell")))
-    sv.join(broadcast(cb), Seq("sub"))
-      .withColumn("cell", element_at(array_sort(scored), 1).getField("cell"))
-      .drop("cents")
-  }
+  /** The full codebook set packed to ONE row `subcents[j]` = subspace
+    * j's `array<struct<cell, cemb>>` (subspaces ascending) — what
+    * [[graft.functions.PqEncode]] consumes as a 1-row broadcast, the
+    * same packed layout [[queryTables]] always used. Cell ORDER within
+    * a subspace's array is irrelevant: the encode compares (d², cell)
+    * explicitly, exactly like the struct-sort it replaced. */
+  private def subcentsRow(cb: DataFrame): DataFrame =
+    cb.agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+      p => p.getField("cents")).as("subcents"))
+
+  /** Fused per-vector PQ encode against the packed codebooks: one
+    * native expression per row emits (codes, per-subspace d²s, Σd²) —
+    * all m subspace argmins with the exact l2sq fold and (d², cell)
+    * tie order of the declarative chain it replaces, zero shuffle,
+    * zero joins (r20; the corpus-side groupBy(vec_id) that used to
+    * reassemble code arrays is gone with it). */
+  private def encodedRows(e: DataFrame, cb: DataFrame): DataFrame =
+    e.crossJoin(broadcast(subcentsRow(cb)))
+      .withColumn("enc", call_function("graft_pq_encode", col("emb"), col("subcents")))
+      .drop("subcents")
 
   /** All `m` trained codebooks, one row per subspace
     * `(sub, cents: array<struct<cell, cemb>>)`: seed = the `ksub`
@@ -84,17 +91,21 @@ object Pq {
     * assign/re-center rounds under squared L2, ALL subspaces in one
     * plan per round.
     *
-    * Scale shape per round: assignment is the map-side broadcast
-    * argmin above (no shuffle); re-centering explodes to
-    * (sub, cell, dim) partial sums — `deterministic = false`
-    * (production) keeps them map-side COMBINABLE so the shuffle
-    * carries m × ksub × subDims rows, not the corpus;
+    * Scale shape per round (r20): assignment is the fused native
+    * encode against a 1-row broadcast (no shuffle, no explode, no
+    * codebook join); re-centering groups whole subvectors per
+    * (sub, cell) through ONE exchange — `deterministic = false`
+    * (production) sums them elementwise map-side COMBINABLE
+    * ([[graft.functions.FoldSumArr]]: the shuffle carries m × ksub
+    * dims-length partials per map task, not the corpus);
     * `deterministic = true` (the oracle-checked registry path) folds
-    * each (sub, cell, dim)'s members in ascending vec_id order — the
-    * byte-reproducibility trade, same as [[Ann.kmeansCentroids]].
-    * Empty cells keep their previous centroid. The codebook set is
-    * m × ksub × subDims doubles — a constant broadcast at any corpus
-    * size. */
+    * each (sub, cell)'s member subvectors elementwise in ascending
+    * vec_id order ([[graft.functions.SortedFoldSumArr]] — the
+    * identical per-dimension IEEE additions the per-(pos) scalar fold
+    * performed), the byte-reproducibility trade, same as
+    * [[Ann.kmeansCentroids]]. Empty cells keep their previous
+    * centroid. The codebook set is m × ksub × subDims doubles — a
+    * constant broadcast at any corpus size. */
   private[graft] def trainCodebooks(e: DataFrame, m: Int, subDims: Int,
                                     ksub: Int, iters: Int,
                                     deterministic: Boolean,
@@ -113,9 +124,12 @@ object Pq {
     } else
       sv.filter(col("vec_id") < ksub)
         .select(col("sub"), col("vec_id").as("cell"), col("semb").as("cemb"))
+    // lazy checkpoints per round — same rationale as
+    // [[Ann.kmeansCentroids]]'s (r20): lineage cut identically, the
+    // m-row codebook frame materializes inside the next consuming job
     var cents = seedRows.groupBy(col("sub"))
       .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     if (!rankSeed) {
       // legacy cell = vec_id seeding only holds the ADC contract
       // (cells dense 0..ksub-1) on a dense 0-based id space — fail
@@ -130,22 +144,31 @@ object Pq {
     }
     var it = 0
     while (it < iters) {
-      val sums = assignAll(sv, cents)
-        .select(col("sub"), col("cell"), col("vec_id"),
-          posexplode(col("semb")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("cell"), col("pos"))
+      // Assignment is the fused native encode (r20): one expression
+      // over the raw vector replaces the m-row explode + codebook
+      // join + per-cell interpreted folds; re-centering groups WHOLE
+      // subvectors per (sub, cell) through ONE exchange — the
+      // (sub, cell, pos) partial level and its reassembly shuffle are
+      // gone, the shuffle carries subDims× fewer rows (guide §2.3/
+      // §2.4). The array fold sums elementwise in ascending vec_id
+      // order, performing the identical IEEE additions per dimension
+      // the scalar per-(pos) fold performed — bit-identical means.
+      val assigned = encodedRows(e, cents)
+        .select(col("vec_id"), explode(transform(col("enc.codes"),
+          (c, j) => struct(j.as("sub"), c.as("cell"),
+            Ann.asDouble(slice(col("emb"), j * lit(subDims) + 1, lit(subDims)))
+              .as("semb")))).as("a"))
+        .select(col("vec_id"), col("a.sub").as("sub"), col("a.cell").as("cell"),
+          col("a.semb").as("semb"))
+      val sums = assigned.groupBy(col("sub"), col("cell"))
       val means = (if (deterministic)
-        // native sorted fold ([[graft.functions.SortedFoldSum]]) —
-        // bit-identical to the declarative form it replaces
-        sums.agg(call_function("graft_sorted_fold_sum", col("vec_id"), col("x")).as("sx"),
-          count(lit(1)).as("c"))
+        sums.agg(call_function("graft_sorted_fold_sum_arr",
+          col("vec_id"), col("semb")).as("sx"), count(lit(1)).as("c"))
       else
-        sums.agg(sum(col("x")).as("sx"), count(lit(1)).as("c")))
-        .groupBy(col("sub"), col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"),
-          (col("sx") / col("c")).as("m")))).as("pm"))
+        sums.agg(call_function("graft_fold_sum_arr", col("semb")).as("sx"),
+          count(lit(1)).as("c")))
         .select(col("sub"), col("cell"),
-          transform(col("pm"), p => p.getField("m")).as("cemb"))
+          transform(col("sx"), x => x / col("c")).as("cemb"))
       val prev = cents.select(col("sub"), explode(col("cents")).as("p"))
         .select(col("sub"), col("p.cell").as("cell"), col("p.cemb").as("pemb"))
       cents = prev.join(means, Seq("sub", "cell"), "left")
@@ -153,17 +176,26 @@ object Pq {
           coalesce(col("cemb"), col("pemb")).as("cemb"))
         .groupBy(col("sub"))
         .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       it += 1
     }
     cents
   }
 
   /** PQ codes for every vector and subspace against a trained
-    * codebook set — one batched broadcast-argmin pass. */
-  private def codesFor(e: DataFrame, cb: DataFrame, m: Int, subDims: Int): DataFrame =
-    assignAll(subRows(e, m, subDims), cb)
-      .select(col("vec_id"), col("sub"), col("cell").as("code"))
+    * codebook set — the fused native encode, posexploded to the
+    * relational (vec_id, sub, code) form. Map-only. */
+  private def codesFor(e: DataFrame, cb: DataFrame): DataFrame =
+    encodedRows(e, cb)
+      .select(col("vec_id"),
+        posexplode(col("enc.codes")).as(Seq("sub", "code")))
+
+  /** One row per vector with its subspace-ordered code ARRAY — the
+    * scan-side layout ADC consumes, straight off the fused encode
+    * (r20: previously a corpus-wide groupBy(vec_id) reassembly
+    * shuffle of the relational codes). */
+  private def codesArrOf(e: DataFrame, cb: DataFrame): DataFrame =
+    encodedRows(e, cb).select(col("vec_id"), col("enc.codes").as("codes"))
 
   private def embCol(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").as("emb"))
@@ -177,15 +209,8 @@ object Pq {
               deterministic: Boolean = false): DataFrame = {
     val e = embCol(embeddings)
     val cb = trainCodebooks(e, m, subDims, ksub, iters, deterministic)
-    codesFor(e, cb, m, subDims)
+    codesFor(e, cb)
   }
-
-  /** Codes rolled up to one array per vector, ordered by subspace —
-    * the scan-side layout ADC consumes. */
-  private def codesArr(codes: DataFrame): DataFrame =
-    codes.groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        p => p.getField("code")).as("codes"))
 
   /** The m × ksub per-query ADC distance table: one row per query,
     * `dtab[j][cell+1]` = ‖q_j − c_{j,cell}‖². Codebook cells are
@@ -204,11 +229,12 @@ object Pq {
 
   /** ADC approximate distance of one coded row against a query's
     * table: m lookups folded in subspace order — per-row, fixed
-    * order, so bit-stable under ANY partitioning. */
+    * order, so bit-stable under ANY partitioning. Native
+    * ([[graft.functions.AdcDist]], r20): this is the per-candidate
+    * cost of every ADC scan; the interpreted zip_with/aggregate HOF
+    * twin it replaces folds in the identical order. */
   private def adcDist: Column =
-    aggregate(zip_with(col("dtab"), col("codes"),
-      (t, c) => element_at(t, (c + 1).cast("int"))),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_adc_dist", col("dtab"), col("codes"))
 
   /** PQ top-k: train codebooks, encode the corpus, ADC-scan the
     * codes for each query's `adcCand` best candidates, then re-rank
@@ -224,12 +250,11 @@ object Pq {
     graft.GraftExtensions.register(embeddings.sparkSession)
     val e = embCol(embeddings)
     val cb = trainCodebooks(e, m, subDims, ksub, iters, deterministic)
-    val codes = codesFor(e, cb, m, subDims)
     val q = queryTables(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb")),
       cb, subDims)
-    val adc = codesArr(codes)
+    val adc = codesArrOf(e, cb)
       .crossJoin(broadcast(q.select(col("query_id"), col("dtab"))))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist", adcDist)
@@ -280,7 +305,6 @@ object Pq {
       .select(col("vec_id"), col("cell"))
     val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
       m, subDims, ksub, iters, deterministic)
-    val codes = codesFor(e, cb, m, subDims)
     val qRows = Ann.nearestCells(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
@@ -289,7 +313,7 @@ object Pq {
     val qTabs = queryTables(
       qRows.select(col("query_id"), col("qemb")).dropDuplicates("query_id"),
       cb, subDims)
-    val adc = codesArr(codes)
+    val adc = codesArrOf(e.select(col("vec_id"), col("emb")), cb)
       .join(cells, Seq("vec_id"))
       .join(broadcast(qRows.select(col("query_id"), col("cell"))), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -331,11 +355,19 @@ object Pq {
       .select(col("c.cell").as("cell"), col("c.cemb").as("cemb"))
     val cells = Ann.nearestCells(e, coarse, "emb", "nrm", keep = 1)
       .select(col("vec_id"), col("emb"), col("cell"))
+      // consumed by the residual projection AND the ADC cell join —
+      // lazy checkpoint materializes it once inside the first
+      // consuming job instead of re-running the coarse argmin (r20)
+      .localCheckpoint(false)
     val residuals = cells.join(broadcast(centRows), Seq("cell"))
       .select(col("vec_id"),
         zip_with(Ann.asDouble(col("emb")), col("cemb"), (x, c) => x - c).as("emb"))
+      // consumed per training round + the encode pass: without the
+      // pin every Lloyd round re-runs the argmin + residual
+      // projection over the corpus (r20; guide §5 — reuse beats
+      // recompute here because the recompute is a full corpus pass)
+      .localCheckpoint(false)
     val cb = trainCodebooks(residuals, m, subDims, ksub, iters, deterministic)
-    val codes = codesFor(residuals, cb, m, subDims)
     val qRows = Ann.nearestCells(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
@@ -346,7 +378,7 @@ object Pq {
       .select(col("query_id"), col("cell"),
         zip_with(Ann.asDouble(col("qemb")), col("cemb"), (x, c) => x - c).as("qemb"))
     val qTabs = queryTables(qres, cb, subDims)
-    val adc = codesArr(codes)
+    val adc = codesArrOf(residuals, cb)
       .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .join(broadcast(qTabs.select(col("query_id"), col("cell"), col("dtab"))),
         Seq("cell"))
@@ -536,41 +568,29 @@ object Pq {
   def semanticIndexRowsPq(vectors: DataFrame, centroids: DataFrame,
                           codebooks: DataFrame): DataFrame = {
     graft.GraftExtensions.register(vectors.sparkSession)
-    val (m, subDims) = codebookShape(codebooks)
     val cents = centroids
       .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
-    val e = vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+    // ONE zero-shuffle pass (r20): the coarse argmin and the fused PQ
+    // encode ride the same scan projection against two 1-row
+    // broadcasts — the subspace explode + codebook join + corpus-wide
+    // groupBy(vec_id) reassembly + cells re-join are all gone. `qerr`
+    // is the same subspace-ordered fold (now inside the native
+    // encode); `qerrs` the same per-subspace d² array. Stored as
+    // exact doubles so the certified bound replays bit-for-bit in the
+    // oracle; a production deployment past memory pressure quantizes
+    // each √e_j UP to one byte against a per-table scale (any stored
+    // s_j ≥ √e_j keeps the bound certified), putting the index at
+    // 24+m = 32 B/doc.
+    vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", Ann.norm(col("emb")))
-    val cells = Ann.nearestCells(e, cents, "emb", "nrm", keep = 1)
-      .select(col("vec_id"), col("cell"), col("nrm"))
-    val scored = transform(col("cents"), c =>
-      struct(l2sq(col("semb"), c.getField("cemb")).as("d2"),
-        c.getField("cell").as("cell")))
-    subRows(e.select(col("vec_id"), col("emb")), m, subDims)
-      .join(broadcast(packCodebooks(codebooks)), Seq("sub"))
-      .withColumn("b", element_at(array_sort(scored), 1))
-      .select(col("vec_id"), col("sub"), col("b.cell").as("code"), col("b.d2").as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-          p => p.getField("code")).as("codes"),
-        // subspace-ordered fold — bit-identical to quantizationError's
-        call_function("graft_sorted_fold_sum",
-          col("sub").cast("long"), col("d2")).as("qerr"),
-        // per-SUBSPACE reconstruction errors, subspace-ordered: the
-        // tight certified bound decomposes the triangle inequality
-        // per subspace (d_true² ≥ Σ_j max(0, d_j − √e_j)², which
-        // Cauchy-Schwarz proves ≥ the scalar-qerr bound), shrinking
-        // the candidate sets the exact confirm pays for. Stored as
-        // exact doubles so the bound replays bit-for-bit in the
-        // oracle; a production deployment past memory pressure
-        // quantizes each √e_j UP to one byte against a per-table
-        // scale (any stored s_j ≥ √e_j keeps the bound certified),
-        // putting the index at 24+m = 32 B/doc
-        transform(array_sort(collect_list(struct(col("sub"), col("d2")))),
-          p => p.getField("d2")).as("qerrs"))
-      .join(cells, Seq("vec_id"))
-      .select(col("vec_id").as("doc_id"), col("cell"), col("codes"),
-        col("nrm"), col("qerr"), col("qerrs"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", call_function("graft_ivf_argmin", col("emb"), col("cents")))
+      .drop("cents")
+      .crossJoin(broadcast(subcentsRow(packCodebooks(codebooks))))
+      .withColumn("enc", call_function("graft_pq_encode", col("emb"), col("subcents")))
+      .select(col("vec_id").as("doc_id"), col("cell"),
+        col("enc.codes").as("codes"), col("nrm"),
+        col("enc.qerr").as("qerr"), col("enc.d2s").as("qerrs"))
   }
 
   /** The OPQ DECISION REPORT — connects the measured embedding
@@ -651,22 +671,15 @@ object Pq {
     * argmin cell. */
   def quantizationError(vectors: DataFrame, codebooks: DataFrame): DataFrame = {
     graft.GraftExtensions.register(vectors.sparkSession)
-    val (m, subDims) = codebookShape(codebooks)
-    val scored = transform(col("cents"), c =>
-      struct(l2sq(col("semb"), c.getField("cemb")).as("d2"),
-        c.getField("cell").as("cell")))
-    subRows(vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb")),
-        m, subDims)
-      .join(broadcast(packCodebooks(codebooks)), Seq("sub"))
-      .withColumn("d2", element_at(array_sort(scored), 1).getField("d2"))
-      .groupBy(col("vec_id"))
-      // subspace-ordered fold, not an unordered double sum: per-vec
-      // qerr must be bit-stable under any partitioning because
-      // [[opqGain]] COMPARES the two arms' values row by row (m
-      // entries per group — bounded buffer)
-      .agg(call_function("graft_sorted_fold_sum",
-        col("sub").cast("long"), col("d2")).as("qerr"))
-      .select(col("vec_id").as("doc_id"), col("qerr"))
+    // one zero-shuffle map pass (r20): the fused encode's qerr IS the
+    // subspace-ordered fold the exploded groupBy used to compute —
+    // per-row, fixed order, bit-stable under any partitioning (the
+    // property [[opqGain]]'s row-by-row compare rests on)
+    vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .crossJoin(broadcast(subcentsRow(packCodebooks(codebooks))))
+      .select(col("vec_id").as("doc_id"),
+        call_function("graft_pq_encode", col("emb"), col("subcents"))
+          .getField("qerr").as("qerr"))
   }
 
   /** Per-dimension variance of the int8-quantized embedding — the
@@ -927,15 +940,20 @@ object Pq {
       .withColumn("nrm", Ann.norm(col("emb")))
     val cents = Ann.kmeansCentroids(e, numCentroids, trainIters, deterministic,
       seed = Some(Ann.seedCentroidsByRank(e, numCentroids)))
-    val cells = Ann.nearestCells(e, cents, "emb", "nrm", keep = 1)
-      .select(col("vec_id"), col("cell"))
     val cb = trainCodebooks(e.select(col("vec_id"), col("emb")),
       m, subDims, ksub, iters, deterministic, rankSeed = true)
-    val codes = codesFor(e.select(col("vec_id"), col("emb")), cb, m, subDims)
     // the persisted index SHAPE: one row per corpus doc, 16 B payload
-    val index = codesArr(codes)
-      .join(cells, Seq("vec_id"))
-      .join(e.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+    // — cell, codes and norm off ONE zero-shuffle scan projection
+    // against two 1-row broadcasts (r20: previously a corpus-wide
+    // groupBy(vec_id) code reassembly plus two vec_id re-joins)
+    val index = e.crossJoin(broadcast(cents))
+      .withColumn("cell", call_function("graft_ivf_argmin", col("emb"), col("cents")))
+      .drop("cents")
+      .crossJoin(broadcast(subcentsRow(cb)))
+      .select(col("vec_id"),
+        call_function("graft_pq_encode", col("emb"), col("subcents"))
+          .getField("codes").as("codes"),
+        col("cell"), col("nrm"))
     val delta = flagged.filter(col("is_delta"))
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
       .withColumn("qnrm", Ann.norm(col("qemb")))

@@ -74,8 +74,10 @@ object DailyJobProfiler {
         val oneDir = args.lift(2)
         val post = "graft_prof_inc_post"; val hash = "graft_prof_inc_hash"
         val chunk = "graft_prof_inc_chunk"; val sem = "graft_prof_inc_sem"
+        val charlm = "graft_prof_inc_charlm"
         Pipeline.dropIncrementalState(spark, post, hash,
-          chunkTable = Some(chunk), semanticTable = Some(sem))
+          chunkTable = Some(chunk), semanticTable = Some(sem),
+          charlmTable = Some(charlm))
         def rawDocs(d: String) =
           if (oneDir.isEmpty) Tables.documents(spark, d)
           else spark.read.parquet(s"$d/documents.parquet")
@@ -96,6 +98,7 @@ object DailyJobProfiler {
           chunkTable = Some(chunk), semanticTable = Some(sem),
           corpusEmbeddings =
             Some(corpusEmbs.join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_semi")),
+          charlmTable = Some(charlm),
           bloomShards = 16)
         val base = java.nio.file.Files.createTempDirectory("graft_prof_inc")
         val days = Seq(("00", "04"), ("04", "08"), ("08", "0c")).zipWithIndex.map {
@@ -105,15 +108,19 @@ object DailyJobProfiler {
             dayDocs.write.parquet(s"$dir/documents.parquet")
             (dir, embs.join(dayDocs.select("doc_id"), Seq("doc_id"), "left_semi"), i)
         }
+        // capture EVERY day (r20: the bench's charlm-armed face showed
+        // day-over-day GROWTH 11 → 16 → 19 s — per-day attribution is
+        // the point now, not just day 1's fixed costs)
         days.foreach { case (dir, dayEmbs, i) =>
-          if (i == 1) { captureT0 = System.nanoTime; capture = true }
+          captureT0 = System.nanoTime; capture = true
           val t0 = System.nanoTime
           val sm = Pipeline.runIncremental(spark, dir, base.resolve(s"out$i").toString,
             post, hash, chunkTable = Some(chunk), semanticTable = Some(sem),
-            deltaEmbeddings = Some(dayEmbs))
+            deltaEmbeddings = Some(dayEmbs),
+            charlmTable = Some(charlm), charlmRareFracMax = Some(0.5))
           println(f"PROF day$i ${(System.nanoTime - t0) / 1e9}%8.2f s  " +
             sm.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
-          if (i == 1) { capture = false; report("day1") }
+          capture = false; report(s"day$i")
         }
         // the saturation-rebuild surcharge, attributed per execution
         // (r18 VERDICT #5: 0.96 → 2.2 s unattributed)
