@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AdcDist, BloomMightContain, BoundedCollect, CdcChunks, CharlmDocCounts, CharlmDocScore, CharlmUnpack, FoldSumArr, FreqItemsAgg, PqEncode, SortedFoldSum, SortedFoldSumArr, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
+import graft.functions.{AdcDist, BloomMightContain, BoundedCollect, CdcChunks, CharlmDocCounts, CharlmDocScore, CharlmUnpack, FoldSumArr, FreqItemsAgg, PairCombos, PqEncode, SortedFoldSum, SortedFoldSumArr, SortedFoldSumStr, CharNgrams, CleanContent, DotProduct, IvfArgmin, L2Norm, MinHashAgg, MinHashSig, MinHashSigMd5, QuantizeInt8, ScrubTokens, Shingles, SimHashAgg, SimHashSig, SimHashSigMd5, SrpBuckets, SrpBucketsMd5}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -232,6 +232,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(v) => FoldSumArr(v).toAggregateExpression()
         case other => badSignature("graft_fold_sum_arr", "(value: array<double>)", other)
+      }),
+    ("graft_pair_combos",
+      new ExpressionInfo(classOf[PairCombos].getName, "graft_pair_combos"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ds) => PairCombos(ds)
+        case other => badSignature("graft_pair_combos", "(ds: array<bigint>)", other)
       }))
 
   /** Idempotently register the functions on an existing session. */

@@ -23,7 +23,7 @@ object PlanDump {
       "keyword_search" -> "text predicate pushed to the parquet scan",
       "ner_extract" -> "broadcast gazetteer join + single aggregate",
       "dedup_minhash" -> "banded LSH: map-only scalar signatures + bucket self-join",
-      "dedup_ngram_jaccard" -> "df cap fused into a bounded-collect aggregate: one explode, one shuffle, no broadcast, no sorts",
+      "dedup_ngram_jaccard" -> "df cap fused into a bounded-collect aggregate: one explode, one shuffle, native pair combos (r20), no broadcast, no sorts",
       "publishing_patterns" -> "share-of-total window over the <=24-row post-aggregation rollup (one scan + one shuffle)",
       "ann_bruteforce" -> "broadcast query set + native codegen'd graft_dot",
       "ann_ivf" -> "fixed-k centroids aggregated to one broadcast row; map-side array-argmin cell assignment",
@@ -33,7 +33,7 @@ object PlanDump {
       "ranked_search_page2" -> "keyset pagination: 1-row cursor broadcast, page cost independent of depth",
       "search_highlight_multi" -> "successive positional fragments, one row each: zero-shuffle map + Generate",
       "ranked_search_multi" -> "idf weights from a 1-row broadcast stats aggregate; corpus never shuffles",
-      "dedup_clusters" -> "min-label propagation: per-round join + map-side min agg over checkpointed labels",
+      "dedup_clusters" -> "min-label propagation: per-round join + map-side min agg over checkpointed labels; convergence observed inside the round's checkpoint job (r20)",
       "stratified_sample" -> "deterministic md5 stratified sample: single map-side filter, zero shuffle",
       "group_topk" -> "per-group exemplars: WindowGroupLimit keeps the exchange at O(groups x k)",
       "bigram_counts" -> "corpus bigram stats: zip_with explode + map-side combine + TakeOrdered(topN)",
@@ -76,7 +76,7 @@ object PlanDump {
       "embedding_covariance" -> "int8 moments: upper-triangle slice explode, long sums combined map-side into 2080 constant groups",
       "decontam_report" -> "combined contamination verdict: both arms' bounded outputs full-outer-joined; corpus work stays inside the arms",
       "q_waiting_orders" -> "TPC-H Q21 rewritten: ONE lineitem scan feeds the per-order lateness profile (the semi+anti pair as two stacked aggregates); supplier x nation broadcast after the sole-late decision",
-      "ann_ivf_trained" -> "trained IVF: each Lloyd round is a broadcast argmin + deterministic (cell,dim) re-center (sorted collect_list fold — the bit-replayable registered path); the query path identical to ann_ivf against the refined 1-row centroid broadcast",
+      "ann_ivf_trained" -> "trained IVF: each Lloyd round is a broadcast argmin + ONE-exchange deterministic re-center (native elementwise sorted fold of whole vectors, r20 — bit-identical to the per-dim fold it replaced); query path identical to ann_ivf against the refined 1-row centroid broadcast",
       "dedup_semantic_trained" -> "trained SemDeDup: Lloyd's-refined centroids slot into the same broadcast-argmin cell assignment + within-cell equi-join pairing as dedup_semantic",
       "sketch_distinct_audit" -> "HLL++ contract row: exact distinct (expand-based) and the sketch in ONE source-keyed aggregate pass over the token explode",
       "sketch_quantile_audit" -> "GK contract row: bounded per-source value rollup + 3 probe rows joined back; the corpus contributes one combinable count pass",
@@ -90,15 +90,15 @@ object PlanDump {
       "charlm_score" -> "char-LM filter: |alphabet|^3-bounded model trained by ONE packed-trigram aggregate, collected driver-side, scored per doc by ONE map-side expression (model as a foldable plan literal, elided below) — zero scoring shuffle, no log anywhere",
       "bpe_train" -> "BPE training: vocab-bounded word rollup, per-round pair-count aggregate + 1-row winner collect, map-only fold re-segmentation — corpus rows touched once at tokenization",
       "q_market_share" -> "TPC-H Q8: share-within-group over the six-table snowflake — ONE conditional aggregate pass (no per-nation self-join), pushed date/type filters, constant dims broadcast, big dims left to AQE",
-      "pq_codes" -> "PQ encoding: all m subspaces in ONE batched broadcast-argmin pass (sub-keyed codebook join), zero corpus shuffles; training shuffles carry m x ksub x subDims rows, not vectors",
-      "ann_pq" -> "ADC scan: per-query m x ksub distance table broadcast onto the code scan, m array lookups per candidate, exact-cosine re-rank only for the top-64 survivors",
-      "ann_ivf_pq" -> "two-level serving shape: trained cosine cells prune to nprobe cells, ADC ranks in-cell codes, full vectors fetched for the re-rank only",
+      "pq_codes" -> "PQ encoding: all m subspaces in ONE fused native scan expression (graft_pq_encode vs a 1-row packed-codebook broadcast, r20), zero corpus shuffles; training re-centers whole subvectors through one exchange per round",
+      "ann_pq" -> "ADC scan: per-query m x ksub distance table broadcast onto fused-encode code arrays (no reassembly shuffle, r20), native graft_adc_dist per candidate, exact-cosine re-rank only for the top-64 survivors",
+      "ann_ivf_pq" -> "two-level serving shape: trained cosine cells prune to nprobe cells, ADC ranks in-cell codes (fused native encode + native ADC fold, r20), full vectors fetched for the re-rank only",
       "entity_pagerank" -> "damped PageRank: corpus work ends at the per-doc mention aggregate; 5 sorted-fold rounds on gazetteer-bounded rows with per-round checkpoints",
       "curriculum_assign" -> "curriculum buckets: md5 sample filter map-side, window only over the SAMPLE, bucket count against a (k-1)-row broadcast — no global sort",
       "heavy_hitters_audit" -> "MG contract row: the k-entry combinable sketch and the exact rollup in one audit join; production keeps only the sketch aggregate",
-      "ann_ivf_pq_residual" -> "residual IVF-PQ: per-(query, probed-cell) ADC tables ride one broadcast; codes and cells equi-join; full vectors only in the re-rank",
+      "ann_ivf_pq_residual" -> "residual IVF-PQ: per-(query, probed-cell) ADC tables ride one broadcast; codes and cells equi-join (cells + residuals pinned once, not re-derived per training round, r20); full vectors only in the re-rank",
       "entity_communities" -> "sync LPA: per-round gazetteer-bounded join + min_by argmax over checkpointed labels; integer weights, no doubles",
-      "semantic_probe_pq" -> "PQ-compressed probe: 16 B/doc index rows equi-join delta cells, ADC + law-of-cosines recovery map-side, corpus vectors never load",
+      "semantic_probe_pq" -> "PQ-compressed probe: 16 B/doc index rows off ONE zero-shuffle fused-encode projection (r20) equi-join delta cells, native ADC + law-of-cosines recovery map-side, corpus vectors never load",
       "bloom_filter_audit" -> "bloom contract row: one checkpointed split feeds the driver-built filter and the probe aggregate; booleans pinned from the exact side",
       "semantic_probe_pq_persisted" -> "the persisted PQ seam: codebooks/centroids/codes READ from tables (no retraining in the probe half), delta cells equi-join the bucketed 16 B/doc index, ADC + law-of-cosines map-side",
       "pack_sequences_bpe" -> "BPE-budget packing: vocab-bounded token-count table joins the exploded words, then the same ONE domain-keyed exchange feeds the cumulative window",

@@ -1089,12 +1089,13 @@ object Dedup {
     // Co-occurrence via map-side pair generation over the bounded
     // lists — a sort-merge self-join would sort the exploded corpus
     // on both sides; here nothing is ever sorted but the ≤(maxDocFreq)
-    // -element lists themselves.
+    // -element lists themselves. The pair generation is the native
+    // [[graft.functions.PairCombos]] (r20): the nested-transform HOF
+    // twin paid a sliced tail COPY per element — O(|ds|²) allocations
+    // per posting row, measured as the pair chain's dominant term.
     val common = postings
       .filter(size(col("ds")) >= 2)
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .select(explode(call_function("graft_pair_combos", col("ds"))).as("p"))
       .groupBy(col("p.d1").as("doc_id_1"), col("p.d2").as("doc_id_2"))
       .agg(count(lit(1)).as("common"))
     common
@@ -1366,9 +1367,9 @@ object Dedup {
       .select(sort_array(col("ds")).as("ds"), col("n_tokens"))
     postings
       .filter(size(col("ds")) >= 2)
-      .select(col("n_tokens"), explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
+      // native pair generation — same rationale as ngramJaccardPairs'
+      .select(col("n_tokens"),
+        explode(call_function("graft_pair_combos", col("ds"))).as("p"))
       .groupBy(col("p.d1").as("doc_id_1"), col("p.d2").as("doc_id_2"))
       .agg(count(lit(1)).as("shared_chunks"), sum(col("n_tokens")).as("shared_tokens"))
       .filter(col("shared_tokens") >= minSharedTokens)
