@@ -1530,13 +1530,14 @@ object Dedup {
           // would cost an extra full-edge shuffle per round for
           // nothing.
           .select(col("b").as("u"), least(col("a"), col("mn")).as("v"))
-          // LAZY checkpoint (r20): still cuts lineage and materializes
-          // exactly once (both small-star consumers below read the
-          // persisted blocks), but the materialization rides the
-          // round's ONE checkpoint job instead of paying its own eager
-          // job — at fixpoint row sizes the per-round driver
-          // round-trips ARE the wall (the iter-sentinel's axis)
-          .localCheckpoint(false)
+          // EAGER on purpose (r20 measured): `large` has TWO consumers
+          // inside the round's one job (the small-star aggregate and
+          // the rewire join) — a lazy checkpoint lets the DAGScheduler
+          // submit both consuming stages against the un-materialized
+          // RDD and race the block cache into partial double-compute
+          // (measured as a net loss); one eager job materializes it
+          // exactly once
+          .localCheckpoint()
         // small-star: center u (the larger endpoint) rewires its smaller
         // neighbors and itself onto its minimum neighbor
         val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))

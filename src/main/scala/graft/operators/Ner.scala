@@ -325,7 +325,12 @@ object Ner {
           col("u"), col("contrib")).as("s"))
         .select(col("v").as("u"),
           (lit((1 - damping) / n) + lit(damping) * col("s")).as("pr"))
-        .localCheckpoint()
+        // LAZY (r20): no convergence check reads a round eagerly, so
+        // the rounds chain into ONE materializing job (each round's
+        // blocks persist as the next computes) — iters fewer driver
+        // round-trips on a driver-latency-bound row, lineage cut
+        // unchanged
+        .localCheckpoint(false)
       it += 1
     }
     pr.select(col("u").as("entity"), col("pr").as("pagerank"))
@@ -380,6 +385,12 @@ object Ner {
         .agg(min_by(struct(col("label"), col("lw")),
           struct((-col("lw")).as("nw"), col("label"))).as("pick"))
         .select(col("u"), col("pick.label").as("label"))
+        // EAGER on purpose (r20 measured): each round consumes the
+        // previous labels TWICE (the neighbor join and the self-vote
+        // union) — lazy checkpointing raced the two consuming stages
+        // into partial double-compute across all five rounds
+        // (entity_communities 1.27 → 1.52 s); pagerank's rounds stay
+        // lazy because `pr` has exactly ONE consumer per round
         .localCheckpoint()
       it += 1
     }
