@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructType}
 
 /** Nearest-IVF-cell assignment fused into ONE native pass: given a
@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * cannot produce those shapes.
   */
 case class IvfArgmin(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   private def centroidType(dt: DataType): Option[(DataType, DataType)] = dt match {
     case ArrayType(st: StructType, _) if st.length == 3 =>
@@ -53,11 +53,30 @@ case class IvfArgmin(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_ivf_argmin"
 
-  // Interpreted-only expression (CodegenFallback): resolve the element
-  // accessors once per deserialized instance, not per row.
+  // Element accessors resolved once per deserialized instance, not
+  // per row.
   @transient private lazy val ge = VectorExpressions.getter(left.dataType)
   @transient private lazy val gc =
     VectorExpressions.getter(centroidType(right.dataType).get._2)
+
+  /** Public entry for codegen'd calls (the BloomProbe convention: the
+    * argmin loop stays this one method, but the cell-assignment
+    * projection around it stays inside whole-stage codegen instead of
+    * the CodegenFallback trait ejecting the operator). */
+  def argmin(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData): Any = nullSafeEval(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftIvfArgmin", this, classOf[IvfArgmin].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.argmin($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+       """.stripMargin
+    })
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val emb = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * null-field structs — callers' posting lists are sort_array outputs
   * of non-null collects, which cannot contain nulls). */
 case class PairCombos(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -36,6 +36,25 @@ case class PairCombos(child: Expression)
     StructField("d1", LongType, nullable = false),
     StructField("d2", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_pair_combos"
+
+  /** Public entry for codegen'd calls — the BloomProbe convention:
+    * doGenCode references this instance so the Generate/projection
+    * around the pair explode stays inside whole-stage codegen instead
+    * of the CodegenFallback trait ejecting the operator (r20 verdict
+    * #3). */
+  def pairs(a: ArrayData): Any = nullSafeEval(a)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPairCombos", this, classOf[PairCombos].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.pairs($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val ds = a.asInstanceOf[ArrayData]

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * widen exactly, as everywhere in this family.
   */
 case class PqEncode(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   // subcents: array (by subspace, ascending) of array<struct<cell:
   // long, cemb: array<double|float>>> — the one-row packed layout
@@ -65,6 +65,26 @@ case class PqEncode(left: Expression, right: Expression)
 
   @transient private lazy val ge = VectorExpressions.getter(left.dataType)
   @transient private lazy val gc = VectorExpressions.getter(cembType(right.dataType).get)
+
+  /** Public entry for codegen'd calls (doGenCode references this
+    * expression instance and invokes it per row — the BloomProbe
+    * convention: the loop body stays this one interpreted method, but
+    * the PROJECTION around it stays inside whole-stage codegen instead
+    * of the CodegenFallback trait kicking the whole operator out of
+    * the span, r20 verdict #3). */
+  def encode(a: ArrayData, b: ArrayData): Any = nullSafeEval(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.encode($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val emb = a.asInstanceOf[ArrayData]
@@ -143,7 +163,7 @@ case class PqEncode(left: Expression, right: Expression)
   * dot/norm pair native. Length mismatch or an out-of-range code
   * yields NULL (the HOF form's null-padding outcome). */
 case class AdcDist(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   private def ok(dt: DataType): Boolean = dt match {
     case ArrayType(ArrayType(DoubleType, _), _) => true
@@ -161,6 +181,21 @@ case class AdcDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_adc_dist"
+
+  /** Public entry for codegen'd calls (see [[PqEncode.encode]]). */
+  def dist(a: ArrayData, b: ArrayData): Any = nullSafeEval(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftAdcDist", this, classOf[AdcDist].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.dist($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+       """.stripMargin
+    })
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val dtab = a.asInstanceOf[ArrayData]

@@ -146,11 +146,24 @@ object Ann {
                                      seed: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0)
     graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
+    // Cache the training frame for the fixed round count (guide §5:
+    // reuse beats recompute — every Lloyd round's assignment pass
+    // re-scanned the corpus projection from parquet). IN-PLAN and
+    // per-call: persisted here, materialized by the final round's
+    // eager checkpoint below, unpersisted before returning — nothing
+    // survives the call, every invocation still computes from the
+    // parquet inputs.
+    val cache = iters >= 1
+    if (cache) e.persist()
+    try {
     // LAZY checkpoints throughout the fixpoint (r20): lineage is cut
     // identically, but each round's k-row centroid frame materializes
     // inside the NEXT job that reads it (the assign broadcast build)
     // instead of paying its own eager driver round-trip — one job per
-    // round saved, values untouched.
+    // round saved, values untouched. Exception: the FINAL round is
+    // eager when the training frame is cached, so the round chain
+    // materializes while the cache is alive (returning lazily would
+    // strand the rounds onto uncached re-scans after the unpersist).
     var cents = seed.getOrElse(ivfCentroids(e, k)).localCheckpoint(false)
     var it = 0
     while (it < iters) {
@@ -179,10 +192,11 @@ object Ann {
           coalesce(col("cemb"), asDouble(col("pemb"))).as("cemb"),
           coalesce(col("cnrm"), col("pnrm")).as("cnrm"))
         .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
-        .localCheckpoint(false)
+        .localCheckpoint(cache && it == iters - 1)
       it += 1
     }
     cents
+    } finally if (cache) e.unpersist(false)
   }
 
   /** [[ivfTopK]] with a TRAINED coarse quantizer: same query path,

@@ -1516,39 +1516,49 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
+        import org.apache.spark.sql.expressions.Window
         // large-star: center a sees ALL neighbors (symmetric adjacency),
-        // larger neighbors b > a re-point at min(closed neighborhood)
+        // larger neighbors b > a re-point at min(closed neighborhood).
+        // The per-center minimum rides a WINDOW over the adjacency
+        // (r21): the r20 shape paid a groupBy(a) aggregate PLUS a
+        // join back onto adj — the adjacency crossed an exchange
+        // twice per half-round and `large` needed its own eager
+        // checkpoint job because it fed two consumers. Here each
+        // half-round is ONE (key)-partitioned pass, `large` has ONE
+        // consumer, and the whole round collapses into the single
+        // checkpoint job below — half the per-round exchanges of the
+        // adjacency and one driver round-trip per round instead of
+        // two. Values are identical: min() over partitionBy(a) is
+        // row-for-row the joined-back groupBy min.
         val adj = edges.select(col("u").as("a"), col("v").as("b"))
           .union(edges.select(col("v").as("a"), col("u").as("b")))
-        val mins = adj.groupBy(col("a")).agg(min(col("b")).as("mn"))
-        val large = adj.join(mins, "a")
+        val large = adj
+          .withColumn("mn", min(col("b")).over(Window.partitionBy(col("a"))))
           .filter(col("b") > col("a"))
           // b > a >= least(a, mn): canonical orientation is free.
-          // NOT distinct'd: two centers can emit the same (b, m), but
-          // small-star's min-aggregate absorbs duplicates and the
-          // round's final distinct cleans its output — deduping here
+          // NOT distinct'd: two centers can emit the same (b, m) —
+          // the round's final distinct cleans it up; deduping here
           // would cost an extra full-edge shuffle per round for
           // nothing.
           .select(col("b").as("u"), least(col("a"), col("mn")).as("v"))
-          // EAGER on purpose (r20 measured): `large` has TWO consumers
-          // inside the round's one job (the small-star aggregate and
-          // the rewire join) — a lazy checkpoint lets the DAGScheduler
-          // submit both consuming stages against the un-materialized
-          // RDD and race the block cache into partial double-compute
-          // (measured as a net loss); one eager job materializes it
-          // exactly once
-          .localCheckpoint()
         // small-star: center u (the larger endpoint) rewires its smaller
-        // neighbors and itself onto its minimum neighbor
-        val sm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        // neighbors and itself onto its minimum neighbor. Same window
+        // trick: `m` = min(v) per u rides the rows, and the center's
+        // own (u, m) row is emitted by a 2-way explode of each large
+        // row instead of a join against a separate per-u aggregate —
+        // the duplicate (u, m) copies collapse in the final distinct,
+        // which the r20 shape already paid.
         // the round signature rides the SAME job as the checkpoint via
         // `observe` (r20) — the separate per-round signature aggregate
         // job is gone; the metrics are the identical count + hash-sum
         // pair over the identical distinct'd row set
         val obs = org.apache.spark.sql.Observation()
-        val rewired = large.join(sm, "u")
-          .select(col("v").as("x"), col("m"))
-          .union(sm.select(col("u").as("x"), col("m")))
+        val rewired = large
+          .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+          .select(explode(array(
+            struct(col("v").as("x"), col("m")),
+            struct(col("u").as("x"), col("m")))).as("p"))
+          .select(col("p.x").as("x"), col("p.m").as("m"))
           .filter(col("x") =!= col("m"))
           // x is either a neighbor >= m or the center u > m: canonical
           .select(col("x").as("u"), col("m").as("v"))

@@ -109,9 +109,22 @@ object Pq {
   private[graft] def trainCodebooks(e: DataFrame, m: Int, subDims: Int,
                                     ksub: Int, iters: Int,
                                     deterministic: Boolean,
-                                    rankSeed: Boolean = true): DataFrame = {
+                                    rankSeed: Boolean = true,
+                                    cacheTrain: Boolean = true): DataFrame = {
     require(iters >= 0 && ksub > 0)
     graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
+    // Cache the training frame for the fixed round count (guide §5:
+    // reuse beats recompute — every Lloyd round's assignment pass
+    // re-scanned the corpus projection from parquet). IN-PLAN and
+    // per-call: persisted here, materialized by the final round's
+    // eager checkpoint below, unpersisted before returning — nothing
+    // survives the call, every invocation still computes from the
+    // parquet inputs. `cacheTrain = false` for callers whose training
+    // frame is ALREADY a materialized localCheckpoint (the residual
+    // path) — re-caching checkpoint blocks would only copy them.
+    val cache = cacheTrain && iters >= 1
+    if (cache) e.persist()
+    try {
     val sv = subRows(e, m, subDims)
     val seedRows = if (rankSeed) {
       import org.apache.spark.sql.expressions.Window
@@ -176,10 +189,16 @@ object Pq {
           coalesce(col("cemb"), col("pemb")).as("cemb"))
         .groupBy(col("sub"))
         .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-        .localCheckpoint(false)
+        // the FINAL round is eager when the training frame is cached:
+        // the whole lazy round chain materializes HERE, while the
+        // cache is alive — returning lazily would strand the rounds
+        // onto uncached re-scans after the unpersist below.
+        // Intermediate rounds stay lazy (r20).
+        .localCheckpoint(cache && it == iters - 1)
       it += 1
     }
     cents
+    } finally if (cache) e.unpersist(false)
   }
 
   /** PQ codes for every vector and subspace against a trained
@@ -367,7 +386,10 @@ object Pq {
       // projection over the corpus (r20; guide §5 — reuse beats
       // recompute here because the recompute is a full corpus pass)
       .localCheckpoint(false)
-    val cb = trainCodebooks(residuals, m, subDims, ksub, iters, deterministic)
+    // cacheTrain = false: residuals IS already a materialized-once
+    // checkpoint — re-caching its blocks would only copy them (r21)
+    val cb = trainCodebooks(residuals, m, subDims, ksub, iters, deterministic,
+      cacheTrain = false)
     val qRows = Ann.nearestCells(
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
