@@ -245,9 +245,24 @@ object Ann {
     // lambda binds or struct allocations, same ordering as the
     // declarative struct-min, spec-pinned equal); keep>1 (the handful
     // of query rows) pays the interpreted sort.
+    //
+    // coalesce(argmin, -1) rather than the bare argmin (r21): `cell`
+    // feeds inner equi-joins, so constraint inference adds an
+    // isnotnull(cell) filter that predicate pushdown substitutes back
+    // through this projection — the plan dumps showed
+    // `isnotnull(graft_ivf_argmin(emb, cents))` in the broadcast-join
+    // condition, i.e. the full k×dims argmin evaluated TWICE per
+    // corpus row. The coalesce makes the column non-nullable, so the
+    // inferred null-check folds away and the argmin runs once. Values
+    // are identical in every consumer: argmin is null only for
+    // malformed inputs (impossible by construction, spec-pinned), and
+    // if one ever occurred, cell −1 — an id no codebook contains —
+    // drops in the equi-joins and in the re-center's prev-side left
+    // join exactly where the null row dropped before.
     val assigned =
       if (keep == 1) joined.withColumn("cell",
-        call_function("graft_ivf_argmin", col(embCol), col("cents")))
+        coalesce(call_function("graft_ivf_argmin", col(embCol), col("cents")),
+          lit(-1L)))
       else joined
         .withColumn("__cell", explode(slice(array_sort(scored), 1, keep)))
         .withColumn("cell", col("__cell.cell"))

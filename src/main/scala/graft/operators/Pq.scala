@@ -203,11 +203,26 @@ object Pq {
 
   /** PQ codes for every vector and subspace against a trained
     * codebook set — the fused native encode, posexploded to the
-    * relational (vec_id, sub, code) form. Map-only. */
+    * relational (vec_id, sub, code) form. Map-only.
+    *
+    * OUTER posexplode + null-position filter rather than the plain
+    * one (r21): `InferFiltersFromGenerate` turns a non-outer explode
+    * of the extracted codes attribute into a `size(codes) > 0 AND
+    * isnotnull(codes)` filter that predicate pushdown substitutes
+    * back through the extract projection — the plan dump showed
+    * graft_pq_encode evaluated THREE times per corpus row (twice in
+    * the broadcast-join condition, once in the projection). The rule
+    * skips outer generates, and for this array type (containsNull =
+    * false by [[graft.functions.PqEncode]]'s dataType) the outer
+    * explode emits exactly the inner explode's rows plus one
+    * all-null row per empty/null array — which the `sub` null filter
+    * removes — so the relational output is row-identical and the
+    * encode runs ONCE per row. */
   private def codesFor(e: DataFrame, cb: DataFrame): DataFrame =
     encodedRows(e, cb)
       .select(col("vec_id"),
-        posexplode(col("enc.codes")).as(Seq("sub", "code")))
+        posexplode_outer(col("enc.codes")).as(Seq("sub", "code")))
+      .filter(col("sub").isNotNull)
 
   /** One row per vector with its subspace-ordered code ARRAY — the
     * scan-side layout ADC consumes, straight off the fused encode
@@ -606,7 +621,14 @@ object Pq {
     vectors.select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", Ann.norm(col("emb")))
       .crossJoin(broadcast(cents))
-      .withColumn("cell", call_function("graft_ivf_argmin", col("emb"), col("cents")))
+      .withColumn("cell",
+        // coalesce(argmin, -1): cell feeds inner equi-joins, so the
+        // bare (nullable) argmin gets an inferred isnotnull pushed
+        // back into this projection's broadcast-join condition — the
+        // full argmin evaluated twice per row (see Ann.nearestCells,
+        // r21). Non-nullable sentinel, value-identical: -1 matches no
+        // codebook cell, exactly like the null row it replaces.
+        coalesce(call_function("graft_ivf_argmin", col("emb"), col("cents")), lit(-1L)))
       .drop("cents")
       .crossJoin(broadcast(subcentsRow(packCodebooks(codebooks))))
       .withColumn("enc", call_function("graft_pq_encode", col("emb"), col("subcents")))
@@ -969,7 +991,14 @@ object Pq {
     // against two 1-row broadcasts (r20: previously a corpus-wide
     // groupBy(vec_id) code reassembly plus two vec_id re-joins)
     val index = e.crossJoin(broadcast(cents))
-      .withColumn("cell", call_function("graft_ivf_argmin", col("emb"), col("cents")))
+      .withColumn("cell",
+        // coalesce(argmin, -1): cell feeds inner equi-joins, so the
+        // bare (nullable) argmin gets an inferred isnotnull pushed
+        // back into this projection's broadcast-join condition — the
+        // full argmin evaluated twice per row (see Ann.nearestCells,
+        // r21). Non-nullable sentinel, value-identical: -1 matches no
+        // codebook cell, exactly like the null row it replaces.
+        coalesce(call_function("graft_ivf_argmin", col("emb"), col("cents")), lit(-1L)))
       .drop("cents")
       .crossJoin(broadcast(subcentsRow(cb)))
       .select(col("vec_id"),

@@ -40,18 +40,26 @@ object JobCountProbe {
         tasks.add(s.stageInfo.numTasks.toLong)
         inputBytes.add(s.stageInfo.taskMetrics.inputMetrics.bytesRead)
         shuffleWrite.add(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        if (sys.env.contains("JOBPROBE_STAGES")) {
+          val m = s.stageInfo.taskMetrics
+          println(f"  STAGE ${s.stageInfo.stageId}%4d tasks ${s.stageInfo.numTasks}%4d " +
+            f"shufW ${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.2f MB " +
+            f"shufWrecs ${m.shuffleWriteMetrics.recordsWritten}%9d " +
+            f"shufR ${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.2f MB " +
+            f"in ${m.inputMetrics.bytesRead / 1e6}%7.2f MB  ${s.stageInfo.name.take(60)}")
+        }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = ()
     })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      Thread.sleep(400) // let the async listener bus drain
       jobs.set(0); stages.set(0); tasks.reset(); inputBytes.reset(); shuffleWrite.reset()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      Thread.sleep(400) // let the async listener bus drain
       println(f"JOBPROBE $name%-34s ${sec}%6.3f s  jobs ${jobs.get()}%4d  stages ${stages.get()}%4d  " +
         f"tasks ${tasks.sum()}%5d  input ${inputBytes.sum() / 1e6}%9.1f MB  shufW ${shuffleWrite.sum() / 1e6}%8.1f MB")
     }
