@@ -146,28 +146,26 @@ object Ann {
                                      seed: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0)
     graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
-    // Cache the training frame for the fixed round count (guide §5:
+    // Pin the training frame for the fixed round count (guide §5:
     // reuse beats recompute — every Lloyd round's assignment pass
-    // re-scanned the corpus projection from parquet). IN-PLAN and
-    // per-call: persisted here, materialized by the final round's
-    // eager checkpoint below, unpersisted before returning — nothing
-    // survives the call, every invocation still computes from the
-    // parquet inputs.
-    val cache = iters >= 1
-    if (cache) e.persist()
-    try {
+    // re-scanned the corpus projection from parquet). A LAZY
+    // localCheckpoint, not persist(): raw row blocks materialized
+    // once inside the first consuming job, read by every later
+    // round; persist()'s columnar re-encode of the embedding arrays
+    // was measured costing more than the scans it saves. IN-PLAN and
+    // per-call: the pin is a fresh frame per invocation, its blocks
+    // die with the RDD — nothing survives the call, every invocation
+    // still computes from the parquet inputs.
+    val train = if (iters >= 1) e.localCheckpoint(false) else e
     // LAZY checkpoints throughout the fixpoint (r20): lineage is cut
     // identically, but each round's k-row centroid frame materializes
     // inside the NEXT job that reads it (the assign broadcast build)
     // instead of paying its own eager driver round-trip — one job per
-    // round saved, values untouched. Exception: the FINAL round is
-    // eager when the training frame is cached, so the round chain
-    // materializes while the cache is alive (returning lazily would
-    // strand the rounds onto uncached re-scans after the unpersist).
-    var cents = seed.getOrElse(ivfCentroids(e, k)).localCheckpoint(false)
+    // round saved, values untouched.
+    var cents = seed.getOrElse(ivfCentroids(train, k)).localCheckpoint(false)
     var it = 0
     while (it < iters) {
-      val assigned = nearestCells(e, cents, "emb", "nrm", keep = 1)
+      val assigned = nearestCells(train, cents, "emb", "nrm", keep = 1)
       // Re-centering through ONE cell-keyed exchange (r20): whole
       // vectors fold elementwise per cell — the (cell, pos) partial
       // level, its posexplode (dims× the rows) and the collect_list/
@@ -192,11 +190,10 @@ object Ann {
           coalesce(col("cemb"), asDouble(col("pemb"))).as("cemb"),
           coalesce(col("cnrm"), col("pnrm")).as("cnrm"))
         .agg(collect_list(struct(col("cell"), col("cemb"), col("cnrm"))).as("cents"))
-        .localCheckpoint(cache && it == iters - 1)
+        .localCheckpoint(false)
       it += 1
     }
     cents
-    } finally if (cache) e.unpersist(false)
   }
 
   /** [[ivfTopK]] with a TRAINED coarse quantizer: same query path,

@@ -113,22 +113,24 @@ object Pq {
                                     cacheTrain: Boolean = true): DataFrame = {
     require(iters >= 0 && ksub > 0)
     graft.GraftExtensions.register(e.sparkSession) // graft_sorted_fold_sum
-    // Cache the training frame for the fixed round count (guide §5:
+    // Pin the training frame for the fixed round count (guide §5:
     // reuse beats recompute — every Lloyd round's assignment pass
-    // re-scanned the corpus projection from parquet). IN-PLAN and
-    // per-call: persisted here, materialized by the final round's
-    // eager checkpoint below, unpersisted before returning — nothing
-    // survives the call, every invocation still computes from the
-    // parquet inputs. `cacheTrain = false` for callers whose training
-    // frame is ALREADY a materialized localCheckpoint (the residual
-    // path) — re-caching checkpoint blocks would only copy them.
-    val cache = cacheTrain && iters >= 1
-    if (cache) e.persist()
-    try {
-    val sv = subRows(e, m, subDims)
+    // re-scanned the corpus projection from parquet). A LAZY
+    // localCheckpoint, not persist(): raw row blocks materialized
+    // once inside the first consuming job, read by every later round
+    // — persist()'s columnar re-encode of the embedding arrays was
+    // measured COSTING more than the scans it saves (retrain face
+    // 2.18 vs 1.98 s). IN-PLAN and per-call: the pin is a fresh frame
+    // per invocation, its blocks die with the RDD — nothing survives
+    // the call, every invocation still computes from the parquet
+    // inputs. `cacheTrain = false` for callers whose training frame
+    // is ALREADY a materialized localCheckpoint (the residual path)
+    // — re-pinning checkpoint blocks would only copy them.
+    val train = if (cacheTrain && iters >= 1) e.localCheckpoint(false) else e
+    val sv = subRows(train, m, subDims)
     val seedRows = if (rankSeed) {
       import org.apache.spark.sql.expressions.Window
-      val ids = e.orderBy(col("vec_id")).limit(ksub)
+      val ids = train.orderBy(col("vec_id")).limit(ksub)
         .select(col("vec_id"),
           (row_number().over(Window.orderBy(col("vec_id"))) - 1)
             .cast("long").as("cell"))
@@ -166,7 +168,7 @@ object Pq {
       // §2.4). The array fold sums elementwise in ascending vec_id
       // order, performing the identical IEEE additions per dimension
       // the scalar per-(pos) fold performed — bit-identical means.
-      val assigned = encodedRows(e, cents)
+      val assigned = encodedRows(train, cents)
         .select(col("vec_id"), explode(transform(col("enc.codes"),
           (c, j) => struct(j.as("sub"), c.as("cell"),
             Ann.asDouble(slice(col("emb"), j * lit(subDims) + 1, lit(subDims)))
@@ -189,16 +191,13 @@ object Pq {
           coalesce(col("cemb"), col("pemb")).as("cemb"))
         .groupBy(col("sub"))
         .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-        // the FINAL round is eager when the training frame is cached:
-        // the whole lazy round chain materializes HERE, while the
-        // cache is alive — returning lazily would strand the rounds
-        // onto uncached re-scans after the unpersist below.
-        // Intermediate rounds stay lazy (r20).
-        .localCheckpoint(cache && it == iters - 1)
+        // lazy per round (r20): the pinned training frame's blocks
+        // live as long as this chain's RDDs do, so the rounds can
+        // keep materializing inside the caller's first consuming job
+        .localCheckpoint(false)
       it += 1
     }
     cents
-    } finally if (cache) e.unpersist(false)
   }
 
   /** PQ codes for every vector and subspace against a trained
