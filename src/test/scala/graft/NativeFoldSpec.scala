@@ -122,4 +122,26 @@ class NativeFoldSpec extends SparkSpec {
     assert(native.toSeq === twin.toSeq)
     assert(native.head === Seq((3L, 7L), (3L, 9L), (3L, 12L), (7L, 9L), (7L, 12L), (9L, 12L)))
   }
+
+  test("hot-path expressions stay codegen-capable (r21: no CodegenFallback)") {
+    // The r21 round restored whole-stage-codegen spans around these
+    // expressions: the CodegenFallback trait ejects the ENTIRE
+    // containing operator from codegen (CollapseCodegenStages checks
+    // for the trait, not for a doGenCode body), so re-adding it — even
+    // with a doGenCode override — would silently break the spans the
+    // plan dumps pin. The value checks above run through the codegen'd
+    // projections, so bit-exactness of doGenCode rides the same specs.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val l = Literal(1L)
+    Seq(
+      functions.PqEncode(l, l),
+      functions.AdcDist(l, l),
+      functions.PairCombos(l),
+      functions.IvfArgmin(l, l)
+    ).foreach { e =>
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.prettyName} must not mix back in CodegenFallback")
+    }
+  }
 }
